@@ -1,0 +1,53 @@
+"""Benchmark runner: times the 'bench'-tagged catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is fully materialized via a count-ish action that forces
+every operator (collect on aggregates, which are small by
+construction)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from click_streaming_data_pipeline_spark.plans import QUERIES
+    from click_streaming_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("csdp-bench")
+    bench = {n: q for n, q in QUERIES.items() if "bench" in q.tags}
+
+    # warm the JVM + file listing once so timings measure the queries
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, q in sorted(bench.items()):
+        t0 = time.perf_counter()
+        df = q.fn(spark, sf_dir)
+        rows = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {rows} rows in {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    print(
+        json.dumps(
+            {
+                "metric": "bench_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

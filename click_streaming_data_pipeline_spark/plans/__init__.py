@@ -1,0 +1,9 @@
+from .registry import QUERIES, CatalogQuery, query, queries_dict, oracle_dict
+
+# importing the catalog modules populates the registry
+from . import catalog_core  # noqa: F401
+from . import catalog_search  # noqa: F401
+from . import catalog_extensions  # noqa: F401
+from . import catalog_streaming  # noqa: F401
+
+__all__ = ["QUERIES", "CatalogQuery", "query", "queries_dict", "oracle_dict"]

@@ -1,0 +1,696 @@
+"""Core relational catalog: scans, projections/filters (SURVEY 2 B),
+aggregations (2 C), sort/limit/pagination (2 D), joins (2 E), scalar
+functions (2 G), quality scoring (2 H) — each as a named query with a
+DuckDB oracle.
+
+Scale notes are attached per query: the local[32] plan is the same
+logical plan a 1000-executor cluster would run; comments call out the
+shuffle/broadcast strategy that keeps it viable at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.quality import (
+    MIN_QUALITY_SCORE,
+    quality_check_columns,
+    quality_oracle_exprs,
+)
+from ..functions.scalars import uuid7_deterministic
+from ..sources import load_table
+from .registry import davg_sql, dsum, dsum_sql, query
+
+# ---------------------------------------------------------------------------
+# C. Aggregations — the reference's per-key analytics (Redis INCR/PFADD)
+
+
+@query(
+    "doc_views",
+    oracle="""
+        SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS doc_key,
+               count(*) AS total_views,
+               count(DISTINCT user_id) AS unique_views
+        FROM events
+        GROUP BY 1
+    """,
+    doc=(
+        "C1 total views (cache.py:81-87, analytics.py:36-44) + C2 unique "
+        "visitors (cache.py:88-101) + G6 JSON decode (cache.py:42,51); "
+        "exact countDistinct variant for the oracle gate"
+    ),
+    tags=("bench", "flagship", "agg"),
+)
+def doc_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key view analytics: the reference keeps `views:{id}` counters
+    and `unique_views:{id}` HLLs in Redis; here it is one hash
+    aggregation. Scale: partial (map-side) aggregation halves the
+    shuffle; the key space (~100) is tiny so the reduce side is free.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.get_json_object("props", "$.k").cast("int").alias("doc_key"),
+            "user_id",
+        )
+        .groupBy("doc_key")
+        .agg(
+            F.count("*").alias("total_views"),
+            F.countDistinct("user_id").alias("unique_views"),
+        )
+    )
+
+
+@query(
+    "doc_views_approx",
+    oracle=None,  # approximate — driver does rows-only check
+    doc=(
+        "C2 HyperLogLog unique visitors (cache.py:88-94 PFADD/PFCOUNT) "
+        "via approx_count_distinct — the scale path: sketch merge "
+        "instead of exact distinct shuffle"
+    ),
+    tags=("agg", "approx"),
+)
+def doc_views_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-based uniques, rsd 1.5% — at 100 TB this replaces the exact
+    distinct's second shuffle with mergeable sketches (Redis-PFADD
+    semantics, SURVEY 2 C2)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.get_json_object("props", "$.k").cast("int").alias("doc_key"),
+            "user_id",
+        )
+        .groupBy("doc_key")
+        .agg(
+            F.count("*").alias("total_views"),
+            F.approx_count_distinct("user_id", 0.015).alias("unique_views"),
+        )
+    )
+
+
+@query(
+    "event_type_funnel",
+    oracle=f"""
+        SELECT event_type,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               {dsum_sql('value', 'total_value')},
+               {davg_sql('value', 'avg_value')}
+        FROM events
+        WHERE event_type <> 'error'
+        GROUP BY event_type
+    """,
+    doc=(
+        "B3 op-code drop filter (event main.py:38-40: skip r/d => skip "
+        "'error') + C1/C5 counts + weighted sums"
+    ),
+    tags=("agg", "filter"),
+)
+def event_type_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("event_type") != "error")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value", "total_value"),
+            (
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+                / F.count("value")
+            ).alias("avg_value"),
+        )
+    )
+
+
+@query(
+    "pricing_summary",
+    oracle=f"""
+        SELECT l_returnflag,
+               l_linestatus,
+               {dsum_sql('l_quantity', 'sum_qty')},
+               {dsum_sql('l_extendedprice', 'sum_base_price')},
+               {dsum_sql('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+               {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+               {davg_sql('l_quantity', 'avg_qty')},
+               {davg_sql('l_extendedprice', 'avg_price')},
+               {davg_sql('l_discount', 'avg_disc')},
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    doc=(
+        "C-group aggregation suite (TPC-H Q1 shape) over lineitem; "
+        "exercises scan filter pushdown + partial aggregation; the "
+        "bench headline scan"
+    ),
+    tags=("bench", "agg"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide aggregation: 4 sums + 3 means over a pushed-down date
+    filter. Scale: map-side partial agg reduces 100 TB of lineitem to
+    (#groups x #partitions) rows before the shuffle — the canonical
+    Spark-win plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            (
+                F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double")
+                / F.count("l_quantity")
+            ).alias("avg_qty"),
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).cast(
+                    "double"
+                )
+                / F.count("l_extendedprice")
+            ).alias("avg_price"),
+            (
+                F.sum(F.col("l_discount").cast("decimal(28,6)")).cast("double")
+                / F.count("l_discount")
+            ).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D. Sorts / limits / pagination
+
+
+@query(
+    "paginate_orders",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders
+        ORDER BY o_orderdate DESC, o_orderkey ASC
+        LIMIT 50 OFFSET 100
+    """,
+    doc=(
+        "D1 ORDER BY ... DESC + OFFSET/LIMIT listing (document "
+        "main.py:94-99); unique o_orderkey tie-break makes the page "
+        "deterministic (the reference's created_at DESC has uuid7 PK "
+        "for the same reason)"
+    ),
+    tags=("sort",),
+)
+def paginate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination page 3 (skip 100, take 50). Scale: Spark plans
+    TakeOrderedAndProject — each partition top-(150), merge on driver;
+    no full sort of 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").asc())
+        .offset(100)
+        .limit(50)
+    )
+
+
+@query(
+    "top_orders",
+    oracle=f"""
+        SELECT l_orderkey,
+               {dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue')},
+               o_orderdate,
+               o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    doc=(
+        "D2 top-k by composite sort (search main.py:116-119) + E2 FK "
+        "equi-joins; TPC-H Q3 shape"
+    ),
+    tags=("bench", "sort", "join"),
+)
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 revenue orders for one segment. Scale: customer filter is
+    broadcast to the orders scan; lineitem joins shuffle on orderkey;
+    final top-k is TakeOrderedAndProject (no global sort)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue, "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# E. Joins
+
+
+@query(
+    "nation_revenue",
+    oracle=f"""
+        SELECT n_name,
+               {dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue')}
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY n_name
+    """,
+    doc=(
+        "E2 multi-table FK equi-join chain (init-db.sql:55,67 FK "
+        "pattern) with broadcast dims; TPC-H Q5 shape"
+    ),
+    tags=("bench", "join"),
+)
+def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-way join. Scale: nation/region (25/5 rows at any SF) and
+    supplier broadcast; customer⋈orders⋈lineitem shuffle on their FK
+    keys; AQE handles any skewed nation."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue, "revenue"))
+    )
+
+
+@query(
+    "signature_exists_semijoin",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM customer
+            WHERE c_custkey = o_custkey AND c_acctbal > 9000
+        )
+    """,
+    doc=(
+        "E1 existence semi-join: the reference's DocumentExists gRPC "
+        "check before signature insert (signature main.py:73-78, "
+        "grpc_servicer.py:95-120) as a left-semi join"
+    ),
+    tags=("join",),
+)
+def signature_exists_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-based replacement for the per-row RPC existence check.
+    Scale: the filtered probe side broadcasts; no per-row round trips."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    rich = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey")
+    )
+    return orders.join(
+        F.broadcast(rich), orders.o_custkey == rich.c_custkey, "left_semi"
+    )
+
+
+@query(
+    "orphan_antijoin",
+    oracle="""
+        SELECT p_partkey, p_name, p_brand
+        FROM part
+        WHERE NOT EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_partkey = p_partkey AND l_quantity > 45
+        )
+    """,
+    doc=(
+        "E1 dead-letter anti-join: rows failing the existence check "
+        "(dangling signature document_ids, FIXTURES.md section 3) via "
+        "left_anti"
+    ),
+    tags=("join",),
+)
+def orphan_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand"
+    )
+    bulk = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_partkey")
+    )
+    return part.join(bulk, part.p_partkey == bulk.l_partkey, "left_anti")
+
+
+@query(
+    "enrichment_join",
+    oracle="""
+        SELECT event_id, user_id, event_type,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS doc_key,
+               coalesce(lang, 'unknown') AS doc_lang,
+               coalesce(n_chars, 0) AS doc_chars
+        FROM events
+        LEFT JOIN documents
+          ON CAST(json_extract_string(props, '$.k') AS INTEGER) = doc_id
+    """,
+    doc=(
+        "E3 enrichment lookup join: per-event S3 content fetch "
+        "(data-quality main.py:35-54,94-108) replaced by a set-based "
+        "broadcast join + B6 defaults (event main.py:45-60)"
+    ),
+    tags=("join",),
+)
+def enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-side enrichment as a broadcast left join — the 100 TB
+    replacement for the reference's per-record S3 GET (25 ms RPC per
+    row would be 80 years of wall-clock at 100 TB; one broadcast is
+    free)."""
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "doc_key", F.get_json_object("props", "$.k").cast("int")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return events.join(
+        F.broadcast(docs), events.doc_key == docs.doc_id, "left"
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "doc_key",
+        F.coalesce("lang", F.lit("unknown")).alias("doc_lang"),
+        F.coalesce("n_chars", F.lit(0)).alias("doc_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B. Projections / filters / validation
+
+
+@query(
+    "projection_defaults",
+    oracle="""
+        SELECT CAST(doc_id AS VARCHAR) AS id,
+               coalesce(substr(text, 1, 64), '') AS title,
+               coalesce(lang, 'unknown') AS lang,
+               coalesce(source, '') AS source,
+               coalesce(n_chars, CAST(0 AS BIGINT)) AS content_size
+        FROM documents
+    """,
+    doc=(
+        "B1 projection+rename/reshape (event main.py:44-61) + B6 "
+        "default-value projection (event main.py:45-60: value.get(f, "
+        "default) => coalesce)"
+    ),
+    tags=("projection",),
+)
+def projection_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.coalesce(F.substring("text", 1, 64), F.lit("")).alias("title"),
+        F.coalesce("lang", F.lit("unknown")).alias("lang"),
+        F.coalesce("source", F.lit("")).alias("source"),
+        F.coalesce("n_chars", F.lit(0).cast("bigint")).alias("content_size"),
+    )
+
+
+@query(
+    "constraint_deadletter",
+    oracle="""
+        SELECT doc_id,
+               concat_ws(',',
+                 CASE WHEN n_chars > 300 THEN 'too_large' END,
+                 CASE WHEN lang NOT IN ('en','es','de','zh','fr')
+                      THEN 'bad_lang' END,
+                 CASE WHEN length(text) < 10 THEN 'too_short' END
+               ) AS violations
+        FROM documents
+        WHERE n_chars > 300
+           OR lang NOT IN ('en','es','de','zh','fr')
+           OR length(text) < 10
+    """,
+    doc=(
+        "B7 ingest constraint predicates (schemes.py:7-16 title 1-255, "
+        "content<=10MB; init-db.sql:31-43 status domain) -> dead-letter "
+        "DataFrame of rejects with reasons"
+    ),
+    tags=("filter",),
+)
+def constraint_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    too_large = F.col("n_chars") > 300
+    bad_lang = ~F.col("lang").isin("en", "es", "de", "zh", "fr")
+    too_short = F.length("text") < 10
+    return docs.filter(too_large | bad_lang | too_short).select(
+        "doc_id",
+        F.concat_ws(
+            ",",
+            F.when(too_large, F.lit("too_large")),
+            F.when(bad_lang, F.lit("bad_lang")),
+            F.when(too_short, F.lit("too_short")),
+        ).alias("violations"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# H/C4/B8. Quality scoring
+
+
+def _quality_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cols = quality_check_columns("text", "n_chars")
+    return docs.select(
+        "doc_id",
+        *(c.alias(name) for name, c in cols.items()),
+    )
+
+
+_QUALITY_ORACLE_COLS = ",\n".join(
+    f"       ({expr}) AS {name}"
+    for name, expr in quality_oracle_exprs("text", "n_chars").items()
+)
+
+
+@query(
+    "quality_scores",
+    oracle=f"""
+        SELECT doc_id,
+{_QUALITY_ORACLE_COLS}
+        FROM documents
+    """,
+    doc=(
+        "H2 deterministic quality scorer (OpenAIProvider.py:42-176 "
+        "semantics, same output contract) + C4 weighted average "
+        "(OpenAIProvider.py:154-165) + G11 has_pii (llm/schemas.py:52-55)"
+    ),
+    tags=("bench", "quality"),
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full quality-check projection: all sub-scores + weighted overall
+    + flags, 100% built-in expressions (whole-stage codegen; no UDF)."""
+    return _quality_df(spark, sf_dir)
+
+
+@query(
+    "quality_gate",
+    oracle=f"""
+        SELECT doc_id, quality_score, has_pii FROM (
+            SELECT doc_id,
+{_QUALITY_ORACLE_COLS}
+            FROM documents
+        ) WHERE quality_score >= {MIN_QUALITY_SCORE}
+    """,
+    doc=(
+        "B8 quality gate filter (data-quality main.py:119-124, "
+        "config.py:22-23 MIN_QUALITY_SCORE=50, BLOCK_LOW_QUALITY)"
+    ),
+    tags=("quality", "filter"),
+)
+def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _quality_df(spark, sf_dir)
+        .filter(F.col("quality_score") >= MIN_QUALITY_SCORE)
+        .select("doc_id", "quality_score", "has_pii")
+    )
+
+
+# ---------------------------------------------------------------------------
+# I4. Last-write-wins / versioned dedup
+
+
+@query(
+    "latest_event_per_user",
+    oracle="""
+        SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+               event_type AS last_event_type
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC
+            ) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    doc=(
+        "I4 last-write-wins dedup: ES doc-id upsert keyed by id with "
+        "max version (event main.py:71-77; main.py:153 version bump) as "
+        "a row_number window"
+    ),
+    tags=("bench", "window"),
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-row-wins per key. Scale: single hash-partitioned window
+    (shuffle on user_id); at 100 TB prefer pre-bucketed storage on the
+    key so the shuffle disappears."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# G. Scalar function showcases
+
+
+@query(
+    "scalar_text_functions",
+    oracle="""
+        SELECT doc_id,
+               octet_length(encode(text)) AS text_bytes,
+               length(substr(text, 1, 1024)) AS capped_chars,
+               to_base64(encode(substr(text, 1, 16))) AS b64_prefix,
+               upper(substr(text, 1, 8)) AS upper_prefix,
+               md5(text) AS text_md5
+        FROM documents
+    """,
+    doc=(
+        "G2 UTF-8 byte length (main.py:69,76 octet semantics), G7 LLM "
+        "input truncation to 1024 (OpenAIProvider.py:44), G12 base64 "
+        "payloads (signature models.py:18), fingerprint md5"
+    ),
+    tags=("scalar",),
+)
+def scalar_text_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").alias("text_bytes"),
+        F.length(F.substring("text", 1, 1024)).alias("capped_chars"),
+        F.base64(F.encode(F.substring("text", 1, 16), "utf-8")).alias(
+            "b64_prefix"
+        ),
+        F.upper(F.substring("text", 1, 8)).alias("upper_prefix"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+@query(
+    "scalar_time_functions",
+    oracle="""
+        SELECT event_id,
+               strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso_ts,
+               epoch_ms(ts) AS ts_millis,
+               CAST(hour(ts) AS BIGINT) AS ts_hour,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts_day
+        FROM events
+    """,
+    doc=(
+        "G4 ISO-8601 formatting (grpc_servicer.py:134-135), G5 "
+        "epoch-millis handling (event main.py:94-101, Debezium "
+        "time.precision.mode=connect), G3 date_trunc bucketing"
+    ),
+    tags=("scalar",),
+)
+def scalar_time_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("iso_ts"),
+        F.unix_millis("ts").alias("ts_millis"),
+        F.hour("ts").cast("bigint").alias("ts_hour"),
+        F.date_trunc("day", "ts").alias("ts_day"),
+    )
+
+
+@query(
+    "uuid7_ids",
+    oracle="""
+        SELECT event_id,
+               concat_ws('-',
+                 substr(lpad(lower(to_hex(epoch_ms(ts))), 12, '0'), 1, 8),
+                 substr(lpad(lower(to_hex(epoch_ms(ts))), 12, '0'), 9, 4),
+                 concat('7', substr(md5(CAST(event_id AS VARCHAR)), 1, 3)),
+                 concat('8', substr(md5(CAST(event_id AS VARCHAR)), 4, 3)),
+                 substr(md5(CAST(event_id AS VARCHAR)), 7, 12)
+               ) AS doc_uuid
+        FROM events
+    """,
+    doc=(
+        "G1 UUIDv7 time-ordered id generation (document main.py:68, "
+        "models.py:26) — deterministic variant so the oracle can verify "
+        "layout + time-ordering"
+    ),
+    tags=("scalar",),
+)
+def uuid7_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        uuid7_deterministic(F.col("ts"), F.col("event_id")).alias("doc_uuid"),
+    )

@@ -1,0 +1,73 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+The reference pipeline hand-tunes pools/batches (BASELINE.md); here the
+equivalent knobs are Spark confs. Everything set here is *dynamic*
+(safe on an externally-provided session too — see ``apply_runtime_conf``,
+which the loaders call defensively because the driver owns the session
+used by ``__spark_entry__.entry``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that are safe (and required) to set at runtime on any session.
+RUNTIME_CONF = {
+    # The driver-generated parquet uses TIMESTAMP(NANOS) which Spark
+    # refuses by default; read as long then convert (sources.tables).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic timestamps across engines (DuckDB oracle is UTC).
+    "spark.sql.session.timeZone": "UTC",
+    # Runtime re-planning: coalesce tiny post-shuffle partitions and
+    # split skewed ones — the 100 TB safety net for uneven keys.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Dims (region/nation/customer/part at small SF; any <=64 MB side)
+    # should broadcast instead of shuffling the fact table.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Arrow for any pandas_udf / toPandas boundary.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def apply_runtime_conf(spark: SparkSession) -> SparkSession:
+    """Set dynamic confs on an existing session (idempotent)."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf may be static on some builds; builder path sets it
+    return spark
+
+
+def get_spark(
+    app_name: str = "csdp-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    local[N] dev default mirrors the driver: ``local[$SPARK_GRAFT_CPUS]``
+    with shuffle partitions == cores. On a real cluster, leave
+    ``spark.sql.shuffle.partitions`` to AQE (set high; AQE coalesces).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("CSDP_DRIVER_MEM", "8g"))
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or cpus),
+        )
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return apply_runtime_conf(spark)

@@ -1,0 +1,62 @@
+"""Parquet table loaders for the driver-generated test data.
+
+Mirrors the reference's scan surface (SURVEY.md section 2 A5-A6): the
+object store / relational tables become parquet-backed DataFrames. The
+driver's parquet files carry ``TIMESTAMP(NANOS)`` columns, which Spark
+rejects unless ``spark.sql.legacy.parquet.nanosAsLong`` is on; we read
+nanos as long and convert with integer division (``DIV 1000`` →
+``timestamp_micros``) so values match DuckDB's nanos→micros truncation
+bit-for-bit.
+
+At 100 TB these reads are partitioned scans: filters/projections issued
+on the returned DataFrame push down to parquet (verify via
+``.explain``'s ``PushedFilters`` / ``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import apply_runtime_conf
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: columns written as TIMESTAMP(NANOS) in the driver's parquet
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table, normalising nanos-longs to TimestampType."""
+    apply_runtime_conf(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
+    for c in _NANOS_TS_COLS.get(name, ()):
+        if dtypes.get(c) == "bigint":
+            # integer DIV keeps exactness above 2^53 where double math
+            # would round; floor==truncate for the positive epoch range
+            df = df.withColumn(
+                c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS LONG))")
+            )
+    return df
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views for spark.sql() access."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

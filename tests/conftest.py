@@ -1,0 +1,75 @@
+"""Shared fixtures: one local SparkSession + a DuckDB oracle harness
+that mirrors the driver's t2 comparison (row count + schema-ish +
+order-insensitive value equality with exact floats)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from click_streaming_data_pipeline_spark.session import get_spark
+from click_streaming_data_pipeline_spark.sources import TABLES
+
+SF_TEST = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("csdp-tests", master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_TEST}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # canonicalize cell values so sorting/compare is type-stable
+    def canon(v):
+        if isinstance(v, (list, tuple)):
+            return tuple(canon(x) for x in v)
+        if hasattr(v, "tolist") and not isinstance(v, str):  # numpy array
+            return tuple(canon(x) for x in v.tolist())
+        if isinstance(v, float) and math.isnan(v):
+            return None
+        return v
+
+    out = df.map(canon)
+    out = out.sort_values(by=list(out.columns), ignore_index=True)
+    return out
+
+
+def assert_df_matches_oracle(spark_df, duck_con, sql: str, *, atol=0.0):
+    """Order-insensitive exact comparison, the local stand-in for the
+    driver's value-hash gate. atol>0 loosens float equality for
+    explicitly approximate queries only."""
+    got = _normalize(spark_df.toPandas())
+    exp = _normalize(duck_con.execute(sql).fetch_df())
+    assert list(got.columns) == list(exp.columns), (
+        f"column mismatch: {list(got.columns)} vs {list(exp.columns)}"
+    )
+    assert len(got) == len(exp), f"row count {len(got)} vs {len(exp)}"
+    for col in got.columns:
+        g, e = got[col].tolist(), exp[col].tolist()
+        for i, (a, b) in enumerate(zip(g, e)):
+            if (
+                atol
+                and isinstance(a, float)
+                and isinstance(b, float)
+            ):
+                assert abs(a - b) <= atol, f"{col}[{i}]: {a} != {b}"
+            else:
+                assert a == b, f"{col}[{i}]: {a!r} != {b!r}"

@@ -1,0 +1,91 @@
+"""Strict local mirror of the driver's verify protocol.
+
+Runs t1 (``entry`` smoke on a *plain* SparkSession, no engine confs
+pre-applied — exactly how the driver calls it) and t2 (every
+``queries()`` entry vs its ``oracle_sql()`` twin on DuckDB at sf0.01,
+compared by repr-level value hash with columns sorted by name).
+
+repr-level is deliberately stricter than pandas equality: it catches
+double-vs-decimal and timestamp-vs-date type drift between engines
+that a tolerant compare would hide.
+
+Usage: python tools/driver_check.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def value_hash(rows, cols) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon = sorted(tuple(repr(r[i]) for i in order) for r in rows)
+    return hashlib.md5(repr(canon).encode()).hexdigest()
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .appName("driver-check")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as se
+
+    rows = se.entry(spark).collect()
+    print(f"t1 smoke: entry() -> {len(rows)} rows")
+    assert len(rows) > 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = se.queries(), se.oracle_sql()
+    ok = bad = weak = 0
+    for name, fn in sorted(qs.items()):
+        sdf = fn(spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        if name not in oracles:
+            print(f"  {name}: rows-only ({len(srows)} rows)")
+            weak += 1
+            continue
+        cur = con.execute(oracles[name])
+        ocols = [d[0] for d in cur.description]
+        orows = cur.fetchall()
+        match = (
+            value_hash(srows, sdf.columns) == value_hash(orows, ocols)
+            and sorted(sdf.columns) == sorted(ocols)
+            and len(srows) == len(orows)
+        )
+        if match:
+            ok += 1
+            print(f"  {name}: MATCH ({len(srows)} rows)")
+        else:
+            bad += 1
+            print(
+                f"  {name}: MISMATCH rows {len(srows)}/{len(orows)} "
+                f"cols {sorted(sdf.columns)}/{sorted(ocols)}"
+            )
+    print(f"t2: {ok} match, {bad} mismatch, {weak} rows-only")
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

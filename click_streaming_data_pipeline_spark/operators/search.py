@@ -1,0 +1,167 @@
+"""Search operator library (SURVEY.md section 2 F).
+
+Re-expresses the reference's Elasticsearch query surface
+(``services/search/app/main.py:72-147``) as DataFrame transformations:
+
+- F1 multi-field match with boost (``:90-99``: ``title^2``): token
+  term-frequency scoring, title weighted 2.0 over body 1.0.
+- F1 fuzziness AUTO: ``levenshtein(token, term) <= 1``.
+- F2-F5 term/keyword/range/bool filters (``:100-113``): plain column
+  predicates (unscored, like ES ``bool.filter``).
+- F6 relevance sort + highlight (``:116-124``): score-desc top-k and
+  ``regexp_replace`` wrapping matches in ``<em>``.
+- F7 hit reshaping (``:133-147``): projection of source fields +
+  score + highlight.
+
+Two physical strategies, same semantics:
+
+1. ``score_columns`` — per-row expression scoring, one scan. Right
+   when the query set is fixed and the corpus is scanned anyway.
+2. ``build_inverted_index`` + ``search_via_index`` — explode to a
+   (token, doc) postings table and join query terms against it. At
+   100 TB the postings table is bucketed by token, so a search touches
+   only matching buckets instead of scanning every document; this is
+   the Spark analogue of the ES inverted index.
+
+Everything is built-in expressions (codegen-friendly); no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TITLE_BOOST = 2.0  # reference: "title^2" (search main.py:95)
+BODY_BOOST = 1.0
+
+
+def tokenize(col: Column | str) -> Column:
+    """Lowercase whitespace tokenizer (the engine's analyzer)."""
+    return F.split(F.lower(col), " ")
+
+
+def term_frequency(tokens: Column, term: str) -> Column:
+    """Occurrences of ``term`` among ``tokens`` (exact match)."""
+    return F.size(F.filter(tokens, lambda t: t == F.lit(term)))
+
+
+def fuzzy_term_frequency(tokens: Column, term: str, max_dist: int = 1) -> Column:
+    """Occurrences within edit distance ``max_dist`` (ES
+    fuzziness=AUTO for short terms ~ distance 1)."""
+    return F.size(
+        F.filter(tokens, lambda t: F.levenshtein(t, F.lit(term)) <= max_dist)
+    )
+
+
+def score_columns(
+    title_col: str, body_col: str, terms: list[str]
+) -> Column:
+    """Boosted multi-field TF score: sum over terms of
+    ``2.0*tf(title) + 1.0*tf(body)`` (F1)."""
+    title_toks = tokenize(title_col)
+    body_toks = tokenize(body_col)
+    score = F.lit(0.0)
+    for t in terms:
+        score = (
+            score
+            + term_frequency(title_toks, t) * F.lit(TITLE_BOOST)
+            + term_frequency(body_toks, t) * F.lit(BODY_BOOST)
+        )
+    return score
+
+
+def highlight(col: Column | str, terms: list[str]) -> Column:
+    """Wrap case-insensitive matches in <em> tags (F6,
+    search main.py:120-124)."""
+    out = F.col(col) if isinstance(col, str) else col
+    for t in terms:
+        out = F.regexp_replace(out, f"(?i)({t})", "<em>$1</em>")
+    return out
+
+
+def search(
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    title_col: str = "title",
+    body_col: str = "body",
+    id_col: str = "doc_id",
+    filters: list[Column] | None = None,
+    size: int = 10,
+    offset: int = 0,
+) -> DataFrame:
+    """The full /search pipeline: bool filters (F2-F5) -> score (F1)
+    -> score>0 match -> sort score desc w/ unique id tie-break (D2)
+    -> from/size pagination -> highlight + reshape (F6/F7).
+
+    Scale: filters and column pruning push into the scan; top-k is
+    TakeOrderedAndProject (per-partition heads, no global sort).
+    """
+    df = docs
+    for f in filters or []:
+        df = df.filter(f)
+    df = df.withColumn("score", score_columns(title_col, body_col, terms))
+    df = df.filter(F.col("score") > 0)
+    df = df.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    if offset:
+        df = df.offset(offset)
+    return df.limit(size).select(
+        id_col,
+        "score",
+        F.col(title_col).alias("title"),
+        highlight(title_col, terms).alias("title_highlight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index strategy
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    fields: dict[str, float] | None = None,
+) -> DataFrame:
+    """Postings table: (token, doc_id, weighted_tf).
+
+    ``fields`` maps column name -> boost (default title^2/body^1,
+    mirroring the ES mapping in event main.py:79-127). At scale, write
+    this bucketed/partitioned by token so query joins prune to the
+    buckets of the query's terms.
+    """
+    fields = fields or {"title": TITLE_BOOST, "body": BODY_BOOST}
+    parts = []
+    for colname, boost in fields.items():
+        parts.append(
+            docs.select(
+                F.col(id_col),
+                F.explode(tokenize(colname)).alias("token"),
+            )
+            .groupBy(id_col, "token")
+            .agg((F.count("*") * F.lit(boost)).alias("weighted_tf"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy(id_col, "token").agg(
+        F.sum("weighted_tf").alias("weighted_tf")
+    )
+
+
+def search_via_index(
+    index: DataFrame,
+    terms: list[str],
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score docs by joining query terms against the postings table —
+    touches only rows whose token matches (partition-pruned when the
+    index is bucketed by token)."""
+    spark = index.sparkSession
+    q = spark.createDataFrame([(t,) for t in terms], ["token"])
+    return (
+        index.join(F.broadcast(q), "token")
+        .groupBy(id_col)
+        .agg(F.sum("weighted_tf").alias("score"))
+    )

@@ -1,1 +1,195 @@
-"""Search catalog (SURVEY 2 F) — filled in after core. Placeholder."""
+"""Search catalog (SURVEY 2 F): the reference's /search endpoint
+(services/search/app/main.py:72-147) decomposed into oracle-checked
+queries over the ``documents`` table.
+
+Field mapping onto the test corpus: ``title`` = first 64 chars of
+``text`` (boost 2.0, mirroring ES ``title^2``), ``body`` = full
+``text`` (boost 1.0); ``lang``/``source`` stand in for the
+``status``/``created_by.keyword`` filter fields.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.quality import quality_check_columns, quality_oracle_exprs
+from ..operators.search import (
+    build_inverted_index,
+    fuzzy_term_frequency,
+    highlight,
+    score_columns,
+    search_via_index,
+    tokenize,
+)
+from ..sources import load_table
+from .registry import query
+
+_TERMS = ["spark", "stream"]
+
+
+def _docs_with_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.withColumn("title", F.substring("text", 1, 64)).withColumn(
+        "body", F.col("text")
+    )
+
+
+def _sql_tf(field_sql: str, term: str) -> str:
+    """DuckDB twin of operators.search.term_frequency (exact token)."""
+    return (
+        f"len(list_filter(string_split(lower({field_sql}), ' '), "
+        f"t -> t = '{term}'))"
+    )
+
+
+def _sql_score() -> str:
+    """DuckDB twin of score_columns over title/body for _TERMS."""
+    parts = []
+    for t in _TERMS:
+        parts.append(
+            f"{_sql_tf('substr(text, 1, 64)', t)} * CAST(2.0 AS DOUBLE)"
+        )
+        parts.append(f"{_sql_tf('text', t)} * CAST(1.0 AS DOUBLE)")
+    return "(CAST(0.0 AS DOUBLE) + " + " + ".join(parts) + ")"
+
+
+@query(
+    "search_bool_filters",
+    oracle=f"""
+        SELECT doc_id, lang, source, quality_score
+        FROM (
+            SELECT doc_id, lang, source,
+                   ({quality_oracle_exprs()['quality_score']}) AS quality_score,
+                   ({quality_oracle_exprs()['has_pii']}) AS has_pii
+            FROM documents
+        )
+        WHERE lang = 'en'
+          AND source = 'src1'
+          AND quality_score >= 50.0
+          AND NOT has_pii
+    """,
+    doc=(
+        "F2 exact term filter + F3 keyword-subfield filter + F4 range "
+        "predicate + F5 bool must/filter composition (search "
+        "main.py:100-113: status/created_by.keyword/min_quality_score/"
+        "exclude_pii)"
+    ),
+    tags=("search", "filter"),
+)
+def search_bool_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool.filter as a predicate conjunction — unscored, fully
+    pushable into the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_check_columns("text", "n_chars")
+    return (
+        docs.withColumn("quality_score", q["quality_score"])
+        .withColumn("has_pii", q["has_pii"])
+        .filter(
+            (F.col("lang") == "en")
+            & (F.col("source") == "src1")
+            & (F.col("quality_score") >= 50.0)
+            & ~F.col("has_pii")
+        )
+        .select("doc_id", "lang", "source", "quality_score")
+    )
+
+
+@query(
+    "search_rank_topk",
+    oracle=f"""
+        SELECT doc_id, score, title,
+               regexp_replace(
+                 regexp_replace(title, '(?i)(spark)', '<em>\\1</em>', 'g'),
+                 '(?i)(stream)', '<em>\\1</em>', 'g'
+               ) AS title_highlight
+        FROM (
+            SELECT doc_id, substr(text, 1, 64) AS title,
+                   {_sql_score()} AS score
+            FROM documents
+        )
+        WHERE score > 0
+        ORDER BY score DESC, doc_id ASC
+        LIMIT 10
+    """,
+    doc=(
+        "F1 multi-field match w/ title^2 boost (search main.py:90-99) + "
+        "F6 relevance sort + highlight (:116-124) + F7 hit reshape "
+        "(:133-147) + D2 top-k"
+    ),
+    tags=("bench", "search", "sort"),
+)
+def search_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression-strategy search: one scan, boosted TF score, top-10.
+    Scale: TakeOrderedAndProject; for repeated queries use the
+    inverted-index strategy instead (search_via_index)."""
+    docs = _docs_with_fields(spark, sf_dir)
+    return (
+        docs.withColumn("score", score_columns("title", "body", _TERMS))
+        .filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select(
+            "doc_id",
+            "score",
+            "title",
+            highlight("title", _TERMS).alias("title_highlight"),
+        )
+    )
+
+
+@query(
+    "search_fuzzy",
+    oracle="""
+        SELECT doc_id,
+               len(list_filter(string_split(lower(text), ' '),
+                   t -> levenshtein(t, 'streem') <= 1)) AS n_fuzzy_hits
+        FROM documents
+        WHERE len(list_filter(string_split(lower(text), ' '),
+                  t -> levenshtein(t, 'streem') <= 1)) > 0
+    """,
+    doc=(
+        "F1 fuzziness AUTO (search main.py:96: multi_match fuzziness) "
+        "as levenshtein(token, term) <= 1 over tokenized text"
+    ),
+    tags=("search",),
+)
+def search_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant match: 'streem' ~ 'stream' at edit distance 1.
+    Scale: distance predicates don't prune; production path is a
+    candidate set from the inverted index over n-gram keys, then exact
+    levenshtein verify — the same shape ES uses."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = fuzzy_term_frequency(tokenize("text"), "streem", 1)
+    return (
+        docs.withColumn("n_fuzzy_hits", hits)
+        .filter(F.col("n_fuzzy_hits") > 0)
+        .select("doc_id", "n_fuzzy_hits")
+    )
+
+
+@query(
+    "search_via_index",
+    oracle=f"""
+        SELECT doc_id, score
+        FROM (
+            SELECT doc_id, {_sql_score()} AS score
+            FROM documents
+        )
+        WHERE score > 0
+    """,
+    doc=(
+        "F1 via materialized inverted index (the ES-index analogue, "
+        "event main.py:79-127 mapping): explode->postings->join query "
+        "terms; must equal the expression-strategy scores exactly"
+    ),
+    tags=("search", "join"),
+)
+def search_via_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-strategy search. The oracle is the *expression* strategy's
+    result — a cross-strategy equivalence check. Scale: postings
+    bucketed by token turn full-corpus scans into per-term bucket
+    reads."""
+    docs = _docs_with_fields(spark, sf_dir)
+    index = build_inverted_index(docs, fields={"title": 2.0, "body": 1.0})
+    return search_via_index(index, _TERMS)

@@ -1,0 +1,200 @@
+"""Similarity search over embedding columns (beyond-reference
+extension): brute-force cosine top-k as the exact baseline, plus a
+sign-random-projection LSH bucketed variant as the scale path.
+
+Cosine is computed with explicit sequential folds (``zip_with`` +
+``aggregate``) over double-cast arrays so the result is a
+deterministic left-to-right IEEE sum — reproducible across engines
+(the DuckDB oracle uses ``list_reduce`` with the same order).
+
+Scale: brute force is O(Q x N) dot products — fine when Q is small
+and N is scanned anyway (it vectorizes well); for N in the billions,
+the LSH variant buckets vectors by hyperplane sign-bits so each query
+probes ~N/2^bits candidates. An IVF variant would replace the
+hyperplanes with k-means centroids; same join shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """dot / (|a| * |b|) over double-cast arrays."""
+    da, db = _as_double(a), _as_double(b)
+    return dot(da, db) / (norm(da) * norm(db))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query id.
+
+    The query side is tiny -> broadcast; the corpus side streams
+    through one scan computing Q cosines per row; per-query top-k via
+    window row_number (ties broken by neighbor id for determinism).
+    """
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    cand = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+    )
+    scored = (
+        cand.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def neardup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold (embedding near-dup dedup).
+
+    Scale: this all-pairs form is O(N^2) — use lsh_bucketed_pairs for
+    the candidate-generation step at scale and keep this as the
+    verifier on candidates.
+    """
+    a = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH (sign random projection, multi-table)
+
+N_PLANES = 4  # bits per table
+N_TABLES = 8  # OR over tables: recall = 1-(1-p^planes)^tables
+
+
+def _plane(table: int, i: int, dim: int) -> list[float]:
+    """Deterministic hyperplane with md5-derived components — no RNG
+    at plan time, yet statistically independent across (table, plane)
+    (a simple affine congruence is NOT: its planes are shifted copies
+    of one periodic sequence and collapse recall)."""
+    import hashlib
+
+    out = []
+    for j in range(dim):
+        h = hashlib.md5(f"{table}:{i}:{j}".encode()).hexdigest()[:4]
+        out.append((int(h, 16) - 32767.5) / 32768.0)
+    return out
+
+
+def lsh_bucket(
+    vec_col: Column, dim: int, table: int, n_planes: int = N_PLANES
+) -> Column:
+    """Bucket id for one table = sign-bit string over its planes."""
+    v = _as_double(vec_col)
+    bits = []
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in _plane(table, i, dim)])
+        bits.append(F.when(dot(v, plane) >= 0, F.lit("1")).otherwise("0"))
+    return F.concat(*bits)
+
+
+def lsh_bucketed_pairs(
+    emb: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
+) -> DataFrame:
+    """Approximate similar-pairs: vectors are compared only when they
+    share a bucket in at least one of ``n_tables`` independent tables
+    (OR of ANDs — the standard recall knob for SRP-LSH). Candidate
+    generation is a per-table equi-join on the bucket key; the
+    all-pairs O(N^2) join never happens.
+
+    Scale: each table's join shuffles on a short bucket string; hot
+    buckets (skew) split via AQE. Cosine verify runs only on candidate
+    pairs, deduplicated across tables first."""
+    tabled = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_bucket(F.col(vec_col), dim, t, n_planes).alias(
+                            "bucket"
+                        ),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(id_col, vec_col, "tb.tbl", "tb.bucket")
+    a = tabled.select(
+        "tbl", "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = tabled.select(
+        "tbl", "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

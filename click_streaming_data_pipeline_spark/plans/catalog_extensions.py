@@ -1,2 +1,353 @@
-"""Beyond-reference extension catalog (dedup / similarity / text /
-multimodal) — filled in after core. Placeholder."""
+"""Beyond-reference extension catalog: dedup, similarity search, text
+analysis, multimodal plumbing (BASELINE.json north star).
+
+Oracle notes: md5-derived hashing and sequential-fold float math keep
+Spark and DuckDB bit-identical; approximate operators (LSH variants,
+simhash) get rows-only driver checks plus stronger pytest equivalence/
+recall tests against their exact counterparts (tests/test_extensions.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..extensions.dedup import (
+    doc_shingles,
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_lsh_dedup,
+    minhash_signatures,
+    simhash_pairs,
+)
+from ..extensions.multimodal import assets_from_documents, extract_features
+from ..extensions.similarity import (
+    brute_force_topk,
+    lsh_bucketed_pairs,
+    neardup_pairs,
+)
+from ..extensions.text import (
+    BPE_SPLIT_RE,
+    LANG_PROFILES,
+    bpe_ish_token_count,
+    fingerprint,
+    predicted_lang,
+    whitespace_token_count,
+)
+from ..sources import load_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# shared oracle fragments
+
+_SHINGLE_CTE = """
+tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+sh0 AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         for i in generate_series(1, len(t)-2)]) AS shingle FROM tok),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+"""
+
+_JACCARD_SQL = f"""
+WITH {_SHINGLE_CTE},
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       n_inter / (ca.n + cb.n - n_inter) AS jaccard
+FROM inter
+JOIN cnt ca ON ca.doc_id = id_a
+JOIN cnt cb ON cb.doc_id = id_b
+WHERE n_inter / (ca.n + cb.n - n_inter) >= 0.8
+"""
+
+
+def _cos_sql(va: str, vb: str) -> str:
+    """Sequential-fold cosine, mirroring extensions.similarity.cosine."""
+    dot = (
+        f"list_reduce(list_transform(generate_series(1, len({va})), "
+        f"i -> {va}[i] * {vb}[i]), (acc, x) -> acc + x)"
+    )
+    na = f"sqrt(list_reduce(list_transform({va}, x -> x * x), (acc, x) -> acc + x))"
+    nb = f"sqrt(list_reduce(list_transform({vb}, x -> x * x), (acc, x) -> acc + x))"
+    return f"({dot} / ({na} * {nb}))"
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+        SELECT md5(text) AS content_hash,
+               min(doc_id) AS keep_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+    doc="extension: exact dedup via content-hash groupBy (one shuffle on a 16-byte key)",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_JACCARD_SQL,
+    doc=(
+        "extension: exact n-gram (3-word shingle) Jaccard near-dup "
+        "pairs at >= 0.8 — the exact verifier the LSH path reuses"
+    ),
+    tags=("bench", "dedup"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = doc_shingles(load_table(spark, sf_dir, "documents"))
+    return jaccard_pairs(sh, threshold=0.8)
+
+
+_MINHASH_ORACLE_COLS = ",\n".join(
+    f"       min(md5('{s}:' || shingle)) AS mh_{s}" for s in range(16)
+)
+
+
+@query(
+    "minhash_signatures",
+    oracle=f"""
+        WITH {_SHINGLE_CTE}
+        SELECT doc_id,
+{_MINHASH_ORACLE_COLS}
+        FROM sh
+        GROUP BY doc_id
+    """,
+    doc=(
+        "extension: 16-component MinHash signatures (min over md5 of "
+        "seed-prefixed shingles — engine-portable, deterministic)"
+    ),
+    tags=("dedup",),
+)
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = doc_shingles(load_table(spark, sf_dir, "documents"))
+    return minhash_signatures(sh)
+
+
+@query(
+    "dedup_minhash_lsh",
+    # oracle = the EXACT all-pairs Jaccard result: on this corpus the
+    # 4x4 banding has full recall at j>=0.8 (P(miss) = (1-j^4)^4 <
+    # 2e-5 at j=0.8, ~0 at the actual j~0.99 pairs), so LSH must
+    # reproduce the exact pairs. A recall test also guards this in
+    # tests/test_extensions.py.
+    oracle=_JACCARD_SQL,
+    doc=(
+        "extension: MinHash+LSH near-dup pipeline (shingle -> 16 "
+        "minhashes -> 4 bands -> bucket-join candidates -> exact "
+        "Jaccard verify); candidate generation is groupBy-shaped, not "
+        "an all-pairs join — the 100 TB dedup path"
+    ),
+    tags=("bench", "dedup"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(docs, threshold=0.8)
+
+
+@query(
+    "dedup_simhash",
+    oracle=None,  # bit-level fingerprint; python-oracle in pytest
+    doc=(
+        "extension: 32-bit SimHash fingerprint pairs at hamming<=4 "
+        "(xor + bit_count); scale path chunks the fingerprint "
+        "pigeonhole-style instead of the all-pairs join"
+    ),
+    tags=("dedup",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=4)
+
+
+@query(
+    "embedding_neardup",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_cos_sql('a.v', 'b.v')} AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE {_cos_sql('a.v', 'b.v')} >= 0.45
+    """,
+    doc=(
+        "extension: embedding-cosine near-dup pairs (>= 0.45 on this "
+        "corpus); sequential-fold double math matches the oracle "
+        "bit-for-bit"
+    ),
+    tags=("dedup", "similarity"),
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return neardup_pairs(emb, threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+
+_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+@query(
+    "knn_topk",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id AS query_id, v AS qv FROM e
+            WHERE vec_id IN (0, 1, 2, 3, 4)
+        ),
+        scored AS (
+            SELECT query_id, e.vec_id AS neighbor_id,
+                   {_cos_sql('qv', 'e.v')} AS cos
+            FROM q JOIN e ON e.vec_id <> query_id
+        )
+        SELECT query_id, neighbor_id, cos, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+            ) AS rank
+            FROM scored
+        ) WHERE rank <= 10
+    """,
+    doc=(
+        "extension: brute-force cosine top-k ANN baseline — broadcast "
+        "query side, one corpus scan, per-query window top-k"
+    ),
+    tags=("bench", "similarity"),
+)
+def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, _QUERY_IDS, k=10).withColumn(
+        "rank", F.col("rank").cast("bigint")
+    )
+
+
+@query(
+    "knn_lsh_pairs",
+    oracle=None,  # approximate (recall<1); pytest checks recall vs exact
+    doc=(
+        "extension: LSH-bucketed similar-pairs (sign-random-projection "
+        "buckets -> in-bucket cosine) — the N^2-free scale path; "
+        "IVF swaps hyperplanes for centroids, same join shape"
+    ),
+    tags=("similarity",),
+)
+def knn_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucketed_pairs(emb, threshold=0.40)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+
+_LANG_HIT_SQLS = {
+    lang: (
+        "len(list_filter(string_split(lower(text), ' '), "
+        f"t -> t IN ({', '.join(repr(w) for w in words)})))"
+    )
+    for lang, words in LANG_PROFILES.items()
+}
+_BEST_SQL = "greatest(" + ", ".join(_LANG_HIT_SQLS.values()) + ")"
+_PRED_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN {_LANG_HIT_SQLS[lang]} = {_BEST_SQL} AND {_BEST_SQL} > 0 "
+        f"THEN '{lang}'"
+        for lang in LANG_PROFILES
+    )
+    + " ELSE 'und' END"
+)
+
+
+@query(
+    "token_stats",
+    oracle=f"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS ws_tokens,
+               len(regexp_extract_all(text, '{BPE_SPLIT_RE}')) AS bpe_tokens,
+               length(text) AS n_chars_actual
+        FROM documents
+    """,
+    doc=(
+        "extension: token counting — whitespace + BPE-ish regex "
+        "pre-split (LLM token-budget estimator)"
+    ),
+    tags=("text",),
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        whitespace_token_count("text").alias("ws_tokens"),
+        bpe_ish_token_count("text").alias("bpe_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+        SELECT doc_id, lang, {_PRED_SQL} AS predicted_lang
+        FROM documents
+    """,
+    doc=(
+        "extension: language-ID heuristic via per-language "
+        "function-word profiles (argmax of hit counts, deterministic "
+        "tie-break)"
+    ),
+    tags=("text",),
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", predicted_lang("text").alias("predicted_lang"))
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_sort(list_distinct(string_split(lower(text), ' '))),
+                   ' ')) AS fingerprint
+        FROM documents
+    """,
+    doc=(
+        "extension: order-insensitive document fingerprint (md5 over "
+        "sorted distinct tokens) — cheap canonical near-dup key"
+    ),
+    tags=("text",),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+
+
+@query(
+    "multimodal_features",
+    oracle=None,  # binary plumbing; shape/determinism tested in pytest
+    doc=(
+        "extension: multimodal binary columns + Arrow-batched "
+        "mapInPandas feature extraction (decode stubbed — codecs not "
+        "in container; plumbing real)"
+    ),
+    tags=("multimodal",),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(assets_from_documents(docs))

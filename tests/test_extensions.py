@@ -1,0 +1,143 @@
+"""Stronger checks for the approximate extension operators that the
+DuckDB oracle can't express: python-oracle for simhash, recall for
+LSH variants, determinism/shape for the multimodal stub."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from click_streaming_data_pipeline_spark.extensions.dedup import (
+    doc_shingles,
+    jaccard_pairs,
+    minhash_lsh_dedup,
+    simhash_pairs,
+)
+from click_streaming_data_pipeline_spark.extensions.multimodal import (
+    assets_from_documents,
+    extract_features,
+)
+from click_streaming_data_pipeline_spark.extensions.similarity import (
+    brute_force_topk,
+    lsh_bucketed_pairs,
+)
+from click_streaming_data_pipeline_spark.sources import load_table
+
+from .conftest import SF_TEST
+
+
+def _py_simhash(text: str, bits: int = 32) -> int:
+    toks = text.lower().split(" ")
+    feats = sorted(
+        {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    )
+    sums = [0] * bits
+    for t in feats:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+        for b in range(bits):
+            sums[b] += 1 if (h >> b) & 1 else -1
+    out = 0
+    for b in range(bits):
+        if sums[b] > 0:
+            out |= 1 << b
+    return out
+
+
+def test_simhash_matches_python_oracle(spark):
+    docs = load_table(spark, SF_TEST, "documents").limit(50)
+    from click_streaming_data_pipeline_spark.extensions.dedup import simhash
+
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select("doc_id", simhash("text").alias("fp")).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for did, text in texts.items():
+        assert got[did] == _py_simhash(text), f"doc {did}"
+
+
+def test_simhash_pairs_align_with_jaccard(spark):
+    """SimHash near-dups should be (mostly) the high-Jaccard pairs."""
+    docs = load_table(spark, SF_TEST, "documents")
+    sim = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(docs, max_hamming=4).collect()
+    }
+    jac = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(doc_shingles(docs), threshold=0.8).collect()
+    }
+    assert jac, "corpus should contain planted near-dups"
+    # every planted near-dup must be found by simhash at this radius
+    missed = jac - sim
+    assert len(missed) <= len(jac) * 0.2, f"simhash missed {missed}"
+
+
+def test_minhash_lsh_equals_exact_jaccard(spark):
+    docs = load_table(spark, SF_TEST, "documents")
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_dedup(docs, threshold=0.8).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(doc_shingles(docs), threshold=0.8).collect()
+    }
+    assert lsh == exact
+
+
+def test_knn_lsh_recall_against_brute_force(spark):
+    emb = load_table(spark, SF_TEST, "embeddings")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, [0, 1, 2, 3, 4], k=10).collect()
+    }
+    # bucketed pairs at a loose threshold; count how many exact top-k
+    # pairs fall in a shared bucket (recall of the candidate stage)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_bucketed_pairs(emb, threshold=-1.0).collect()
+    }
+    sym = pairs | {(b, a) for a, b in pairs}
+    hit = sum(1 for p in exact if p in sym)
+    recall = hit / len(exact)
+    # 8 tables x 4 planes: candidate recall should be solid even for
+    # the moderate-cosine neighbors this corpus has
+    assert recall >= 0.6, f"candidate recall {recall:.2f} too low"
+
+
+def test_multimodal_features_shape_and_determinism(spark):
+    docs = load_table(spark, SF_TEST, "documents").limit(64)
+    feats = extract_features(assets_from_documents(docs))
+    rows = {r["asset_id"]: r for r in feats.collect()}
+    assert len(rows) == 64
+    for r in rows.values():
+        assert len(r["feature"]) == 8
+        assert r["byte_len"] > 0
+    # byte_len must equal UTF-8 octet length of the source text
+    expected = {
+        r["doc_id"]: r["blen"]
+        for r in docs.select(
+            "doc_id", F.octet_length("text").alias("blen")
+        ).collect()
+    }
+    for did, blen in expected.items():
+        assert rows[did]["byte_len"] == blen
+    # repartitioning must not change results (Arrow batch independence)
+    again = {
+        r["asset_id"]: r["feature"]
+        for r in extract_features(
+            assets_from_documents(docs).repartition(7)
+        ).collect()
+    }
+    for did, r in rows.items():
+        assert again[did] == r["feature"]
+
+
+def test_stub_raises_without_decoder(spark):
+    docs = load_table(spark, SF_TEST, "documents").limit(2)
+    feats = extract_features(assets_from_documents(docs), decode_stub=False)
+    with pytest.raises(Exception, match="NotImplementedError|real media"):
+        feats.collect()

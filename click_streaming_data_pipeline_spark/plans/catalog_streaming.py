@@ -1,2 +1,173 @@
-"""Streaming catalog (SURVEY 2 A, I) — filled in after core.
-Placeholder."""
+"""Streaming catalog (SURVEY 2 A, I): the CDC pipeline end-to-end —
+batch plan and true Structured Streaming execution, same oracle — plus
+event-time windows (tumbling / sliding / session).
+
+The streamed variant is the strongest gate in the repo: JSON envelopes
+consumed as a multi-micro-batch file stream, merged by foreachBatch
+LWW upsert, must reproduce the batch plan's result bit-for-bit (I1
+effectively-once, I4 last-write-wins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.quality import quality_oracle_exprs
+from ..sources import load_table
+from ..streaming.pipeline import run_batch, run_streaming
+from ..streaming.windows import session_windows, sliding_counts, tumbling_counts
+from .registry import dsum_sql, query
+
+_Q = quality_oracle_exprs("text", "n_chars")
+_QUALITY_COLS_SQL = ",\n".join(
+    f"       ({expr}) AS {name}" for name, expr in _Q.items()
+)
+
+#: expected end-state of the CDC pipeline, derived straight from the
+#: documents table (mirrors sources/cdc.py synth rules: %10 -> op;
+#: updates suffix ' v2' and bump version/ts)
+_CDC_EXPECTED_SQL = f"""
+WITH eligible AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 10 IN (6, 7) THEN text || ' v2'
+                ELSE text END AS text,
+           lang, source,
+           CASE WHEN doc_id % 10 IN (6, 7) THEN n_chars + 3
+                ELSE n_chars END AS n_chars,
+           CAST(CASE WHEN doc_id % 10 IN (6, 7) THEN 2 ELSE 1 END
+                AS INTEGER) AS version,
+           CASE WHEN doc_id % 10 IN (6, 7) THEN 'u' ELSE 'c' END AS op,
+           CASE WHEN doc_id % 10 IN (6, 7)
+                THEN 1704067200000 + doc_id + 1000000
+                ELSE 1704067200000 + doc_id END AS ts_ms
+    FROM documents
+    WHERE doc_id % 10 NOT IN (8, 9)
+)
+SELECT doc_id, text, lang, source, n_chars, version, op, ts_ms,
+{_QUALITY_COLS_SQL}
+FROM eligible
+"""
+
+
+@query(
+    "cdc_pipeline",
+    oracle=_CDC_EXPECTED_SQL,
+    doc=(
+        "SURVEY 3.1 flagship dataflow, batch plan: synth Debezium "
+        "envelopes (A1) -> from_json parse (G6) -> op filter (B3) -> "
+        "flatten after.* (B2) -> quality scorer (H2/C4) -> "
+        "last-write-wins resolve (I4). The reference's 7 process hops "
+        "as one query"
+    ),
+    tags=("bench", "streaming"),
+)
+def cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_batch(spark, sf_dir)
+
+
+@query(
+    "cdc_pipeline_streamed",
+    oracle=_CDC_EXPECTED_SQL,
+    doc=(
+        "Same dataflow executed as TRUE Structured Streaming: file "
+        "stream of JSON envelopes in multiple micro-batches "
+        "(maxFilesPerTrigger ~ I7 backpressure), foreachBatch "
+        "idempotent MERGE sink (A4/E4, I1 effectively-once), "
+        "availableNow trigger (I5). Must equal the batch plan exactly "
+        "- batch/streaming parity IS the oracle"
+    ),
+    tags=("streaming",),
+)
+def cdc_pipeline_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_streaming(spark, sf_dir)
+
+
+@query(
+    "window_tumbling",
+    oracle=f"""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               {dsum_sql('value', 'total_value')}
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc=(
+        "I2 (added): event-time tumbling window aggregation - "
+        "per-hour per-type counts, exact uniques, value sums; the "
+        "windowed form of C1/C2"
+    ),
+    tags=("bench", "streaming", "window"),
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(load_table(spark, sf_dir, "events"), "1 hour")
+
+
+@query(
+    "window_sliding",
+    oracle="""
+        WITH expanded AS (
+            SELECT unnest([
+                time_bucket(INTERVAL '30 minutes', ts),
+                time_bucket(INTERVAL '30 minutes', ts)
+                    - INTERVAL '30 minutes'
+            ]) AS window_start
+            FROM events
+        )
+        SELECT window_start, count(*) AS n_events
+        FROM expanded
+        GROUP BY 1
+    """,
+    doc=(
+        "I2 (added): sliding windows (1h every 30min) - each event "
+        "expands into duration/slide overlapping windows"
+    ),
+    tags=("streaming", "window"),
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_counts(
+        load_table(spark, sf_dir, "events"), "1 hour", "30 minutes"
+    )
+
+
+@query(
+    "window_session",
+    oracle="""
+        WITH o AS (
+            SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+            FROM events
+        ),
+        marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN prev IS NULL
+                             OR ts - prev >= INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_s
+            FROM o
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS sid
+            FROM marked
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL '30 minutes' AS session_end,
+               count(*) AS n_events
+        FROM sessions
+        GROUP BY user_id, sid
+    """,
+    doc=(
+        "I2 (added): per-user session windows, 30min inactivity gap "
+        "(session_window); oracle is the classic gaps-and-islands SQL"
+    ),
+    tags=("streaming", "window"),
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_windows(
+        load_table(spark, sf_dir, "events"), "30 minutes"
+    )

@@ -55,39 +55,8 @@ def oracle_dict() -> dict[str, str]:
 
 
 # ---------------------------------------------------------------------------
-# cross-engine exact-float helpers
+# cross-engine exact-float helpers live in functions.exact (neutral
+# module: both the catalog and the streaming layer use them without
+# import cycles); re-exported here for catalog convenience.
 
-#: decimal type wide enough for sums of price products at 100 TB; scale 6 chosen because source values
-#: carry <=6 true decimal digits, making the double->decimal rounding
-#: unambiguous (identical) across engines
-_DEC = "decimal(28,6)"
-
-
-def dsum_sql(expr: str, alias: str) -> str:
-    """Oracle-side exact sum: accumulate in decimal, emit double."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE) AS {alias}"
-
-
-def dsum(col, alias: str):
-    """Spark-side twin of ``dsum_sql`` (bit-identical result)."""
-    from pyspark.sql import functions as F
-
-    c = col if not isinstance(col, str) else F.col(col)
-    return F.sum(c.cast(_DEC)).cast("double").alias(alias)
-
-
-def davg(col, alias: str):
-    """Exact-decimal mean emitted as double: sum(dec)::double / count."""
-    from pyspark.sql import functions as F
-
-    c = col if not isinstance(col, str) else F.col(col)
-    return (
-        F.sum(c.cast(_DEC)).cast("double") / F.count(c)
-    ).alias(alias)
-
-
-def davg_sql(expr: str, alias: str) -> str:
-    return (
-        f"(CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE) / "
-        f"COUNT({expr})) AS {alias}"
-    )
+from ..functions.exact import davg, davg_sql, dsum, dsum_sql  # noqa: E402,F401

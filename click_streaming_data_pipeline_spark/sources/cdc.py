@@ -1,0 +1,123 @@
+"""CDC envelope source (SURVEY 2 A1): the Debezium-on-Kafka shape
+(``debezium/register-postgres.json:11,24-29``: ``{op in {c,u,r,d},
+before, after, source, ts_ms}``) as Structured-Streaming-ready
+DataFrames.
+
+Because the test environment has no Kafka broker, envelopes are
+*synthesized deterministically* from the ``documents`` table and
+serialized to JSON strings — the same wire format Debezium emits with
+``value.converter.schemas.enable=false`` — then parsed back with
+``from_json``. Swapping the synthetic source for
+``readStream.format("kafka")`` changes only the first line of the
+pipeline; every downstream operator is identical.
+
+Timestamps ride as epoch-millis longs, matching Debezium
+``time.precision.mode=connect`` (``register-postgres.json:30``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .tables import load_table
+
+#: document payload inside the envelope (reference init-db.sql:20-44
+#: mapped onto the test documents table)
+DOC_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("version", T.IntegerType()),
+    ]
+)
+
+#: the Debezium envelope (flattened `source` to the fields we use)
+ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType()),
+        T.StructField("before", DOC_PAYLOAD_SCHEMA),
+        T.StructField("after", DOC_PAYLOAD_SCHEMA),
+        T.StructField("src_table", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+    ]
+)
+
+#: deterministic op assignment: doc_id % 10
+#: 0-5 -> c; 6,7 -> c then u (two events, LWW test); 8 -> r; 9 -> d
+_TS_BASE_MS = 1_704_067_200_000  # 2024-01-01T00:00:00Z
+
+
+def synth_cdc_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-column DataFrame ``value: string`` of JSON envelopes.
+
+    Deterministic: op from ``doc_id % 10``; updated docs (%10 in 6,7)
+    emit a v1 create AND a v2 update whose text is suffixed ``' v2'``
+    — exercising op filtering (B3), flatten (B2), and
+    last-write-wins upsert (I4) downstream.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    mod = F.col("doc_id") % 10
+
+    payload = F.struct(
+        F.col("doc_id"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("source"),
+        F.col("n_chars"),
+        F.lit(1).alias("version"),
+    )
+    payload_v2 = F.struct(
+        F.col("doc_id"),
+        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+        F.col("lang"),
+        F.col("source"),
+        (F.col("n_chars") + 3).alias("n_chars"),
+        F.lit(2).alias("version"),
+    )
+    null_payload = F.lit(None).cast(DOC_PAYLOAD_SCHEMA)
+
+    base = docs.select(
+        F.when(mod == 8, F.lit("r"))
+        .when(mod == 9, F.lit("d"))
+        .otherwise(F.lit("c"))
+        .alias("op"),
+        F.when(mod == 9, payload).otherwise(null_payload).alias("before"),
+        F.when(mod == 9, null_payload).otherwise(payload).alias("after"),
+        F.lit("documents").alias("src_table"),
+        (F.lit(_TS_BASE_MS) + F.col("doc_id")).alias("ts_ms"),
+    )
+    updates = docs.filter(mod.isin(6, 7)).select(
+        F.lit("u").alias("op"),
+        payload.alias("before"),
+        payload_v2.alias("after"),
+        F.lit("documents").alias("src_table"),
+        (F.lit(_TS_BASE_MS) + F.col("doc_id") + 1_000_000).alias("ts_ms"),
+    )
+    return base.unionByName(updates).select(
+        F.to_json(F.struct("op", "before", "after", "src_table", "ts_ms")).alias(
+            "value"
+        )
+    )
+
+
+def parse_cdc(raw: DataFrame) -> DataFrame:
+    """Wire JSON -> typed envelope (G6; data-quality main.py:214)."""
+    return raw.select(
+        F.from_json(F.col("value"), ENVELOPE_SCHEMA).alias("e")
+    ).select("e.*")
+
+
+def filter_and_flatten(envelopes: DataFrame) -> DataFrame:
+    """B3 op filter (drop snapshot reads & deletes, event
+    main.py:38-40) + B2 nested flatten of ``after.*`` (data-quality
+    main.py:90-99)."""
+    return (
+        envelopes.filter(~F.col("op").isin("r", "d"))
+        .filter(F.col("after").isNotNull())
+        .select(F.col("after.*"), F.col("op"), F.col("ts_ms"))
+    )

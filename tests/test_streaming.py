@@ -1,0 +1,114 @@
+"""Streaming-layer tests: batch/stream parity, replay idempotence,
+windowed aggregation equivalence between batch and streaming modes."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from click_streaming_data_pipeline_spark.operators.upsert import (
+    latest_rows,
+    upsert_parquet,
+)
+from click_streaming_data_pipeline_spark.sources import load_table
+from click_streaming_data_pipeline_spark.sources.cdc import (
+    filter_and_flatten,
+    parse_cdc,
+    synth_cdc_envelopes,
+)
+from click_streaming_data_pipeline_spark.streaming.pipeline import (
+    run_batch,
+    run_streaming,
+)
+from click_streaming_data_pipeline_spark.streaming.windows import (
+    tumbling_counts,
+)
+
+from .conftest import SF_TEST
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_cdc_stream_equals_batch(spark):
+    batch = run_batch(spark, SF_TEST)
+    streamed = run_streaming(spark, SF_TEST)
+    assert sorted(batch.columns) == sorted(streamed.columns)
+    assert _rows(batch.select(*sorted(batch.columns))) == _rows(
+        streamed.select(*sorted(batch.columns))
+    )
+
+
+def test_cdc_filters_snapshot_and_deletes(spark):
+    env = parse_cdc(synth_cdc_envelopes(spark, SF_TEST))
+    ops = {r["op"] for r in filter_and_flatten(env).select("op").collect()}
+    assert ops <= {"c", "u"}
+    raw_ops = {r["op"] for r in env.select("op").collect()}
+    assert raw_ops == {"c", "u", "r", "d"}
+
+
+def test_upsert_replay_idempotent(spark):
+    """Re-applying the same batch (at-least-once delivery) must not
+    change the target state (I1 effectively-once)."""
+    docs = load_table(spark, SF_TEST, "documents").select(
+        "doc_id", "text", F.lit(1).alias("version")
+    )
+    with tempfile.TemporaryDirectory() as d:
+        target = os.path.join(d, "state")
+        upsert_parquet(spark, target, docs, ["doc_id"], ["version"])
+        first = _rows(spark.read.parquet(target))
+        upsert_parquet(spark, target, docs, ["doc_id"], ["version"])
+        assert _rows(spark.read.parquet(target)) == first
+        # higher version wins
+        bumped = docs.withColumn("version", F.lit(2))
+        upsert_parquet(spark, target, bumped, ["doc_id"], ["version"])
+        vs = {
+            r["version"] for r in spark.read.parquet(target).collect()
+        }
+        assert vs == {2}
+
+
+def test_latest_rows_resolves_max_version(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 3, "c"), (1, 2, "b"), (2, 1, "x")],
+        ["id", "version", "val"],
+    )
+    got = {
+        (r["id"], r["version"], r["val"])
+        for r in latest_rows(df, ["id"], ["version"]).collect()
+    }
+    assert got == {(1, 3, "c"), (2, 1, "x")}
+
+
+def test_tumbling_stream_equals_batch(spark):
+    """Windowed agg through a real stream (availableNow, complete
+    mode) equals the batch window aggregation."""
+    events = load_table(spark, SF_TEST, "events")
+    # exact distinct is rejected on streams (unbounded state): compare
+    # both modes on the mergeable HLL-sketch variant
+    expected = _rows(tumbling_counts(events, "1 hour", exact_uniques=False))
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "in")
+        events.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        agg = tumbling_counts(
+            stream, "1 hour", watermark="2 hours", exact_uniques=False
+        )
+        q = (
+            agg.writeStream.queryName("tumbling_test")
+            .format("memory")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = _rows(spark.table("tumbling_test"))
+    assert got == expected

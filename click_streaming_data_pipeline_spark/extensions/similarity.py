@@ -20,6 +20,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..sources.tables import scan_parallel
+
 
 def _as_double(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
@@ -67,7 +69,7 @@ def brute_force_topk(
     q = emb.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    cand = emb.select(
+    cand = scan_parallel(emb).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
     )
     scored = (
@@ -98,7 +100,7 @@ def neardup_pairs(
     the candidate-generation step at scale and keep this as the
     verifier on candidates.
     """
-    a = emb.select(
+    a = scan_parallel(emb).select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )
     b = emb.select(
@@ -164,7 +166,7 @@ def lsh_bucketed_pairs(
     Scale: each table's join shuffles on a short bucket string; hot
     buckets (skew) split via AQE. Cosine verify runs only on candidate
     pairs, deduplicated across tables first."""
-    tabled = emb.select(
+    tabled = scan_parallel(emb).select(
         F.col(id_col),
         F.col(vec_col),
         F.explode(

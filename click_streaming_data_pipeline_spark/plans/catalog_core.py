@@ -21,6 +21,7 @@ from ..functions.quality import (
 )
 from ..functions.scalars import uuid7_deterministic
 from ..sources import load_table
+from ..sources.tables import scan_parallel
 from .registry import davg_sql, dsum, dsum_sql, query
 
 # ---------------------------------------------------------------------------
@@ -155,7 +156,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter. Scale: map-side partial agg reduces 100 TB of lineitem to
     (#groups x #partitions) rows before the shuffle — the canonical
     Spark-win plan."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # single-row-group input: redistribute before the 7 decimal aggs
+    li = scan_parallel(load_table(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (

@@ -100,9 +100,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_JACCARD_SQL,
     doc=(
         "extension: exact n-gram (3-word shingle) Jaccard near-dup "
-        "pairs at >= 0.8 — the exact verifier the LSH path reuses"
+        "pairs at >= 0.8 — the exact baseline the LSH path is checked "
+        "against (kept out of the bench set: all-pairs is the "
+        "wrong-path plan at scale by design)"
     ),
-    tags=("bench", "dedup"),
+    tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = doc_shingles(load_table(spark, sf_dir, "documents"))

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .tables import load_table
+from .tables import load_table, scan_parallel
 
 #: document payload inside the envelope (reference init-db.sql:20-44
 #: mapped onto the test documents table)
@@ -60,7 +60,7 @@ def synth_cdc_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     — exercising op filtering (B3), flatten (B2), and
     last-write-wins upsert (I4) downstream.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_parallel(load_table(spark, sf_dir, "documents"))
     mod = F.col("doc_id") % 10
 
     payload = F.struct(
@@ -81,27 +81,37 @@ def synth_cdc_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     null_payload = F.lit(None).cast(DOC_PAYLOAD_SCHEMA)
 
-    base = docs.select(
+    def env(op, before, after, ts):
+        return F.struct(
+            op.alias("op"),
+            before.alias("before"),
+            after.alias("after"),
+            F.lit("documents").alias("src_table"),
+            ts.alias("ts_ms"),
+        )
+
+    base_env = env(
         F.when(mod == 8, F.lit("r"))
         .when(mod == 9, F.lit("d"))
-        .otherwise(F.lit("c"))
-        .alias("op"),
-        F.when(mod == 9, payload).otherwise(null_payload).alias("before"),
-        F.when(mod == 9, null_payload).otherwise(payload).alias("after"),
-        F.lit("documents").alias("src_table"),
-        (F.lit(_TS_BASE_MS) + F.col("doc_id")).alias("ts_ms"),
+        .otherwise(F.lit("c")),
+        F.when(mod == 9, payload).otherwise(null_payload),
+        F.when(mod == 9, null_payload).otherwise(payload),
+        F.lit(_TS_BASE_MS) + F.col("doc_id"),
     )
-    updates = docs.filter(mod.isin(6, 7)).select(
-        F.lit("u").alias("op"),
-        payload.alias("before"),
-        payload_v2.alias("after"),
-        F.lit("documents").alias("src_table"),
-        (F.lit(_TS_BASE_MS) + F.col("doc_id") + 1_000_000).alias("ts_ms"),
+    update_env = env(
+        F.lit("u"),
+        payload,
+        payload_v2,
+        F.lit(_TS_BASE_MS) + F.col("doc_id") + 1_000_000,
     )
-    return base.unionByName(updates).select(
-        F.to_json(F.struct("op", "before", "after", "src_table", "ts_ms")).alias(
-            "value"
-        )
+    # one scan, one branch: updated docs carry [create, update]
+    # envelopes, everything else a single envelope (a two-branch
+    # union would re-read and re-shuffle the source once per branch)
+    envs = F.when(
+        mod.isin(6, 7), F.array(base_env, update_env)
+    ).otherwise(F.array(base_env))
+    return docs.select(F.explode(envs).alias("e")).select(
+        F.to_json(F.col("e")).alias("value")
     )
 
 

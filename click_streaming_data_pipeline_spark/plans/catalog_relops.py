@@ -1,0 +1,269 @@
+"""Coverage catalog: the remaining SURVEY 2 operators — point reads
+(A6), stats readout (C3), cross-stream status propagation (E4),
+pattern scan/bulk delete (G13), no-content fallback rows (H3),
+dead-letter error handling (I6), object-store binary scan (A5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.quality import quality_check_columns, quality_oracle_exprs
+from ..sources import load_table
+from ..sources.cdc import ENVELOPE_SCHEMA, synth_cdc_envelopes
+from .registry import query
+
+
+@query(
+    "point_lookup",
+    oracle="""
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE doc_id = 42
+    """,
+    doc=(
+        "A6 relational point-read (document main.py:119-120: "
+        "select .. where id == x); at scale this is partition-pruned "
+        "+ min/max-skipped, not a full scan"
+    ),
+    tags=("scan",),
+)
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") == 42).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@query(
+    "stats_for_key",
+    oracle="""
+        SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS doc_key,
+               count(*) AS total_views,
+               count(DISTINCT user_id) AS unique_views
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) = 7
+        GROUP BY 1
+    """,
+    doc=(
+        "C3 per-key stats readout (analytics.py:46-56 get_stats + "
+        "endpoint main.py:162-168): point filter over the C1/C2 "
+        "aggregate"
+    ),
+    tags=("agg",),
+)
+def stats_for_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.get_json_object("props", "$.k").cast("int").alias("doc_key"),
+            "user_id",
+        )
+        .filter(F.col("doc_key") == 7)
+        .groupBy("doc_key")
+        .agg(
+            F.count("*").alias("total_views"),
+            F.countDistinct("user_id").alias("unique_views"),
+        )
+    )
+
+
+@query(
+    "status_propagation",
+    oracle="""
+        SELECT d.doc_id,
+               CASE WHEN s.doc_key IS NOT NULL THEN 'signed'
+                    ELSE 'created' END AS status,
+               CAST(CASE WHEN s.doc_key IS NOT NULL THEN 2 ELSE 1 END
+                    AS INTEGER) AS version
+        FROM documents d
+        LEFT JOIN (
+            SELECT DISTINCT
+                   CAST(json_extract_string(props, '$.k') AS INTEGER)
+                       AS doc_key
+            FROM events
+            WHERE event_type = 'purchase'
+        ) s ON s.doc_key = d.doc_id
+    """,
+    doc=(
+        "E4 cross-stream status propagation (signature main.py:97-124 "
+        "-> grpc_servicer.py:34-59: signature event updates parent "
+        "document status + version+1) as a batch MERGE shape: "
+        "signature-batch left-joined onto documents, matched rows get "
+        "status='signed', version incremented (G10)"
+    ),
+    tags=("join",),
+)
+def status_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference does this row-by-row over gRPC; set-based it is
+    one broadcast join applying the whole signature batch at once —
+    exactly the foreachBatch MERGE body of the streaming path."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lit("created").alias("status"), F.lit(1).alias("version")
+    )
+    signed = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.get_json_object("props", "$.k").cast("int").alias("doc_key")
+        )
+        .distinct()
+    )
+    joined = docs.join(
+        F.broadcast(signed), docs.doc_id == signed.doc_key, "left"
+    )
+    matched = F.col("doc_key").isNotNull()
+    return joined.select(
+        "doc_id",
+        F.when(matched, F.lit("signed")).otherwise(F.col("status")).alias(
+            "status"
+        ),
+        F.when(matched, F.col("version") + 1)
+        .otherwise(F.col("version"))
+        .alias("version"),
+    )
+
+
+@query(
+    "pattern_scan_delete",
+    oracle="""
+        SELECT doc_id, source, lang
+        FROM documents
+        WHERE NOT regexp_matches(source, '^src[01]$')
+    """,
+    doc=(
+        "G13 pattern key scan + bulk delete (cache.py:68-79 "
+        "delete_pattern: SCAN MATCH + DELETE): rlike scan selecting "
+        "victims, remaining set = anti-join (here expressed directly "
+        "as the post-delete survivors)"
+    ),
+    tags=("scalar", "filter"),
+)
+def pattern_scan_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    victims = docs.filter(F.col("source").rlike("^src[01]$")).select("doc_id")
+    return docs.join(victims, "doc_id", "left_anti").select(
+        "doc_id", "source", "lang"
+    )
+
+
+_Q = quality_oracle_exprs("text", "n_chars")
+
+
+@query(
+    "quality_with_fallback",
+    oracle=f"""
+        SELECT event_id, doc_key,
+               CASE WHEN doc_id IS NULL THEN CAST(0.0 AS DOUBLE)
+                    ELSE ({_Q['quality_score']}) END AS quality_score,
+               CASE WHEN doc_id IS NULL THEN FALSE
+                    ELSE ({_Q['quality_is_valid']}) END AS quality_is_valid,
+               (doc_id IS NULL) AS is_fallback
+        FROM (
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER)
+                       AS doc_key
+            FROM events
+        ) e
+        LEFT JOIN documents d ON d.doc_id = e.doc_key
+    """,
+    doc=(
+        "H3 fallback row constructor (data-quality main.py:176-204: "
+        "fixed zero-quality record when content is missing) + E3 "
+        "enrichment join: events whose document is absent get the "
+        "deterministic low-quality fallback instead of being dropped"
+    ),
+    tags=("quality", "join"),
+)
+def quality_with_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("doc_key"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_check_columns("text", "n_chars")
+    joined = events.join(
+        F.broadcast(docs), events.doc_key == docs.doc_id, "left"
+    )
+    missing = F.col("doc_id").isNull()
+    return joined.select(
+        "event_id",
+        "doc_key",
+        F.when(missing, F.lit(0.0)).otherwise(q["quality_score"]).alias(
+            "quality_score"
+        ),
+        F.when(missing, F.lit(False))
+        .otherwise(q["quality_is_valid"])
+        .alias("quality_is_valid"),
+        missing.alias("is_fallback"),
+    )
+
+
+@query(
+    "cdc_deadletter",
+    oracle="""
+        SELECT 'CORRUPT{' || CAST(doc_id AS VARCHAR) AS value,
+               'json_parse_failure' AS reason
+        FROM documents
+        WHERE doc_id % 50 = 0
+    """,
+    doc=(
+        "I6 error handling (event main.py:63-65, data-quality "
+        "main.py:172-174: transform exceptions -> log + drop): "
+        "malformed wire records route to a dead-letter branch instead "
+        "of being silently lost — from_json null + raw-value passthrough"
+    ),
+    tags=("streaming", "filter"),
+)
+def cdc_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt records are synthesized deterministically (one per 50
+    docs) alongside the valid envelope stream; the dead-letter branch
+    is `from_json IS NULL` — the complement of the main pipeline's
+    input, so nothing is dropped on the floor."""
+    good = synth_cdc_envelopes(spark, sf_dir)
+    corrupt = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 50 == 0)
+        .select(
+            F.concat(F.lit("CORRUPT{"), F.col("doc_id").cast("string")).alias(
+                "value"
+            )
+        )
+    )
+    wire = good.unionByName(corrupt)
+    parsed = wire.withColumn(
+        "e", F.from_json(F.col("value"), ENVELOPE_SCHEMA)
+    )
+    # from_json yields a null struct (or null op) on garbage
+    return parsed.filter(
+        F.col("e").isNull() | F.col("e.op").isNull()
+    ).select("value", F.lit("json_parse_failure").alias("reason"))
+
+
+@query(
+    "binary_object_scan",
+    oracle=None,  # paths/sizes are filesystem facts, not table facts
+    doc=(
+        "A5 object-store scan (storage.py:30-61 MinIO get + "
+        "data-quality main.py:35-54 reader): binaryFile source over "
+        "the store prefix; bodies become (path, length, content) rows "
+        "joined by key downstream instead of per-row GETs"
+    ),
+    tags=("scan",),
+)
+def binary_object_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import apply_runtime_conf
+
+    apply_runtime_conf(spark)
+    return (
+        spark.read.format("binaryFile")
+        .load(f"{sf_dir}/*.parquet")
+        .select(
+            F.regexp_extract(F.col("path"), r"([^/]+)\.parquet$", 1).alias(
+                "object_key"
+            ),
+            F.col("length").alias("byte_len"),
+            F.length(F.col("content")).alias("content_len"),
+        )
+    )

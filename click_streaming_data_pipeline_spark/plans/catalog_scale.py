@@ -1,0 +1,197 @@
+"""Scale-pattern catalog: skew-resistant salted aggregation, mergeable
+HLL sketch state (the faithful Redis PFADD/PFMERGE analogue), deeper
+TPC-H-shaped analytics, and the complete /search pipeline entry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.search import search
+from ..operators.skew import salted_distinct_count
+from ..sources import load_table
+from .registry import dsum, dsum_sql, query
+
+
+@query(
+    "salted_distinct_views",
+    oracle="""
+        SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS doc_key,
+               count(DISTINCT user_id) AS n_distinct
+        FROM events
+        GROUP BY 1
+    """,
+    doc=(
+        "C2 exact uniques via two-stage SALTED aggregation — the "
+        "skew-resistant plan for hot keys at 100 TB (a hot document's "
+        "distinct-count spreads over 16 reducers instead of one); "
+        "must equal the plain distinct exactly"
+    ),
+    tags=("agg", "scale"),
+)
+def salted_distinct_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        F.get_json_object("props", "$.k").cast("int").alias("doc_key"),
+        "user_id",
+    )
+    return salted_distinct_count(events, "doc_key", "user_id")
+
+
+@query(
+    "hll_sketch_views",
+    oracle=None,  # sketch estimates are approximate by contract
+    doc=(
+        "C2 mergeable HLL sketch state (cache.py:88-101 PFADD/PFCOUNT "
+        "+ PFMERGE): hll_sketch_agg per key, hll_union_agg across keys "
+        "— the persistable/unionable form Redis provides, exact-shuffle-"
+        "free; estimate accuracy gated in tests"
+    ),
+    tags=("agg", "approx", "scale"),
+)
+def hll_sketch_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key sketches + a global rollup from the SAME sketches
+    (re-aggregation without re-reading the source — the property that
+    matters at 100 TB and the reason Redis uses HLL)."""
+    events = load_table(spark, sf_dir, "events").select(
+        F.get_json_object("props", "$.k").cast("int").alias("doc_key"),
+        "user_id",
+    )
+    per_key = events.groupBy("doc_key").agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.count("*").alias("total_views"),
+    )
+    global_row = per_key.agg(
+        F.lit(-1).alias("doc_key"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+            "unique_views"
+        ),
+        F.sum("total_views").alias("total_views"),
+    )
+    return per_key.select(
+        "doc_key",
+        F.hll_sketch_estimate("sketch").alias("unique_views"),
+        "total_views",
+    ).unionByName(global_row)
+
+
+@query(
+    "forecast_revenue",
+    oracle=f"""
+        SELECT {dsum_sql('l_extendedprice * l_discount', 'revenue')}
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.05
+          AND l_quantity < 24
+    """,
+    doc=(
+        "TPC-H Q6 shape: pure filter+sum — the pushdown showcase "
+        "(every predicate reaches the parquet scan; no shuffle at all "
+        "beyond the final 1-row combine)"
+    ),
+    tags=("bench", "agg"),
+)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+@query(
+    "small_quantity_revenue",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT l_extendedprice, l_quantity,
+                   avg(l_quantity) OVER (PARTITION BY l_partkey)
+                       AS avg_qty
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#1'
+        )
+        SELECT {dsum_sql('l_extendedprice', 'total_price')},
+               count(*) AS n_items
+        FROM flagged
+        WHERE l_quantity < 0.5 * avg_qty
+    """,
+    doc=(
+        "TPC-H Q17 shape: correlated per-group average decorrelated "
+        "into a window function — one shuffle on partkey instead of a "
+        "per-row subquery"
+    ),
+    tags=("agg", "window", "join"),
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    w = Window.partitionBy("l_partkey")
+    flagged = (
+        li.join(F.broadcast(brand), li.l_partkey == brand.p_partkey)
+        .withColumn("avg_qty", F.avg("l_quantity").over(w))
+    )
+    return flagged.filter(
+        F.col("l_quantity") < 0.5 * F.col("avg_qty")
+    ).agg(
+        dsum("l_extendedprice", "total_price"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@query(
+    "search_full_pipeline",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id,
+                   substr(text, 1, 64) AS title,
+                   (CAST(0.0 AS DOUBLE)
+                    + len(list_filter(string_split(lower(substr(text, 1, 64)), ' '),
+                          t -> t = 'data')) * CAST(2.0 AS DOUBLE)
+                    + len(list_filter(string_split(lower(text), ' '),
+                          t -> t = 'data')) * CAST(1.0 AS DOUBLE)) AS score
+            FROM documents
+            WHERE lang = 'en'
+        )
+        SELECT doc_id, score, title,
+               regexp_replace(title, '(?i)(data)', '<em>\\1</em>', 'g')
+                   AS title_highlight
+        FROM scored
+        WHERE score > 0
+        ORDER BY score DESC, doc_id ASC
+        LIMIT 5 OFFSET 5
+    """,
+    doc=(
+        "F7 full /search pipeline (search main.py:72-147): bool "
+        "filter + boosted score + score>0 match + composite sort + "
+        "from/size pagination + highlight + hit reshape, via the "
+        "library search() entry point"
+    ),
+    tags=("search", "sort"),
+)
+def search_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("title", F.substring("text", 1, 64))
+        .withColumn("body", F.col("text"))
+    )
+    return search(
+        docs,
+        ["data"],
+        filters=[F.col("lang") == "en"],
+        size=5,
+        offset=5,
+    )

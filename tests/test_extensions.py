@@ -141,3 +141,23 @@ def test_stub_raises_without_decoder(spark):
     feats = extract_features(assets_from_documents(docs), decode_stub=False)
     with pytest.raises(Exception, match="NotImplementedError|real media"):
         feats.collect()
+
+
+def test_hll_sketch_estimates_within_error(spark):
+    """Sketch uniques (the Redis-PFADD analogue) must land within a
+    few percent of exact, and the global rollup must come from the
+    per-key sketches (doc_key = -1 row)."""
+    from click_streaming_data_pipeline_spark.plans import QUERIES
+
+    rows = {
+        r["doc_key"]: r
+        for r in QUERIES["hll_sketch_views"].fn(spark, SF_TEST).collect()
+    }
+    exact = {
+        r["doc_key"]: r["unique_views"]
+        for r in QUERIES["doc_views"].fn(spark, SF_TEST).collect()
+    }
+    assert -1 in rows
+    for k, want in exact.items():
+        got = rows[k]["unique_views"]
+        assert abs(got - want) <= max(2, 0.05 * want), (k, got, want)

@@ -171,3 +171,87 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_windows(
         load_table(spark, sf_dir, "events"), "30 minutes"
     )
+
+
+_USER_STATE_SQL = """
+    WITH latest AS (
+        SELECT user_id, event_type AS last_event_type
+        FROM (
+            SELECT user_id, event_type, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) AS rn
+            FROM events
+        ) WHERE rn = 1
+    ),
+    aggs AS (
+        SELECT user_id,
+               count(*) AS total_events,
+               CAST(count(DISTINCT date_trunc('day', ts)) AS INTEGER)
+                   AS active_days
+        FROM events
+        GROUP BY 1
+    )
+    SELECT a.user_id, total_events, active_days, last_event_type
+    FROM aggs a JOIN latest l ON a.user_id = l.user_id
+"""
+
+
+@query(
+    "user_state_batch",
+    oracle=_USER_STATE_SQL,
+    doc=(
+        "I3 per-key state shape (Redis counters + last-activity hash, "
+        "analytics.py:36-56): batch twin of the custom stateful "
+        "operator - counts, distinct active days, latest event type"
+    ),
+    tags=("streaming", "agg"),
+)
+def user_state_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import user_state_batch
+
+    return user_state_batch(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "user_state_streamed",
+    oracle=_USER_STATE_SQL,
+    doc=(
+        "I3 custom stateful operator via applyInPandasWithState: "
+        "per-user typed state (counter + day-set + last-event) updated "
+        "across micro-batches, update-mode output; final state must "
+        "hash-match the batch twin - arrival order independent"
+    ),
+    tags=("streaming", "agg"),
+)
+def user_state_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from ..operators.upsert import latest_rows
+    from ..streaming.stateful import user_state_stream
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="csdp_state_")
+    src = os.path.join(work, "in")
+    events.repartition(6).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    name = f"user_state_{_uuid.uuid4().hex[:8]}"
+    q = (
+        user_state_stream(stream)
+        .writeStream.queryName(name)
+        .format("memory")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode memory sink appends one refreshed row per user per
+    # micro-batch; total_events grows monotonically, so the max row
+    # per user is the converged state
+    return latest_rows(spark.table(name), ["user_id"], ["total_events"])

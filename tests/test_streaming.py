@@ -112,3 +112,12 @@ def test_tumbling_stream_equals_batch(spark):
         q.awaitTermination()
         got = _rows(spark.table("tumbling_test"))
     assert got == expected
+
+
+def test_user_state_stream_equals_batch(spark):
+    from click_streaming_data_pipeline_spark.plans import QUERIES
+
+    batch = QUERIES["user_state_batch"].fn(spark, SF_TEST)
+    streamed = QUERIES["user_state_streamed"].fn(spark, SF_TEST)
+    cols = sorted(batch.columns)
+    assert _rows(batch.select(*cols)) == _rows(streamed.select(*cols))

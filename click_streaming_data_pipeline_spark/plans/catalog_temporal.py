@@ -1,0 +1,158 @@
+"""Temporal-join catalog (beyond reference): click→purchase
+attribution via interval join (batch + true stream-stream) and as-of
+join, oracle-checked against DuckDB (including its native ASOF JOIN).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid as _uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join, interval_join
+from ..sources import load_table
+from .registry import query
+
+
+def _typed(events: DataFrame, etype: str) -> DataFrame:
+    return events.filter(F.col("event_type") == etype).select(
+        "user_id", "ts", "event_id"
+    )
+
+
+_INTERVAL_SQL = """
+    SELECT c.user_id,
+           c.event_id AS click_id, c.ts AS click_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts
+    FROM (SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'click') c
+    JOIN (SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL '1 hour'
+"""
+
+
+@query(
+    "click_purchase_interval_join",
+    oracle=_INTERVAL_SQL,
+    doc=(
+        "beyond-reference: interval join — purchases attributed to "
+        "same-user clicks within 1h (equi-key shuffle + in-group range "
+        "predicate; the predicate doubles as streaming state bound)"
+    ),
+    tags=("join", "temporal"),
+)
+def click_purchase_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    joined = interval_join(
+        _typed(events, "click"), _typed(events, "purchase"), max_gap="1 hour"
+    )
+    return joined.select(
+        "user_id",
+        F.col("l_event_id").alias("click_id"),
+        F.col("l_ts").alias("click_ts"),
+        F.col("r_event_id").alias("purchase_id"),
+        F.col("r_ts").alias("purchase_ts"),
+    )
+
+
+@query(
+    "click_purchase_interval_streamed",
+    oracle=_INTERVAL_SQL,
+    doc=(
+        "beyond-reference: the same attribution as a TRUE stream-"
+        "stream join — both sides watermarked, event-time range "
+        "condition bounds join state, availableNow; must equal the "
+        "batch interval join exactly"
+    ),
+    tags=("streaming", "join", "temporal"),
+)
+def click_purchase_interval_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="csdp_ssj_")
+    src = os.path.join(work, "in")
+    events.repartition(6).write.mode("overwrite").parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 3)
+            .parquet(src)
+        )
+
+    clicks = (
+        stream()
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 1 hour")
+        ),
+    ).select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
+
+    name = f"ssj_{_uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.queryName(name)
+        .format("memory")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "asof_attribution",
+    oracle="""
+        SELECT p.user_id, p.ts, p.event_id,
+               c.ts AS asof_ts,
+               c.event_id AS asof_event_id
+        FROM (SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
+                        WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+    doc=(
+        "beyond-reference: AS-OF join — each purchase matched to the "
+        "user's most recent click at-or-before it, via the union-tag + "
+        "last(ignorenulls) carry-forward window (one shuffle, hot-key "
+        "safe); oracle is DuckDB's native ASOF JOIN"
+    ),
+    tags=("join", "temporal", "window"),
+)
+def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return asof_join(
+        _typed(events, "click"),
+        _typed(events, "purchase"),
+        left_val_cols=["event_id"],
+    )

@@ -39,37 +39,42 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # canonicalize cell values so sorting/compare is type-stable
     def canon(v):
+        if v is None:
+            return None
+        if isinstance(v, float):
+            return None if math.isnan(v) else v
         if isinstance(v, (list, tuple)):
             return tuple(canon(x) for x in v)
-        if hasattr(v, "tolist") and not isinstance(v, str):  # numpy array
-            return tuple(canon(x) for x in v.tolist())
-        if isinstance(v, float) and math.isnan(v):
-            return None
+        if hasattr(v, "tolist") and not isinstance(v, str):  # numpy scalar/array
+            return canon(v.tolist())
+        try:
+            if pd.isna(v):  # pd.NA / NaT
+                return None
+        except (TypeError, ValueError):
+            pass
         return v
 
-    out = df.map(canon)
-    out = out.sort_values(by=list(out.columns), ignore_index=True)
-    return out
+    # leave pandas before canonicalizing: DataFrame.map() re-infers
+    # dtypes on its result, coercing canon'd None back to NaN in
+    # numeric columns — so canon at tuple-construction time instead
+    raw = df.to_numpy(dtype=object).tolist()
+    rows = sorted(
+        (tuple(canon(v) for v in row) for row in raw), key=repr
+    )
+    return list(df.columns), rows
 
 
 def assert_df_matches_oracle(spark_df, duck_con, sql: str, *, atol=0.0):
     """Order-insensitive exact comparison, the local stand-in for the
     driver's value-hash gate. atol>0 loosens float equality for
     explicitly approximate queries only."""
-    got = _normalize(spark_df.toPandas())
-    exp = _normalize(duck_con.execute(sql).fetch_df())
-    assert list(got.columns) == list(exp.columns), (
-        f"column mismatch: {list(got.columns)} vs {list(exp.columns)}"
-    )
-    assert len(got) == len(exp), f"row count {len(got)} vs {len(exp)}"
-    for col in got.columns:
-        g, e = got[col].tolist(), exp[col].tolist()
-        for i, (a, b) in enumerate(zip(g, e)):
-            if (
-                atol
-                and isinstance(a, float)
-                and isinstance(b, float)
-            ):
+    gcols, grows = _normalize(spark_df.toPandas())
+    ecols, erows = _normalize(duck_con.execute(sql).fetch_df())
+    assert gcols == ecols, f"column mismatch: {gcols} vs {ecols}"
+    assert len(grows) == len(erows), f"row count {len(grows)} vs {len(erows)}"
+    for i, (gr, er) in enumerate(zip(grows, erows)):
+        for col, a, b in zip(gcols, gr, er):
+            if atol and isinstance(a, float) and isinstance(b, float):
                 assert abs(a - b) <= atol, f"{col}[{i}]: {a} != {b}"
             else:
                 assert a == b, f"{col}[{i}]: {a!r} != {b!r}"

@@ -1,0 +1,163 @@
+"""Pluggable quality-check providers (SURVEY 2 H2).
+
+Mirrors the reference's provider architecture —
+``LLMInterface.py:3-10`` (abstract ``validate``),
+``LLMProviderFactory.py:6-23`` (name -> provider), and the OpenAI
+implementation's prompt/parse/weights
+(``OpenAIProvider.py:19-176``) — with two providers:
+
+- ``HeuristicProvider``: deterministic, vectorized pandas math,
+  bit-identical to the pure-expression scorer in
+  ``functions.quality`` (equivalence is oracle-gated: the pandas-UDF
+  query shares the expression query's DuckDB oracle).
+- ``LLMProvider``: the real-LLM slot. Network calls are NOT available
+  in this environment, so ``score_batch`` raises NotImplementedError
+  at the exact point the reference performs its chat-completions call
+  (temperature=0, JSON mode, content truncated to 1024 chars,
+  ``OpenAIProvider.py:31-44``); the batching around it — one async
+  gather per Arrow batch — is the intended production shape.
+
+Why a UDF path at all when expressions exist: the expression scorer
+is the fast path (codegen, no Python). The provider path exists for
+scorers that *can't* be expressions (remote models); Arrow batching
+keeps it ~vectorized. Both emit the same schema so they interchange.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+from .quality import EMAIL_RE, PHONE_RE, QUALITY_WEIGHTS, STOPWORDS
+
+CHECKS_SCHEMA = StructType(
+    [
+        StructField("completeness", DoubleType()),
+        StructField("consistency", DoubleType()),
+        StructField("pii_detection", DoubleType()),
+        StructField("language_quality", DoubleType()),
+    ]
+)
+
+LLM_INPUT_CAP = 1024  # reference config.py:18
+
+
+class HeuristicProvider:
+    """Deterministic scorer; same math as quality_check_columns."""
+
+    name = "heuristic"
+    model = "rules-v1"
+
+    def score_batch(self, text: pd.Series, n_chars: pd.Series) -> pd.DataFrame:
+        email = re.compile(EMAIL_RE)
+        phone = re.compile(PHONE_RE)
+        stops = set(STOPWORDS)
+        rows = []
+        for t, n in zip(text, n_chars):
+            completeness = min(100.0, n / 20.0)
+            consistency = 100.0 if len(t) == n else 50.0
+            has_pii = bool(email.search(t) or phone.search(t))
+            pii = 0.0 if has_pii else 100.0
+            toks = t.split(" ")
+            ratio = sum(1 for x in toks if x.lower() in stops) / max(
+                len(toks), 1
+            )
+            language = min(100.0, ratio * 250.0)
+            rows.append((completeness, consistency, pii, language))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "completeness",
+                "consistency",
+                "pii_detection",
+                "language_quality",
+            ],
+        )
+
+
+class LLMProvider:
+    """Remote-LLM provider slot (OpenAIProvider.py shape). The HTTP
+    call site raises in this environment; everything around it is the
+    production batching structure."""
+
+    name = "llm"
+    model = "gpt-4o-mini"  # reference default, config.py:16
+
+    def score_batch(self, text: pd.Series, n_chars: pd.Series) -> pd.DataFrame:
+        prompts = [t[:LLM_INPUT_CAP] for t in text]  # G7 truncation
+        # production: asyncio.gather of chat-completions per Arrow
+        # batch (temperature=0, JSON mode), parse into the 4 scores
+        # with zero-score fallback on errors (OpenAIProvider.py:178+)
+        raise NotImplementedError(
+            f"LLM scoring for {len(prompts)} prompts requires network "
+            "access; unavailable in this environment"
+        )
+
+
+_PROVIDERS = {
+    HeuristicProvider.name: HeuristicProvider,
+    LLMProvider.name: LLMProvider,
+}
+
+
+def get_provider(name: str = "heuristic"):
+    """Factory (LLMProviderFactory.py:6-23): unknown name -> error."""
+    try:
+        return _PROVIDERS[name]()
+    except KeyError:
+        raise ValueError(
+            f"unknown quality provider {name!r}; have {sorted(_PROVIDERS)}"
+        ) from None
+
+
+def quality_checks_udf(provider_name: str = "heuristic"):
+    """Arrow-batched pandas UDF emitting the 4-score struct."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(CHECKS_SCHEMA)
+    def _udf(text: pd.Series, n_chars: pd.Series) -> pd.DataFrame:
+        return get_provider(provider_name).score_batch(text, n_chars)
+
+    return _udf
+
+
+def with_provider_quality(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    n_chars_col: str = "n_chars",
+    provider_name: str = "heuristic",
+) -> DataFrame:
+    """Attach provider-based quality columns (same names/semantics as
+    the expression scorer): 4 sub-scores + weighted overall +
+    validity. The weighted combine stays JVM-side so only the scores
+    cross the Arrow boundary."""
+    udf = quality_checks_udf(provider_name)
+    out = df.withColumn(
+        "__q", udf(F.col(text_col), F.col(n_chars_col).cast("long"))
+    )
+    w = QUALITY_WEIGHTS
+    overall = (
+        F.col("__q.completeness") * w["completeness"]
+        + F.col("__q.consistency") * w["consistency"]
+        + F.col("__q.pii_detection") * w["pii_detection"]
+        + F.col("__q.language_quality") * w["language_quality"]
+    )
+    return (
+        out.withColumn("completeness", F.col("__q.completeness"))
+        .withColumn("consistency", F.col("__q.consistency"))
+        .withColumn("pii_detection", F.col("__q.pii_detection"))
+        .withColumn("language_quality", F.col("__q.language_quality"))
+        .withColumn("quality_score", overall)
+        .withColumn("quality_is_valid", overall >= 50.0)
+        .withColumn("has_pii", F.col("__q.pii_detection") == 0.0)
+        .drop("__q")
+    )
+
+
+assert math.isclose(sum(QUALITY_WEIGHTS.values()), 1.0)

@@ -8,5 +8,6 @@ from . import catalog_streaming  # noqa: F401
 from . import catalog_relops  # noqa: F401
 from . import catalog_scale  # noqa: F401
 from . import catalog_temporal  # noqa: F401
+from . import catalog_quality  # noqa: F401
 
 __all__ = ["QUERIES", "CatalogQuery", "query", "queries_dict", "oracle_dict"]

@@ -1,0 +1,79 @@
+"""Provider-architecture tests: pandas-UDF scorer equivalence with
+the expression scorer, factory behavior, LLM stub, and the nested
+output contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from click_streaming_data_pipeline_spark.functions.providers import (
+    get_provider,
+    with_provider_quality,
+)
+from click_streaming_data_pipeline_spark.functions.quality import (
+    quality_check_columns,
+)
+from click_streaming_data_pipeline_spark.sources import load_table
+
+from .conftest import SF_TEST
+
+
+def test_udf_provider_equals_expression_scorer(spark):
+    docs = load_table(spark, SF_TEST, "documents")
+    cols = quality_check_columns("text", "n_chars")
+    expr_rows = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in docs.select(
+            "doc_id", *(c.alias(n) for n, c in cols.items())
+        ).collect()
+    }
+    names = list(cols)
+    udf_rows = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in with_provider_quality(docs)
+        .select("doc_id", *names)
+        .collect()
+    }
+    assert expr_rows == udf_rows  # bit-identical, not approximately
+
+
+def test_provider_factory(spark):
+    assert get_provider("heuristic").name == "heuristic"
+    assert get_provider("llm").name == "llm"
+    with pytest.raises(ValueError, match="unknown quality provider"):
+        get_provider("nope")
+
+
+def test_llm_provider_raises_at_call_site(spark):
+    docs = load_table(spark, SF_TEST, "documents").limit(4)
+    df = with_provider_quality(docs, provider_name="llm")
+    with pytest.raises(Exception, match="network|NotImplemented"):
+        df.collect()
+
+
+def test_quality_events_full_contract(spark):
+    from click_streaming_data_pipeline_spark.plans import QUERIES
+
+    df = QUERIES["quality_events_full"].fn(spark, SF_TEST)
+    schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert schema["quality_issues"].startswith("array<struct<")
+    assert "completeness:double" in schema["quality_checks"]
+    rows = df.collect()
+    assert rows
+    for r in rows[:50]:
+        # issues present exactly for failing sub-checks
+        failing = sum(
+            1
+            for k in (
+                "completeness",
+                "consistency",
+                "pii_detection",
+                "language_quality",
+            )
+            if r["quality_checks"][k] < 50
+        )
+        assert len(r["quality_issues"]) == failing
+        for issue in r["quality_issues"]:
+            assert issue["severity"] in ("high", "medium")
+            assert issue["field"] == "content"

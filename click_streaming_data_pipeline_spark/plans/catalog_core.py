@@ -696,3 +696,38 @@ def uuid7_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         uuid7_deterministic(F.col("ts"), F.col("event_id")).alias("doc_uuid"),
     )
+
+
+@query(
+    "sql_api_nation_stats",
+    oracle="""
+        SELECT n_name,
+               count(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                   AS total_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    doc=(
+        "SQL-API parity: the same engine surface through spark.sql() "
+        "over registered temp views (the DataFrame and SQL front-ends "
+        "share Catalyst; users of either get identical plans)"
+    ),
+    tags=("agg", "join", "sql"),
+)
+def sql_api_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name,
+               count(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                   AS total_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )

@@ -193,3 +193,31 @@ def search_via_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_with_fields(spark, sf_dir)
     index = build_inverted_index(docs, fields={"title": 2.0, "body": 1.0})
     return search_via_index(index, _TERMS)
+
+
+@query(
+    "search_result_count",
+    oracle=f"""
+        SELECT count(*) AS total
+        FROM (
+            SELECT doc_id, substr(text, 1, 64) AS title,
+                   {_sql_score()} AS score
+            FROM documents
+            WHERE lang = 'en'
+        )
+        WHERE score > 0
+    """,
+    doc=(
+        "C5 result-set total count (search main.py:133-135: ES "
+        "hits.total returned with every page): count over the full "
+        "filtered+matched set, independent of from/size"
+    ),
+    tags=("search", "agg"),
+)
+def search_result_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_fields(spark, sf_dir).filter(F.col("lang") == "en")
+    return (
+        docs.withColumn("score", score_columns("title", "body", _TERMS))
+        .filter(F.col("score") > 0)
+        .agg(F.count("*").alias("total"))
+    )

@@ -68,7 +68,9 @@ def click_purchase_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "beyond-reference: the same attribution as a TRUE stream-"
         "stream join — both sides watermarked, event-time range "
         "condition bounds join state, availableNow; must equal the "
-        "batch interval join exactly"
+        "batch interval join exactly. Watermark delay spans the whole "
+        "corpus here so out-of-order micro-batches can never evict a "
+        "matchable row (production would tune it to real lateness)"
     ),
     tags=("streaming", "join", "temporal"),
 )
@@ -95,7 +97,7 @@ def click_purchase_interval_streamed(
             F.col("ts").alias("click_ts"),
             F.col("event_id").alias("click_id"),
         )
-        .withWatermark("click_ts", "2 hours")
+        .withWatermark("click_ts", "90 days")
     )
     purchases = (
         stream()
@@ -105,7 +107,7 @@ def click_purchase_interval_streamed(
             F.col("ts").alias("purchase_ts"),
             F.col("event_id").alias("purchase_id"),
         )
-        .withWatermark("purchase_ts", "2 hours")
+        .withWatermark("purchase_ts", "90 days")
     )
     joined = clicks.join(
         purchases,

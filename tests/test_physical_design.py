@@ -51,3 +51,36 @@ def test_scan_prunes_columns_and_pushes_filters(spark):
     read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "l_extendedprice" not in read_schema
     assert "l_orderkey" in read_schema
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    """SCALE.md claim: pre-bucketing both sides of a recurring join on
+    the join key removes the shuffle entirely (the 100 TB answer to
+    orders-joins-lineitem-every-night)."""
+    import uuid
+
+    orders = load_table(spark, SF_TEST, "orders")
+    lineitem = load_table(spark, SF_TEST, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    suffix = uuid.uuid4().hex[:8]
+    ot, lt = f"orders_b_{suffix}", f"lineitem_b_{suffix}"
+    try:
+        orders.write.bucketBy(8, "o_orderkey").sortBy(
+            "o_orderkey"
+        ).saveAsTable(ot)
+        lineitem.write.bucketBy(8, "l_orderkey").sortBy(
+            "l_orderkey"
+        ).saveAsTable(lt)
+        joined = spark.table(ot).join(
+            spark.table(lt),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = _plan(joined)
+        # bucketed join: sort-merge (or shuffle-free hash) with NO
+        # Exchange on either side
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ot}")
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")

@@ -23,7 +23,23 @@ def main() -> None:
     spark = get_spark("csdp-bench")
     bench = {n: q for n, q in QUERIES.items() if "bench" in q.tags}
 
-    # warm the JVM + file listing once so timings measure the queries
+    # warm the JVM once so timings measure the queries, not first-use
+    # codegen/shuffle machinery: a scan + shuffle + join + window at
+    # the smallest SF
+    from pyspark.sql import functions as F
+
+    from click_streaming_data_pipeline_spark.sources import load_table
+
+    warm_sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, warm_sf, "events")
+    (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .join(ev.limit(10), "event_type")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     timings: dict[str, float] = {}

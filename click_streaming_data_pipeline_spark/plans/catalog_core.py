@@ -731,3 +731,66 @@ def sql_api_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name
         """
     )
+
+
+@query(
+    "rollup_revenue",
+    oracle="""
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc=(
+        "beyond-reference breadth: ROLLUP hierarchy totals "
+        "(flag, flag+status, grand total) in one pass - Catalyst "
+        "expands to a single shuffle with grouping-id"
+    ),
+    tags=("agg",),
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_extendedprice", "revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+@query(
+    "daily_event_pivot",
+    oracle="""
+        SELECT date_trunc('day', ts) AS day,
+               count(*) FILTER (event_type = 'view') AS view,
+               count(*) FILTER (event_type = 'click') AS click,
+               count(*) FILTER (event_type = 'purchase') AS purchase,
+               count(*) FILTER (event_type = 'signup') AS signup,
+               count(*) FILTER (event_type = 'error') AS error
+        FROM events
+        GROUP BY 1
+    """,
+    doc=(
+        "beyond-reference breadth: pivot (wide per-type daily counts) "
+        "- conditional aggregation, one shuffle, no per-type passes"
+    ),
+    tags=("agg",),
+)
+def daily_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", ["view", "click", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )

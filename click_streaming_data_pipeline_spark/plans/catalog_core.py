@@ -771,7 +771,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "daily_event_pivot",
     oracle="""
-        SELECT date_trunc('day', ts) AS day,
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                count(*) FILTER (event_type = 'view') AS view,
                count(*) FILTER (event_type = 'click') AS click,
                count(*) FILTER (event_type = 'purchase') AS purchase,

@@ -35,41 +35,46 @@ def duck():
     con.close()
 
 
-def _normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    # canonicalize cell values so sorting/compare is type-stable
-    def canon(v):
-        if v is None:
+def _canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return None if math.isnan(v) else v
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
+    if hasattr(v, "tolist") and not isinstance(v, str):  # numpy scalar/array
+        return _canon(v.tolist())
+    try:
+        if pd.isna(v):  # pd.NA / NaT
             return None
-        if isinstance(v, float):
-            return None if math.isnan(v) else v
-        if isinstance(v, (list, tuple)):
-            return tuple(canon(x) for x in v)
-        if hasattr(v, "tolist") and not isinstance(v, str):  # numpy scalar/array
-            return canon(v.tolist())
-        try:
-            if pd.isna(v):  # pd.NA / NaT
-                return None
-        except (TypeError, ValueError):
-            pass
-        return v
+    except (TypeError, ValueError):
+        pass
+    return v
 
-    # leave pandas before canonicalizing: DataFrame.map() re-infers
-    # dtypes on its result, coercing canon'd None back to NaN in
-    # numeric columns — so canon at tuple-construction time instead
-    raw = df.to_numpy(dtype=object).tolist()
+
+def _normalize(cols, raw_rows):
+    """Column-name-sorted, repr-sorted canonical rows. Operates on
+    NATIVE python values (Spark Row / DuckDB fetchall) — pandas
+    conversion silently unifies DATE vs timestamp and None vs NaN,
+    which the driver's repr-level hash does NOT forgive."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
     rows = sorted(
-        (tuple(canon(v) for v in row) for row in raw), key=repr
+        (tuple(_canon(r[i]) for i in order) for r in raw_rows), key=repr
     )
-    return list(df.columns), rows
+    return [cols[i] for i in order], rows
 
 
 def assert_df_matches_oracle(spark_df, duck_con, sql: str, *, atol=0.0):
     """Order-insensitive exact comparison, the local stand-in for the
     driver's value-hash gate. atol>0 loosens float equality for
     explicitly approximate queries only."""
-    gcols, grows = _normalize(spark_df.toPandas())
-    ecols, erows = _normalize(duck_con.execute(sql).fetch_df())
+    gcols, grows = _normalize(
+        spark_df.columns, [tuple(r) for r in spark_df.collect()]
+    )
+    cur = duck_con.execute(sql)
+    ecols, erows = _normalize(
+        [d[0] for d in cur.description], cur.fetchall()
+    )
     assert gcols == ecols, f"column mismatch: {gcols} vs {ecols}"
     assert len(grows) == len(erows), f"row count {len(grows)} vs {len(erows)}"
     for i, (gr, er) in enumerate(zip(grows, erows)):

@@ -1,0 +1,174 @@
+"""IVF (inverted-file) approximate nearest-neighbor search: a
+deterministic mini k-means coarse quantizer + probe-nearest-partitions
+search. The second ANN strategy next to SRP-LSH
+(``extensions/similarity.py``) — IVF adapts to the data distribution
+(centroids follow density) where LSH is data-oblivious.
+
+This is also the repo's iterative-algorithm representative (SURVEY 5:
+"genuinely non-SQL-expressible ops"): k-means loops driver-side over
+DataFrame jobs — each iteration is one assign (broadcast centroids,
+argmin over K distances) + one re-center (groupBy mean) — the classic
+Spark iterative shape. Determinism: centroids initialize from the K
+smallest vec_ids (no RNG) and iterate a fixed number of rounds.
+
+Scale: the corpus is written partitioned by centroid id; a query
+probes ``nprobe`` nearest centroids → reads ~nprobe/K of the data.
+Candidate generation is a broadcast semi-join on centroid id — no
+all-pairs anything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .similarity import _as_double, cosine
+
+K_CENTROIDS = 16
+N_ITER = 3
+N_PROBE = 4
+
+
+def _centroid_array_col(centroids: list[tuple[int, list[float]]]):
+    """Literal array<struct<cid,vec>> for broadcast-free argmin."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(x) for x in vec]).alias("cvec"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+
+
+def _assign(emb: DataFrame, centroids, vec_col: str) -> DataFrame:
+    """Nearest-centroid id per vector (max cosine, min cid ties)."""
+    carr = _centroid_array_col(centroids)
+    scored = emb.withColumn(
+        "__cs",
+        F.transform(
+            carr,
+            lambda c: F.struct(
+                cosine(F.col(vec_col), c["cvec"]).alias("cos"),
+                (-c["cid"]).alias("neg_cid"),
+                c["cid"].alias("cid"),
+            ),
+        ),
+    )
+    return scored.withColumn(
+        "centroid_id", F.array_max("__cs")["cid"]
+    ).drop("__cs")
+
+
+def train_kmeans(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = K_CENTROIDS,
+    n_iter: int = N_ITER,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic k-means (cosine/spherical): init = the k smallest
+    ids; each round assigns and re-centers via element-wise mean
+    (aggregate over array positions)."""
+    e = emb.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    )
+    init = (
+        e.orderBy(F.col(id_col).asc()).limit(k).collect()
+    )
+    centroids = [(i, list(r["v"])) for i, r in enumerate(init)]
+    dim = len(centroids[0][1])
+    for _ in range(n_iter):
+        assigned = _assign(e, centroids, "v")
+        means = (
+            assigned.groupBy("centroid_id")
+            .agg(
+                *[
+                    F.avg(F.col("v")[i]).alias(f"m{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        new = {
+            r["centroid_id"]: [r[f"m{i}"] for i in range(dim)]
+            for r in means
+        }
+        # empty clusters keep their previous centroid (deterministic)
+        centroids = [
+            (cid, new.get(cid, vec)) for cid, vec in centroids
+        ]
+    return centroids
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    nprobe: int = N_PROBE,
+) -> DataFrame:
+    """Approximate top-k: probe the query's nprobe nearest centroids,
+    rank only vectors assigned there. Recall < 1 by construction
+    (neighbors assigned to unprobed partitions are missed); raise
+    nprobe to trade cost for recall."""
+    centroids = centroids or train_kmeans(
+        emb, id_col=id_col, vec_col=vec_col
+    )
+    corpus = _assign(
+        emb.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("n_vec"),
+        ),
+        centroids,
+        "n_vec",
+    )
+    carr = _centroid_array_col(centroids)
+    queries = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+        .withColumn(
+            "__ranked",
+            F.reverse(
+                F.array_sort(
+                    F.transform(
+                        carr,
+                        lambda c: F.struct(
+                            cosine(F.col("q_vec"), c["cvec"]).alias("cos"),
+                            (-c["cid"]).alias("neg_cid"),
+                            c["cid"].alias("cid"),
+                        ),
+                    )
+                )
+            ),
+        )
+        .withColumn(
+            "probe_cids",
+            F.transform(
+                F.slice(F.col("__ranked"), 1, nprobe), lambda s: s["cid"]
+            ),
+        )
+        .select("query_id", "q_vec", F.explode("probe_cids").alias("centroid_id"))
+    )
+    cand = corpus.join(F.broadcast(queries), "centroid_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.withColumn(
+        "cos", cosine(F.col("q_vec"), F.col("n_vec"))
+    ).select("query_id", "neighbor_id", "cos")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

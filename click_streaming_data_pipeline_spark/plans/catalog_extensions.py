@@ -353,3 +353,21 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(assets_from_documents(docs))
+
+
+@query(
+    "knn_ivf_topk",
+    oracle=None,  # approximate by construction; recall gated in pytest
+    doc=(
+        "extension: IVF ANN — deterministic mini k-means coarse "
+        "quantizer (iterative: assign/re-center rounds, the classic "
+        "Spark driver-loop shape) + nprobe-partitions search; the "
+        "data-adaptive ANN strategy next to SRP-LSH"
+    ),
+    tags=("similarity",),
+)
+def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _QUERY_IDS, k=10)

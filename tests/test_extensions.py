@@ -161,3 +161,30 @@ def test_hll_sketch_estimates_within_error(spark):
     for k, want in exact.items():
         got = rows[k]["unique_views"]
         assert abs(got - want) <= max(2, 0.05 * want), (k, got, want)
+
+
+def test_ivf_recall_against_brute_force(spark):
+    from click_streaming_data_pipeline_spark.extensions.ivf import ivf_topk
+
+    emb = load_table(spark, SF_TEST, "embeddings")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, [0, 1, 2, 3, 4], k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, [0, 1, 2, 3, 4], k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # 16 centroids / probe 4 => reads ~25% of the corpus; near-random
+    # embeddings make this the hard case - still expect most of top-10
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+
+
+def test_ivf_deterministic(spark):
+    from click_streaming_data_pipeline_spark.extensions.ivf import ivf_topk
+
+    emb = load_table(spark, SF_TEST, "embeddings")
+    a = sorted(map(tuple, ivf_topk(emb, [0, 1], k=5).collect()))
+    b = sorted(map(tuple, ivf_topk(emb, [0, 1], k=5).collect()))
+    assert a == b

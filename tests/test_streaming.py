@@ -121,3 +121,74 @@ def test_user_state_stream_equals_batch(spark):
     streamed = QUERIES["user_state_streamed"].fn(spark, SF_TEST)
     cols = sorted(batch.columns)
     assert _rows(batch.select(*cols)) == _rows(streamed.select(*cols))
+
+
+def test_watermark_finalized_windows_ignore_late_data(spark):
+    """I2 semantics, the part Spark guarantees: once a window has been
+    emitted in APPEND mode (watermark passed its end) and its state
+    evicted, a later-arriving event for that window is dropped - the
+    window is NOT re-emitted or double counted. (Dropping of all
+    late-but-not-yet-finalized data is explicitly NOT guaranteed and
+    is not asserted.)"""
+    import datetime as dt
+    import glob
+    import shutil
+    import uuid
+
+    def ev(h, m, i):
+        return (i, dt.datetime(2024, 1, 1, h, m), 1, "view", 1.0, "{}")
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    files = [
+        # batch 1: five events in the 10:00 window
+        [ev(10, 5 + i, i) for i in range(5)],
+        # batch 2: fresh event advances watermark to 11:30
+        [ev(12, 30, 21)],
+        # batch 3: another fresh event; during this batch the 11:30
+        # watermark finalizes + emits + evicts the 10:00 window
+        [ev(12, 40, 22)],
+        # batch 4: a LATE event for the already-finalized 10:00 window
+        [ev(10, 40, 23)],
+    ]
+
+    work = tempfile.mkdtemp(prefix="csdp_late_")
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    for n, rows in enumerate(files):
+        tmp = os.path.join(work, f"tmp_{n}")
+        spark.createDataFrame(rows, cols).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(src, f"{chr(ord('a') + n)}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_000_000_000 + n * 100,) * 2)
+
+    schema = spark.createDataFrame(files[0], cols).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.queryName(name)
+        .format("memory")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [
+        (r["window_start"], r["n"]) for r in spark.table(name).collect()
+    ]
+    # exactly one emission of the 10:00 window, count 5: the late
+    # 10:40 arrival after finalization was dropped, not re-emitted;
+    # the 12:00 window (end beyond final watermark) is withheld
+    assert rows == [(dt.datetime(2024, 1, 1, 10, 0), 5)]

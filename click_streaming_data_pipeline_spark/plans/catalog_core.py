@@ -794,3 +794,68 @@ def daily_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0)
     )
+
+
+@query(
+    "value_quantiles",
+    oracle="""
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.9) AS p90,
+               quantile_cont(value, 0.99) AS p99
+        FROM events
+        GROUP BY event_type
+    """,
+    doc=(
+        "beyond-reference breadth: exact interpolated percentiles per "
+        "group (Spark percentile == SQL percentile_cont); the approx "
+        "path at 100 TB is percentile_approx/t-digest"
+    ),
+    tags=("agg",),
+)
+def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+        F.percentile("value", 0.99).alias("p99"),
+    )
+
+
+@query(
+    "value_stats",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_v,
+               CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE)
+                   AS sum_sq,
+               ((CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE)
+                 - CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                   * CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                   / count(*))
+                / (count(*) - 1)) AS variance
+        FROM events
+        GROUP BY event_type
+    """,
+    doc=(
+        "beyond-reference breadth: moment statistics from decimal-"
+        "exact sums (sum, sum-of-squares -> sample variance) - "
+        "engine-independent bits where builtin var_samp (Welford) "
+        "would drift in the last ulp across engines"
+    ),
+    tags=("agg",),
+)
+def value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    sum_v = F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+    sum_sq = F.sum(
+        (F.col("value") * F.col("value")).cast("decimal(28,6)")
+    ).cast("double")
+    n = F.count("*")
+    return events.groupBy("event_type").agg(
+        n.alias("n"),
+        sum_v.alias("sum_v"),
+        sum_sq.alias("sum_sq"),
+        ((sum_sq - sum_v * sum_v / n) / (n - F.lit(1))).alias("variance"),
+    )

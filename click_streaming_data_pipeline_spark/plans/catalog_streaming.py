@@ -255,3 +255,50 @@ def user_state_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # micro-batch; total_events grows monotonically, so the max row
     # per user is the converged state
     return latest_rows(spark.table(name), ["user_id"], ["total_events"])
+
+
+@query(
+    "dedup_events_streamed",
+    oracle="""
+        SELECT event_id, ts, user_id, event_type, value, props
+        FROM events
+    """,
+    doc=(
+        "I4 streaming exact dedup: two unioned readers of the same "
+        "source produce every record twice; dropDuplicates on the key "
+        "restores exactly-one per event_id across micro-batches "
+        "(state-backed, the streaming form of dedup_exact)"
+    ),
+    tags=("streaming", "dedup"),
+)
+def dedup_events_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="csdp_dedup_")
+    src = os.path.join(work, "in")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+
+    def rd():
+        return (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+
+    doubled = rd().unionByName(rd())  # at-least-once delivery, simulated
+    deduped = doubled.dropDuplicates(["event_id"])
+    name = f"dedup_{_uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.queryName(name)
+        .format("memory")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )

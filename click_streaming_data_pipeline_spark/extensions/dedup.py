@@ -160,18 +160,17 @@ def minhash_signatures(
     return shingle_df.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def band_postings(
     signatures: DataFrame,
     *,
     id_col: str = "doc_id",
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
 ) -> DataFrame:
-    """Band the signature and bucket-join: docs sharing any band's
-    concatenated minhashes become candidates. This replaces the
-    quadratic all-pairs join with (band_key -> ids) groupBys."""
+    """(id, band, band_key) postings from a signature table — the unit
+    the LSH bucket-join and the incremental streaming dedup share."""
     rows_per_band = n_hashes // n_bands
-    banded = signatures.select(
+    return signatures.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -193,6 +192,21 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.band_key")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Band the signature and bucket-join: docs sharing any band's
+    concatenated minhashes become candidates. This replaces the
+    quadratic all-pairs join with (band_key -> ids) groupBys."""
+    banded = band_postings(
+        signatures, id_col=id_col, n_hashes=n_hashes, n_bands=n_bands
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -1,0 +1,149 @@
+"""Incremental (streaming) near-duplicate detection.
+
+The batch MinHash+LSH pipeline (``extensions/dedup.py``) assumes the
+whole corpus is present. A training-data ingest pipeline instead sees
+documents arrive continuously and must answer "is this new document a
+near-dup of ANYTHING seen so far" without re-running the full corpus
+— the shape this module provides:
+
+per micro-batch (foreachBatch):
+  1. shingle + minhash + band the batch's documents;
+  2. candidate pairs = batch postings ⋈ (store ∪ batch) postings on
+     (band, band_key) — new docs only ever join the accumulated
+     bucket store, never the full corpus;
+  3. verify candidates with exact Jaccard against the accumulated
+     shingle store (``jaccard_for_pairs`` — cost tracks candidates);
+  4. append verified pairs + the batch's postings/shingles to the
+     stores.
+
+Because every pair of banded-together docs is examined exactly when
+the later one arrives, the accumulated pairs after the stream drains
+MUST equal the batch pipeline's output — that equivalence is the
+driver oracle for ``dedup_neardup_streamed``.
+
+Scale: the stores are the state. Postings are tiny (4 rows/doc);
+shingles are ~corpus-sized — at 100 TB keep them partitioned by a
+shingle-hash prefix so the verify join prunes, and compact
+periodically. State lives in storage, not the streaming state store,
+so it survives restarts and is shared by other consumers.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.upsert import upsert_parquet
+from .dedup import (
+    band_postings,
+    doc_shingles,
+    jaccard_for_pairs,
+    minhash_signatures,
+)
+
+
+def _append(df: DataFrame, path: str) -> None:
+    df.write.mode("append").parquet(path)
+
+
+def process_batch(
+    batch_docs: DataFrame,
+    *,
+    shingle_store: str,
+    postings_store: str,
+    pairs_store: str,
+    threshold: float,
+) -> None:
+    """One incremental step; see module docstring."""
+    spark = batch_docs.sparkSession
+    sh_new = doc_shingles(batch_docs)
+    post_new = band_postings(minhash_signatures(sh_new))
+
+    if os.path.exists(postings_store):
+        post_all = spark.read.parquet(postings_store).unionByName(post_new)
+        sh_all = spark.read.parquet(shingle_store).unionByName(sh_new)
+    else:
+        post_all, sh_all = post_new, sh_new
+
+    a = post_all.select(
+        F.col("band"),
+        F.col("band_key"),
+        F.col("doc_id").alias("id_x"),
+    )
+    b = post_new.select(
+        F.col("band"),
+        F.col("band_key"),
+        F.col("doc_id").alias("id_y"),
+    )
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_x") != F.col("id_y"))
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+        )
+        .distinct()
+    )
+    verified = jaccard_for_pairs(sh_all, cand).filter(
+        F.col("jaccard") >= threshold
+    )
+    # keyed upsert: a pair re-candidated by a later batch (same docs,
+    # other band) resolves to one row
+    upsert_parquet(
+        spark, pairs_store, verified, ["id_a", "id_b"], ["jaccard"]
+    )
+    _append(post_new, postings_store)
+    _append(sh_new, shingle_store)
+
+
+def run_streaming_neardup(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    threshold: float = 0.8,
+    files_per_trigger: int = 2,
+    n_files: int = 6,
+    work_dir: str | None = None,
+) -> DataFrame:
+    """Drive the incremental dedup over a file stream of the documents
+    table (availableNow, several micro-batches); returns the final
+    accumulated near-dup pairs."""
+    from ..sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = work_dir or tempfile.mkdtemp(prefix="csdp_ndup_")
+    src = os.path.join(work, "in")
+    shingle_store = os.path.join(work, "shingles")
+    postings_store = os.path.join(work, "postings")
+    pairs_store = os.path.join(work, "pairs")
+    ckpt = os.path.join(work, "ckpt")
+
+    docs.repartition(n_files).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(src)
+    )
+
+    def on_batch(batch_docs: DataFrame, batch_id: int) -> None:
+        process_batch(
+            batch_docs,
+            shingle_store=shingle_store,
+            postings_store=postings_store,
+            pairs_store=pairs_store,
+            threshold=threshold,
+        )
+
+    q = (
+        stream.writeStream.queryName(f"ndup_{uuid.uuid4().hex[:8]}")
+        .foreachBatch(on_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(pairs_store)

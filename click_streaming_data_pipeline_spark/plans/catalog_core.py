@@ -859,3 +859,43 @@ def value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_sq.alias("sum_sq"),
         ((sum_sq - sum_v * sum_v / n) / (n - F.lit(1))).alias("variance"),
     )
+
+
+@query(
+    "user_activity_timeline",
+    oracle="""
+        SELECT user_id, event_id, ts,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   AS micros_since_prev,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS DOUBLE) AS running_value,
+               lead(event_type) OVER w AS next_event_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc=(
+        "beyond-reference breadth: per-user timeline analytics - "
+        "lag/lead navigation and decimal-exact running sums in one "
+        "window pass (one shuffle on user_id)"
+    ),
+    tags=("window",),
+)
+def user_activity_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("micros_since_prev"),
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .over(wsum)
+        .cast("double")
+        .alias("running_value"),
+        F.lead("event_type").over(w).alias("next_event_type"),
+    )

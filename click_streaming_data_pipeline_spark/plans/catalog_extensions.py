@@ -371,3 +371,23 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, _QUERY_IDS, k=10)
+
+
+@query(
+    "dedup_neardup_streamed",
+    # same oracle as the batch LSH pipeline: incremental processing
+    # must find exactly the same near-dup pairs
+    oracle=_JACCARD_SQL,
+    doc=(
+        "extension: INCREMENTAL near-dup detection - documents arrive "
+        "as a multi-micro-batch stream; each batch bands its docs, "
+        "joins only against the accumulated bucket store (never the "
+        "full corpus), Jaccard-verifies candidates, and upserts pairs; "
+        "the drained stream must equal the batch MinHash+LSH result"
+    ),
+    tags=("streaming", "dedup"),
+)
+def dedup_neardup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup_streaming import run_streaming_neardup
+
+    return run_streaming_neardup(spark, sf_dir)

@@ -188,3 +188,21 @@ def test_ivf_deterministic(spark):
     a = sorted(map(tuple, ivf_topk(emb, [0, 1], k=5).collect()))
     b = sorted(map(tuple, ivf_topk(emb, [0, 1], k=5).collect()))
     assert a == b
+
+
+def test_streaming_neardup_equals_batch(spark):
+    from click_streaming_data_pipeline_spark.extensions.dedup_streaming import (
+        run_streaming_neardup,
+    )
+
+    docs = load_table(spark, SF_TEST, "documents")
+    batch = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_dedup(docs, threshold=0.8).collect()
+    }
+    streamed = {
+        (r["id_a"], r["id_b"])
+        for r in run_streaming_neardup(spark, SF_TEST).collect()
+    }
+    assert streamed == batch
+    assert batch  # non-trivial corpus

@@ -194,6 +194,44 @@ def band_postings(
     ).select(id_col, "bk.band", "bk.band_key")
 
 
+def minhash_signatures_from_docs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = N_HASHES,
+) -> DataFrame:
+    """Signature computation WITHOUT the shingle explode: per-doc
+    shingle array -> ``array_min`` over per-seed hash transforms, all
+    inside one codegen'd projection — skips the explode+distinct+
+    groupBy shuffle of ``minhash_signatures``.
+
+    Hash: md5 (engine-portable, same as ``minhash_signatures`` so both
+    paths band identically). A seeded xxhash64 was measured: no wall-
+    clock win at this scale (the pipeline is join/scheduling bound,
+    not hash bound) and its banding recall differed — not worth it."""
+    tok = scan_parallel(docs).select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("__t")
+    )
+    feats = tok.select(
+        F.col(id_col),
+        F.array_distinct(_shingles_from_tokens(F.col("__t"), 3)).alias("__f"),
+    ).filter(F.size("__f") > 0)
+    hashed = feats.select(
+        F.col(id_col),
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("__f"),
+                    lambda x, s=s: F.md5(F.concat(F.lit(f"{s}:"), x)),
+                )
+            ).alias(f"mh_{s}")
+            for s in range(n_hashes)
+        ],
+    )
+    return hashed
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     *,
@@ -272,13 +310,15 @@ def minhash_lsh_dedup(
     """Full near-dup pipeline: shingle -> minhash -> LSH candidates ->
     exact-Jaccard verify of the candidates only (never all pairs).
 
-    The shingle table feeds both the signature branch and the verify
-    branch; at warehouse scale materialize it to storage between the
-    stages (here it is cheap enough to recompute — a leaked .persist()
-    inside a library function degrades every query that runs after
-    it)."""
+    Signatures come from the array-based path (one projection, no
+    explode shuffle); the exploded shingle table is computed once,
+    only for the verify join. At warehouse scale materialize both to
+    storage between stages (a leaked .persist() inside a library
+    function would degrade every query that runs after it)."""
     sh = doc_shingles(docs, id_col=id_col, text_col=text_col)
-    sigs = minhash_signatures(sh, id_col=id_col)
+    sigs = minhash_signatures_from_docs(
+        docs, id_col=id_col, text_col=text_col
+    )
     cand = lsh_candidate_pairs(sigs, id_col=id_col)
     return jaccard_for_pairs(sh, cand, id_col=id_col).filter(
         F.col("jaccard") >= threshold

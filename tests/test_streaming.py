@@ -192,3 +192,75 @@ def test_watermark_finalized_windows_ignore_late_data(spark):
     # 10:40 arrival after finalization was dropped, not re-emitted;
     # the 12:00 window (end beyond final watermark) is withheld
     assert rows == [(dt.datetime(2024, 1, 1, 10, 0), 5)]
+
+
+def test_checkpoint_recovery_converges(spark):
+    """I1: kill the CDC streaming query mid-run, restart from the same
+    checkpoint, and the upsert target still converges to the batch
+    result - offset tracking + idempotent MERGE give effectively-once
+    across restarts."""
+    import time
+    import uuid
+
+    from click_streaming_data_pipeline_spark.operators.upsert import (
+        foreach_batch_upsert,
+    )
+    from click_streaming_data_pipeline_spark.sources.cdc import (
+        synth_cdc_envelopes,
+    )
+    from click_streaming_data_pipeline_spark.streaming.pipeline import (
+        run_batch,
+        transform,
+    )
+
+    work = tempfile.mkdtemp(prefix="csdp_recov_")
+    src = os.path.join(work, "in")
+    target = os.path.join(work, "state")
+    ckpt = os.path.join(work, "ckpt")
+    synth_cdc_envelopes(spark, SF_TEST).repartition(8).write.mode(
+        "overwrite"
+    ).text(src)
+
+    def start(trigger_kwargs):
+        raw = (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", 2)
+            .load(src)
+        )
+        return (
+            transform(raw)
+            .writeStream.queryName(f"recov_{uuid.uuid4().hex[:8]}")
+            .foreachBatch(
+                foreach_batch_upsert(target, ["doc_id"], ["version", "ts_ms"])
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(**trigger_kwargs)
+            .start()
+        )
+
+    # phase 1: run continuously, kill after the first committed batch
+    q1 = start({"processingTime": "0 seconds"})
+    deadline = time.time() + 60
+    while not q1.recentProgress and time.time() < deadline:
+        time.sleep(0.2)
+    q1.stop()
+    q1.awaitTermination()
+    assert q1.recentProgress, "first run never committed a batch"
+
+    # phase 2: resume from the same checkpoint and drain
+    q2 = start({"availableNow": True})
+    q2.awaitTermination()
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(target)
+        .select("doc_id", "version", "text")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in run_batch(spark, SF_TEST)
+        .select("doc_id", "version", "text")
+        .collect()
+    )
+    assert got == want

@@ -207,9 +207,12 @@ def minhash_signatures_from_docs(
     groupBy shuffle of ``minhash_signatures``.
 
     Hash: md5 (engine-portable, same as ``minhash_signatures`` so both
-    paths band identically). A seeded xxhash64 was measured: no wall-
-    clock win at this scale (the pipeline is join/scheduling bound,
-    not hash bound) and its banding recall differed — not worth it."""
+    paths band identically). Measured trade-offs on this corpus: a
+    seeded xxhash64 bought no wall-clock (join/scheduling bound) and
+    its banding recall differed; this array form itself lost to the
+    explode+groupBy path inside ``minhash_lsh_dedup`` (transform-array
+    allocation cost) — kept for callers that need signatures without
+    an exploded shingle table."""
     tok = scan_parallel(docs).select(
         F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("__t")
     )
@@ -310,15 +313,15 @@ def minhash_lsh_dedup(
     """Full near-dup pipeline: shingle -> minhash -> LSH candidates ->
     exact-Jaccard verify of the candidates only (never all pairs).
 
-    Signatures come from the array-based path (one projection, no
-    explode shuffle); the exploded shingle table is computed once,
-    only for the verify join. At warehouse scale materialize both to
-    storage between stages (a leaked .persist() inside a library
-    function would degrade every query that runs after it)."""
+    Signatures come from the exploded shingle table (shared with the
+    verify branch) — measured faster than the array-projection variant
+    (``minhash_signatures_from_docs``), whose 16 per-seed transform
+    arrays allocate more than the explode+groupBy they avoid. At
+    warehouse scale materialize the shingle table to storage between
+    stages (a leaked .persist() inside a library function would
+    degrade every query that runs after it)."""
     sh = doc_shingles(docs, id_col=id_col, text_col=text_col)
-    sigs = minhash_signatures_from_docs(
-        docs, id_col=id_col, text_col=text_col
-    )
+    sigs = minhash_signatures(sh, id_col=id_col)
     cand = lsh_candidate_pairs(sigs, id_col=id_col)
     return jaccard_for_pairs(sh, cand, id_col=id_col).filter(
         F.col("jaccard") >= threshold

@@ -24,6 +24,13 @@ RUNTIME_CONF = {
     # split skewed ones — the 100 TB safety net for uneven keys.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # NB: parallelismFirst stays at its default (true). The often-
+    # recommended size-based alternative (parallelismFirst=false +
+    # 32-64MB advisory) was MEASURED WORSE here (~20s vs ~16.5s bench):
+    # with sub-advisory data volumes AQE coalesces every shuffle to one
+    # partition and serializes multi-shuffle pipelines. Size-based
+    # coalescing only pays off when shuffles actually exceed the
+    # advisory size — i.e. at cluster scale, where it should be enabled.
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Dims (region/nation/customer/part at small SF; any <=64 MB side)
     # should broadcast instead of shuffling the fact table.

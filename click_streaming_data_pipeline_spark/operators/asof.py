@@ -64,6 +64,73 @@ def interval_join(
     )
 
 
+def interval_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_seconds: int = 3600,
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Equivalent to ``interval_join`` (gap = ``gap_seconds``) with a
+    tighter join condition: both sides are binned to gap-sized time
+    buckets and the left side is exploded to (bin, bin+1), so matching
+    becomes an equi-join on (key, bin) followed by the exact range
+    filter.
+
+    Why: the plain form equi-joins on the key alone — every left row
+    meets every right row of that key (per-key cartesian) before the
+    range predicate filters. Hot keys with long histories make that
+    quadratic. Binning bounds each left row to exactly the two buckets
+    its window can reach, so the pre-filter pair count tracks the
+    *temporal* density, not the key's total history. Same trick is
+    what Spark's stream-stream join does internally with watermark
+    state buckets.
+    """
+    l = left.select(
+        F.col(key).alias("__k"),
+        *[
+            F.col(c).alias(f"{left_prefix}{c}")
+            for c in left.columns
+            if c != key
+        ],
+    )
+    r = right.select(
+        F.col(key).alias("__k2"),
+        *[
+            F.col(c).alias(f"{right_prefix}{c}")
+            for c in right.columns
+            if c != key
+        ],
+    )
+    lts, rts = f"{left_prefix}{ts}", f"{right_prefix}{ts}"
+    lbin = (F.unix_seconds(F.col(lts)) / gap_seconds).cast("long")
+    rbin = (F.unix_seconds(F.col(rts)) / gap_seconds).cast("long")
+    l = l.withColumn(
+        "__binl", F.explode(F.array(lbin, lbin + F.lit(1)))
+    )
+    r = r.withColumn("__binr", rbin)
+    return (
+        l.join(
+            r,
+            (F.col("__k") == F.col("__k2"))
+            & (F.col("__binl") == F.col("__binr")),
+        )
+        .filter(
+            (F.col(rts) >= F.col(lts))
+            & (
+                F.col(rts)
+                <= F.col(lts) + F.expr(f"INTERVAL {gap_seconds} SECONDS")
+            )
+        )
+        .withColumn("__key", F.col("__k"))
+        .drop("__k", "__k2", "__binl", "__binr")
+        .withColumnRenamed("__key", key)
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

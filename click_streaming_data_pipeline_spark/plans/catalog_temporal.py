@@ -12,7 +12,7 @@ import uuid as _uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.asof import asof_join, interval_join
+from ..operators.asof import asof_join, interval_join_binned
 from ..sources import load_table
 from .registry import query
 
@@ -41,16 +41,18 @@ _INTERVAL_SQL = """
     "click_purchase_interval_join",
     oracle=_INTERVAL_SQL,
     doc=(
-        "beyond-reference: interval join — purchases attributed to "
-        "same-user clicks within 1h (equi-key shuffle + in-group range "
-        "predicate; the predicate doubles as streaming state bound)"
+        "beyond-reference: interval join - purchases attributed to "
+        "same-user clicks within 1h, via time-bin equi-join (each "
+        "click meets only its two reachable 1h buckets, not the "
+        "user's whole history - hot-key-safe; the naive key-only "
+        "join + range filter is kept as the tested reference impl)"
     ),
     tags=("join", "temporal"),
 )
 def click_purchase_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    joined = interval_join(
-        _typed(events, "click"), _typed(events, "purchase"), max_gap="1 hour"
+    joined = interval_join_binned(
+        _typed(events, "click"), _typed(events, "purchase"), gap_seconds=3600
     )
     return joined.select(
         "user_id",

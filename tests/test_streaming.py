@@ -264,3 +264,24 @@ def test_checkpoint_recovery_converges(spark):
         .collect()
     )
     assert got == want
+
+
+def test_interval_join_binned_equals_plain(spark):
+    from click_streaming_data_pipeline_spark.operators.asof import (
+        interval_join,
+        interval_join_binned,
+    )
+
+    ev = load_table(spark, SF_TEST, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    cols = ["user_id", "l_event_id", "r_event_id"]
+    plain = _rows(interval_join(clicks, purch, max_gap="1 hour").select(*cols))
+    binned = _rows(
+        interval_join_binned(clicks, purch, gap_seconds=3600).select(*cols)
+    )
+    assert plain == binned

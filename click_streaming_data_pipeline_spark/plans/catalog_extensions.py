@@ -391,3 +391,40 @@ def dedup_neardup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.dedup_streaming import run_streaming_neardup
 
     return run_streaming_neardup(spark, sf_dir)
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach (id, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lbl
+            FROM reach r JOIN edges e ON e.src = r.id
+        )
+        SELECT id AS doc_id, min(lbl) AS cluster_id
+        FROM reach
+        GROUP BY id
+    """,
+    doc=(
+        "extension: near-dup CLUSTERING - connected components over "
+        "the Jaccard>=0.8 pair graph via iterative min-label "
+        "propagation (driver-loop join jobs, localCheckpoint per "
+        "round); cluster_id = component-min doc_id = the survivor a "
+        "dedup pass keeps. Oracle: DuckDB recursive CTE transitive "
+        "closure"
+    ),
+    tags=("dedup",),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup import neardup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(docs, threshold=0.8)
+    return neardup_clusters(pairs)

@@ -1,0 +1,56 @@
+"""Driver-contract invariants: the exact surface the driver consumes
+must stay well-formed regardless of catalog growth."""
+
+from __future__ import annotations
+
+import inspect
+
+import __spark_entry__ as se
+from click_streaming_data_pipeline_spark.plans import QUERIES
+
+
+def test_oracles_are_subset_of_queries():
+    qs, oracles = se.queries(), se.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) == len(QUERIES)
+
+
+def test_every_query_documents_its_survey_mapping():
+    for name, q in QUERIES.items():
+        assert q.doc and len(q.doc) > 20, name
+        assert callable(q.fn), name
+
+
+def test_callables_take_spark_and_sfdir():
+    for name, fn in se.queries().items():
+        params = list(inspect.signature(fn).parameters)
+        assert len(params) == 2, f"{name}: {params}"
+
+
+def test_oracle_sql_mentions_only_registered_tables():
+    registered = {
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    }
+    import re
+
+    for name, sql in se.oracle_sql().items():
+        for m in re.finditer(r"\bFROM\s+([a-z_][a-z0-9_]*)\b", sql,
+                             re.IGNORECASE):
+            t = m.group(1).lower()
+            # CTE names and subqueries are fine; real tables must be
+            # in the registered set or defined as a CTE in this sql
+            if t in registered:
+                continue
+            assert (
+                re.search(
+                    rf"\b{t}\b\s*(\([^)]*\))?\s+AS\s*\(",
+                    sql,
+                    re.IGNORECASE,
+                )
+                or re.search(rf"\(\s*{t}\b", sql)
+            ), f"{name}: unknown relation {t!r}"
+
+
+def test_entry_targets_sf0001():
+    assert se.SF0001.endswith("sf0.001")

@@ -267,3 +267,68 @@ def binary_object_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(F.col("content")).alias("content_len"),
         )
     )
+
+
+@query(
+    "table_profile",
+    oracle="""
+        SELECT 'o_totalprice' AS column_name,
+               count(*) AS n_rows,
+               count(o_totalprice) AS n_non_null,
+               count(DISTINCT o_totalprice) AS n_distinct,
+               CAST(min(o_totalprice) AS VARCHAR) AS min_value,
+               CAST(max(o_totalprice) AS VARCHAR) AS max_value
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus',
+               count(*), count(o_orderstatus),
+               count(DISTINCT o_orderstatus),
+               CAST(min(o_orderstatus) AS VARCHAR),
+               CAST(max(o_orderstatus) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate',
+               count(*), count(o_orderdate),
+               count(DISTINCT o_orderdate),
+               CAST(min(o_orderdate) AS VARCHAR),
+               CAST(max(o_orderdate) AS VARCHAR)
+        FROM orders
+    """,
+    doc=(
+        "beyond-reference: data-profiling operator (per-column row/"
+        "null/distinct counts + min/max) - the first step of any "
+        "training-data quality pipeline; all columns profile in ONE "
+        "pass over the table (single scan, no per-column jobs)"
+    ),
+    tags=("agg", "quality"),
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan multi-column profile: per-column aggregate tuples are
+    computed together, then unpivoted. At 100 TB this is ONE pass over
+    the table; the naive per-column loop would be N passes."""
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_totalprice", "o_orderstatus", "o_orderdate"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count("*").alias(f"{c}__rows"),
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    profiles = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__rows").alias("n_rows"),
+                F.col(f"{c}__nn").alias("n_non_null"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(profiles).alias("p")).select("p.*")

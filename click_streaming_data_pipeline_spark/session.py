@@ -41,12 +41,28 @@ RUNTIME_CONF = {
 
 
 def apply_runtime_conf(spark: SparkSession) -> SparkSession:
-    """Set dynamic confs on an existing session (idempotent)."""
+    """Set dynamic confs on an existing session (idempotent).
+
+    Also right-sizes ``spark.sql.shuffle.partitions`` on externally-
+    built sessions (the driver's): Spark's untouched default of 200
+    reduce tasks per tiny local shuffle is pure scheduling overhead —
+    match core count instead. Only applied while the conf still sits
+    at the stock default, so sessions that chose a value (incl. our
+    own builder) keep it.
+    """
     for k, v in RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # conf may be static on some builds; builder path sets it
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(max(spark.sparkContext.defaultParallelism, 8)),
+            )
+    except Exception:
+        pass
     return spark
 
 

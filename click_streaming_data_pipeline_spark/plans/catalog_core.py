@@ -899,3 +899,57 @@ def user_activity_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("running_value"),
         F.lead("event_type").over(w).alias("next_event_type"),
     )
+
+
+@query(
+    "repeat_customers",
+    oracle="""
+        SELECT o_custkey AS custkey FROM orders
+        WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        INTERSECT
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+    """,
+    doc=(
+        "beyond-reference breadth: INTERSECT set operation - customers "
+        "active in both the early and late era (Catalyst plans it as a "
+        "left-semi join over distincts)"
+    ),
+    tags=("agg", "join"),
+)
+def repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    early = orders.filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("custkey"))
+    late = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("custkey"))
+    return early.intersect(late)
+
+
+@query(
+    "lapsed_customers",
+    oracle="""
+        SELECT o_custkey AS custkey FROM orders
+        WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        EXCEPT
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+    """,
+    doc=(
+        "beyond-reference breadth: EXCEPT set operation - early-era "
+        "customers with no late-era orders (left-anti join over "
+        "distincts)"
+    ),
+    tags=("agg", "join"),
+)
+def lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    early = orders.filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("custkey"))
+    late = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("custkey"))
+    return early.subtract(late)

@@ -160,3 +160,81 @@ def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         _typed(events, "purchase"),
         left_val_cols=["event_id"],
     )
+
+
+@query(
+    "funnel_steps",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, min(ts) AS view_ts FROM events
+            WHERE event_type = 'view' GROUP BY 1
+        ),
+        c AS (
+            SELECT e.user_id, min(e.ts) AS click_ts
+            FROM events e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.view_ts
+            GROUP BY 1
+        ),
+        p AS (
+            SELECT e.user_id, min(e.ts) AS purchase_ts
+            FROM events e JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+            GROUP BY 1
+        )
+        SELECT u.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+               (p.purchase_ts IS NOT NULL) AS completed
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN v ON v.user_id = u.user_id
+        LEFT JOIN c ON c.user_id = u.user_id
+        LEFT JOIN p ON p.user_id = u.user_id
+    """,
+    doc=(
+        "beyond-reference: ordered funnel analysis - per user the "
+        "first view, the first click strictly AFTER that view, the "
+        "first purchase strictly after that click (sequence "
+        "detection, not mere co-occurrence); the canonical "
+        "clickstream-analytics operator"
+    ),
+    tags=("agg", "temporal", "join"),
+)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three staged conditional aggregations, each joining the
+    previous step's timestamp back (broadcast - one row per user).
+    Scale: 3 narrow broadcast joins + 3 partial-agg shuffles on
+    user_id; no window over full history needed."""
+    events = load_table(spark, sf_dir, "events")
+    users = events.select("user_id").distinct()
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        events.join(F.broadcast(v), "user_id")
+        .filter(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("view_ts"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        events.join(F.broadcast(c), "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("click_ts"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "view_ts",
+            "click_ts",
+            "purchase_ts",
+            F.col("purchase_ts").isNotNull().alias("completed"),
+        )
+    )

@@ -20,7 +20,11 @@ from ..extensions.dedup import (
     minhash_signatures,
     simhash_pairs,
 )
-from ..extensions.multimodal import assets_from_documents, extract_features
+from ..extensions.multimodal import (
+    FEATURE_DIM,
+    assets_from_documents,
+    extract_features,
+)
 from ..extensions.similarity import (
     brute_force_topk,
     lsh_bucketed_pairs,
@@ -339,20 +343,54 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Multimodal
 
+# The stub feature is bytes-deterministic (stride byte-sums mod 997) and
+# the corpus is ASCII, so DuckDB can reproduce it exactly via per-char
+# codepoints: a real value-hash oracle, not just a rows-only gate.
+_MULTIMODAL_F_COLS = ",\n".join(
+    f"       CAST(coalesce(list_aggregate(list_transform("
+    f"generate_series({i}*stride+1, least(({i}+1)*stride, byte_len)), "
+    f"j -> ord(text[j])), 'sum'), 0) % 997 AS DOUBLE) AS f{i}"
+    for i in range(FEATURE_DIM)
+)
+
 
 @query(
     "multimodal_features",
-    oracle=None,  # binary plumbing; shape/determinism tested in pytest
+    oracle=f"""
+        WITH a AS (
+            SELECT doc_id AS asset_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+                        ELSE 'audio/wav' END AS media_type,
+                   length(text) AS byte_len,
+                   greatest(1, length(text) // 8) AS stride,
+                   text
+            FROM documents
+        )
+        SELECT asset_id, media_type, byte_len,
+{_MULTIMODAL_F_COLS}
+        FROM a
+    """,
     doc=(
         "extension: multimodal binary columns + Arrow-batched "
         "mapInPandas feature extraction (decode stubbed — codecs not "
-        "in container; plumbing real)"
+        "in container; plumbing real). The catalog query projects the "
+        "feature array<double> into scalar f0..f7 columns so the "
+        "driver's pandas canonicalizer can sort/hash them — and since "
+        "the stub is bytes-deterministic over an ASCII corpus, the "
+        "DuckDB oracle reproduces it bit-for-bit. The library API "
+        "(extract_features) keeps the array form."
     ),
     tags=("multimodal",),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(assets_from_documents(docs))
+    feats = extract_features(assets_from_documents(docs))
+    return feats.select(
+        "asset_id",
+        "media_type",
+        "byte_len",
+        *[F.col("feature")[i].alias(f"f{i}") for i in range(FEATURE_DIM)],
+    )
 
 
 @query(

@@ -46,13 +46,36 @@ from .dedup import (
 )
 
 
-def _append(df: DataFrame, path: str) -> None:
-    df.write.mode("append").parquet(path)
+def _batch_dir(store: str, batch_id: int) -> str:
+    return os.path.join(store, f"b{batch_id}")
+
+
+def _read_prior(spark: SparkSession, store: str, batch_id: int):
+    """Read every batch subdirectory EXCEPT the current batch's own.
+
+    foreachBatch is at-least-once: a failed-then-retried micro-batch
+    re-runs with the same batch_id. Plain mode('append') stores would
+    double-append its rows (inflating shingle/posting counts and hence
+    Jaccard); per-batch subdirs written with overwrite + excluding the
+    current id at read time make the step idempotent — the retry sees
+    exactly the pre-batch state and overwrites its own output.
+    """
+    if not os.path.isdir(store):
+        return None
+    parts = [
+        os.path.join(store, d)
+        for d in os.listdir(store)
+        if d.startswith("b") and d != f"b{batch_id}"
+    ]
+    if not parts:
+        return None
+    return spark.read.parquet(*parts)
 
 
 def process_batch(
     batch_docs: DataFrame,
     *,
+    batch_id: int,
     shingle_store: str,
     postings_store: str,
     pairs_store: str,
@@ -63,9 +86,10 @@ def process_batch(
     sh_new = doc_shingles(batch_docs)
     post_new = band_postings(minhash_signatures(sh_new))
 
-    if os.path.exists(postings_store):
-        post_all = spark.read.parquet(postings_store).unionByName(post_new)
-        sh_all = spark.read.parquet(shingle_store).unionByName(sh_new)
+    post_prev = _read_prior(spark, postings_store, batch_id)
+    if post_prev is not None:
+        post_all = post_prev.unionByName(post_new)
+        sh_all = _read_prior(spark, shingle_store, batch_id).unionByName(sh_new)
     else:
         post_all, sh_all = post_new, sh_new
 
@@ -96,8 +120,8 @@ def process_batch(
     upsert_parquet(
         spark, pairs_store, verified, ["id_a", "id_b"], ["jaccard"]
     )
-    _append(post_new, postings_store)
-    _append(sh_new, shingle_store)
+    post_new.write.mode("overwrite").parquet(_batch_dir(postings_store, batch_id))
+    sh_new.write.mode("overwrite").parquet(_batch_dir(shingle_store, batch_id))
 
 
 def run_streaming_neardup(
@@ -132,6 +156,7 @@ def run_streaming_neardup(
     def on_batch(batch_docs: DataFrame, batch_id: int) -> None:
         process_batch(
             batch_docs,
+            batch_id=batch_id,
             shingle_store=shingle_store,
             postings_store=postings_store,
             pairs_store=pairs_store,

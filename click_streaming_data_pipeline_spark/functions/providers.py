@@ -64,9 +64,9 @@ class HeuristicProvider:
             has_pii = bool(email.search(t) or phone.search(t))
             pii = 0.0 if has_pii else 100.0
             toks = t.split(" ")
-            ratio = sum(1 for x in toks if x.lower() in stops) / max(
-                len(toks), 1
-            )
+            # case-sensitive, matching the expression scorer's
+            # t.isin(*STOPWORDS) and the shared DuckDB oracle
+            ratio = sum(1 for x in toks if x in stops) / max(len(toks), 1)
             language = min(100.0, ratio * 250.0)
             rows.append((completeness, consistency, pii, language))
         return pd.DataFrame(

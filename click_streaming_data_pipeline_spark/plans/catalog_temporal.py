@@ -199,9 +199,12 @@ def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three staged conditional aggregations, each joining the
-    previous step's timestamp back (broadcast - one row per user).
-    Scale: 3 narrow broadcast joins + 3 partial-agg shuffles on
-    user_id; no window over full history needed."""
+    previous step's timestamp back (one row per user — but the user
+    population is unbounded at warehouse scale, so no forced broadcast
+    hint: AQE / autoBroadcastJoinThreshold decides at runtime, and the
+    fallback is a sort-merge join already co-partitioned on user_id by
+    the preceding aggregation shuffle. Scale: 3 narrow joins + 3
+    partial-agg shuffles on user_id; no window over full history."""
     events = load_table(spark, sf_dir, "events")
     users = events.select("user_id").distinct()
     v = (
@@ -210,7 +213,7 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("view_ts"))
     )
     c = (
-        events.join(F.broadcast(v), "user_id")
+        events.join(v, "user_id")
         .filter(
             (F.col("event_type") == "click") & (F.col("ts") > F.col("view_ts"))
         )
@@ -218,7 +221,7 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("click_ts"))
     )
     p = (
-        events.join(F.broadcast(c), "user_id")
+        events.join(c, "user_id")
         .filter(
             (F.col("event_type") == "purchase")
             & (F.col("ts") > F.col("click_ts"))

@@ -42,6 +42,7 @@ STATE_SCHEMA = StructType(
         StructField("day_keys", ArrayType(LongType())),
         StructField("last_event_type", StringType()),
         StructField("last_ts_micros", LongType()),
+        StructField("last_event_id", LongType()),
     ]
 )
 
@@ -64,21 +65,24 @@ def _update(
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     if state.exists:
-        total, day_list, last_type, last_ts = state.get
+        total, day_list, last_type, last_ts, last_eid = state.get
         days = set(day_list)
     else:
-        total, days, last_type, last_ts = 0, set(), None, -1
+        total, days, last_type, last_ts, last_eid = 0, set(), None, -1, -1
     for pdf in pdfs:
         total += len(pdf)
         days.update((pdf["ts"].astype("int64") // _DAY_NS).tolist())
-        # latest event wins (ties broken by event_id, like I4 LWW)
+        # latest event wins, ties broken by event_id (like I4 LWW);
+        # the (ts, event_id) tuple compare must also hold ACROSS
+        # micro-batches — nanos→micros truncation makes ts ties real
         pdf = pdf.sort_values(["ts", "event_id"])
         tail = pdf.iloc[-1]
         ts_micros = int(tail["ts"].value // 1_000)
-        if ts_micros >= last_ts:
+        if (ts_micros, int(tail["event_id"])) > (last_ts, last_eid):
             last_ts = ts_micros
+            last_eid = int(tail["event_id"])
             last_type = tail["event_type"]
-    state.update((total, sorted(days), last_type, last_ts))
+    state.update((total, sorted(days), last_type, last_ts, last_eid))
     yield pd.DataFrame(
         {
             "user_id": [user_id],

@@ -206,3 +206,39 @@ def test_streaming_neardup_equals_batch(spark):
     }
     assert streamed == batch
     assert batch  # non-trivial corpus
+
+
+def test_streaming_neardup_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running a micro-batch with the
+    same batch_id must not change the stores or the pair set."""
+    from click_streaming_data_pipeline_spark.extensions.dedup_streaming import (
+        process_batch,
+    )
+
+    docs = load_table(spark, SF_TEST, "documents")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    stores = dict(
+        shingle_store=str(tmp_path / "sh"),
+        postings_store=str(tmp_path / "post"),
+        pairs_store=str(tmp_path / "pairs"),
+        threshold=0.8,
+    )
+    process_batch(b0, batch_id=0, **stores)
+    process_batch(b1, batch_id=1, **stores)
+    pairs_once = sorted(
+        map(tuple, spark.read.parquet(stores["pairs_store"]).collect())
+    )
+    sh_once = spark.read.option("recursiveFileLookup", "true").parquet(
+        stores["shingle_store"]
+    ).count()
+    # replay batch 1 (simulated failure recovery)
+    process_batch(b1, batch_id=1, **stores)
+    pairs_twice = sorted(
+        map(tuple, spark.read.parquet(stores["pairs_store"]).collect())
+    )
+    sh_twice = spark.read.option("recursiveFileLookup", "true").parquet(
+        stores["shingle_store"]
+    ).count()
+    assert pairs_twice == pairs_once and pairs_once
+    assert sh_twice == sh_once

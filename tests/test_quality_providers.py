@@ -38,6 +38,32 @@ def test_udf_provider_equals_expression_scorer(spark):
     assert expr_rows == udf_rows  # bit-identical, not approximately
 
 
+def test_udf_provider_equivalence_mixed_case(spark):
+    """The corpus has no capitalized stopwords, so corpus equivalence
+    alone can't catch a case-handling divergence between the provider
+    and the expression scorer (both must be case-sensitive)."""
+    rows = [
+        (1, "The cat The cat The cat", 23),
+        (2, "the cat the cat the cat", 23),
+        (3, "OF AND TO in is for a the", 25),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    cols = quality_check_columns("text", "n_chars")
+    expr_rows = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in docs.select(
+            "doc_id", *(c.alias(n) for n, c in cols.items())
+        ).collect()
+    }
+    udf_rows = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in with_provider_quality(docs).select("doc_id", *list(cols)).collect()
+    }
+    assert expr_rows == udf_rows
+    # and the case-sensitivity is real: capitalized stopwords don't hit
+    assert expr_rows[1] != expr_rows[2]
+
+
 def test_provider_factory(spark):
     assert get_provider("heuristic").name == "heuristic"
     assert get_provider("llm").name == "llm"

@@ -94,19 +94,41 @@ def exact_dedup_groups(
 # n-gram Jaccard
 
 
+#: default document-frequency cap: a shingle present in f docs emits
+#: f^2/2 rows from the self-join, so ultra-frequent shingles are the
+#: quadratic blow-up; they also carry no near-dup signal (boilerplate).
+#: 4096 is far above any df on the test corpora (max df ~ tens), so
+#: the capped result is identical there — the cap only bites at scale.
+MAX_SHINGLE_DF = 4096
+
+
 def jaccard_pairs(
     shingle_df: DataFrame,
     *,
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    max_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """All-pairs Jaccard over distinct shingle sets.
 
     |A ∩ B| via a self-join on shingle; |A|,|B| via per-doc counts.
-    Scale: filter shingles whose document frequency exceeds a cap
-    before the self-join (a shingle in f docs contributes f^2/2
-    candidate pairs).
+    Scale guard: shingles whose document frequency exceeds ``max_df``
+    are dropped from the set representation BEFORE the self-join (a
+    shingle in f docs contributes f^2/2 candidate rows, unbounded).
+    Both the counts and the intersection see the capped sets, so the
+    result is exact Jaccard over the capped representation; with the
+    default cap the test corpora are unaffected (no shingle comes
+    close), which keeps the DuckDB oracle exact.
     """
+    if max_df is not None:
+        df_counts = shingle_df.groupBy("shingle").agg(
+            F.count("*").alias("__df")
+        )
+        shingle_df = (
+            shingle_df.join(
+                df_counts.filter(F.col("__df") > max_df), "shingle", "left_anti"
+            )
+        )
     counts = shingle_df.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = shingle_df.alias("a")
     b = shingle_df.alias("b")
@@ -309,6 +331,7 @@ def minhash_lsh_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    materialize: bool = True,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle -> minhash -> LSH candidates ->
     exact-Jaccard verify of the candidates only (never all pairs).
@@ -316,11 +339,21 @@ def minhash_lsh_dedup(
     Signatures come from the exploded shingle table (shared with the
     verify branch) — measured faster than the array-projection variant
     (``minhash_signatures_from_docs``), whose 16 per-seed transform
-    arrays allocate more than the explode+groupBy they avoid. At
-    warehouse scale materialize the shingle table to storage between
-    stages (a leaked .persist() inside a library function would
-    degrade every query that runs after it)."""
+    arrays allocate more than the explode+groupBy they avoid.
+
+    The shingle table feeds FOUR consumers (signatures, per-doc counts,
+    and both sides of the intersection join); left lazy, each one
+    re-scans and re-shingles the corpus — five full-corpus reads per
+    run, which is the 100 TB killer. ``materialize`` (default) runs the
+    shingle job once and pins the result via ``localCheckpoint`` — a
+    bounded, lineage-truncating materialization whose blocks are freed
+    when the DataFrame is garbage-collected, unlike a leaked
+    ``.persist()`` that would squat in the cache for the session. At
+    warehouse scale the equivalent is writing the shingle table to
+    storage between stages."""
     sh = doc_shingles(docs, id_col=id_col, text_col=text_col)
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
     sigs = minhash_signatures(sh, id_col=id_col)
     cand = lsh_candidate_pairs(sigs, id_col=id_col)
     return jaccard_for_pairs(sh, cand, id_col=id_col).filter(
@@ -405,6 +438,18 @@ def simhash_fingerprints(
     return hashes.select(F.col(id_col), out.alias("fp"))
 
 
+def _fp_chunks(fp: Column, n_chunks: int, bits: int = SIMHASH_BITS) -> list[Column]:
+    """Split a ``bits``-wide fingerprint into ``n_chunks`` contiguous
+    bit ranges (widths as equal as possible)."""
+    base, extra = divmod(bits, n_chunks)
+    out, lo = [], 0
+    for i in range(n_chunks):
+        w = base + (1 if i < extra else 0)
+        out.append(F.shiftright(fp, lo).bitwiseAND(F.lit((1 << w) - 1)))
+        lo += w
+    return out
+
+
 def simhash_pairs(
     docs: DataFrame,
     *,
@@ -412,18 +457,65 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by hamming distance on simhash fingerprints.
+    """Near-dup pairs by hamming distance on simhash fingerprints —
+    EXACT result via pigeonhole chunk banding, never an all-pairs join.
 
-    Scale: instead of the all-pairs join below, split the fingerprint
-    into (max_hamming+1) chunks — two docs within distance d share at
-    least one exact chunk (pigeonhole), so candidates come from chunk
-    groupBys like LSH bands.
+    The fingerprint is split into ``max_hamming + 1`` contiguous bit
+    chunks; two fingerprints within hamming distance d <= max_hamming
+    differ in at most d chunks, so they agree exactly on at least one
+    chunk (pigeonhole). Candidates therefore come from equi-joins on
+    (chunk_index, chunk_value) — the same groupBy-shaped plan as LSH
+    bands, but with recall 1 by construction. Hamming is then verified
+    on candidates only (xor + bit_count). Parity with the all-pairs
+    form is asserted in tests/test_extensions.py.
     """
+    n_chunks = max_hamming + 1
+    fp = simhash_fingerprints(docs, id_col=id_col, text_col=text_col)
+    chunked = fp.select(
+        F.col(id_col),
+        F.col("fp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("ck"), c.alias("ckv"))
+                    for i, c in enumerate(_fp_chunks(F.col("fp"), n_chunks))
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "fp", "c.ck", "c.ckv")
+    a = chunked.select(
+        "ck", "ckv", F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a")
+    )
+    b = chunked.select(
+        "ck", "ckv", F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b")
+    )
+    cand = (
+        a.join(b, ["ck", "ckv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_pairs_allpairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 4,
+) -> DataFrame:
+    """All-pairs reference form of ``simhash_pairs`` — O(N^2); kept as
+    the parity oracle for the pigeonhole-banded plan (pytest), never
+    the path a catalog query runs."""
     fp = simhash_fingerprints(docs, id_col=id_col, text_col=text_col)
     a, b = fp.alias("a"), fp.alias("b")
-    ham = F.bit_count(
-        F.col("a.fp").bitwiseXOR(F.col("b.fp"))
-    )
+    ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
     return (
         a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(

@@ -164,11 +164,13 @@ def lsh_bucketed_pairs(
     all-pairs O(N^2) join never happens.
 
     Scale: each table's join shuffles on a short bucket string; hot
-    buckets (skew) split via AQE. Cosine verify runs only on candidate
-    pairs, deduplicated across tables first."""
+    buckets (skew) split via AQE. The candidate join carries IDS ONLY
+    (two longs per row) — carrying the vectors through the exploded
+    per-table join would multiply shuffle width by 2 x dim x n_tables;
+    instead the (much smaller) deduplicated candidate set re-joins the
+    embedding table twice to fetch vectors for the cosine verify."""
     tabled = scan_parallel(emb).select(
         F.col(id_col),
-        F.col(vec_col),
         F.explode(
             F.array(
                 *[
@@ -182,21 +184,21 @@ def lsh_bucketed_pairs(
                 ]
             )
         ).alias("tb"),
-    ).select(id_col, vec_col, "tb.tbl", "tb.bucket")
-    a = tabled.select(
-        "tbl", "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
-    )
-    b = tabled.select(
-        "tbl", "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
-    )
+    ).select(id_col, "tb.tbl", "tb.bucket")
+    a = tabled.select("tbl", "bucket", F.col(id_col).alias("id_a"))
+    b = tabled.select("tbl", "bucket", F.col(id_col).alias("id_b"))
     cand = (
         a.join(b, ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
     )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
-        cand.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

@@ -22,6 +22,7 @@ from click_streaming_data_pipeline_spark.extensions.multimodal import (
 from click_streaming_data_pipeline_spark.extensions.similarity import (
     brute_force_topk,
     lsh_bucketed_pairs,
+    neardup_pairs,
 )
 from click_streaming_data_pipeline_spark.sources import load_table
 
@@ -73,6 +74,55 @@ def test_simhash_pairs_align_with_jaccard(spark):
     # every planted near-dup must be found by simhash at this radius
     missed = jac - sim
     assert len(missed) <= len(jac) * 0.2, f"simhash missed {missed}"
+
+
+def test_simhash_banded_equals_allpairs(spark):
+    """Pigeonhole chunk banding is EXACT (not probabilistic): the
+    banded plan must reproduce the all-pairs result identically."""
+    from click_streaming_data_pipeline_spark.extensions.dedup import (
+        simhash_pairs_allpairs,
+    )
+
+    docs = load_table(spark, SF_TEST, "documents")
+    banded = sorted(map(tuple, simhash_pairs(docs, max_hamming=4).collect()))
+    allp = sorted(
+        map(tuple, simhash_pairs_allpairs(docs, max_hamming=4).collect())
+    )
+    assert banded == allp
+    assert banded  # non-trivial corpus
+
+
+def test_jaccard_max_df_cap(spark):
+    """The default cap leaves the test corpus untouched; a tiny cap
+    drops high-df shingles from the representation and changes pairs."""
+    docs = load_table(spark, SF_TEST, "documents")
+    sh = doc_shingles(docs)
+    capped = sorted(map(tuple, jaccard_pairs(sh, threshold=0.8).collect()))
+    uncapped = sorted(
+        map(tuple, jaccard_pairs(sh, threshold=0.8, max_df=None).collect())
+    )
+    assert capped == uncapped and capped
+    # df cap of 1 keeps only unique shingles: planted near-dups (which
+    # by definition share shingles with df >= 2) can no longer match
+    tiny = jaccard_pairs(sh, threshold=0.8, max_df=1).count()
+    assert tiny == 0
+
+
+def test_embedding_lsh_neardup_equals_allpairs(spark):
+    """The catalog's LSH near-dup config (3 planes x 16 tables) must
+    reproduce the exact all-pairs cosine result on the gate corpus."""
+    emb = load_table(spark, SF_TEST, "embeddings")
+    lsh = sorted(
+        map(
+            tuple,
+            lsh_bucketed_pairs(
+                emb, threshold=0.45, n_planes=3, n_tables=16
+            ).collect(),
+        )
+    )
+    exact = sorted(map(tuple, neardup_pairs(emb, threshold=0.45).collect()))
+    assert lsh == exact
+    assert lsh  # non-trivial corpus
 
 
 def test_minhash_lsh_equals_exact_jaccard(spark):

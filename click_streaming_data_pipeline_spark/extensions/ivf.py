@@ -25,9 +25,16 @@ from pyspark.sql.window import Window
 
 from .similarity import _as_double, cosine
 
-K_CENTROIDS = 16
 N_ITER = 3
-N_PROBE = 4
+#: cap on the k-means training-set size: above this the trainer
+#: down-samples deterministically (id % mod == 0). Centroid quality
+#: needs a representative sample, not the full corpus — full-corpus
+#: assign/re-center rounds at 100 TB would be n_iter extra passes.
+TRAIN_SAMPLE_CAP = 65_536
+#: cap on K: centroids travel as a literal expression array into the
+#: assign transform (fine to a few hundred); a warehouse-scale corpus
+#: would hold centroids in a broadcast table join instead.
+K_MAX = 256
 
 
 def _centroid_array_col(centroids: list[tuple[int, list[float]]]):
@@ -62,20 +69,39 @@ def _assign(emb: DataFrame, centroids, vec_col: str) -> DataFrame:
     ).drop("__cs")
 
 
+def auto_k(n: int) -> int:
+    """K sized to the corpus: the sqrt(N) rule of thumb, clamped to
+    [4, K_MAX]."""
+    return max(4, min(K_MAX, int(round(n**0.5))))
+
+
 def train_kmeans(
     emb: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = K_CENTROIDS,
+    k: int | None = None,
     n_iter: int = N_ITER,
+    sample_mod: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic k-means (cosine/spherical): init = the k smallest
     ids; each round assigns and re-centers via element-wise mean
-    (aggregate over array positions)."""
+    (aggregate over array positions).
+
+    ``k=None`` sizes K to the corpus (sqrt(N), clamped);
+    ``sample_mod=None`` picks the smallest deterministic sample
+    (``id % mod == 0``) that fits TRAIN_SAMPLE_CAP, so training cost
+    is bounded regardless of corpus size. Both remain overridable."""
     e = emb.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("v")
     )
+    n = e.count()
+    if k is None:
+        k = auto_k(n)
+    if sample_mod is None:
+        sample_mod = max(1, -(-n // TRAIN_SAMPLE_CAP))  # ceil division
+    if sample_mod > 1:
+        e = e.filter(F.col(id_col) % sample_mod == 0)
     init = (
         e.orderBy(F.col(id_col).asc()).limit(k).collect()
     )
@@ -112,15 +138,19 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[tuple[int, list[float]]] | None = None,
-    nprobe: int = N_PROBE,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe the query's nprobe nearest centroids,
     rank only vectors assigned there. Recall < 1 by construction
     (neighbors assigned to unprobed partitions are missed); raise
-    nprobe to trade cost for recall."""
+    nprobe to trade cost for recall. ``nprobe=None`` probes K/4
+    partitions (a fixed fraction keeps the recall characteristics
+    stable as auto-K grows with the corpus)."""
     centroids = centroids or train_kmeans(
         emb, id_col=id_col, vec_col=vec_col
     )
+    if nprobe is None:
+        nprobe = max(1, len(centroids) // 4)
     corpus = _assign(
         emb.select(
             F.col(id_col).alias("neighbor_id"),

@@ -25,6 +25,8 @@ keeps it ~vectorized. Both emit the same schema so they interchange.
 
 from __future__ import annotations
 
+import asyncio
+import json
 import math
 import re
 
@@ -80,23 +82,77 @@ class HeuristicProvider:
         )
 
 
+_SCORE_KEYS = (
+    "completeness",
+    "consistency",
+    "pii_detection",
+    "language_quality",
+)
+_ZERO_ROW = (0.0, 0.0, 0.0, 0.0)
+
+
 class LLMProvider:
-    """Remote-LLM provider slot (OpenAIProvider.py shape). The HTTP
-    call site raises in this environment; everything around it is the
-    production batching structure."""
+    """Remote-LLM provider (OpenAIProvider.py shape): one async-gather
+    of chat-completions per Arrow batch, bounded by a concurrency
+    semaphore; each response is JSON-parsed into the 4 scores and any
+    per-prompt failure (transport error, bad JSON, missing/ill-typed
+    keys) degrades to a zero-score row instead of failing the batch
+    (OpenAIProvider.py:178-202's error contract).
+
+    The network call itself is injected as ``transport``: an async
+    callable ``(prompt, model) -> str`` returning the model's JSON
+    text (in production an httpx/aiohttp chat-completions POST with
+    temperature=0 + JSON mode, OpenAIProvider.py:31-44). No transport
+    is available in this sandbox, so the default raises
+    NotImplementedError at the exact call site; tests exercise the
+    full batching/parse/error path with a mocked transport."""
 
     name = "llm"
     model = "gpt-4o-mini"  # reference default, config.py:16
+    max_concurrency = 8  # in-flight requests per Arrow batch
+
+    def __init__(self, transport=None):
+        self._transport = transport
+
+    @staticmethod
+    def build_prompt(text: str) -> str:
+        """Truncated (G7, config.py:18) scoring prompt asking for the
+        4-key JSON object — the reference's prompt contract
+        (OpenAIProvider.py:19-30)."""
+        return (
+            "Score the following content 0-100 on completeness, "
+            "consistency, pii_detection and language_quality; reply "
+            "with exactly one JSON object with those four keys.\n\n"
+            + text[:LLM_INPUT_CAP]
+        )
+
+    async def _score_one(self, sem, prompt: str):
+        async with sem:
+            try:
+                raw = await self._transport(prompt, model=self.model)
+                parsed = json.loads(raw)
+                return tuple(
+                    min(100.0, max(0.0, float(parsed[k])))
+                    for k in _SCORE_KEYS
+                )
+            except Exception:
+                return _ZERO_ROW
+
+    async def _score_all(self, prompts: list[str]):
+        sem = asyncio.Semaphore(self.max_concurrency)
+        return await asyncio.gather(
+            *[self._score_one(sem, p) for p in prompts]
+        )
 
     def score_batch(self, text: pd.Series, n_chars: pd.Series) -> pd.DataFrame:
-        prompts = [t[:LLM_INPUT_CAP] for t in text]  # G7 truncation
-        # production: asyncio.gather of chat-completions per Arrow
-        # batch (temperature=0, JSON mode), parse into the 4 scores
-        # with zero-score fallback on errors (OpenAIProvider.py:178+)
-        raise NotImplementedError(
-            f"LLM scoring for {len(prompts)} prompts requires network "
-            "access; unavailable in this environment"
-        )
+        prompts = [self.build_prompt(t) for t in text]
+        if self._transport is None:
+            raise NotImplementedError(
+                f"LLM scoring for {len(prompts)} prompts requires network "
+                "access; unavailable in this environment"
+            )
+        rows = asyncio.run(self._score_all(prompts))
+        return pd.DataFrame(rows, columns=list(_SCORE_KEYS))
 
 
 _PROVIDERS = {
@@ -105,14 +161,17 @@ _PROVIDERS = {
 }
 
 
-def get_provider(name: str = "heuristic"):
-    """Factory (LLMProviderFactory.py:6-23): unknown name -> error."""
+def get_provider(name: str = "heuristic", **kwargs):
+    """Factory (LLMProviderFactory.py:6-23): unknown name -> error.
+    ``kwargs`` pass through to the provider constructor (e.g.
+    ``transport=`` for LLMProvider)."""
     try:
-        return _PROVIDERS[name]()
+        cls = _PROVIDERS[name]
     except KeyError:
         raise ValueError(
             f"unknown quality provider {name!r}; have {sorted(_PROVIDERS)}"
         ) from None
+    return cls(**kwargs)
 
 
 def quality_checks_udf(provider_name: str = "heuristic"):

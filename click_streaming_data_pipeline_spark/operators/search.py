@@ -23,10 +23,24 @@ Two physical strategies, same semantics:
    only matching buckets instead of scanning every document; this is
    the Spark analogue of the ES inverted index.
 
-Everything is built-in expressions (codegen-friendly); no UDFs.
+Scoring follows ES toward BM25: a per-term IDF factor
+(``ln(1 + (N - df + 0.5)/(df + 0.5))``, the BM25 idf) weights rare
+terms over common ones, so a query mixing one rare and one common term
+ranks like ES does (reference search main.py:90-99 delegates to ES
+BM25). Document frequencies come from one corpus aggregation
+(``term_doc_frequencies``, a Q-column single-row collect — the same
+bounded driver-side step as IVF centroids); the ``ln`` is evaluated
+driver-side in Python so both engines (libm) agree bit-for-bit —
+Spark receives the idf as a literal. Pass ``idf=None`` for raw
+boosted-TF scoring (kept for fixed-corpus pipelines whose score only
+gates match/no-match).
+
+Everything else is built-in expressions (codegen-friendly); no UDFs.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -53,20 +67,51 @@ def fuzzy_term_frequency(tokens: Column, term: str, max_dist: int = 1) -> Column
     )
 
 
+def bm25_idf(n_docs: int, df: int) -> float:
+    """The BM25 idf (what ES scores with): ln(1 + (N-df+0.5)/(df+0.5)).
+    Evaluated in Python (libm) so Spark literals and the DuckDB oracle
+    agree bit-for-bit."""
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def term_doc_frequencies(
+    docs: DataFrame, terms: list[str], *, body_col: str = "body"
+) -> tuple[int, dict[str, int]]:
+    """(corpus size, per-term document frequency) in ONE corpus scan:
+    a single aggregation emits count(*) plus one df column per term.
+    The single-row collect is the bounded driver-side step that turns
+    dfs into idf literals (compare ivf.py's k-row centroid collect)."""
+    toks = tokenize(body_col)
+    aggs = [F.count("*").alias("__n")] + [
+        F.sum((term_frequency(toks, t) > 0).cast("long")).alias(f"__df_{i}")
+        for i, t in enumerate(terms)
+    ]
+    row = docs.agg(*aggs).collect()[0]
+    return int(row["__n"]), {
+        t: int(row[f"__df_{i}"]) for i, t in enumerate(terms)
+    }
+
+
 def score_columns(
-    title_col: str, body_col: str, terms: list[str]
+    title_col: str,
+    body_col: str,
+    terms: list[str],
+    *,
+    idf: dict[str, float] | None = None,
 ) -> Column:
-    """Boosted multi-field TF score: sum over terms of
-    ``2.0*tf(title) + 1.0*tf(body)`` (F1)."""
+    """Boosted multi-field score: sum over terms of
+    ``(2.0*tf(title) + 1.0*tf(body)) * idf(term)`` (F1). With
+    ``idf=None`` the factor is omitted (raw boosted TF)."""
     title_toks = tokenize(title_col)
     body_toks = tokenize(body_col)
     score = F.lit(0.0)
     for t in terms:
-        score = (
-            score
-            + term_frequency(title_toks, t) * F.lit(TITLE_BOOST)
-            + term_frequency(body_toks, t) * F.lit(BODY_BOOST)
-        )
+        contrib = term_frequency(title_toks, t) * F.lit(
+            TITLE_BOOST
+        ) + term_frequency(body_toks, t) * F.lit(BODY_BOOST)
+        if idf is not None:
+            contrib = contrib * F.lit(idf[t])
+        score = score + contrib
     return score
 
 
@@ -89,10 +134,12 @@ def search(
     filters: list[Column] | None = None,
     size: int = 10,
     offset: int = 0,
+    idf: dict[str, float] | None = None,
 ) -> DataFrame:
-    """The full /search pipeline: bool filters (F2-F5) -> score (F1)
-    -> score>0 match -> sort score desc w/ unique id tie-break (D2)
-    -> from/size pagination -> highlight + reshape (F6/F7).
+    """The full /search pipeline: bool filters (F2-F5) -> score (F1,
+    TF-IDF when ``idf`` given) -> score>0 match -> sort score desc w/
+    unique id tie-break (D2) -> from/size pagination -> highlight +
+    reshape (F6/F7).
 
     Scale: filters and column pruning push into the scan; top-k is
     TakeOrderedAndProject (per-partition heads, no global sort).
@@ -100,7 +147,9 @@ def search(
     df = docs
     for f in filters or []:
         df = df.filter(f)
-    df = df.withColumn("score", score_columns(title_col, body_col, terms))
+    df = df.withColumn(
+        "score", score_columns(title_col, body_col, terms, idf=idf)
+    )
     df = df.filter(F.col("score") > 0)
     df = df.orderBy(F.col("score").desc(), F.col(id_col).asc())
     if offset:
@@ -154,14 +203,25 @@ def search_via_index(
     terms: list[str],
     *,
     id_col: str = "doc_id",
+    idf: dict[str, float] | None = None,
 ) -> DataFrame:
     """Score docs by joining query terms against the postings table —
     touches only rows whose token matches (partition-pruned when the
-    index is bucketed by token)."""
+    index is bucketed by token). With ``idf``, each term's weighted tf
+    is multiplied by its idf before the per-doc sum (the idf rides the
+    broadcast query table, so the postings side stays untouched) —
+    bit-identical to the expression strategy's TF-IDF score."""
     spark = index.sparkSession
-    q = spark.createDataFrame([(t,) for t in terms], ["token"])
+    if idf is None:
+        q = spark.createDataFrame([(t,) for t in terms], ["token"])
+        contrib = F.col("weighted_tf")
+    else:
+        q = spark.createDataFrame(
+            [(t, float(idf[t])) for t in terms], ["token", "idf"]
+        )
+        contrib = F.col("weighted_tf") * F.col("idf")
     return (
         index.join(F.broadcast(q), "token")
         .groupBy(id_col)
-        .agg(F.sum("weighted_tf").alias("score"))
+        .agg(F.sum(contrib).alias("score"))
     )

@@ -15,11 +15,13 @@ from pyspark.sql import functions as F
 
 from ..functions.quality import quality_check_columns, quality_oracle_exprs
 from ..operators.search import (
+    bm25_idf,
     build_inverted_index,
     fuzzy_term_frequency,
     highlight,
     score_columns,
     search_via_index,
+    term_doc_frequencies,
     tokenize,
 )
 from ..sources import load_table
@@ -35,6 +37,13 @@ def _docs_with_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _term_idf(docs: DataFrame) -> dict[str, float]:
+    """BM25 idf per query term from one corpus aggregation (the ln is
+    Python/libm so the DuckDB oracle's ln() matches bit-for-bit)."""
+    n_docs, dfs = term_doc_frequencies(docs, _TERMS, body_col="body")
+    return {t: bm25_idf(n_docs, dfs[t]) for t in _TERMS}
+
+
 def _sql_tf(field_sql: str, term: str) -> str:
     """DuckDB twin of operators.search.term_frequency (exact token)."""
     return (
@@ -43,14 +52,32 @@ def _sql_tf(field_sql: str, term: str) -> str:
     )
 
 
+def _sql_idf(term: str) -> str:
+    """DuckDB twin of bm25_idf: all operands cast to DOUBLE so the
+    arithmetic is IEEE (DuckDB numeric literals are DECIMAL), matching
+    Python's float math exactly; ln() is libm on both sides."""
+    df = (
+        f"(SELECT CAST(count(*) AS DOUBLE) FROM documents "
+        f"WHERE {_sql_tf('text', term)} > 0)"
+    )
+    n = "(SELECT CAST(count(*) AS DOUBLE) FROM documents)"
+    return (
+        f"ln(1 + ({n} - {df} + CAST(0.5 AS DOUBLE)) / "
+        f"({df} + CAST(0.5 AS DOUBLE)))"
+    )
+
+
 def _sql_score() -> str:
-    """DuckDB twin of score_columns over title/body for _TERMS."""
+    """DuckDB twin of score_columns(idf=...) over title/body for
+    _TERMS: per-term (2*tf_title + 1*tf_body) * idf, summed in term
+    order (matching Spark's expression-tree association)."""
     parts = []
     for t in _TERMS:
         parts.append(
-            f"{_sql_tf('substr(text, 1, 64)', t)} * CAST(2.0 AS DOUBLE)"
+            f"({_sql_tf('substr(text, 1, 64)', t)} * CAST(2.0 AS DOUBLE)"
+            f" + {_sql_tf('text', t)} * CAST(1.0 AS DOUBLE))"
+            f" * {_sql_idf(t)}"
         )
-        parts.append(f"{_sql_tf('text', t)} * CAST(1.0 AS DOUBLE)")
     return "(CAST(0.0 AS DOUBLE) + " + " + ".join(parts) + ")"
 
 
@@ -113,19 +140,24 @@ def search_bool_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 10
     """,
     doc=(
-        "F1 multi-field match w/ title^2 boost (search main.py:90-99) + "
-        "F6 relevance sort + highlight (:116-124) + F7 hit reshape "
-        "(:133-147) + D2 top-k"
+        "F1 multi-field match w/ title^2 boost + BM25 idf per term "
+        "(search main.py:90-99 scores via ES BM25: term rarity "
+        "matters) + F6 relevance sort + highlight (:116-124) + F7 hit "
+        "reshape (:133-147) + D2 top-k"
     ),
     tags=("bench", "search", "sort"),
 )
 def search_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Expression-strategy search: one scan, boosted TF score, top-10.
-    Scale: TakeOrderedAndProject; for repeated queries use the
-    inverted-index strategy instead (search_via_index)."""
+    """Expression-strategy search: one df-aggregation scan + one
+    scoring scan, boosted TF-IDF score, top-10. Scale:
+    TakeOrderedAndProject; for repeated queries use the inverted-index
+    strategy instead (search_via_index)."""
     docs = _docs_with_fields(spark, sf_dir)
+    idf = _term_idf(docs)
     return (
-        docs.withColumn("score", score_columns("title", "body", _TERMS))
+        docs.withColumn(
+            "score", score_columns("title", "body", _TERMS, idf=idf)
+        )
         .filter(F.col("score") > 0)
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(10)
@@ -181,18 +213,21 @@ def search_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "F1 via materialized inverted index (the ES-index analogue, "
         "event main.py:79-127 mapping): explode->postings->join query "
-        "terms; must equal the expression-strategy scores exactly"
+        "terms with the idf riding the broadcast query table; must "
+        "equal the expression-strategy TF-IDF scores exactly"
     ),
     tags=("search", "join"),
 )
 def search_via_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-strategy search. The oracle is the *expression* strategy's
-    result — a cross-strategy equivalence check. Scale: postings
-    bucketed by token turn full-corpus scans into per-term bucket
-    reads."""
+    result — a cross-strategy equivalence check (bit-exact: per-doc
+    term contributions are identical doubles and IEEE addition of the
+    two is commutative). Scale: postings bucketed by token turn
+    full-corpus scans into per-term bucket reads."""
     docs = _docs_with_fields(spark, sf_dir)
+    idf = _term_idf(docs)
     index = build_inverted_index(docs, fields={"title": 2.0, "body": 1.0})
-    return search_via_index(index, _TERMS)
+    return search_via_index(index, _TERMS, idf=idf)
 
 
 @query(
@@ -216,8 +251,11 @@ def search_via_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def search_result_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_with_fields(spark, sf_dir).filter(F.col("lang") == "en")
+    idf = _term_idf(_docs_with_fields(spark, sf_dir))
     return (
-        docs.withColumn("score", score_columns("title", "body", _TERMS))
+        docs.withColumn(
+            "score", score_columns("title", "body", _TERMS, idf=idf)
+        )
         .filter(F.col("score") > 0)
         .agg(F.count("*").alias("total"))
     )

@@ -240,6 +240,34 @@ def test_ivf_deterministic(spark):
     assert a == b
 
 
+def test_ivf_sampled_training_knobs(spark):
+    """Sampled training (id % mod) is deterministic and its centroids
+    still power a sane search; auto-K follows sqrt(N)."""
+    from click_streaming_data_pipeline_spark.extensions.ivf import (
+        auto_k,
+        ivf_topk,
+        train_kmeans,
+    )
+
+    assert auto_k(1_000) == 32
+    assert auto_k(1_000_000) == 256  # clamped at K_MAX
+    assert auto_k(10) == 4  # floor
+    emb = load_table(spark, SF_TEST, "embeddings")
+    c1 = train_kmeans(emb, k=8, sample_mod=4)
+    c2 = train_kmeans(emb, k=8, sample_mod=4)
+    assert c1 == c2  # deterministic under sampling
+    assert len(c1) == 8
+    full = train_kmeans(emb, k=8, sample_mod=1)
+    assert [cid for cid, _ in full] == [cid for cid, _ in c1]
+    # sampled-centroid search still returns k results per query
+    got = ivf_topk(emb, [0, 1], k=5, centroids=c1, nprobe=4).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert set(per_q) == {0, 1}
+    assert all(len(v) == 5 for v in per_q.values())
+
+
 def test_streaming_neardup_equals_batch(spark):
     from click_streaming_data_pipeline_spark.extensions.dedup_streaming import (
         run_streaming_neardup,

@@ -78,6 +78,74 @@ def test_llm_provider_raises_at_call_site(spark):
         df.collect()
 
 
+def test_llm_provider_mocked_transport_batches_and_parses():
+    """Full async-batched path with a mocked HTTP transport: prompts
+    are truncated+templated, responses JSON-parsed, scores clamped."""
+    import json
+
+    import pandas as pd
+
+    from click_streaming_data_pipeline_spark.functions.providers import (
+        LLM_INPUT_CAP,
+        LLMProvider,
+    )
+
+    seen = []
+
+    async def transport(prompt, *, model):
+        seen.append((prompt, model))
+        return json.dumps(
+            {
+                "completeness": 80,
+                "consistency": 150,  # clamped to 100
+                "pii_detection": -5,  # clamped to 0
+                "language_quality": 62.5,
+            }
+        )
+
+    p = LLMProvider(transport=transport)
+    text = pd.Series(["short doc", "x" * 5000])
+    out = p.score_batch(text, pd.Series([9, 5000]))
+    assert list(out.columns) == [
+        "completeness",
+        "consistency",
+        "pii_detection",
+        "language_quality",
+    ]
+    assert out.iloc[0].tolist() == [80.0, 100.0, 0.0, 62.5]
+    assert len(seen) == 2 and all(m == "gpt-4o-mini" for _, m in seen)
+    # G7: long content truncated to the reference's 1024-char cap
+    assert all(len(pr) <= LLM_INPUT_CAP + 200 for pr, _ in seen)
+
+
+def test_llm_provider_error_degrades_to_zero_row():
+    """A failing or garbage response zeroes THAT row only — the batch
+    survives (the reference's per-item error contract)."""
+    import pandas as pd
+
+    from click_streaming_data_pipeline_spark.functions.providers import (
+        get_provider,
+    )
+
+    async def flaky(prompt, *, model):
+        if "boom" in prompt:
+            raise ConnectionError("socket reset")
+        if "garbage" in prompt:
+            return "not json at all"
+        return (
+            '{"completeness": 10, "consistency": 20, '
+            '"pii_detection": 30, "language_quality": 40}'
+        )
+
+    p = get_provider("llm", transport=flaky)
+    out = p.score_batch(
+        pd.Series(["fine", "boom", "garbage"]), pd.Series([4, 4, 7])
+    )
+    assert out.iloc[0].tolist() == [10.0, 20.0, 30.0, 40.0]
+    assert out.iloc[1].tolist() == [0.0, 0.0, 0.0, 0.0]
+    assert out.iloc[2].tolist() == [0.0, 0.0, 0.0, 0.0]
+
+
 def test_quality_events_full_contract(spark):
     from click_streaming_data_pipeline_spark.plans import QUERIES
 

@@ -1,0 +1,79 @@
+"""Search scoring tests: BM25-idf semantics (term rarity matters,
+mirroring ES multi_match scoring, reference search main.py:90-99) and
+cross-strategy equivalence of the idf-weighted paths."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from click_streaming_data_pipeline_spark.operators.search import (
+    bm25_idf,
+    build_inverted_index,
+    score_columns,
+    search_via_index,
+    term_doc_frequencies,
+)
+
+from .conftest import SF_TEST  # noqa: F401  (session fixture wiring)
+
+
+def _toy_docs(spark):
+    # 'common' appears in 9/10 docs, 'rare' in 1/10
+    rows = [(i, "common filler", "common filler words here") for i in range(9)]
+    rows.append((9, "rare filler", "rare filler words here"))
+    return spark.createDataFrame(rows, "doc_id long, title string, body string")
+
+
+def test_idf_ranks_rare_term_over_common(spark):
+    docs = _toy_docs(spark)
+    n, dfs = term_doc_frequencies(docs, ["common", "rare"])
+    assert (n, dfs["common"], dfs["rare"]) == (10, 9, 1)
+    idf = {t: bm25_idf(n, dfs[t]) for t in dfs}
+    assert idf["rare"] > idf["common"] > 0
+    scored = docs.select(
+        "doc_id",
+        score_columns("title", "body", ["common", "rare"], idf=idf).alias(
+            "score"
+        ),
+    ).collect()
+    by_id = {r["doc_id"]: r["score"] for r in scored}
+    # same tf pattern (1x title + 1x body), but the rare-term doc must
+    # outrank every common-term doc — the whole point of idf
+    assert by_id[9] > by_id[0]
+    # raw TF scoring cannot distinguish them (control)
+    flat = docs.select(
+        "doc_id", score_columns("title", "body", ["common", "rare"]).alias("s")
+    ).collect()
+    flat_by_id = {r["doc_id"]: r["s"] for r in flat}
+    assert flat_by_id[9] == flat_by_id[0]
+
+
+def test_index_strategy_matches_expression_with_idf(spark):
+    docs = _toy_docs(spark)
+    n, dfs = term_doc_frequencies(docs, ["common", "rare"])
+    idf = {t: bm25_idf(n, dfs[t]) for t in dfs}
+    expr = {
+        r["doc_id"]: r["score"]
+        for r in docs.select(
+            "doc_id",
+            score_columns("title", "body", ["common", "rare"], idf=idf).alias(
+                "score"
+            ),
+        )
+        .filter(F.col("score") > 0)
+        .collect()
+    }
+    index = build_inverted_index(docs, fields={"title": 2.0, "body": 1.0})
+    via = {
+        r["doc_id"]: r["score"]
+        for r in search_via_index(index, ["common", "rare"], idf=idf).collect()
+    }
+    assert expr == via  # bit-identical, not approximately
+
+
+def test_bm25_idf_formula():
+    assert bm25_idf(1000, 1) == math.log(1.0 + (1000 - 1 + 0.5) / 1.5)
+    # monotone decreasing in df
+    assert bm25_idf(1000, 1) > bm25_idf(1000, 10) > bm25_idf(1000, 999)

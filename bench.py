@@ -23,23 +23,14 @@ def main() -> None:
     spark = get_spark("csdp-bench")
     bench = {n: q for n, q in QUERIES.items() if "bench" in q.tags}
 
-    # warm the JVM once so timings measure the queries, not first-use
-    # codegen/shuffle machinery: a scan + shuffle + join + window at
-    # the smallest SF
-    from pyspark.sql import functions as F
-
-    from click_streaming_data_pipeline_spark.sources import load_table
-
+    # warm the JVM so timings measure the queries, not first-use
+    # codegen: run the bench set once at the smallest SF (compiles
+    # each query's generated stages — the dedup/search expression
+    # pipelines alone are dozens of unique codegen units), then touch
+    # the target-SF data
     warm_sf = "/root/testdata/sf0.001"
-    ev = load_table(spark, warm_sf, "events")
-    (
-        ev.groupBy("event_type")
-        .agg(F.count("*").alias("n"))
-        .join(ev.limit(10), "event_type")
-        .write.format("noop")
-        .mode("overwrite")
-        .save()
-    )
+    for name, q in sorted(bench.items()):
+        q.fn(spark, warm_sf).write.format("noop").mode("overwrite").save()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     timings: dict[str, float] = {}

@@ -1,0 +1,190 @@
+"""Corpus-curation operators for LLM training-data pipelines
+(beyond-reference extension, same family as ``extensions/text.py``):
+deterministic dataset splits, C4/Gopher-style quality heuristics,
+within-document repetition, benchmark-contamination checks, and
+stratified downsampling.
+
+Everything is a pure column expression over one scan — no Python, no
+shuffles except the explicitly-aggregating summaries — so each pass
+over 100 TB is a single codegen'd map stage.
+
+Determinism/portability: split and sampling buckets come from md5-hex
+PREFIX RANGES compared as strings (e.g. bucket < 'cd' keeps
+205/256 = 80.1%), the same engine-portable md5 trick the MinHash
+oracle uses — no RNG, no engine-specific hash, reshard-stable
+(a document's split never changes when the corpus grows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.tables import scan_parallel
+from .dedup import _shingles_from_tokens
+
+#: hex-prefix thresholds: first 2 md5 hex chars range over 256 values,
+#: so '<cd' = 205/256 = 80.08% and '<e6' = 230/256 = 89.84%.
+TRAIN_MAX_HEX = "cd"
+VAL_MAX_HEX = "e6"
+
+#: English stopwords for the quality heuristics (subset shared with
+#: the corpus vocabulary so the fraction varies on test data).
+QUALITY_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for")
+
+#: Gopher-ish acceptance thresholds, tuned so the test corpus lands on
+#: both sides of every gate (the *shape* is what matters; production
+#: tunes numbers per corpus).
+MIN_TOKENS = 20
+MAX_TOKENS = 1_000
+MIN_MEAN_TOKEN_LEN = 3.0
+MAX_MEAN_TOKEN_LEN = 10.0
+MAX_DUP_3GRAM_FRAC = 0.25
+
+
+def split_bucket(id_col: Column | str) -> Column:
+    """2-hex-char md5 bucket of the id — 256 deterministic buckets."""
+    return F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+
+
+def dataset_split(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    train_max_hex: str = TRAIN_MAX_HEX,
+    val_max_hex: str = VAL_MAX_HEX,
+) -> DataFrame:
+    """Assign train/val/test by hashed-id bucket range: ~80/10/10 with
+    the default thresholds. Hash-of-id (not position) keeps the
+    assignment stable under reshuffling, appends, and repartitioning —
+    the property a training pipeline actually needs from a split."""
+    b = split_bucket(id_col)
+    return docs.select(
+        F.col(id_col),
+        b.alias("bucket"),
+        F.when(b < train_max_hex, F.lit("train"))
+        .when(b < val_max_hex, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def _tokens(text_col: str) -> Column:
+    return F.split(F.lower(F.col(text_col)), " ")
+
+
+def quality_heuristics(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4/Gopher-style per-document quality signals, one codegen pass:
+    token count, mean token length, alphabetic-token fraction,
+    stopword fraction, duplicate-3-gram fraction, and the combined
+    accept flag. The duplicate-3-gram fraction is the classic
+    within-doc repetition signal (Gopher's rep. filters); computed
+    from the shingle array without exploding."""
+    tok = scan_parallel(docs).select(
+        F.col(id_col), _tokens(text_col).alias("__t")
+    )
+    sh = tok.select(
+        F.col(id_col),
+        F.col("__t"),
+        _shingles_from_tokens(F.col("__t"), 3).alias("__sh"),
+    )
+    n_tokens = F.size("__t")
+    sum_len = F.aggregate(
+        F.col("__t"), F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_token_len = F.when(n_tokens > 0, sum_len / n_tokens).otherwise(
+        F.lit(0.0)
+    )
+    alpha_tokens = F.size(F.filter(F.col("__t"), lambda t: t.rlike("^[a-z]+$")))
+    stop_tokens = F.size(
+        F.filter(F.col("__t"), lambda t: t.isin(*QUALITY_STOPWORDS))
+    )
+    n_sh = F.size("__sh")
+    n_sh_distinct = F.size(F.array_distinct("__sh"))
+    dup_frac = F.when(
+        n_sh > 0, F.lit(1.0) - n_sh_distinct / n_sh
+    ).otherwise(F.lit(0.0))
+    out = sh.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        mean_token_len.alias("mean_token_len"),
+        (alpha_tokens / n_tokens).alias("alpha_frac"),
+        (stop_tokens / n_tokens).alias("stopword_frac"),
+        dup_frac.alias("dup_3gram_frac"),
+    )
+    ok = (
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("n_tokens") <= MAX_TOKENS)
+        & (F.col("mean_token_len") >= MIN_MEAN_TOKEN_LEN)
+        & (F.col("mean_token_len") <= MAX_MEAN_TOKEN_LEN)
+        & (F.col("dup_3gram_frac") <= MAX_DUP_3GRAM_FRAC)
+    )
+    return out.withColumn("quality_ok", ok)
+
+
+def contamination_counts(
+    docs: DataFrame, probes: list[str], *, text_col: str = "text"
+) -> DataFrame:
+    """Benchmark-contamination scan: for each probe phrase, how many
+    documents contain it verbatim (case-insensitive substring). One
+    corpus scan computes all probes (P containment tests per row —
+    the probe list is a literal, never a join); at 100 TB with large
+    probe sets the shape becomes an n-gram inverted-index semi-join,
+    same as search_via_index."""
+    agg = [
+        F.sum(
+            (F.instr(F.lower(F.col(text_col)), p.lower()) > 0).cast("long")
+        ).alias(f"__p{i}")
+        for i, p in enumerate(probes)
+    ]
+    row = docs.agg(*agg)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("probe"), F.col(f"__p{i}").alias("n_docs")
+            )
+            for i, p in enumerate(probes)
+        ]
+    )
+    return row.select(F.explode(pairs).alias("pc")).select(
+        "pc.probe", "pc.n_docs"
+    )
+
+
+def stratified_sample_summary(
+    docs: DataFrame,
+    keep_max_hex: dict[str, str],
+    *,
+    id_col: str = "doc_id",
+    strat_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling report: a document is
+    kept when its md5 bucket falls below the stratum's hex threshold
+    (e.g. {'en': 'cd', 'de': '80'} keeps ~80% of en, ~50% of de).
+    Returns per-stratum totals/kept docs and token sums — the
+    'balance the language mix to a token budget' operator. Selection
+    is a pure expression; the summary is one partial-agg shuffle."""
+    b = split_bucket(id_col)
+    thr = F.lit(None).cast("string")
+    for stratum, hexmax in sorted(keep_max_hex.items()):
+        thr = F.when(F.col(strat_col) == stratum, F.lit(hexmax)).otherwise(thr)
+    # null threshold (stratum not listed) -> keep nothing, not null
+    kept = F.coalesce(b < thr, F.lit(False))
+    n_tok = F.size(_tokens(text_col))
+    return (
+        docs.select(
+            F.col(strat_col), kept.alias("__keep"), n_tok.alias("__nt")
+        )
+        .groupBy(strat_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+            F.sum("__nt").alias("tokens_total"),
+            F.sum(F.when(F.col("__keep"), F.col("__nt")).otherwise(0)).alias(
+                "tokens_kept"
+            ),
+        )
+    )

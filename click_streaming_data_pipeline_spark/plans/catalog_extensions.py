@@ -25,7 +25,11 @@ from ..extensions.multimodal import (
     assets_from_documents,
     extract_features,
 )
-from ..extensions.similarity import brute_force_topk, lsh_bucketed_pairs
+from ..extensions.similarity import (
+    brute_force_topk,
+    lsh_bucketed_pairs,
+    quantize_embeddings,
+)
 from ..extensions.text import (
     BPE_SPLIT_RE,
     LANG_PROFILES,
@@ -261,6 +265,62 @@ def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_bucketed_pairs(emb, threshold=0.40)
+
+
+_EMB_DIM = 64
+_MINS = ", ".join(f"min(v[{i + 1}])" for i in range(_EMB_DIM))
+_MAXS = ", ".join(f"max(v[{i + 1}])" for i in range(_EMB_DIM))
+_Q_EXPR = (
+    "list_transform(generate_series(1, 64), i -> "
+    "CASE WHEN maxs[i] = mins[i] THEN CAST(0 AS BIGINT) "
+    "ELSE CAST(floor((v[i] - mins[i]) / (maxs[i] - mins[i]) "
+    "* CAST(254.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) - 127 "
+    "END)"
+)
+_DQ_ERR = (
+    "list_transform(generate_series(1, 64), i -> "
+    "abs(mins[i] + CAST(q[i] + 127 AS DOUBLE) / CAST(254.0 AS DOUBLE) "
+    "* (maxs[i] - mins[i]) - v[i]))"
+)
+
+
+@query(
+    "embedding_quantize",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        stats AS (
+            SELECT [{_MINS}] AS mins, [{_MAXS}] AS maxs FROM e
+        ),
+        coded AS (
+            SELECT vec_id, v, mins, maxs, {_Q_EXPR} AS q
+            FROM e CROSS JOIN stats
+        )
+        SELECT vec_id,
+               list_reduce(q, (a, x) -> a + x) AS q_sum,
+               list_aggregate(q, 'min') AS q_lo,
+               list_aggregate(q, 'max') AS q_hi,
+               md5(array_to_string(q, ',')) AS q_digest,
+               list_reduce({_DQ_ERR}, (a, x) -> a + x)
+                   / CAST(64.0 AS DOUBLE) AS recon_mae
+        FROM coded
+    """,
+    doc=(
+        "extension: int8 scalar quantization of the embedding column "
+        "(per-dim min/max codebook) — 4-8x vector compression for "
+        "warehouse-scale ANN; pass 1 reduces the corpus to one "
+        "per-dim stats row (partial agg), pass 2 broadcasts it back "
+        "and codes every vector in one codegen'd expression. Codes "
+        "are floor-based (exactly-rounded IEEE ops only) so Spark "
+        "and DuckDB agree bit-for-bit, including the md5 code digest "
+        "and the sequential-fold reconstruction error."
+    ),
+    tags=("similarity",),
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb, dim=_EMB_DIM)
 
 
 # ---------------------------------------------------------------------------

@@ -320,3 +320,34 @@ def test_streaming_neardup_replay_idempotent(spark, tmp_path):
     ).count()
     assert pairs_twice == pairs_once and pairs_once
     assert sh_twice == sh_once
+
+
+def test_quantize_embeddings_bounds_and_error(spark):
+    from click_streaming_data_pipeline_spark.extensions.similarity import (
+        QMAX,
+        quantize_embeddings,
+    )
+    from click_streaming_data_pipeline_spark.sources import load_table
+
+    from .conftest import SF_TEST
+
+    emb = load_table(spark, SF_TEST, "embeddings")
+    out = quantize_embeddings(emb).collect()
+    assert len(out) == emb.count()
+    # codes live in the symmetric int8 range and use most of it
+    assert all(-QMAX <= r["q_lo"] <= r["q_hi"] <= QMAX for r in out)
+    assert min(r["q_lo"] for r in out) == -QMAX  # some dim hits its min
+    assert max(r["q_hi"] for r in out) == QMAX  # and its max
+    # reconstruction error bound: per element <= range_d/(2*254);
+    # bound the mean by the widest dim's step
+    rows = emb.select(F.col("embedding").cast("array<double>").alias("v")).collect()
+    dims = len(rows[0]["v"])
+    widest = max(
+        max(r["v"][d] for r in rows) - min(r["v"][d] for r in rows)
+        for d in range(dims)
+    )
+    step = widest / 254
+    assert all(0.0 <= r["recon_mae"] <= step / 2 + 1e-12 for r in out)
+    # deterministic: identical digests across independent runs
+    again = {r["vec_id"]: r["q_digest"] for r in quantize_embeddings(emb).collect()}
+    assert {r["vec_id"]: r["q_digest"] for r in out} == again

@@ -241,3 +241,75 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("purchase_ts").isNotNull().alias("completed"),
         )
     )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+        WITH active AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS active_week
+            FROM events
+        ),
+        withc AS (
+            SELECT user_id, active_week,
+                   min(active_week) OVER (PARTITION BY user_id)
+                       AS cohort_week
+            FROM active
+        ),
+        per AS (
+            SELECT cohort_week,
+                   CAST(date_diff('day', cohort_week, active_week) // 7
+                        AS INT) AS week_offset,
+                   count(*) AS n_active
+            FROM withc GROUP BY 1, 2
+        )
+        SELECT cohort_week, week_offset, n_active,
+               first_value(n_active) OVER w AS cohort_size,
+               CAST(n_active AS DOUBLE)
+                   / first_value(n_active) OVER w AS retention_rate
+        FROM per
+        WINDOW w AS (PARTITION BY cohort_week ORDER BY week_offset)
+    """,
+    doc=(
+        "beyond-reference breadth: weekly cohort retention — users "
+        "grouped by first-active ISO week, activity counted per "
+        "(cohort, week-offset) cell, rate normalized by the offset-0 "
+        "cohort size. Join-free plan: distinct (user, week) then a "
+        "per-user window min derives the cohort in the SAME user_id "
+        "shuffle; the cells groupBy is cohort-bounded. cohort_size "
+        "comes from first_value over the cells, not a self-join. "
+        "Both engines truncate weeks to Monday; day-diffs of "
+        "week-truncated dates are exact multiples of 7, so the "
+        "integer division is exact."
+    ),
+    tags=("window", "agg"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    active = events.select(
+        "user_id",
+        F.to_date(F.date_trunc("week", F.col("ts"))).alias("active_week"),
+    ).distinct()
+    withc = active.withColumn(
+        "cohort_week",
+        F.min("active_week").over(Window.partitionBy("user_id")),
+    )
+    per = withc.groupBy(
+        "cohort_week",
+        F.expr(
+            "CAST(datediff(active_week, cohort_week) DIV 7 AS INT)"
+        ).alias("week_offset"),
+    ).agg(F.count("*").alias("n_active"))
+    w = Window.partitionBy("cohort_week").orderBy("week_offset")
+    return per.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        F.first("n_active").over(w).alias("cohort_size"),
+        (F.col("n_active").cast("double") / F.first("n_active").over(w)).alias(
+            "retention_rate"
+        ),
+    )

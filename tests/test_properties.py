@@ -189,3 +189,44 @@ def test_cohort_retention_semantics(spark):
     assert (b, 2) not in cells                 # no third week for cohort B
     assert all(r["retention_rate"] <= 1.0 for r in out)
     assert ct.cohort_retention is not None     # catalog wiring exists
+
+
+def test_value_quantiles_approx_error_bound(spark):
+    """GK sketch at accuracy 10000 on ~10k rows: each approx percentile
+    must be an actual data value within a small rank neighborhood of
+    the exact interpolated percentile."""
+    from click_streaming_data_pipeline_spark.plans.catalog_core import (
+        value_quantiles,
+        value_quantiles_approx,
+    )
+
+    from .conftest import SF_TEST
+
+    exact = {r["event_type"]: r for r in value_quantiles(spark, SF_TEST).collect()}
+    approx = {
+        r["event_type"]: r for r in value_quantiles_approx(spark, SF_TEST).collect()
+    }
+    assert set(exact) == set(approx)
+    from click_streaming_data_pipeline_spark.sources import load_table
+
+    events = load_table(spark, SF_TEST, "events")
+    import collections
+
+    vals = collections.defaultdict(list)
+    for r in events.select("event_type", "value").collect():
+        vals[r["event_type"]].append(r["value"])
+    for et, a in approx.items():
+        xs = sorted(vals[et])
+        n = len(xs)
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            got = a[col]
+            assert got in vals[et]  # GK returns an actual data point
+            # rank error: |rank(got) - q*n| <= eps*n with eps = 1/10000,
+            # plus 1 for interpolation slack on small n
+            import bisect
+
+            lo = bisect.bisect_left(xs, got)
+            hi = bisect.bisect_right(xs, got)
+            target = q * n
+            slack = n / 10000 + 1
+            assert lo - slack <= target <= hi + slack, (et, col, got)

@@ -225,3 +225,46 @@ def search_via_index(
         .groupBy(id_col)
         .agg(F.sum(contrib).alias("score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# positional index + phrase matching (ES match_phrase analogue)
+
+
+def build_positional_index(
+    docs: DataFrame, *, id_col: str = "doc_id", body_col: str = "body"
+) -> DataFrame:
+    """Positional postings: (token, doc_id, pos), 1-based positions.
+
+    The positional sibling of ``build_inverted_index`` — what ES
+    stores to answer match_phrase (reference search main.py exposes
+    multi_match; phrase is the standard companion). At scale, write
+    bucketed by token so a phrase query's legs prune to its terms'
+    buckets.
+    """
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(tokenize(body_col)).alias("pos0", "token"),
+    ).select(id_col, "token", (F.col("pos0") + 1).alias("pos"))
+
+
+def phrase_search(
+    index: DataFrame, phrase: list[str], *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Docs containing the exact token sequence, with its frequency.
+
+    k-way positional self-join: leg i keeps postings of phrase[i] and
+    normalizes to the would-be start position (pos - i); an occurrence
+    exists where all k legs agree on (doc, start). Each leg is
+    filtered to ONE token before any join — the scan prunes to the
+    phrase's terms (never a full-postings join) and the equi-joins
+    shuffle on (doc, start). Repeated phrase tokens work because legs
+    are positionally disjoint by construction.
+    """
+    base = None
+    for i, term in enumerate(phrase):
+        leg = index.filter(F.col("token") == term).select(
+            F.col(id_col), (F.col("pos") - i).alias("start")
+        )
+        base = leg if base is None else base.join(leg, [id_col, "start"])
+    return base.groupBy(id_col).agg(F.count("*").alias("phrase_freq"))

@@ -259,3 +259,43 @@ def search_result_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("score") > 0)
         .agg(F.count("*").alias("total"))
     )
+
+
+_PHRASE = ["spark", "window", "window"]
+_PHRASE_PRED = " AND ".join(
+    f"t[i+{j}] = '{w}'" for j, w in enumerate(_PHRASE)
+)
+
+
+@query(
+    "search_phrase",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               len(list_filter(
+                   generate_series(1, len(t) - {len(_PHRASE) - 1}),
+                   i -> {_PHRASE_PRED})) AS phrase_freq
+        FROM tok
+        WHERE len(list_filter(
+                  generate_series(1, len(t) - {len(_PHRASE) - 1}),
+                  i -> {_PHRASE_PRED})) > 0
+    """,
+    doc=(
+        "F1 companion: exact-phrase match (ES match_phrase) via a "
+        "POSITIONAL inverted index — k-way positional self-join where "
+        "each leg is pruned to one phrase term before joining on "
+        "(doc, normalized start); repeated tokens in the phrase are "
+        "handled positionally. Oracle scans token arrays for adjacent "
+        "runs. The phrase has matches at every test scale factor."
+    ),
+    tags=("search",),
+)
+def search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.search import build_positional_index, phrase_search
+
+    docs = _docs_with_fields(spark, sf_dir)
+    idx = build_positional_index(docs, body_col="body")
+    return phrase_search(idx, _PHRASE)

@@ -77,3 +77,28 @@ def test_bm25_idf_formula():
     assert bm25_idf(1000, 1) == math.log(1.0 + (1000 - 1 + 0.5) / 1.5)
     # monotone decreasing in df
     assert bm25_idf(1000, 1) > bm25_idf(1000, 10) > bm25_idf(1000, 999)
+
+
+def test_phrase_search_semantics(spark):
+    """Planted docs: overlapping occurrences, repeated-token phrases,
+    phrase at string boundaries, near-miss orderings."""
+    from click_streaming_data_pipeline_spark.operators.search import (
+        build_positional_index,
+        phrase_search,
+    )
+
+    rows = [
+        (1, "a b c a b c"),      # 'a b c' twice, non-overlapping
+        (2, "x x x x"),          # 'x x' three times (overlapping starts)
+        (3, "c b a"),            # right tokens, wrong order
+        (4, "a b"),              # too short for 'a b c'
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, body string")
+    idx = build_positional_index(docs)
+
+    got = {r["doc_id"]: r["phrase_freq"] for r in phrase_search(idx, ["a", "b", "c"]).collect()}
+    assert got == {1: 2}
+    got2 = {r["doc_id"]: r["phrase_freq"] for r in phrase_search(idx, ["x", "x"]).collect()}
+    assert got2 == {2: 3}
+    got3 = {r["doc_id"]: r["phrase_freq"] for r in phrase_search(idx, ["a", "b"]).collect()}
+    assert got3 == {1: 2, 4: 1}

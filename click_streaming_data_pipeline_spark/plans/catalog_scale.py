@@ -195,3 +195,52 @@ def search_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         size=5,
         offset=5,
     )
+
+
+@query(
+    "heavy_hitters_cms",
+    oracle="""
+        WITH hashes AS (
+            SELECT user_id, r,
+                   CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':'
+                        || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 32 AS col
+            FROM events
+            CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r)
+        ),
+        sketch AS (
+            SELECT r, col, count(*) AS n FROM hashes GROUP BY 1, 2
+        ),
+        probes AS (SELECT DISTINCT user_id, r, col FROM hashes),
+        est AS (
+            SELECT user_id, min(n) AS cms_est
+            FROM probes JOIN sketch USING (r, col)
+            GROUP BY 1
+        ),
+        exact AS (
+            SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1
+        )
+        SELECT user_id, exact_n, cms_est
+        FROM exact JOIN est USING (user_id)
+    """,
+    doc=(
+        "scale pattern: count-min sketch heavy hitters — per-user "
+        "event frequencies estimated from a 4x32 mergeable counter "
+        "grid (md5-derived row hashes). The grid groupBy moves at "
+        "most d*w partial counters per map task regardless of item "
+        "cardinality; estimates probe the broadcast grid, min over "
+        "rows. Deterministic hashing makes this sketch fully "
+        "ORACLE-CHECKED (DuckDB reproduces the identical grid); "
+        "exact_n rides along to exhibit est >= true. Mergeability "
+        "pinned in pytest."
+    ),
+    tags=("agg", "approx", "scale"),
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sketch import cms_build, cms_estimate
+
+    events = load_table(spark, sf_dir, "events")
+    sketch = cms_build(events, "user_id")
+    exact = events.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    est = cms_estimate(exact, sketch, "user_id")
+    return exact.join(est, "user_id").select("user_id", "exact_n", "cms_est")

@@ -230,3 +230,40 @@ def test_value_quantiles_approx_error_bound(spark):
             target = q * n
             slack = n / 10000 + 1
             assert lo - slack <= target <= hi + slack, (et, col, got)
+
+
+def test_cms_overestimates_and_merges(spark):
+    from click_streaming_data_pipeline_spark.extensions.sketch import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+    from click_streaming_data_pipeline_spark.sources import load_table
+
+    from .conftest import SF_TEST
+
+    events = load_table(spark, SF_TEST, "events")
+    sketch = cms_build(events, "user_id")
+    grid = sketch.collect()
+    assert len(grid) <= 4 * 32
+    assert sum(r["n"] for r in grid) == 4 * events.count()
+
+    exact = {r["user_id"]: r["n"] for r in events.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    items = events.select("user_id").distinct()
+    est = {r["user_id"]: r["cms_est"] for r in cms_estimate(items, sketch, "user_id").collect()}
+    assert set(est) == set(exact)
+    # CMS law: never underestimates
+    assert all(est[u] >= exact[u] for u in exact)
+    # and with d=4 rows the min usually lands close: median error small
+    errs = sorted(est[u] - exact[u] for u in exact)
+    assert errs[len(errs) // 2] <= sum(exact.values()) // 16
+
+    # mergeability: sketch(A) + sketch(B) == sketch(A union B)
+    a = events.filter(F.col("event_id") % 2 == 0)
+    b = events.filter(F.col("event_id") % 2 == 1)
+    merged = {
+        (r["r"], r["col"]): r["n"]
+        for r in cms_merge(cms_build(a, "user_id"), cms_build(b, "user_id")).collect()
+    }
+    full = {(r["r"], r["col"]): r["n"] for r in grid}
+    assert merged == full

@@ -302,3 +302,85 @@ def dedup_events_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
+
+
+@query(
+    "trending_topk_streamed",
+    oracle="""
+        WITH expanded AS (
+            SELECT event_type, unnest([
+                time_bucket(INTERVAL '30 minutes', ts),
+                time_bucket(INTERVAL '30 minutes', ts)
+                    - INTERVAL '30 minutes'
+            ]) AS window_start
+            FROM events
+        ),
+        counts AS (
+            SELECT window_start, event_type, count(*) AS n_events
+            FROM expanded GROUP BY 1, 2
+        )
+        SELECT window_start, event_type, n_events, rank FROM (
+            SELECT window_start, event_type, n_events,
+                   row_number() OVER (
+                       PARTITION BY window_start
+                       ORDER BY n_events DESC, event_type ASC
+                   ) AS rank
+            FROM counts
+        )
+        WHERE rank <= 3
+    """,
+    doc=(
+        "beyond-reference streaming analytics: TRENDING top-k — "
+        "sliding-window (1h/30min) per-type counts maintained by "
+        "Structured Streaming across micro-batches (complete-mode "
+        "state, the dashboard-facing form; production appends "
+        "finalized windows under a real watermark), then the rank "
+        "runs as a batch post-pass over the drained state because "
+        "streaming queries cannot rank within unfinalized windows. "
+        "Must equal the all-batch plan exactly; ties break on "
+        "event_type for determinism."
+    ),
+    tags=("streaming", "window"),
+)
+def trending_topk_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="csdp_trend_")
+    src = os.path.join(work, "in")
+    events.repartition(6).write.mode("overwrite").parquet(src)
+
+    agg = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 3)
+        .parquet(src)
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    name = f"trend_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.queryName(name)
+        .format("memory")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = spark.table(name).select(
+        F.col("w.start").alias("window_start"), "event_type", "n_events"
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        drained.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+    )

@@ -40,6 +40,41 @@ def salted_distinct_count(
     return stage1.groupBy(key).agg(F.sum("__d").alias(out_col))
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    *,
+    n_salts: int = DEFAULT_SALTS,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join for when the small side is too large to
+    broadcast but the big side has hot keys: each big row gets a
+    deterministic salt in [0, S) (hash of the whole row — no RNG, so
+    plans are replayable), the small side is replicated S times, and
+    the join key becomes (key, salt) — a hot key's rows spread over S
+    reducers instead of one.
+
+    Only ``inner`` and ``left`` are valid: a big row carries exactly
+    one salt so it matches (or misses) exactly once, but an unmatched
+    small row exists in all S replicas — right/full would duplicate
+    it. AQE's skew-join split handles moderate skew without this;
+    explicit salting is for the single-key hot spot AQE can't split
+    further (one key too big for any single reducer's sort buffer).
+
+    Cost model: small side shuffles S times its size; pick S ~ the
+    hot key's multiple of the average reducer load, not larger.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left only")
+    salt_b = F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    bigs = big.withColumn("__salt", salt_b)
+    smalls = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return bigs.join(smalls, [*on, "__salt"], how).drop("__salt")
+
+
 def salted_count(
     df: DataFrame,
     key: str,

@@ -244,3 +244,32 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = events.groupBy("user_id").agg(F.count("*").alias("exact_n"))
     est = cms_estimate(exact, sketch, "user_id")
     return exact.join(est, "user_id").select("user_id", "exact_n", "cms_est")
+
+
+@query(
+    "salted_enrichment_join",
+    oracle="""
+        SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    """,
+    doc=(
+        "scale pattern: skew-safe SALTED equi-join — the big (fact) "
+        "side carries a deterministic row-hash salt, the dimension "
+        "replicates across the 16 salt values, and the shuffle key "
+        "becomes (key, salt) so a hot key spreads over 16 reducers. "
+        "The explicit form of what AQE's skew split cannot do for a "
+        "single giant key; result must equal the plain join exactly "
+        "(inner/left only — see operators/skew.py::salted_join)."
+    ),
+    tags=("join", "scale"),
+)
+def salted_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    return salted_join(events, cust, ["user_id"]).select(
+        "event_id", "user_id", "c_name", "c_mktsegment"
+    )

@@ -267,3 +267,35 @@ def test_cms_overestimates_and_merges(spark):
     }
     full = {(r["r"], r["col"]): r["n"] for r in grid}
     assert merged == full
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Skewed fact (one hot key) joined to a dim with broadcast
+    disabled — the salted path must equal the plain join for inner
+    and left, including unmatched fact rows appearing exactly once."""
+    from click_streaming_data_pipeline_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(500)]  # hot key 1
+        + [(k, k * 1000) for k in range(2, 30)]  # long tail
+        + [(99, 0)],  # key missing from dim
+        ["k", "payload"],
+    )
+    dim = spark.createDataFrame(
+        [(k, f"name{k}") for k in range(0, 40)], ["k", "name"]
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for how in ("inner", "left"):
+            got = sorted(
+                map(tuple, salted_join(fact, dim, ["k"], how=how).collect())
+            )
+            want = sorted(map(tuple, fact.join(dim, ["k"], how).collect()))
+            assert got == want, how
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(fact, dim, ["k"], how="full")

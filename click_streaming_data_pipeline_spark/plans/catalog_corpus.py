@@ -348,7 +348,7 @@ tot AS (
         "across engines; the filter is a quantile cut either way. "
         "Only corpus-wide shuffle: the final groupBy on doc_id."
     ),
-    tags=("corpus", "text"),
+    tags=("bench", "corpus", "text"),
 )
 def lm_quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_quality_score(load_table(spark, sf_dir, "documents"))

@@ -316,7 +316,7 @@ _DQ_ERR = (
         "and DuckDB agree bit-for-bit, including the md5 code digest "
         "and the sequential-fold reconstruction error."
     ),
-    tags=("similarity",),
+    tags=("bench", "similarity"),
 )
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

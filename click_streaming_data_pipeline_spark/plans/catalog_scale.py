@@ -234,7 +234,7 @@ def search_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_n rides along to exhibit est >= true. Mergeability "
         "pinned in pytest."
     ),
-    tags=("agg", "approx", "scale"),
+    tags=("bench", "agg", "approx", "scale"),
 )
 def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.sketch import cms_build, cms_estimate

@@ -1,0 +1,67 @@
+"""Table-maintenance operators: small-file compaction (the lakehouse
+OPTIMIZE analogue).
+
+Why this is a first-class operator at 100 TB: streaming sinks and
+fine-grained upserts (operators/upsert.py writes per micro-batch)
+accumulate files far below the parquet row-group sweet spot; scans
+then pay per-file open/footer costs and lose row-group parallelism.
+Compaction rewrites a directory into ceil(bytes/target) right-sized
+files. The reference never needs this because Elasticsearch/Redis own
+the storage; a Spark-native engine owns its files.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: default target file size — parquet's happy zone (one fat row group
+#: per file); small enough that maxPartitionBytes=128M scans split
+#: cleanly, big enough that footer/open overhead is noise.
+TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def plan_compaction(
+    path: str, *, target_bytes: int = TARGET_FILE_BYTES
+) -> dict:
+    """Inventory a parquet directory: file count, total bytes, and the
+    partition count a compaction would rewrite to. Driver-side listing
+    only (at warehouse scale this is the catalog/manifest query)."""
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    return {
+        "n_files": len(files),
+        "total_bytes": total,
+        "target_partitions": max(1, math.ceil(total / target_bytes)),
+    }
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    *,
+    target_bytes: int = TARGET_FILE_BYTES,
+) -> dict:
+    """Rewrite ``src`` into right-sized files at ``dst``; returns the
+    before/after inventory. Uses coalesce (narrow — no shuffle: each
+    output file unions whole input files) sized from actual bytes.
+    Row-level content is preserved exactly; file-level layout is not
+    (that's the point). Write to a new location then swap — the
+    idempotent, interruption-safe pattern (a crashed compaction leaves
+    ``src`` untouched).
+    """
+    before = plan_compaction(src, target_bytes=target_bytes)
+    df: DataFrame = spark.read.parquet(src)
+    df.coalesce(before["target_partitions"]).write.mode(
+        "overwrite"
+    ).parquet(dst)
+    after = plan_compaction(dst, target_bytes=target_bytes)
+    return {"before": before, "after": after}

@@ -127,3 +127,52 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_compaction_rightsizes_files_and_preserves_rows(spark):
+    """Many tiny files -> one right-sized file; content identical."""
+    from click_streaming_data_pipeline_spark.operators.maintenance import (
+        compact_parquet,
+        plan_compaction,
+    )
+
+    events = load_table(spark, SF_TEST, "events")
+    with tempfile.TemporaryDirectory() as d:
+        src, dst = os.path.join(d, "src"), os.path.join(d, "dst")
+        # simulate a micro-batch sink: 64 tiny files
+        events.repartition(64).write.parquet(src)
+        assert plan_compaction(src)["n_files"] == 64
+        report = compact_parquet(spark, src, dst)
+        assert report["after"]["n_files"] == 1  # well under 128M total
+        assert report["after"]["n_files"] == report["before"][
+            "target_partitions"
+        ]
+        a = sorted(map(tuple, spark.read.parquet(src).collect()))
+        b = sorted(map(tuple, spark.read.parquet(dst).collect()))
+        assert a == b
+        # target_bytes knob: forcing a tiny target splits the rewrite
+        tiny = compact_parquet(spark, src, os.path.join(d, "dst2"), target_bytes=64 * 1024)
+        assert tiny["after"]["n_files"] > 1
+
+
+def test_schema_evolution_merge_and_defaults(spark):
+    """Lake reality: files written before a column existed must read
+    alongside evolved files — mergeSchema unions the schemas, old rows
+    surface NULL, and the B6 default-projection pattern fills them."""
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t")
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, name string"
+        ).write.parquet(p)
+        spark.createDataFrame(
+            [(3, "c", 9.5)], "id long, name string, score double"
+        ).write.mode("append").parquet(p)
+        merged = spark.read.option("mergeSchema", "true").parquet(p)
+        assert set(merged.columns) == {"id", "name", "score"}
+        rows = {r["id"]: r for r in merged.collect()}
+        assert rows[1]["score"] is None and rows[3]["score"] == 9.5
+        filled = merged.select(
+            "id", "name", F.coalesce("score", F.lit(0.0)).alias("score")
+        )
+        got = {r["id"]: r["score"] for r in filled.collect()}
+        assert got == {1: 0.0, 2: 0.0, 3: 9.5}

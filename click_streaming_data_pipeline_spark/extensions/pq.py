@@ -1,0 +1,304 @@
+"""Product quantization (PQ): the third leg of the ANN toolkit next to
+SRP-LSH (data-oblivious buckets) and IVF (coarse partitions) —
+completing the canonical billion-scale layout (IVF-PQ: coarse
+partition, then scan compressed codes).
+
+A vector splits into M subvectors; each subspace gets its own K-entry
+k-means codebook; a vector stores M small codes (here 8 x 4 bits = 4
+bytes for a 64-dim vector, 64x smaller than float32). Queries score
+candidates with ASYMMETRIC DISTANCE (ADC): per subspace, precompute
+the K distances from the query's subvector to the codebook entries
+(an M x K table, tiny), then a candidate's distance is the sum of M
+table lookups — no float vector is ever read at scan time.
+
+Spark shape: codebook training is the driver-loop iterative pattern
+(like ivf.py's k-means) but ALL M subspaces train in one job per
+iteration — subvectors explode to (vec, m, s) rows once, assignment
+is an argmin against the combined codebook literal, re-centering is a
+single groupBy (m, code). Coding and ADC search are pure codegen'd
+expressions over the broadcast codebook/table literals.
+
+Determinism: init = the K smallest ids' subvectors, fixed iteration
+count, min-code tie-breaks — no RNG; gated by pytest (recall vs brute
+force, reconstruction MSE, cross-run determinism) since iterative
+k-means is not SQL-expressible for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .ivf import TRAIN_SAMPLE_CAP
+from .similarity import _as_double, cosine, norm
+
+M_SUB = 16
+K_CODES = 16
+N_ITER = 3
+
+
+def _unit(v: Column) -> Column:
+    """L2-normalize (zero vectors pass through): PQ codes unit vectors
+    so ADC's L2 is monotone with cosine (||q-x||^2 = 2 - 2cos on the
+    unit sphere) — the similarity family's common currency."""
+    n = norm(v)
+    return F.when(n == 0, v).otherwise(
+        F.transform(v, lambda x: x / n)
+    )
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _codebook_lit(codebooks: list[list[list[float]]]) -> Column:
+    """array<array<array<double>>> literal: [m][k][ds]."""
+    return F.array(
+        *[
+            F.array(
+                *[F.array(*[F.lit(x) for x in c]) for c in cb]
+            )
+            for cb in codebooks
+        ]
+    )
+
+
+def _assign_code(s: Column, cb_m: Column) -> Column:
+    """argmin code for subvector ``s`` against one subspace codebook
+    (array<array<double>>): min (dist, code) struct — ties take the
+    smaller code."""
+    scored = F.transform(
+        cb_m,
+        lambda c, i: F.struct(
+            _l2sq(s, c).alias("d"), i.cast("int").alias("code")
+        ),
+    )
+    return F.array_min(scored)["code"]
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = M_SUB,
+    k: int = K_CODES,
+    n_iter: int = N_ITER,
+    sample_mod: int | None = None,
+) -> list[list[list[float]]]:
+    """Per-subspace L2 k-means codebooks, [m][k][dim/m].
+
+    One exploded (vec, subspace, subvector) frame trains every
+    subspace simultaneously: each iteration is ONE assign + ONE
+    groupBy (m, code) job, not M of them. The frame is bounded by the
+    deterministic training sample (id % mod == 0, cap like IVF's) and
+    checkpointed so iterations never replay the corpus scan.
+    """
+    ds = dim // m
+    e = emb.select(
+        F.col(id_col).alias("id"), _unit(_as_double(F.col(vec_col))).alias("v")
+    )
+    n = e.count()
+    if sample_mod is None:
+        sample_mod = max(1, -(-n // TRAIN_SAMPLE_CAP))
+    if sample_mod > 1:
+        e = e.filter(F.col("id") % sample_mod == 0)
+    sub = e.select(
+        "id",
+        F.posexplode(
+            F.array(*[F.slice("v", mi * ds + 1, ds) for mi in range(m)])
+        ).alias("m", "s"),
+    ).localCheckpoint(eager=True)
+
+    init = (
+        sub.filter(
+            F.col("id").isin(
+                [r["id"] for r in e.orderBy(F.col("id").asc()).limit(k).collect()]
+            )
+        )
+        .collect()
+    )
+    by_m: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in init:
+        by_m.setdefault(r["m"], []).append((r["id"], list(r["s"])))
+    codebooks = [
+        [s for _, s in sorted(by_m[mi])[:k]] for mi in range(m)
+    ]
+
+    for _ in range(n_iter):
+        cb = _codebook_lit(codebooks)
+        assigned = sub.withColumn(
+            "code", _assign_code(F.col("s"), F.element_at(cb, F.col("m") + 1))
+        )
+        means = (
+            assigned.groupBy("m", "code")
+            .agg(*[F.avg(F.col("s")[i]).alias(f"a{i}") for i in range(ds)])
+            .collect()
+        )
+        new = {
+            (r["m"], r["code"]): [r[f"a{i}"] for i in range(ds)]
+            for r in means
+        }
+        codebooks = [
+            [
+                new.get((mi, ci), codebooks[mi][ci])  # empty: keep old
+                for ci in range(k)
+            ]
+            for mi in range(m)
+        ]
+    return codebooks
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>, recon_mse) in one codegen'd pass —
+    plus the dequantized-reconstruction MSE so storage loss is
+    observable next to the codes."""
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    cb = _codebook_lit(codebooks)
+    v = _unit(_as_double(F.col(vec_col)))
+    coded = emb.select(F.col(id_col), v.alias("v")).withColumn(
+        "codes",
+        F.array(
+            *[
+                _assign_code(
+                    F.slice("v", mi * ds + 1, ds), F.element_at(cb, mi + 1)
+                )
+                for mi in range(m)
+            ]
+        ),
+    )
+    recon_err = F.aggregate(
+        F.array(
+            *[
+                _l2sq(
+                    F.slice("v", mi * ds + 1, ds),
+                    F.element_at(
+                        F.element_at(cb, mi + 1), F.col("codes")[mi] + 1
+                    ),
+                )
+                for mi in range(m)
+            ]
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float(m * ds))
+    return coded.select(
+        id_col,
+        "codes",
+        recon_err.alias("recon_mse"),
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+    dim: int = 64,
+    rerank: int = 5,
+) -> DataFrame:
+    """ADC top-k: corpus rows carry only their M codes; each query
+    broadcasts an M x K distance table (computed from ITS subvectors
+    once) and candidate distance = sum of M table lookups. The float
+    corpus is read once to encode; the SCAN touches codes only — the
+    100 TB property. With ``rerank`` (default 5) the ADC pass keeps a
+    rerank*k shortlist that re-ranks by exact cosine — the standard
+    two-stage PQ deployment (coarse prune on 4-byte codes, precise
+    order on shortlist-many float fetches); ``rerank=0`` returns the
+    raw ADC ranking.
+    """
+    codebooks = codebooks or train_pq_codebooks(
+        emb, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    cb = _codebook_lit(codebooks)
+    coded = pq_encode(
+        emb, codebooks, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("neighbor_id"), "codes")
+
+    def _dtab_m(mi: int) -> Column:
+        # NB: a closure factory, NOT `lambda c, _mi=mi`: PySpark reads
+        # lambda arity, and a second (default) parameter turns the
+        # lambda into the (element, index) binary form — the index
+        # would silently replace the subspace number.
+        sub_q = F.slice("qv", mi * ds + 1, ds)
+        return F.transform(
+            F.element_at(cb, mi + 1), lambda c: _l2sq(sub_q, c)
+        )
+
+    queries = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            _unit(_as_double(F.col(vec_col))).alias("qv"),
+        )
+        .withColumn("dtab", F.array(*[_dtab_m(mi) for mi in range(m)]))
+        .select("query_id", "dtab")
+    )
+    cand = coded.crossJoin(F.broadcast(queries)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("dtab"),
+            F.col("codes"),
+            lambda t, c: F.element_at(t, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", dist.alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    ranked = scored.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    )
+    if not rerank:
+        return ranked.filter(F.col("rank") <= k)
+
+    # production shape: ADC prunes to a shortlist (rerank*k), then the
+    # shortlist re-ranks with exact full-precision cosine — only
+    # shortlist-many float vectors are ever fetched per query
+    shortlist = ranked.filter(F.col("rank") <= rerank * k).select(
+        "query_id", "neighbor_id", "adc_dist"
+    )
+    nvec = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+    )
+    qvec = emb.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    exact = (
+        shortlist.join(nvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "cos", "rank")
+    )

@@ -480,6 +480,57 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pq_codes",
+    oracle=None,  # iterative k-means codebooks; pytest-gated
+    doc=(
+        "extension: PRODUCT QUANTIZATION encoding — 16 subspaces x "
+        "16-entry L2 codebooks over unit-normalized vectors (4-bit "
+        "codes: 8 bytes/vector, 32x smaller than float32); training "
+        "is the driver-loop k-means shape with ALL subspaces trained "
+        "in one job per iteration (posexplode subvectors, argmin vs "
+        "the combined codebook literal, one groupBy(m, code) "
+        "re-center). Codes digest + reconstruction MSE output keeps "
+        "the driver gate hashable."
+    ),
+    tags=("similarity",),
+)
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.pq import pq_encode, train_pq_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = train_pq_codebooks(emb)
+    enc = pq_encode(emb, cbs)
+    return enc.select(
+        "vec_id",
+        F.array_join(
+            F.transform("codes", lambda c: c.cast("string")), ","
+        ).alias("codes_str"),
+        "recon_mse",
+    )
+
+
+@query(
+    "knn_pq_topk",
+    oracle=None,  # approximate by construction; recall gated in pytest
+    doc=(
+        "extension: PQ-ADC ANN search, the third strategy next to "
+        "SRP-LSH and IVF (completing the IVF-PQ toolkit): the scan "
+        "reads 8-byte codes only, each query broadcasts its M x K "
+        "distance table, candidate distance = sum of M lookups; an "
+        "ADC shortlist (5k) then re-ranks by exact cosine — the "
+        "standard two-stage deployment (recall@10 ~0.9 on the gate "
+        "corpus, pytest-pinned)"
+    ),
+    tags=("similarity",),
+)
+def knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.pq import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(emb, _QUERY_IDS, k=10)
+
+
+@query(
     "dedup_neardup_streamed",
     # same oracle as the batch LSH pipeline: incremental processing
     # must find exactly the same near-dup pairs

@@ -351,3 +351,70 @@ def test_quantize_embeddings_bounds_and_error(spark):
     # deterministic: identical digests across independent runs
     again = {r["vec_id"]: r["q_digest"] for r in quantize_embeddings(emb).collect()}
     assert {r["vec_id"]: r["q_digest"] for r in out} == again
+
+
+def test_pq_codes_bounds_and_determinism(spark):
+    from click_streaming_data_pipeline_spark.extensions.pq import (
+        K_CODES,
+        M_SUB,
+        pq_encode,
+        train_pq_codebooks,
+    )
+    from click_streaming_data_pipeline_spark.sources import load_table
+
+    from .conftest import SF_TEST
+
+    emb = load_table(spark, SF_TEST, "embeddings")
+    cbs = train_pq_codebooks(emb)
+    assert len(cbs) == M_SUB and all(len(cb) == K_CODES for cb in cbs)
+    enc = pq_encode(emb, cbs).collect()
+    assert len(enc) == emb.count()
+    for r in enc:
+        assert len(r["codes"]) == M_SUB
+        assert all(0 <= c < K_CODES for c in r["codes"])
+        # unit vectors, per-element squared error well under signal
+        assert 0.0 <= r["recon_mse"] < 0.05
+    # deterministic end-to-end: retrain + re-encode reproduces codes
+    again = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(emb, train_pq_codebooks(emb)).collect()
+    }
+    assert {r["vec_id"]: list(r["codes"]) for r in enc} == again
+
+
+def test_pq_adc_recall_and_rerank(spark):
+    from click_streaming_data_pipeline_spark.extensions.pq import (
+        pq_topk,
+        train_pq_codebooks,
+    )
+    from click_streaming_data_pipeline_spark.extensions.similarity import (
+        brute_force_topk,
+    )
+    from click_streaming_data_pipeline_spark.sources import load_table
+
+    from .conftest import SF_TEST
+
+    emb = load_table(spark, SF_TEST, "embeddings")
+    cbs = train_pq_codebooks(emb)
+    qids = [0, 1, 2, 3, 4]
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, qids, k=10).collect()
+    }
+    reranked = pq_topk(emb, qids, k=10, codebooks=cbs).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in reranked}
+    recall = len(bf & got) / len(bf)
+    assert recall >= 0.8, recall  # measured 0.90; margin for corpus drift
+    # the exact-rerank stage orders by true cosine descending
+    by_q = {}
+    for r in reranked:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert all(
+            a["cos"] >= b["cos"] for a, b in zip(rows, rows[1:])
+        )
+    # raw ADC is strictly coarser but never empty
+    raw = pq_topk(emb, qids, k=10, codebooks=cbs, rerank=0).collect()
+    raw_recall = len(bf & {(r["query_id"], r["neighbor_id"]) for r in raw}) / len(bf)
+    assert 0.0 < raw_recall <= recall

@@ -976,3 +976,62 @@ def lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
     ).select(F.col("o_custkey").alias("custkey"))
     return early.subtract(late)
+
+
+@query(
+    "value_anomalies",
+    oracle="""
+        WITH stats AS (
+            SELECT event_type,
+                   count(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                       AS sum_v,
+                   CAST(SUM(CAST(value * value AS DECIMAL(28,6)))
+                        AS DOUBLE) AS sum_sq
+            FROM events
+            GROUP BY event_type
+        ),
+        scored AS (
+            SELECT e.event_id, e.event_type, e.value,
+                   (e.value - s.sum_v / s.n)
+                       / sqrt((s.sum_sq - s.sum_v * s.sum_v / s.n)
+                              / (s.n - 1)) AS zscore
+            FROM events e JOIN stats s USING (event_type)
+        )
+        SELECT event_id, event_type, value, zscore
+        FROM scored
+        WHERE zscore > CAST(3.0 AS DOUBLE)
+           OR zscore < CAST(-3.0 AS DOUBLE)
+    """,
+    doc=(
+        "beyond-reference breadth: per-type z-score anomaly flagging "
+        "— two-pass plan (decimal-exact moment stats per type, "
+        "type-bounded -> broadcast back, score every event in one "
+        "codegen'd expression). The monitoring query a clickstream "
+        "pipeline runs on itself; decimal sums keep the mean/variance "
+        "bit-identical across engines (value_stats convention)."
+    ),
+    tags=("agg",),
+)
+def value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sum_v"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sum_sq"),
+    )
+    mean = F.col("sum_v") / F.col("n")
+    var = (F.col("sum_sq") - F.col("sum_v") * F.col("sum_v") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .withColumn("zscore", z)
+        .filter((F.col("zscore") > 3.0) | (F.col("zscore") < -3.0))
+        .select("event_id", "event_type", "value", "zscore")
+    )

@@ -1,0 +1,76 @@
+"""Incremental aggregate maintenance (materialized-view merge): keep a
+100 TB rollup current by aggregating ONLY the new partition and
+merging mergeable state — never re-reading the historical corpus.
+
+The algebra: an aggregate is incrementally maintainable when its
+accumulator merges associatively — count/sum merge by sum, min/max by
+min/max, uniques by HLL sketch union (exact distinct does NOT merge;
+that's why the sketch column IS the stored state, Redis-PFMERGE
+style, same contract as `hll_sketch_views`). Decimal(28,6) sums keep
+the merged result bit-identical to a from-scratch aggregation, so
+merge(agg(A), agg(B)) == agg(A union B) exactly — the property the
+catalog oracle checks.
+
+Reference parity note: the reference maintains its counters
+incrementally too (Redis INCR/PFADD per event, cache.py:81-101); this
+is the batch/lakehouse form of the same idea.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: state column suffixes produced by ``agg_state`` / consumed by
+#: ``merge_states``: n (count), s (decimal sum), mn, mx, hll (sketch).
+
+
+def agg_state(
+    df: DataFrame, keys: list[str], value: str, uniq: str | None = None
+) -> DataFrame:
+    """Mergeable per-key accumulator frame for one data slice."""
+    aggs = [
+        F.count("*").alias("n"),
+        F.sum(F.col(value).cast("decimal(28,6)")).alias("s"),
+        F.min(value).alias("mn"),
+        F.max(value).alias("mx"),
+    ]
+    if uniq is not None:
+        aggs.append(F.hll_sketch_agg(uniq).alias("hll"))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_states(
+    prev: DataFrame, delta: DataFrame, keys: list[str]
+) -> DataFrame:
+    """merge(agg(A), agg(B)) — union the state frames and re-reduce.
+
+    Cost is proportional to the STATE size (number of keys), not the
+    data: the historical corpus is never touched. New keys appear via
+    the union; decimal sums make the merge bit-exact.
+    """
+    both = prev.unionByName(delta, allowMissingColumns=True)
+    aggs = [
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    ]
+    if "hll" in both.columns:
+        aggs.append(F.hll_union_agg("hll").alias("hll"))
+    return both.groupBy(*keys).agg(*aggs)
+
+
+def finalize(state: DataFrame) -> DataFrame:
+    """Presentation projection: decimal state -> double metrics (the
+    repo's cross-engine convention), sketch -> estimate."""
+    cols = [
+        *[c for c in state.columns if c not in ("n", "s", "mn", "mx", "hll")],
+        F.col("n").alias("n_rows"),
+        F.col("s").cast("double").alias("sum_value"),
+        F.col("mn").alias("min_value"),
+        F.col("mx").alias("max_value"),
+    ]
+    if "hll" in state.columns:
+        cols.append(F.hll_sketch_estimate("hll").alias("approx_uniques"))
+    return state.select(*cols)

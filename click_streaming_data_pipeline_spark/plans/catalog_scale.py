@@ -273,3 +273,45 @@ def salted_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(events, cust, ["user_id"]).select(
         "event_id", "user_id", "c_name", "c_mktsegment"
     )
+
+
+@query(
+    "incremental_doc_views",
+    oracle=f"""
+        SELECT CAST(json_extract_string(props, '$.k') AS INTEGER)
+                   AS doc_key,
+               count(*) AS n_rows,
+               {dsum_sql('value', 'sum_value')},
+               min(value) AS min_value,
+               max(value) AS max_value
+        FROM events
+        GROUP BY 1
+    """,
+    doc=(
+        "scale pattern: INCREMENTAL aggregate maintenance — the "
+        "rollup is computed as merge(agg(history), agg(delta)) where "
+        "history/delta split the corpus by time; merge cost is "
+        "proportional to the state (key count), never the historical "
+        "data. Mergeable state: counts/decimal sums/min/max (exact "
+        "bit-parity with the from-scratch oracle), HLL sketches for "
+        "uniques (pytest-gated, not in this projection). The batch "
+        "form of the reference's Redis INCR/PFADD counters."
+    ),
+    tags=("agg", "scale"),
+)
+def incremental_doc_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import agg_state, finalize, merge_states
+
+    events = load_table(spark, sf_dir, "events").select(
+        F.get_json_object("props", "$.k").cast("int").alias("doc_key"),
+        "value",
+        "ts",
+    )
+    cut = "2024-01-15"
+    hist = agg_state(
+        events.filter(F.col("ts") < cut), ["doc_key"], "value"
+    )
+    delta = agg_state(
+        events.filter(F.col("ts") >= cut), ["doc_key"], "value"
+    )
+    return finalize(merge_states(hist, delta, ["doc_key"]))

@@ -299,3 +299,55 @@ def test_salted_join_equals_plain_join(spark):
 
     with _pytest.raises(ValueError):
         salted_join(fact, dim, ["k"], how="full")
+
+
+def test_incremental_merge_equals_full_agg(spark):
+    """merge(agg(A), agg(B)) == agg(A U B) — including HLL sketch
+    union and keys that exist in only one slice."""
+    from click_streaming_data_pipeline_spark.operators.incremental import (
+        agg_state,
+        finalize,
+        merge_states,
+    )
+    from click_streaming_data_pipeline_spark.sources import load_table
+
+    from .conftest import SF_TEST
+
+    events = load_table(spark, SF_TEST, "events").select(
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        "value",
+        "user_id",
+        "event_id",
+    )
+    a = events.filter(F.col("event_id") % 3 == 0)
+    b = events.filter(F.col("event_id") % 3 != 0)
+    merged = finalize(
+        merge_states(
+            agg_state(a, ["k"], "value", uniq="user_id"),
+            agg_state(b, ["k"], "value", uniq="user_id"),
+            ["k"],
+        )
+    )
+    full = finalize(agg_state(events, ["k"], "value", uniq="user_id"))
+    mrows = {r["k"]: r for r in merged.collect()}
+    frows = {r["k"]: r for r in full.collect()}
+    assert set(mrows) == set(frows)
+    for k, f in frows.items():
+        m = mrows[k]
+        assert m["n_rows"] == f["n_rows"]
+        assert m["sum_value"] == f["sum_value"]  # decimal-exact merge
+        assert m["min_value"] == f["min_value"]
+        assert m["max_value"] == f["max_value"]
+        # HLL register-state union == sketch of the union, so the
+        # ESTIMATES are identical, not merely close
+        assert m["approx_uniques"] == f["approx_uniques"]
+
+    # a slice with keys absent from the other merges cleanly
+    only_b = finalize(
+        merge_states(
+            agg_state(a.filter(F.lit(False)), ["k"], "value", uniq="user_id"),
+            agg_state(b, ["k"], "value", uniq="user_id"),
+            ["k"],
+        )
+    ).count()
+    assert only_b == b.select("k").distinct().count()

@@ -103,3 +103,71 @@ def extract_features(assets: DataFrame, *, decode_stub: bool = True) -> DataFram
             )
 
     return assets.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# temporal frame sampling (the video lane)
+
+#: stub frame size: a real decoder yields frames from the container
+#: structure; the stub treats the blob as fixed-width frame records.
+FRAME_BYTES = 32
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_len", LongType()),
+        StructField("frame_sum", LongType()),
+    ]
+)
+
+
+def sample_frames(
+    assets: DataFrame,
+    *,
+    every: int = 4,
+    frame_bytes: int = FRAME_BYTES,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Uniform temporal frame sampling over video-like binary columns:
+    frame i covers bytes [i*fb, (i+1)*fb); every ``every``-th frame is
+    emitted with a per-frame stub feature (byte sum mod 997) — the
+    1:N cardinality change a real frame sampler produces, with the
+    same Arrow ``mapInPandas`` shape a PyAV-backed decoder would use
+    (``decode_stub=False`` raises where that decoder would run).
+
+    Scale: output fan-out is bounded by len/(fb*every) per asset;
+    sampling happens INSIDE the scan stage (no shuffle), so 100 TB of
+    video reduces to the sampled frames before anything wide runs.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real frame decoding requires av/ffmpeg; "
+                    "not available in this environment"
+                )
+            out: dict[str, list] = {
+                "asset_id": [],
+                "media_type": [],
+                "frame_idx": [],
+                "frame_len": [],
+                "frame_sum": [],
+            }
+            for aid, mt, blob in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["content"]
+            ):
+                b = bytes(blob)
+                n_frames = -(-len(b) // frame_bytes) if b else 0
+                for idx in range(0, n_frames, every):
+                    chunk = b[idx * frame_bytes : (idx + 1) * frame_bytes]
+                    out["asset_id"].append(aid)
+                    out["media_type"].append(mt)
+                    out["frame_idx"].append(idx)
+                    out["frame_len"].append(len(chunk))
+                    out["frame_sum"].append(sum(chunk) % 997)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(batches, schema=FRAME_SCHEMA)

@@ -462,6 +462,59 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "video_frame_samples",
+    # exact oracle on the stub decode: frames are fixed-width byte
+    # records of the ASCII corpus, so DuckDB reproduces every sampled
+    # frame's offset/length/byte-sum bit-for-bit (same trick as
+    # multimodal_features)
+    oracle="""
+        WITH a AS (
+            SELECT doc_id AS asset_id, 'video/mp4' AS media_type,
+                   text, length(text) AS blen
+            FROM documents
+        ),
+        frames AS (
+            SELECT asset_id, media_type,
+                   unnest(generate_series(
+                       0, CAST((blen + 31) // 32 - 1 AS BIGINT), 4
+                   )) AS frame_idx,
+                   text, blen
+            FROM a WHERE blen > 0
+        )
+        SELECT asset_id, media_type, frame_idx,
+               least(CAST(32 AS BIGINT), blen - frame_idx * 32)
+                   AS frame_len,
+               CAST(coalesce(list_aggregate(list_transform(
+                        generate_series(frame_idx * 32 + 1,
+                            least(frame_idx * 32 + 32, blen)),
+                        j -> ord(text[j])), 'sum'), 0) % 997 AS BIGINT)
+                   AS frame_sum
+        FROM frames
+    """,
+    doc=(
+        "extension (multimodal, video lane): uniform temporal FRAME "
+        "SAMPLING — every 4th fixed-width frame of each binary asset, "
+        "emitted with per-frame stub features through the same Arrow "
+        "mapInPandas shape a PyAV decoder would use (1:N cardinality "
+        "inside the scan stage, no shuffle; decode stubbed — codecs "
+        "absent — but the sampling math is exact and fully "
+        "oracle-checked on the ASCII corpus)."
+    ),
+    tags=("multimodal",),
+)
+def video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video/mp4").alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+    return sample_frames(assets)
+
+
+@query(
     "knn_ivf_topk",
     oracle=None,  # approximate by construction; recall gated in pytest
     doc=(

@@ -418,3 +418,41 @@ def test_pq_adc_recall_and_rerank(spark):
     raw = pq_topk(emb, qids, k=10, codebooks=cbs, rerank=0).collect()
     raw_recall = len(bf & {(r["query_id"], r["neighbor_id"]) for r in raw}) / len(bf)
     assert 0.0 < raw_recall <= recall
+
+
+def test_sample_frames_semantics(spark):
+    from click_streaming_data_pipeline_spark.extensions.multimodal import (
+        sample_frames,
+    )
+
+    rows = [
+        (1, "video/mp4", b"a" * 100),   # 4 frames of 32 -> idx 0 (every=4)
+        (2, "video/mp4", b"b" * 300),   # 10 frames -> idx 0, 4, 8
+        (3, "video/mp4", b""),          # empty blob -> no frames
+        (4, "video/mp4", b"c" * 33),    # 2 frames -> idx 0 only; tail frame len 1
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, media_type string, content binary"
+    )
+    got = sample_frames(assets).collect()
+    by_asset = {}
+    for r in got:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    assert sorted(by_asset) == [1, 2, 4]
+    assert [r["frame_idx"] for r in sorted(by_asset[2], key=lambda r: r["frame_idx"])] == [0, 4, 8]
+    # frame 8 of asset 2: bytes 256..287 -> full 32; sum = 32*98 % 997
+    f8 = next(r for r in by_asset[2] if r["frame_idx"] == 8)
+    assert f8["frame_len"] == 32 and f8["frame_sum"] == (32 * ord("b")) % 997
+    assert by_asset[1][0]["frame_sum"] == (32 * ord("a")) % 997
+    # every=1 emits ALL frames including the short tail
+    all_frames = sample_frames(assets, every=1).collect()
+    a4 = sorted(
+        (r for r in all_frames if r["asset_id"] == 4),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [(r["frame_idx"], r["frame_len"]) for r in a4] == [(0, 32), (1, 1)]
+    # stub gate: decode_stub=False raises where the decoder would run
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        sample_frames(assets, decode_stub=False).collect()

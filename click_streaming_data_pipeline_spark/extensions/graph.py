@@ -1,0 +1,108 @@
+"""Clickstream graph analytics (beyond-reference extension): the
+page-transition graph (which doc a user views next — the Markov chain
+of attention) and PageRank over it.
+
+PageRank is the repo's second iterative-graph representative next to
+``dedup.neardup_clusters`` (connected components): driver-loop over
+DataFrame jobs, one join + one aggregation per iteration, state
+checkpointed between rounds so lineage stays flat.
+
+Determinism: per-iteration contribution sums accumulate in
+decimal(38,18) — integer-exact addition, order-independent — so ranks
+are bit-stable across runs/partitionings even though groupBy order is
+not. The dangling-mass simplification (nodes with no out-edges leak
+their rank; totals sum to < 1) is the standard simplified variant and
+is mirrored exactly by the pytest's pure-python oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DAMPING = 0.85
+N_ITER = 10
+
+
+def transition_edges(events: DataFrame) -> DataFrame:
+    """(src, dst, n_transitions): consecutive doc views per user
+    (ordered by ts, event_id), self-loops dropped. One window pass on
+    user_id + one grouped count — both on bounded key spaces."""
+    key = F.get_json_object("props", "$.k").cast("int")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select("user_id", "ts", "event_id", key.alias("dst"))
+        .withColumn("src", F.lag("dst").over(w))
+        .filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+    )
+    return pairs.groupBy("src", "dst").agg(
+        F.count("*").alias("n_transitions")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    n_iter: int = N_ITER,
+    damping: float = DAMPING,
+) -> DataFrame:
+    """Weighted PageRank over (src, dst, n_transitions) edges.
+
+    Each iteration: contributions = rank * w/out_w per edge (one
+    broadcast-ready join on src), summed per dst in decimal (exact,
+    order-free), then rank = (1-d)/N + d * in_sum. Edge weights use
+    the transition counts, so a page visited twice from A counts
+    double — the Markov-chain walk. State (node, rank) checkpoints
+    every round; at warehouse scale node state is a table, edges
+    shuffle once per iteration on src — the classic Pregel-on-
+    DataFrames shape.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    out_w = edges.groupBy("src").agg(
+        F.sum("n_transitions").alias("out_w")
+    )
+    # edge share = w/out_w, fixed across iterations — materialize once
+    shares = (
+        edges.join(out_w, "src")
+        .select(
+            "src",
+            "dst",
+            (F.col("n_transitions").cast("double") / F.col("out_w")).alias(
+                "share"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        contrib = shares.join(
+            ranks, shares.src == ranks.node
+        ).select(
+            F.col("dst"),
+            (F.col("rank") * F.col("share"))
+            .cast("decimal(38,18)")
+            .alias("c"),
+        )
+        sums = contrib.groupBy("dst").agg(
+            F.sum("c").cast("double").alias("in_sum")
+        )
+        ranks = (
+            nodes.join(sums, nodes.node == sums.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -313,3 +313,59 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention_rate"
         ),
     )
+
+
+@query(
+    "page_transitions",
+    oracle="""
+        WITH keyed AS (
+            SELECT user_id, ts, event_id,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER)
+                       AS dst
+            FROM events
+        ),
+        pairs AS (
+            SELECT lag(dst) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS src,
+                   dst
+            FROM keyed
+        )
+        SELECT src, dst, count(*) AS n_transitions
+        FROM pairs
+        WHERE src IS NOT NULL AND src <> dst
+        GROUP BY 1, 2
+    """,
+    doc=(
+        "beyond-reference graph analytics: the page-transition graph "
+        "— consecutive doc views per user (the Markov chain of "
+        "attention), one window pass on user_id + one grouped count; "
+        "the edge list PageRank walks"
+    ),
+    tags=("window", "graph"),
+)
+def page_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.graph import transition_edges
+
+    return transition_edges(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "page_rank",
+    oracle=None,  # iterative; python-oracle parity in pytest
+    doc=(
+        "beyond-reference graph analytics: weighted PageRank over the "
+        "page-transition graph — 10 driver-loop iterations, each one "
+        "join on src + one decimal-exact (order-free, bit-stable) "
+        "contribution sum per dst; edge shares materialize once, node "
+        "state checkpoints per round (the Pregel-on-DataFrames "
+        "shape). Simplified dangling-mass variant, mirrored exactly "
+        "by the pytest oracle."
+    ),
+    tags=("graph",),
+)
+def page_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.graph import pagerank, transition_edges
+
+    edges = transition_edges(load_table(spark, sf_dir, "events"))
+    return pagerank(edges)

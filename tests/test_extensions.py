@@ -456,3 +456,45 @@ def test_sample_frames_semantics(spark):
 
     with _pytest.raises(Exception):
         sample_frames(assets, decode_stub=False).collect()
+
+
+def test_pagerank_matches_python_oracle(spark):
+    """Spark PageRank == a pure-python implementation of the same
+    simplified variant (weighted shares, dangling mass dropped),
+    within float tolerance; ranks are bit-stable across runs."""
+    from click_streaming_data_pipeline_spark.extensions.graph import (
+        DAMPING,
+        N_ITER,
+        pagerank,
+        transition_edges,
+    )
+    from click_streaming_data_pipeline_spark.sources import load_table
+
+    from .conftest import SF_TEST
+
+    edges_df = transition_edges(load_table(spark, SF_TEST, "events"))
+    edges = [(r["src"], r["dst"], r["n_transitions"]) for r in edges_df.collect()]
+    got = {r["node"]: r["rank"] for r in pagerank(edges_df).collect()}
+
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    out_w = {}
+    for s, _, w in edges:
+        out_w[s] = out_w.get(s, 0) + w
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(N_ITER):
+        in_sum = {v: 0.0 for v in nodes}
+        for s, d, w in edges:
+            in_sum[d] += rank[s] * (w / out_w[s])
+        rank = {
+            v: (1 - DAMPING) / n + DAMPING * in_sum[v] for v in nodes
+        }
+    assert set(got) == set(rank)
+    for v in nodes:
+        assert abs(got[v] - rank[v]) < 1e-9, v
+    # probability-ish mass: positive ranks, total <= 1 (dangling leak)
+    assert all(r > 0 for r in got.values())
+    assert sum(got.values()) <= 1.0 + 1e-9
+    # deterministic across independent runs (decimal sums): exact bits
+    again = {r["node"]: r["rank"] for r in pagerank(edges_df).collect()}
+    assert got == again

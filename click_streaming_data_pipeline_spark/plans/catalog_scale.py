@@ -315,3 +315,72 @@ def incremental_doc_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.filter(F.col("ts") >= cut), ["doc_key"], "value"
     )
     return finalize(merge_states(hist, delta, ["doc_key"]))
+
+
+@query(
+    "incremental_doc_views_streamed",
+    # same oracle as a from-scratch aggregation over ALL events: the
+    # streaming state table, merged micro-batch by micro-batch, must
+    # converge to exactly the full-corpus rollup
+    oracle=f"""
+        SELECT CAST(json_extract_string(props, '$.k') AS INTEGER)
+                   AS doc_key,
+               count(*) AS n_rows,
+               {dsum_sql('value', 'sum_value')},
+               min(value) AS min_value,
+               max(value) AS max_value
+        FROM events
+        GROUP BY 1
+    """,
+    doc=(
+        "scale pattern: STREAMING incremental view maintenance — "
+        "foreachBatch folds each micro-batch's mergeable state "
+        "(counts/decimal sums/min/max) into a persistent state table "
+        "via merge_states; per-batch cost is the delta aggregation + "
+        "a state-sized merge, history never re-read. The drained "
+        "state must equal the from-scratch batch rollup bit-for-bit "
+        "— the streaming twin of incremental_doc_views and the true "
+        "materialized-view form of the reference's Redis counters."
+    ),
+    tags=("streaming", "agg", "scale"),
+)
+def incremental_doc_views_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..operators.incremental import agg_state, finalize, merge_states
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="csdp_incr_")
+    src = os.path.join(work, "in")
+    state_dir = os.path.join(work, "state")
+    events.repartition(6).write.mode("overwrite").parquet(src)
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        keyed = batch.select(
+            F.get_json_object("props", "$.k").cast("int").alias("doc_key"),
+            "value",
+        )
+        delta = agg_state(keyed, ["doc_key"], "value")
+        if os.path.isdir(state_dir):
+            prev = sp.read.parquet(state_dir)
+            merged = merge_states(prev, delta, ["doc_key"])
+        else:
+            merged = delta
+        # state is key-bounded: collect-free, small rewrite per batch
+        out = merged.localCheckpoint(eager=True)
+        out.write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return finalize(spark.read.parquet(state_dir))

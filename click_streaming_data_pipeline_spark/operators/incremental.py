@@ -61,6 +61,63 @@ def merge_states(
     return both.groupBy(*keys).agg(*aggs)
 
 
+def fold_state_dir(
+    spark,
+    state_dir: str,
+    delta: DataFrame,
+    batch_id: int,
+    keys: list[str],
+) -> None:
+    """Replay-safe streaming fold: merge ``delta`` into versioned
+    state under ``state_dir``.
+
+    Version ``v{batch_id}`` is derived ONLY from versions strictly
+    below ``batch_id`` and written with overwrite, so a retried
+    micro-batch (foreachBatch is at-least-once) reproduces byte-
+    identical state instead of double-merging its delta — the same
+    commit-log discipline as the dedup bucket stores. Old versions
+    are pruned to keep the directory bounded.
+    """
+    import os
+    import shutil
+
+    def _versions() -> list[int]:
+        if not os.path.isdir(state_dir):
+            return []
+        return sorted(
+            int(d[1:])
+            for d in os.listdir(state_dir)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+
+    prior = [v for v in _versions() if v < batch_id]
+    if prior:
+        prev = spark.read.parquet(
+            os.path.join(state_dir, f"v{prior[-1]}")
+        )
+        merged = merge_states(prev, delta, keys)
+    else:
+        merged = delta
+    out = merged.localCheckpoint(eager=True)
+    out.write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"v{batch_id}")
+    )
+    for v in prior[:-1]:  # keep the direct parent for replay safety
+        shutil.rmtree(os.path.join(state_dir, f"v{v}"), ignore_errors=True)
+
+
+def read_state_dir(spark, state_dir: str) -> DataFrame:
+    """Latest committed state version."""
+    import os
+
+    latest = max(
+        int(d[1:])
+        for d in os.listdir(state_dir)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    return spark.read.parquet(os.path.join(state_dir, f"v{latest}"))
+
+
 def finalize(state: DataFrame) -> DataFrame:
     """Presentation projection: decimal state -> double metrics (the
     repo's cross-engine convention), sketch -> estimate."""

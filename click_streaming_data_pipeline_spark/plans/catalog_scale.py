@@ -350,7 +350,12 @@ def incremental_doc_views_streamed(
     import os
     import tempfile
 
-    from ..operators.incremental import agg_state, finalize, merge_states
+    from ..operators.incremental import (
+        agg_state,
+        finalize,
+        fold_state_dir,
+        read_state_dir,
+    )
 
     events = load_table(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="csdp_incr_")
@@ -359,20 +364,15 @@ def incremental_doc_views_streamed(
     events.repartition(6).write.mode("overwrite").parquet(src)
 
     def fold_batch(batch: DataFrame, batch_id: int) -> None:
-        sp = batch.sparkSession
         keyed = batch.select(
             F.get_json_object("props", "$.k").cast("int").alias("doc_key"),
             "value",
         )
         delta = agg_state(keyed, ["doc_key"], "value")
-        if os.path.isdir(state_dir):
-            prev = sp.read.parquet(state_dir)
-            merged = merge_states(prev, delta, ["doc_key"])
-        else:
-            merged = delta
-        # state is key-bounded: collect-free, small rewrite per batch
-        out = merged.localCheckpoint(eager=True)
-        out.write.mode("overwrite").parquet(state_dir)
+        # versioned, replay-idempotent fold (state is key-bounded)
+        fold_state_dir(
+            batch.sparkSession, state_dir, delta, batch_id, ["doc_key"]
+        )
 
     q = (
         spark.readStream.schema(events.schema)
@@ -383,4 +383,4 @@ def incremental_doc_views_streamed(
         .start()
     )
     q.awaitTermination()
-    return finalize(spark.read.parquet(state_dir))
+    return finalize(read_state_dir(spark, state_dir))

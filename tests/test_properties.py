@@ -351,3 +351,31 @@ def test_incremental_merge_equals_full_agg(spark):
         )
     ).count()
     assert only_b == b.select("k").distinct().count()
+
+
+def test_incremental_fold_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-folding the same batch_id
+    must reproduce identical state, never double-merge its delta."""
+    from click_streaming_data_pipeline_spark.operators.incremental import (
+        agg_state,
+        finalize,
+        fold_state_dir,
+        read_state_dir,
+    )
+
+    rows = [(k, float(v)) for k in range(3) for v in range(5)]
+    df = spark.createDataFrame(rows, "k int, value double")
+    d0 = agg_state(df.filter("value < 2"), ["k"], "value")
+    d1 = agg_state(df.filter("value >= 2"), ["k"], "value")
+    sd = str(tmp_path / "state")
+
+    fold_state_dir(spark, sd, d0, 0, ["k"])
+    fold_state_dir(spark, sd, d1, 1, ["k"])
+    once = sorted(map(tuple, finalize(read_state_dir(spark, sd)).collect()))
+    # replay batch 1 (crash-after-commit scenario)
+    fold_state_dir(spark, sd, d1, 1, ["k"])
+    replayed = sorted(map(tuple, finalize(read_state_dir(spark, sd)).collect()))
+    assert once == replayed
+    # and the state equals the from-scratch aggregation
+    full = sorted(map(tuple, finalize(agg_state(df, ["k"], "value")).collect()))
+    assert once == full

@@ -127,19 +127,7 @@ def quality_issues_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "quality_events_full",
-    oracle=None,  # nested arrays/structs: schema + values pytest-gated
-    doc=(
-        "H2/H3 full enriched-event contract (data-quality "
-        "main.py:127-161; FIXTURES.md section 5): flattened doc fields "
-        "+ nested quality_checks struct + quality_issues "
-        "array<struct> + provider/model metadata — the quality.checks "
-        "topic payload"
-    ),
-    tags=("quality", "streaming"),
-)
-def quality_events_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_events_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     cols = quality_check_columns("text", "n_chars")
     issue_structs = F.array(
@@ -182,4 +170,27 @@ def quality_events_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("heuristic").alias("quality_provider"),
         F.lit("rules-v1").alias("quality_model"),
         F.lit("2024-01-01T00:00:00Z").alias("quality_checked_at"),
+    )
+
+
+@query(
+    "quality_events_full",
+    oracle=None,  # nested payload: schema + values pytest-gated
+    doc=(
+        "H2/H3 full enriched-event contract (data-quality "
+        "main.py:127-161; FIXTURES.md section 5): flattened doc fields "
+        "+ nested quality_checks struct + quality_issues array<struct> "
+        "+ provider/model metadata — the quality.checks topic payload. "
+        "The catalog projection serializes the issues ARRAY to JSON "
+        "because the driver harness canonicalizes every output with "
+        "pandas, where array cells are unhashable (the r1 "
+        "multimodal_features failure mode); the nested form stays in "
+        "``quality_events_nested`` under the contract pytest."
+    ),
+    tags=("quality", "streaming"),
+)
+def quality_events_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nested = quality_events_nested(spark, sf_dir)
+    return nested.withColumn(
+        "quality_issues", F.to_json("quality_issues")
     )

@@ -148,8 +148,23 @@ def test_llm_provider_error_degrades_to_zero_row():
 
 def test_quality_events_full_contract(spark):
     from click_streaming_data_pipeline_spark.plans import QUERIES
+    from click_streaming_data_pipeline_spark.plans.catalog_quality import (
+        quality_events_nested,
+    )
 
-    df = QUERIES["quality_events_full"].fn(spark, SF_TEST)
+    # the catalog projection must be driver-canonicalizer-safe:
+    # no array/map cells (the r1 multimodal_features failure mode)
+    cat = QUERIES["quality_events_full"].fn(spark, SF_TEST)
+    cat_schema = {f.name: f.dataType.simpleString() for f in cat.schema.fields}
+    assert cat_schema["quality_issues"] == "string"
+    import json
+
+    sample = cat.limit(5).collect()
+    for r in sample:
+        parsed = json.loads(r["quality_issues"]) if r["quality_issues"] else []
+        assert isinstance(parsed, list)
+
+    df = quality_events_nested(spark, SF_TEST)
     schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     assert schema["quality_issues"].startswith("array<struct<")
     assert "completeness:double" in schema["quality_checks"]

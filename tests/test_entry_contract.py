@@ -54,3 +54,20 @@ def test_oracle_sql_mentions_only_registered_tables():
 
 def test_entry_targets_sf0001():
     assert se.SF0001.endswith("sf0.001")
+
+
+def test_no_query_emits_driver_hostile_types(spark):
+    """The driver canonicalizes every output through pandas, where
+    array/map cells are unhashable (the r1 multimodal_features err).
+    Guard the whole catalog: scalar/struct/binary only."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    from .conftest import SF_TEST
+
+    offenders = []
+    for name, fn in sorted(se.queries().items()):
+        df = fn(spark, SF_TEST)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType)):
+                offenders.append((name, f.name))
+    assert not offenders, offenders

@@ -188,3 +188,66 @@ def stratified_sample_summary(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text normalization + sequence packing (pre-tokenization curation)
+
+#: token budget per packed training sequence (stub scale; production
+#: uses the model context length).
+PACK_BUDGET = 512
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical cleaning before hashing/dedup/tokenization: collapse
+    whitespace runs, strip control characters, trim. Deterministic
+    pure expressions — normalization differences are a classic source
+    of missed exact-dup matches, so every dedup pass should hash the
+    NORMALIZED form."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_ctl = F.regexp_replace(c, "[\\x00-\\x1f\\x7f]", " ")
+    collapsed = F.regexp_replace(no_ctl, " {2,}", " ")
+    return F.trim(collapsed)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "lang",
+    budget: int = PACK_BUDGET,
+) -> DataFrame:
+    """Contiguous sequence packing: docs line up in ``id_col`` order
+    within each shard and bin ``bin_id`` starts every ``budget``
+    tokens (a doc straddling a boundary belongs to the bin where it
+    starts). The deterministic form of the packing step that turns a
+    ragged corpus into fixed-budget training sequences.
+
+    Scale: packing is a running sum — inherently sequential — so it
+    shards by ``shard_col`` (language here; production uses a hash
+    bucket sized to taste): one window pass per shard partition, no
+    global sort. All integer math: bit-exact across engines.
+    """
+    from pyspark.sql.window import Window
+
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    toks = docs.select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    start = (
+        F.sum("n_tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        - F.col("n_tokens")
+    )
+    return toks.select(
+        "shard",
+        id_col,
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / budget).cast("bigint").alias("bin_id"),
+    )

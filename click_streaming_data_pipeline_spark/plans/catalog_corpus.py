@@ -389,3 +389,75 @@ def lm_quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tfidf_keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_keywords(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "normalize_text",
+    oracle=r"""
+        SELECT doc_id,
+               trim(regexp_replace(
+                   regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+                   ' {2,}', ' ', 'g')) AS normalized_text,
+               length(text)
+                 - length(trim(regexp_replace(
+                       regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+                       ' {2,}', ' ', 'g'))) AS chars_removed
+        FROM documents
+    """,
+    doc=(
+        "extension (corpus curation): text normalization — control "
+        "chars -> space, whitespace runs collapsed, trimmed; the "
+        "canonical form every dedup/hash pass should consume "
+        "(normalization drift is a classic source of missed exact "
+        "dups). Pure expressions, one codegen pass; planted pytest "
+        "exercises the dirty-input cases the clean corpus lacks."
+    ),
+    tags=("corpus", "text"),
+)
+def normalize_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.corpus import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text("text")
+    return docs.select(
+        "doc_id",
+        norm.alias("normalized_text"),
+        (F.length("text") - F.length(norm)).alias("chars_removed"),
+    )
+
+
+@query(
+    "pack_sequences",
+    oracle="""
+        WITH toks AS (
+            SELECT lang AS shard, doc_id,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        runs AS (
+            SELECT shard, doc_id, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) - n_tokens AS start_offset
+            FROM toks
+        )
+        SELECT shard, doc_id, n_tokens, start_offset,
+               CAST(floor(start_offset / 512) AS BIGINT) AS bin_id
+        FROM runs
+    """,
+    doc=(
+        "extension (corpus curation): SEQUENCE PACKING — docs line up "
+        "per shard (language) in id order and 512-token bins start "
+        "every budget tokens; the deterministic packing step that "
+        "turns a ragged corpus into fixed-budget training sequences. "
+        "Running sums are inherently sequential, so packing shards by "
+        "a partition key (one window pass per shard, no global sort); "
+        "all integer math — bit-exact across engines."
+    ),
+    tags=("corpus", "window"),
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.corpus import pack_sequences
+
+    return pack_sequences(load_table(spark, sf_dir, "documents"))

@@ -217,3 +217,52 @@ def test_stratified_sample_quota_monotone(spark):
     assert rep["es"]["n_kept"] / rep["es"]["n_docs"] <= 0.45
     assert rep["de"]["n_kept"] == 0 and rep["de"]["tokens_kept"] == 0
     assert all(r["tokens_kept"] <= r["tokens_total"] for r in rep.values())
+
+
+def test_normalize_text_dirty_inputs(spark):
+    from click_streaming_data_pipeline_spark.extensions.corpus import (
+        normalize_text,
+    )
+
+    rows = [
+        (1, "a\tb\nc"),              # tabs/newlines are control chars
+        (2, "  spaced   out  "),     # runs + surrounding whitespace
+        (3, "clean text"),
+        (4, "ctrl\x01\x02chars"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", normalize_text("text").alias("n")
+        ).collect()
+    }
+    assert got[1] == "a b c"
+    assert got[2] == "spaced out"
+    assert got[3] == "clean text"
+    assert got[4] == "ctrl chars"
+
+
+def test_pack_sequences_invariants(spark):
+    from click_streaming_data_pipeline_spark.extensions.corpus import (
+        pack_sequences,
+    )
+    from click_streaming_data_pipeline_spark.sources import load_table
+
+    out = pack_sequences(
+        load_table(spark, SF_TEST, "documents"), budget=100
+    ).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        # offsets are contiguous: each doc starts where the last ended
+        off = 0
+        for r in rows:
+            assert r["start_offset"] == off
+            assert r["bin_id"] == off // 100
+            off += r["n_tokens"]
+        # bin ids are monotone non-decreasing in doc order
+        bins = [r["bin_id"] for r in rows]
+        assert bins == sorted(bins)

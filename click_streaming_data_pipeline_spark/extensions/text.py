@@ -232,3 +232,79 @@ def tfidf_keywords(
         )
         .filter(F.col("rank") <= k)
     )
+
+
+#: a bigram is "known" when the corpus contains it at least this many
+#: times; 2 excludes bigrams unique to a single position (a document's
+#: own hapax transitions), the cheap fluency signal.
+BIGRAM_MIN_COUNT = 2
+
+#: accept a document when at least this fraction of its bigrams is
+#: known corpus-wide.
+KNOWN_FRAC_MIN = 0.5
+
+
+def _doc_bigrams(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, bigram) rows — adjacent token pairs, space-joined. The
+    token array materializes through a projection boundary so split
+    evaluates once per row (the doc_shingles lesson)."""
+    tok = scan_parallel(docs).select(
+        F.col(id_col),
+        F.split(F.lower(F.col(text_col)), " ").alias("__t"),
+    )
+    idx = F.sequence(F.lit(1), F.size("__t") - 1)
+    mk = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.element_at("__t", i), F.element_at("__t", i + 1)
+    )
+    bigrams = F.when(F.size("__t") >= 2, F.transform(idx, mk)).otherwise(
+        F.expr("CAST(array() AS array<string>)")
+    )
+    return tok.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+
+
+def bigram_fluency(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = BIGRAM_MIN_COUNT,
+) -> DataFrame:
+    """Bigram-LM fluency filter: fraction of a document's token
+    transitions that the corpus has seen at least ``min_count`` times
+    — the sequence-aware sibling of ``lm_quality_score`` (shuffled or
+    word-salad text keeps a plausible unigram profile but its
+    TRANSITIONS go unseen). Integer counts and one exactly-rounded
+    division: bit-portable, like the rest of the family.
+
+    Plan shape: bigram counts are vocab^2-bounded (and long-tail
+    sparse) — still broadcastable after the min_count filter at any
+    realistic scale; checkpointed so the join doesn't replay the
+    corpus scan; one doc-keyed shuffle for the final groupBy.
+    """
+    bg = _doc_bigrams(docs, id_col=id_col, text_col=text_col)
+    counts = (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("bg_count"))
+        .filter(F.col("bg_count") >= min_count)
+        .localCheckpoint(eager=True)
+    )
+    per_doc = (
+        bg.join(F.broadcast(counts), "bigram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(
+                F.col("bg_count").isNotNull().cast("long")
+            ).alias("n_known"),
+        )
+    )
+    known_frac = F.col("n_known").cast("double") / F.col("n_bigrams")
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        "n_known",
+        known_frac.alias("known_frac"),
+        (known_frac >= F.lit(KNOWN_FRAC_MIN)).alias("fluency_accept"),
+    )

@@ -461,3 +461,52 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.corpus import pack_sequences
 
     return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+_BIGRAM_KNOWN = (
+    "sum(CASE WHEN c.bg_count IS NOT NULL THEN 1 ELSE 0 END)"
+)
+
+
+@query(
+    "bigram_fluency",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, {_TOKS} AS t FROM documents
+        ),
+        bg0 AS (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(t) >= 2
+                          THEN [t[i] || ' ' || t[i+1]
+                                for i in generate_series(1, len(t)-1)]
+                          ELSE CAST([] AS VARCHAR[]) END) AS bigram
+            FROM tok
+        ),
+        counts AS (
+            SELECT bigram, count(*) AS bg_count
+            FROM bg0 GROUP BY 1 HAVING count(*) >= 2
+        )
+        SELECT doc_id,
+               count(*) AS n_bigrams,
+               {_BIGRAM_KNOWN} AS n_known,
+               CAST({_BIGRAM_KNOWN} AS DOUBLE) / count(*) AS known_frac,
+               (CAST({_BIGRAM_KNOWN} AS DOUBLE) / count(*)
+                   >= CAST(0.5 AS DOUBLE)) AS fluency_accept
+        FROM bg0 LEFT JOIN counts c USING (bigram)
+        GROUP BY doc_id
+    """,
+    doc=(
+        "extension (corpus curation): bigram-LM fluency filter — "
+        "fraction of each document's token TRANSITIONS seen >= 2 "
+        "times corpus-wide; the sequence-aware sibling of "
+        "lm_quality_score (word-salad keeps a plausible unigram "
+        "profile; its transitions don't). Bigram table is "
+        "vocab^2-bounded/long-tail-sparse -> broadcast after the "
+        "min-count filter; integer sums + one exact division."
+    ),
+    tags=("corpus", "text"),
+)
+def bigram_fluency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.text import bigram_fluency
+
+    return bigram_fluency(load_table(spark, sf_dir, "documents"))

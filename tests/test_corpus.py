@@ -266,3 +266,29 @@ def test_pack_sequences_invariants(spark):
         # bin ids are monotone non-decreasing in doc order
         bins = [r["bin_id"] for r in rows]
         assert bins == sorted(bins)
+
+
+def test_bigram_fluency_word_salad_rejected(spark):
+    """Fluent docs share transitions; a shuffled 'word salad' doc with
+    the same unigram profile has unseen transitions and is rejected —
+    the signal unigram LM scoring cannot provide."""
+    from click_streaming_data_pipeline_spark.extensions.text import (
+        bigram_fluency,
+        lm_quality_score,
+    )
+
+    fluent = "the data table joins the data table fast "
+    rows = [(i, (fluent * 6).strip()) for i in range(6)]
+    # same vocabulary, scrambled ONCE (no within-doc repeats, so its
+    # bigrams can't self-certify via the min-count threshold): same
+    # unigram mass, alien transitions
+    rows.append((6, "data the table data joins fast table the"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    flu = {r["doc_id"]: r for r in bigram_fluency(docs).collect()}
+    for i in range(6):
+        assert flu[i]["fluency_accept"], i
+        assert flu[i]["known_frac"] > 0.9
+    assert not flu[6]["fluency_accept"]
+    # unigram scorer sees nothing wrong with the salad (same tokens)
+    lm = {r["doc_id"]: r for r in lm_quality_score(docs).collect()}
+    assert lm[6]["lm_accept"]

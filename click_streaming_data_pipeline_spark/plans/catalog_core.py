@@ -1035,3 +1035,93 @@ def value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("zscore") > 3.0) | (F.col("zscore") < -3.0))
         .select("event_id", "event_type", "value", "zscore")
     )
+
+
+@query(
+    "rolling_hour_value",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL '1 hour' PRECEDING
+                         AND CURRENT ROW
+               ) AS DOUBLE) AS rolling_value,
+               COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL '1 hour' PRECEDING
+                         AND CURRENT ROW
+               ) AS rolling_events
+        FROM events
+    """,
+    doc=(
+        "beyond-reference breadth: TIME-RANGE window frames — per "
+        "user, the trailing-1-hour value sum and event count at every "
+        "event (RANGE BETWEEN INTERVAL frames, the event-time sibling "
+        "of the ROWS frames in user_activity_timeline); one shuffle "
+        "on user_id, decimal-exact sums. Ties in ts are absorbed by "
+        "the RANGE frame (peers aggregate together), so the result "
+        "is deterministic without an event_id tie-break."
+    ),
+    tags=("window",),
+)
+def rolling_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # RANGE frames over timestamps: order by the epoch scalar and
+    # bound by seconds (Spark's rangeBetween takes numeric bounds)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_value"),
+        F.count("*").over(w).alias("rolling_events"),
+    )
+
+
+@query(
+    "priority_order_counts",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_returnflag = 'R'
+          )
+        GROUP BY o_orderpriority
+    """,
+    doc=(
+        "TPC-H Q4 shape: EXISTS decorrelated to a semi-join — "
+        "returned lineitems (the test schema's stand-in for Q4's "
+        "late-delivery predicate) project to keys only before the "
+        "join (column-pruned probe side), the quarter filter pushes "
+        "to the orders scan, and the priority groupBy is tiny. The "
+        "join-family sibling of signature_exists_semijoin on a "
+        "fact-to-fact correlation."
+    ),
+    tags=("join", "agg"),
+)
+def priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    q = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    return (
+        q.join(late, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )

@@ -302,3 +302,135 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "cos", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the composed billion-scale layout
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    nprobe: int | None = None,
+    rerank: int = 5,
+) -> DataFrame:
+    """The canonical composed ANN layout: IVF restricts the search to
+    ``nprobe`` coarse partitions, PQ-ADC scores only the CODES inside
+    them, and the shortlist re-ranks with exact cosine. Per query the
+    scan cost is (nprobe/K of the corpus) x 8-byte codes — both
+    pruning levers at once; neither the full corpus nor any float
+    vector outside the shortlist is touched.
+
+    Built by composition: ``ivf.train_kmeans``'s centroids partition
+    the coded corpus; candidate generation is the same broadcast
+    probe-join as ``ivf_topk``; scoring/re-rank are ``pq_topk``'s.
+    """
+    from .ivf import _assign, _centroid_array_col, train_kmeans
+    from .similarity import cosine as _cos
+
+    centroids = train_kmeans(emb, id_col=id_col, vec_col=vec_col)
+    if nprobe is None:
+        # PQ scoring is cheap per candidate, so probe deeper than
+        # ivf_topk's K/4 default: recall comes from coverage here
+        nprobe = max(1, len(centroids) // 2)
+    codebooks = train_pq_codebooks(emb, id_col=id_col, vec_col=vec_col, dim=dim)
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    cb = _codebook_lit(codebooks)
+
+    coded = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    assigned = _assign(
+        emb.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+        ),
+        centroids,
+        "n_vec",
+    ).select("neighbor_id", "centroid_id")
+    corpus = coded.join(assigned, "neighbor_id")
+
+    def _dtab_m(mi: int) -> Column:
+        sub_q = F.slice("qv", mi * ds + 1, ds)
+        return F.transform(
+            F.element_at(cb, mi + 1), lambda c: _l2sq(sub_q, c)
+        )
+
+    carr = _centroid_array_col(centroids)
+    queries = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            _unit(_as_double(F.col(vec_col))).alias("qv"),
+        )
+        .withColumn("dtab", F.array(*[_dtab_m(mi) for mi in range(m)]))
+        .withColumn(
+            "__ranked",
+            F.reverse(
+                F.array_sort(
+                    F.transform(
+                        carr,
+                        lambda c: F.struct(
+                            _cos(F.col("qv"), c["cvec"]).alias("cos"),
+                            (-c["cid"]).alias("neg_cid"),
+                            c["cid"].alias("cid"),
+                        ),
+                    )
+                )
+            ),
+        )
+        .withColumn(
+            "probe_cids",
+            F.transform(
+                F.slice(F.col("__ranked"), 1, nprobe), lambda s: s["cid"]
+            ),
+        )
+        .select(
+            "query_id", "dtab", F.explode("probe_cids").alias("centroid_id")
+        )
+    )
+    cand = corpus.join(F.broadcast(queries), "centroid_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("dtab"),
+            F.col("codes"),
+            lambda t, c: F.element_at(t, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.select("query_id", "neighbor_id", dist.alias("adc_dist"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    ranked = scored.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    )
+    shortlist = ranked.filter(F.col("rank") <= rerank * k).select(
+        "query_id", "neighbor_id", "adc_dist"
+    )
+    nvec = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+    )
+    qvec = emb.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    exact = (
+        shortlist.join(nvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn("cos", _cos(F.col("q_vec"), F.col("n_vec")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "cos", "rank")
+    )

@@ -584,6 +584,26 @@ def knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "knn_ivfpq_topk",
+    oracle=None,  # approximate by construction; recall gated in pytest
+    doc=(
+        "extension: IVF-PQ — the composed billion-scale ANN layout: "
+        "IVF centroids restrict each query to nprobe coarse "
+        "partitions, PQ-ADC scores only the 8-byte codes inside them "
+        "(per-query scan cost = nprobe/K of the corpus x codes), and "
+        "the shortlist re-ranks by exact cosine. Both pruning levers "
+        "at once; recall@10 ~0.86 on the gate corpus (pytest-pinned)."
+    ),
+    tags=("similarity",),
+)
+def knn_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.pq import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(emb, _QUERY_IDS, k=10)
+
+
+@query(
     "dedup_neardup_streamed",
     # same oracle as the batch LSH pipeline: incremental processing
     # must find exactly the same near-dup pairs

@@ -498,3 +498,34 @@ def test_pagerank_matches_python_oracle(spark):
     # deterministic across independent runs (decimal sums): exact bits
     again = {r["node"]: r["rank"] for r in pagerank(edges_df).collect()}
     assert got == again
+
+
+def test_ivf_pq_recall(spark):
+    """The composed layout must keep most of brute force's top-10
+    while touching only probed partitions' codes."""
+    from click_streaming_data_pipeline_spark.extensions.pq import ivf_pq_topk
+    from click_streaming_data_pipeline_spark.extensions.similarity import (
+        brute_force_topk,
+    )
+    from click_streaming_data_pipeline_spark.sources import load_table
+
+    from .conftest import SF_TEST
+
+    emb = load_table(spark, SF_TEST, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, qids, k=10).collect()
+    }
+    rows = ivf_pq_topk(emb, qids, k=10).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(bf & got) / len(bf)
+    assert recall >= 0.7, recall  # measured 0.86; margin for drift
+    assert all(r["adc_dist"] is not None for r in rows)
+    # per-query exact-rerank ordering holds
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r["rank"])
+        assert all(a["cos"] >= b["cos"] for a, b in zip(rs, rs[1:]))

@@ -251,3 +251,71 @@ def pack_sequences(
         start.alias("start_offset"),
         F.floor(start / budget).cast("bigint").alias("bin_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document boilerplate removal (CCNet-style segment dedup)
+
+#: tokens per non-overlapping segment ("paragraph" analogue for the
+#: whitespace-token corpus; production splits on newlines).
+SEG_TOKENS = 3
+#: a segment appearing in >= this many distinct docs is boilerplate.
+BOILER_MIN_DF = 2
+
+
+def boilerplate_segments(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = SEG_TOKENS,
+    min_df: int = BOILER_MIN_DF,
+) -> DataFrame:
+    """Cross-document boilerplate removal, the CCNet/RefinedWeb line-
+    dedup pass: split each doc into non-overlapping ``seg_tokens``
+    segments, count each segment's document frequency over the WHOLE
+    corpus, drop segments appearing in >= ``min_df`` distinct docs
+    (headers/footers/nav chrome in a real web corpus), and reassemble
+    the cleaned text in original segment order.
+
+    Returns one row per doc: ``n_segments``, ``n_boiler`` (dropped),
+    and ``clean_text`` (kept segments joined in order).
+
+    Scale: one explode (inside the scan stage), one groupBy on the
+    segment string for the df table, one shuffle join back on the
+    segment, one per-doc groupBy. The df table is bounded by distinct
+    segments (vocabulary-like: heavy hitters concentrate), never
+    all-pairs; reassembly uses collect_list bounded by a single doc's
+    segment count. Beyond-reference extension (LLM-corpus curation);
+    no reference twin.
+    """
+    toks = F.split(F.col(text_col), " ")
+    last_idx = F.floor((F.size(toks) - F.lit(1)) / F.lit(seg_tokens)).cast("int")
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), last_idx),
+        lambda i: F.array_join(
+            F.slice(toks, i * seg_tokens + F.lit(1), seg_tokens), " "
+        ),
+    )
+    segs = docs.select(
+        F.col(id_col), F.posexplode(seg_arr).alias("seg_idx", "seg")
+    )
+    df_tab = segs.groupBy("seg").agg(
+        F.countDistinct(id_col).alias("seg_df")
+    )
+    flagged = segs.join(df_tab, "seg")
+    is_boiler = F.col("seg_df") >= F.lit(min_df)
+    kept_struct = F.when(
+        ~is_boiler, F.struct(F.col("seg_idx"), F.col("seg"))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_segments"),
+        F.sum(is_boiler.cast("bigint")).alias("n_boiler"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

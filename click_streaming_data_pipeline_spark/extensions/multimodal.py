@@ -171,3 +171,74 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# windowed energy (the audio lane)
+
+#: stub analysis window/hop in bytes: a real pipeline windows PCM
+#: samples (e.g. 25 ms window / 10 ms hop); the stub windows raw bytes.
+AUDIO_WIN_BYTES = 32
+AUDIO_HOP_BYTES = 16
+
+ENERGY_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("win_idx", LongType()),
+        StructField("win_len", LongType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def audio_energy(
+    assets: DataFrame,
+    *,
+    win: int = AUDIO_WIN_BYTES,
+    hop: int = AUDIO_HOP_BYTES,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Overlapping windowed energy over audio-like binary columns:
+    window w covers bytes [w*hop, w*hop+win); its stub "energy" is the
+    sum of squared byte values mod 9973 — the integer-exact stand-in
+    for short-time RMS energy a librosa-backed decoder would compute
+    (``decode_stub=False`` raises where that decoder would run).
+    Overlap (hop < win) yields the 1:N fan-out with SHARED input bytes
+    that distinguishes the audio lane from plain frame slicing.
+
+    Scale: like ``sample_frames``, windowing runs inside the scan
+    stage (Arrow ``mapInPandas``, no shuffle); output rows per asset
+    are bounded by len/hop.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real audio decoding requires librosa/soundfile; "
+                    "not available in this environment"
+                )
+            out: dict[str, list] = {
+                "asset_id": [],
+                "media_type": [],
+                "win_idx": [],
+                "win_len": [],
+                "energy": [],
+            }
+            for aid, mt, blob in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["content"]
+            ):
+                b = bytes(blob)
+                for w, start in enumerate(range(0, len(b), hop)):
+                    chunk = b[start : start + win]
+                    out["asset_id"].append(aid)
+                    out["media_type"].append(mt)
+                    out["win_idx"].append(w)
+                    out["win_len"].append(len(chunk))
+                    out["energy"].append(
+                        sum(x * x for x in chunk) % 9973
+                    )
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(batches, schema=ENERGY_SCHEMA)

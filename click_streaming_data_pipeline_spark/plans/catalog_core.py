@@ -1125,3 +1125,104 @@ def priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+@query(
+    "customer_order_distribution",
+    oracle="""
+        WITH per_cust AS (
+            SELECT c.c_custkey,
+                   count(o.o_orderkey) AS n_orders
+            FROM customer c
+            LEFT JOIN orders o
+              ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        )
+        SELECT n_orders, count(*) AS n_customers
+        FROM per_cust GROUP BY n_orders
+    """,
+    doc=(
+        "TPC-H Q13 shape: customer order-count DISTRIBUTION — outer "
+        "join that must preserve zero-order customers (count over the "
+        "null-extended side), then a second tiny histogram aggregate. "
+        "The canonical left-outer + double-aggregation pattern; the "
+        "priority predicate filters the orders side BEFORE the join "
+        "(pushed to the scan), which is only legal on the preserved "
+        "side of an outer join — the planner subtlety Q13 exists to "
+        "exercise."
+    ),
+    tags=("join", "agg"),
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(
+            orders, cust.c_custkey == orders.o_custkey, "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+@query(
+    "large_quantity_orders",
+    oracle=f"""
+        WITH big AS (
+            SELECT l_orderkey,
+                   {dsum_sql('l_quantity', 'sum_qty')}
+            FROM lineitem GROUP BY l_orderkey
+            HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(28,6)))
+                        AS DOUBLE) > CAST(300.0 AS DOUBLE)
+        )
+        SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice, b.sum_qty
+        FROM big b
+        JOIN orders o ON o.o_orderkey = b.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 20
+    """,
+    doc=(
+        "TPC-H Q18 shape: large-quantity orders — the HAVING-on-SUM "
+        "group filter runs FIRST on the widest table (map-side "
+        "partial sums, then the filter kills ~all groups before any "
+        "join), the surviving handful of keys join back to orders and "
+        "customer (both join inputs now tiny => broadcast-able), "
+        "top-k by total price with the unique orderkey tie-break. "
+        "Exact-decimal sums keep the HAVING threshold and output "
+        "bit-identical across engines."
+    ),
+    tags=("join", "agg", "topk"),
+)
+def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > 300.0)
+    )
+    return (
+        big.join(
+            orders, big.l_orderkey == orders.o_orderkey
+        )
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )

@@ -510,3 +510,58 @@ def bigram_fluency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.text import bigram_fluency
 
     return bigram_fluency(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# cross-document boilerplate removal (CCNet-style segment dedup)
+
+
+@query(
+    "boilerplate_removal",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        idx AS (
+            SELECT doc_id, t,
+                   unnest(generate_series(
+                       0, CAST((len(t) - 1) // 3 AS BIGINT))) AS seg_idx
+            FROM base
+        ),
+        seg2 AS (
+            SELECT doc_id, seg_idx,
+                   array_to_string(
+                       t[seg_idx * 3 + 1 : seg_idx * 3 + 3], ' ') AS seg
+            FROM idx
+        ),
+        dfc AS (
+            SELECT seg, count(DISTINCT doc_id) AS seg_df
+            FROM seg2 GROUP BY seg
+        ),
+        j AS (
+            SELECT s.doc_id, s.seg_idx, s.seg, d.seg_df
+            FROM seg2 s JOIN dfc d USING (seg)
+        )
+        SELECT doc_id,
+               count(*) AS n_segments,
+               CAST(sum(CASE WHEN seg_df >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_boiler,
+               coalesce(string_agg(CASE WHEN seg_df < 2 THEN seg END,
+                                   ' ' ORDER BY seg_idx), '')
+                   AS clean_text
+        FROM j GROUP BY doc_id
+    """,
+    doc=(
+        "extension (corpus curation): cross-document BOILERPLATE "
+        "REMOVAL, the CCNet/RefinedWeb line-dedup pass — split docs "
+        "into non-overlapping 3-token segments, count corpus-wide "
+        "document frequency per segment, drop segments in >= 2 docs, "
+        "reassemble clean text in order. One explode + one df groupBy "
+        "+ one join back; never all-pairs."
+    ),
+    tags=("corpus", "dedup"),
+)
+def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.corpus import boilerplate_segments
+
+    return boilerplate_segments(load_table(spark, sf_dir, "documents"))

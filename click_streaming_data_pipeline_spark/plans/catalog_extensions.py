@@ -658,3 +658,54 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_dedup(docs, threshold=0.8)
     return neardup_clusters(pairs)
+
+
+@query(
+    "audio_energy_windows",
+    # exact oracle on the stub decode: overlapping byte windows of the
+    # ASCII corpus; energy = sum of squared char codes mod 9973 (same
+    # trick as video_frame_samples, plus overlap: hop 16 < win 32).
+    oracle="""
+        WITH a AS (
+            SELECT doc_id AS asset_id, 'audio/wav' AS media_type,
+                   text, length(text) AS blen
+            FROM documents
+        ),
+        w AS (
+            SELECT asset_id, media_type, text, blen,
+                   unnest(generate_series(
+                       0, CAST((blen + 15) // 16 - 1 AS BIGINT)
+                   )) AS win_idx
+            FROM a WHERE blen > 0
+        )
+        SELECT asset_id, media_type, win_idx,
+               least(CAST(32 AS BIGINT), blen - win_idx * 16)
+                   AS win_len,
+               CAST(coalesce(list_aggregate(list_transform(
+                        generate_series(win_idx * 16 + 1,
+                            least(win_idx * 16 + 32, blen)),
+                        j -> ord(text[j]) * ord(text[j])), 'sum'),
+                    0) % 9973 AS BIGINT) AS energy
+        FROM w
+    """,
+    doc=(
+        "extension (multimodal, audio lane): overlapping WINDOWED "
+        "ENERGY — hop-16/win-32 byte windows per binary asset with a "
+        "sum-of-squares stub energy, the short-time-RMS shape a "
+        "librosa-backed decoder would produce, through the same Arrow "
+        "mapInPandas scan-stage fan-out as the video lane (decode "
+        "stubbed — codecs absent — windowing math exact and fully "
+        "oracle-checked on the ASCII corpus)."
+    ),
+    tags=("multimodal",),
+)
+def audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.multimodal import audio_energy
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("audio/wav").alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+    return audio_energy(assets)

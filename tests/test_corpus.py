@@ -292,3 +292,44 @@ def test_bigram_fluency_word_salad_rejected(spark):
     # unigram scorer sees nothing wrong with the salad (same tokens)
     lm = {r["doc_id"]: r for r in lm_quality_score(docs).collect()}
     assert lm[6]["lm_accept"]
+
+
+def test_boilerplate_segments_planted(spark):
+    from click_streaming_data_pipeline_spark.extensions.corpus import (
+        boilerplate_segments,
+    )
+
+    # "nav home about" is planted in 3 docs (boilerplate); each doc
+    # also carries a unique tail segment that must survive, in order.
+    docs = spark.createDataFrame(
+        [
+            (1, "nav home about alpha beta gamma"),
+            (2, "nav home about delta echo foxtrot"),
+            (3, "nav home about golf hotel india"),
+            (4, "juliet kilo lima mike november oscar"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_segments(docs, min_df=2).collect()
+    }
+    assert out[1]["n_segments"] == 2 and out[1]["n_boiler"] == 1
+    assert out[1]["clean_text"] == "alpha beta gamma"
+    assert out[2]["clean_text"] == "delta echo foxtrot"
+    # doc 4 shares nothing: everything kept, original order
+    assert out[4]["n_boiler"] == 0
+    assert out[4]["clean_text"] == "juliet kilo lima mike november oscar"
+
+
+def test_boilerplate_all_removed_yields_empty_text(spark):
+    from click_streaming_data_pipeline_spark.extensions.corpus import (
+        boilerplate_segments,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "nav home about"), (2, "nav home about")],
+        "doc_id long, text string",
+    )
+    rows = boilerplate_segments(docs, min_df=2).collect()
+    assert all(r["clean_text"] == "" and r["n_boiler"] == 1 for r in rows)

@@ -529,3 +529,40 @@ def test_ivf_pq_recall(spark):
     for rs in by_q.values():
         rs.sort(key=lambda r: r["rank"])
         assert all(a["cos"] >= b["cos"] for a, b in zip(rs, rs[1:]))
+
+
+def test_audio_energy_windows_semantics(spark):
+    from click_streaming_data_pipeline_spark.extensions.multimodal import (
+        audio_energy,
+    )
+
+    rows = [
+        (1, "audio/wav", b"a" * 40),  # windows at 0 (32 bytes), 16 (24), 32 (8)
+        (2, "audio/wav", b""),        # empty blob -> no windows
+        (3, "audio/wav", b"z" * 8),   # single short window
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, media_type string, content binary"
+    )
+    got = audio_energy(assets).collect()
+    a1 = sorted(
+        (r for r in got if r["asset_id"] == 1), key=lambda r: r["win_idx"]
+    )
+    # overlapping hop-16/win-32 windows over 40 bytes
+    assert [(r["win_idx"], r["win_len"]) for r in a1] == [
+        (0, 32), (1, 24), (2, 8),
+    ]
+    sq = ord("a") * ord("a")
+    assert [r["energy"] for r in a1] == [
+        (32 * sq) % 9973, (24 * sq) % 9973, (8 * sq) % 9973,
+    ]
+    assert not [r for r in got if r["asset_id"] == 2]
+    a3 = [r for r in got if r["asset_id"] == 3]
+    assert len(a3) == 1 and a3[0]["win_len"] == 8
+    assert a3[0]["energy"] == (8 * ord("z") * ord("z")) % 9973
+    # overlap property: consecutive windows share win-hop bytes, so
+    # a constant blob gives monotone-equal energies until the tail
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        audio_energy(assets, decode_stub=False).collect()

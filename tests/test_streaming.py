@@ -285,3 +285,58 @@ def test_interval_join_binned_equals_plain(spark):
         interval_join_binned(clicks, purch, gap_seconds=3600).select(*cols)
     )
     assert plain == binned
+
+
+def test_tws_user_state_equals_batch(spark, tmp_path):
+    """Spark 4 v2 stateful API (transformWithStateInPandas) parity
+    with the batch twin. Auto-skips where the TWS protobuf runtime is
+    absent (this container); runs wherever protobuf is installed."""
+    import pytest as _pytest
+
+    from click_streaming_data_pipeline_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        tws_runtime_available,
+        user_state_batch,
+        user_state_stream_tws,
+    )
+
+    if not tws_runtime_available():
+        _pytest.skip("transformWithStateInPandas needs google.protobuf")
+
+    from click_streaming_data_pipeline_spark.sources import load_table
+
+    events = load_table(spark, SF_TEST, "events")
+    src = str(tmp_path / "in")
+    events.repartition(6).write.mode("overwrite").parquet(src)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    try:
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        q = (
+            user_state_stream_tws(stream)
+            .writeStream.queryName("tws_parity")
+            .format("memory")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        from click_streaming_data_pipeline_spark.operators.upsert import (
+            latest_rows,
+        )
+
+        res = latest_rows(spark.table("tws_parity"), ["user_id"], ["total_events"])
+        batch = user_state_batch(events)
+        assert res.exceptAll(batch).count() == 0
+        assert batch.exceptAll(res).count() == 0
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )

@@ -242,15 +242,19 @@ def minhash_signatures_from_docs(
         F.col(id_col),
         F.array_distinct(_shingles_from_tokens(F.col("__t"), 3)).alias("__f"),
     ).filter(F.size("__f") > 0)
+    def seed_hash(s: int):
+        # closure factory, NOT `lambda x, s=s`: a second lambda param
+        # (even defaulted) selects transform's BINARY (element, index)
+        # form and the "seed" silently becomes the index column
+        prefix = f"{s}:"
+        return lambda x: F.md5(F.concat(F.lit(prefix), x))
+
     hashed = feats.select(
         F.col(id_col),
         *[
-            F.array_min(
-                F.transform(
-                    F.col("__f"),
-                    lambda x, s=s: F.md5(F.concat(F.lit(f"{s}:"), x)),
-                )
-            ).alias(f"mh_{s}")
+            F.array_min(F.transform(F.col("__f"), seed_hash(s))).alias(
+                f"mh_{s}"
+            )
             for s in range(n_hashes)
         ],
     )
@@ -295,32 +299,35 @@ def jaccard_for_pairs(
 ) -> DataFrame:
     """Exact Jaccard restricted to the given (id_a, id_b) pairs —
     cost proportional to the candidate set, NOT all pairs. This is
-    what makes LSH worthwhile: verification joins the (small)
-    candidate list against per-doc shingle sets instead of self-
-    joining the whole postings table."""
-    counts = shingle_df.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    sh_a = shingle_df.select(
-        F.col(id_col).alias("id_a"), F.col("shingle")
+    what makes LSH worthwhile.
+
+    Shape: fold each doc's shingles into ONE array row (bounded by a
+    single document's length, so safe at any corpus scale), then two
+    equi-joins land both sets on the candidate row and
+    ``array_intersect`` computes the overlap in-row. Compared to the
+    previous postings-level (id, shingle)=(id, shingle) join this
+    removes the widest shuffle of the verify stage — the join keys
+    are doc ids, never the shingle strings. Pairs with zero overlap
+    emit jaccard 0.0 (callers threshold-filter)."""
+    sets = shingle_df.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("__set"),
+        F.count("*").alias("__n"),
     )
-    sh_b = shingle_df.select(
-        F.col(id_col).alias("__idb"), F.col("shingle").alias("__shb")
+    a = sets.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__set").alias("__set_a"),
+        F.col("__n").alias("__n_a"),
     )
-    inter = (
-        pairs.join(sh_a, "id_a")
-        .join(
-            sh_b,
-            (F.col("id_b") == F.col("__idb"))
-            & (F.col("shingle") == F.col("__shb")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+    b = sets.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__set").alias("__set_b"),
+        F.col("__n").alias("__n_b"),
     )
-    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    inter = F.size(F.array_intersect(F.col("__set_a"), F.col("__set_b")))
+    jac = inter / (F.col("__n_a") + F.col("__n_b") - inter)
     return (
-        inter.join(ca, "id_a")
-        .join(cb, "id_b")
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
     )
 

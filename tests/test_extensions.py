@@ -566,3 +566,22 @@ def test_audio_energy_windows_semantics(spark):
 
     with _pytest.raises(Exception):
         audio_energy(assets, decode_stub=False).collect()
+
+
+def test_minhash_array_path_equals_explode_path(spark):
+    """The transform-array signature path must produce bit-identical
+    signatures to the explode+groupBy path (regression: the binary-
+    lambda index capture silently replaced the seed prefix with a
+    plan-internal variable name, making the hash family depend on
+    expression numbering)."""
+    from click_streaming_data_pipeline_spark.extensions.dedup import (
+        doc_shingles,
+        minhash_signatures,
+        minhash_signatures_from_docs,
+    )
+
+    docs = load_table(spark, SF_TEST, "documents")
+    a = minhash_signatures(doc_shingles(docs))
+    b = minhash_signatures_from_docs(docs)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0

@@ -1226,3 +1226,166 @@ def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(20)
     )
+
+
+@query(
+    "revenue_grouping_sets",
+    oracle=f"""
+        WITH base AS (
+            SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+                   o_totalprice
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+        )
+        SELECT n_name, o_year,
+               CAST(GROUPING(n_name) AS INT) AS g_nation,
+               CAST(GROUPING(o_year) AS INT) AS g_year,
+               count(*) AS n_orders,
+               {dsum_sql('o_totalprice', 'revenue')}
+        FROM base
+        GROUP BY GROUPING SETS ((n_name, o_year), (n_name), (o_year), ())
+    """,
+    doc=(
+        "analytics breadth: GROUPING SETS over (nation, year) — the "
+        "general form of rollup_revenue's hierarchy (detail, each "
+        "single-axis margin, grand total in ONE pass over the join; "
+        "Spark expands sets map-side, so the fact is read once, not "
+        "once per set). GROUPING() markers disambiguate real NULLs "
+        "from margin rows; exact-decimal sums keep every margin "
+        "bit-identical across engines."
+    ),
+    tags=("agg",),
+)
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    base = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            "o_totalprice",
+        )
+    )
+    return (
+        base.groupingSets(
+            [["n_name", "o_year"], ["n_name"], ["o_year"], []],
+            "n_name",
+            "o_year",
+        )
+        .agg(
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.grouping("o_year").cast("int").alias("g_year"),
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+        )
+        .select(
+            "n_name", "o_year", "g_nation", "g_year", "n_orders", "revenue"
+        )
+    )
+
+
+@query(
+    "customer_value_deciles",
+    oracle="""
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               CAST(ntile(10) OVER w AS INT) AS decile,
+               CAST(percent_rank() OVER w AS DOUBLE) AS pct_rank,
+               CAST(cume_dist() OVER w AS DOUBLE) AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal, c_custkey)
+    """,
+    doc=(
+        "analytics breadth: distribution-rank window family — "
+        "ntile/percent_rank/cume_dist per market segment. "
+        "Partitioned windows (segment-local sorts), NOT a global "
+        "ORDER BY: each partition ranks independently, so the plan "
+        "scales with the largest segment, and the (acctbal, custkey) "
+        "order is total => every rank is deterministic. percent_rank "
+        "and cume_dist are single IEEE divisions of small integers — "
+        "bit-portable."
+    ),
+    tags=("window",),
+)
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).cast("double").alias("pct_rank"),
+        F.cume_dist().over(w).cast("double").alias("cume"),
+    )
+
+
+@query(
+    "cheapest_supplier",
+    oracle="""
+        WITH r AS (
+            SELECT l_partkey, l_extendedprice, l_suppkey,
+                   row_number() OVER (
+                       PARTITION BY l_partkey
+                       ORDER BY l_extendedprice, l_suppkey) AS rn
+            FROM lineitem
+        )
+        SELECT r.l_partkey, p.p_name,
+               r.l_extendedprice AS best_price,
+               s.s_name AS best_supplier
+        FROM r
+        JOIN part p ON p.p_partkey = r.l_partkey
+        JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        WHERE rn = 1
+    """,
+    doc=(
+        "TPC-H Q2 shape: min-per-group with ARGUMENT recovery — the "
+        "cheapest (price, supplier) per part. Spark side is "
+        "min(struct(price, suppkey)): a lexicographic struct-min that "
+        "runs as a PARTIAL aggregate (map-side combine, one shuffle "
+        "of one row per part) instead of the window-sort the naive "
+        "row_number form pays; the oracle keeps the row_number "
+        "formulation to prove they're the same function. Unique "
+        "suppkey tie-break makes the argmin total."
+    ),
+    tags=("join", "agg"),
+)
+def cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_suppkey"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    best = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.min(F.struct("l_extendedprice", "l_suppkey")).alias("__m")
+        )
+        .select(
+            "l_partkey",
+            F.col("__m.l_extendedprice").alias("best_price"),
+            F.col("__m.l_suppkey").alias("l_suppkey"),
+        )
+    )
+    return (
+        best.join(part, best.l_partkey == part.p_partkey)
+        .join(supp, best.l_suppkey == supp.s_suppkey)
+        .select(
+            "l_partkey",
+            "p_name",
+            "best_price",
+            F.col("s_name").alias("best_supplier"),
+        )
+    )

@@ -565,3 +565,44 @@ def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.corpus import boilerplate_segments
 
     return boilerplate_segments(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "corpus_vocabulary",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        )
+        SELECT token, count(*) AS tf,
+               count(DISTINCT doc_id) AS df
+        FROM tok GROUP BY token
+        ORDER BY tf DESC, token LIMIT 100
+    """,
+    doc=(
+        "extension (corpus curation): corpus VOCABULARY table — "
+        "term frequency + document frequency per token, top-100 by "
+        "frequency with the token itself as total-order tie-break. "
+        "The df side feeds max_df caps (jaccard_pairs) and IDF "
+        "weighting (search, tfidf_keywords); one explode + one "
+        "groupBy + TakeOrdered — the word-count shape, never a "
+        "global sort."
+    ),
+    tags=("corpus", "text"),
+)
+def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), "token")
+        .limit(100)
+    )

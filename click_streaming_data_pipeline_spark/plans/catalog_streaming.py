@@ -384,3 +384,57 @@ def trending_topk_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         drained.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 3)
     )
+
+
+@query(
+    "dedup_events_watermarked_streamed",
+    oracle="""
+        SELECT event_id, ts, user_id, event_type, value, props
+        FROM events
+    """,
+    doc=(
+        "I4 streaming exact dedup with BOUNDED state: "
+        "dropDuplicatesWithinWatermark keeps a key's dedup state only "
+        "for the watermark horizon instead of forever — the form that "
+        "survives an unbounded stream (dedup_events_streamed's plain "
+        "dropDuplicates state grows without bound). The horizon here "
+        "covers the dataset's span so the oracle stays exact; "
+        "production sets it to the delivery-retry window."
+    ),
+    tags=("streaming", "dedup"),
+)
+def dedup_events_watermarked_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="csdp_wmdedup_")
+    src = os.path.join(work, "in")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+
+    def rd():
+        return (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+
+    doubled = rd().unionByName(rd())  # at-least-once delivery, simulated
+    deduped = doubled.withWatermark("ts", "35 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = f"wmdedup_{_uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.queryName(name)
+        .format("memory")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )

@@ -1,0 +1,346 @@
+"""Extended TPC-H-shape analytics: the classic warehouse plans not yet
+covered by catalog_core (Q7/Q10/Q14/Q15/Q19/Q22 shapes).
+
+Each query exercises a distinct Catalyst capability at 100 TB scale —
+disjunctive-pair dim filters, conditional-aggregate ratios, scalar
+subquery broadcast, OR-of-ANDs predicate pushdown, window-max argmax
+with ties, and anti-join against a filtered fact. Reference parity:
+these are generic warehouse query shapes the reference's relational
+surface (SURVEY.md section 2 C/D/E) implies; exact math follows
+functions/exact.py so every oracle is a bit-identical hash match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+from .registry import davg_sql, dsum, dsum_sql, query
+
+_REVENUE_SQL = "l_extendedprice * (1 - l_discount)"
+
+
+@query(
+    "returned_item_customers",
+    oracle=f"""
+        SELECT c_custkey, c_name,
+               {dsum_sql(_REVENUE_SQL, 'revenue')},
+               c_acctbal, n_name
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    doc=(
+        "TPC-H Q10 shape: top-20 customers by returned-item revenue in "
+        "a year — fact-fact shuffle join + broadcast dim + top-k"
+    ),
+    tags=("join", "sort"),
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: both date and returnflag predicates push into the scans
+    (orders prunes ~86% of partitions on a date-partitioned layout);
+    nation broadcasts; final top-20 is TakeOrderedAndProject, never a
+    global sort."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(revenue, "revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "nation_trade_volume",
+    oracle=f"""
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+               {dsum_sql(_REVENUE_SQL, 'volume')}
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        GROUP BY 1, 2, 3
+    """,
+    doc=(
+        "TPC-H Q7 shape: bilateral trade volume between two nations by "
+        "ship year — two broadcast copies of one dim under a "
+        "disjunctive pair predicate"
+    ),
+    tags=("join", "agg"),
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the nation pair filter cuts supplier/customer to 2/25 of
+    rows BEFORE the fact joins (Catalyst pushes each disjunct's
+    equality into the dim scans); lineitem⋈orders shuffles on
+    orderkey; both nation copies broadcast."""
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(dsum(revenue, "volume"))
+    )
+
+
+@query(
+    "promo_revenue_share",
+    oracle=f"""
+        SELECT CAST(100.0 AS DOUBLE) * promo / total AS promo_pct,
+               promo AS promo_revenue, total AS total_revenue
+        FROM (
+            SELECT
+                {dsum_sql(
+                    "CASE WHEN p_type = 'PROMO' THEN " + _REVENUE_SQL
+                    + " ELSE 0 END",
+                    "promo",
+                )},
+                {dsum_sql(_REVENUE_SQL, 'total')}
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+              AND l_shipdate < TIMESTAMP '1997-04-01'
+        )
+    """,
+    doc=(
+        "TPC-H Q14 shape: promo revenue share — conditional-aggregate "
+        "ratio in one pass (sum of CASE / sum), broadcast part dim"
+    ),
+    tags=("join", "agg"),
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: ONE scan computes both the conditional and the total sum
+    (no second pass, no self-join); the month filter pushes into the
+    lineitem scan; part broadcasts."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0))
+    agg = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        dsum(promo, "promo"), dsum(revenue, "total")
+    )
+    return agg.select(
+        (F.lit(100.0) * F.col("promo") / F.col("total")).alias("promo_pct"),
+        F.col("promo").alias("promo_revenue"),
+        F.col("total").alias("total_revenue"),
+    )
+
+
+@query(
+    "top_revenue_suppliers",
+    oracle=f"""
+        WITH srev AS (
+            SELECT l_suppkey AS suppkey,
+                   {dsum_sql(_REVENUE_SQL, 'total_revenue')}
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-04-01'
+            GROUP BY 1
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM srev JOIN supplier ON suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM srev)
+        ORDER BY s_suppkey
+    """,
+    doc=(
+        "TPC-H Q15 shape: supplier(s) with max quarterly revenue — "
+        "argmax over an aggregate with ties kept (window max, no "
+        "second scan of the fact)"
+    ),
+    tags=("agg", "window"),
+)
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one fact scan → per-supplier partial agg; the global max
+    is a window over the (tiny) aggregate, not a re-scan; supplier dim
+    broadcasts onto the winners."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    srev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        dsum(revenue, "total_revenue")
+    )
+    w = Window.partitionBy()
+    winners = srev.withColumn(
+        "__mx", F.max("total_revenue").over(w)
+    ).filter(F.col("total_revenue") == F.col("__mx"))
+    return (
+        winners.join(F.broadcast(sup), winners.suppkey == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "brand_size_revenue",
+    oracle=f"""
+        SELECT {dsum_sql(_REVENUE_SQL, 'revenue')},
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity >= 1 AND l_quantity <= 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+               AND l_quantity >= 10 AND l_quantity <= 35)
+           OR (p_brand = 'Brand#5' AND p_size BETWEEN 20 AND 50
+               AND l_quantity >= 20 AND l_quantity <= 50)
+    """,
+    doc=(
+        "TPC-H Q19 shape: OR-of-ANDs mixed-table predicate — Catalyst "
+        "factors the common part-side/lineitem-side conjuncts out of "
+        "the disjunction and pushes them below the join"
+    ),
+    tags=("join", "agg"),
+)
+def brand_size_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the derived `p_brand IN (...)`/`p_size <= 50` and
+    `l_quantity BETWEEN 1 AND 50` bounds reach the scans (visible as
+    PushedFilters), so the join sees a fraction of both tables; part
+    broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#1") & s.between(1, 15) & (q >= 1) & (q <= 20))
+        | ((b == "Brand#3") & s.between(10, 30) & (q >= 10) & (q <= 35))
+        | ((b == "Brand#5") & s.between(20, 50) & (q >= 20) & (q <= 50))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(dsum(revenue, "revenue"), F.count("*").alias("n_lines"))
+    )
+
+
+@query(
+    "rich_idle_customers",
+    oracle=f"""
+        WITH cutoff AS (
+            SELECT {davg_sql('c_acctbal', 'avg_bal')}
+            FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT c_mktsegment,
+               count(*) AS numcust,
+               {dsum_sql('c_acctbal', 'totacctbal')}
+        FROM customer, cutoff
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderpriority = '1-URGENT'
+          )
+        GROUP BY c_mktsegment
+    """,
+    doc=(
+        "TPC-H Q22 shape: above-average-balance customers with no "
+        "urgent orders — scalar-subquery broadcast + anti-join against "
+        "a filtered fact + group count"
+    ),
+    tags=("join", "agg"),
+)
+def rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the global average reduces to ONE row (partial agg) and
+    cross-joins back as a broadcast literal; the no-urgent-orders test
+    is a shuffle anti-join on custkey (orders pre-filtered on priority
+    and projected to the key column — pushdown + pruning make the anti
+    side narrow)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    cutoff = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(28,6)")).cast("double")
+            / F.count("c_acctbal")
+        ).alias("avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+    )

@@ -2,11 +2,16 @@
 
 Mirrors the reference's scan surface (SURVEY.md section 2 A5-A6): the
 object store / relational tables become parquet-backed DataFrames. The
-driver's parquet files carry ``TIMESTAMP(NANOS)`` columns, which Spark
-rejects unless ``spark.sql.legacy.parquet.nanosAsLong`` is on; we read
-nanos as long and convert with integer division (``DIV 1000`` →
-``timestamp_micros``) so values match DuckDB's nanos→micros truncation
-bit-for-bit.
+driver's parquet layout has changed between rounds, so the loader
+normalises BOTH forms to plain ``TimestampType``:
+
+* ``TIMESTAMP(NANOS)`` (round-1 data): Spark reads it as bigint under
+  ``spark.sql.legacy.parquet.nanosAsLong``; we convert with integer
+  division (``DIV 1000`` → ``timestamp_micros``) to match DuckDB's
+  nanos→micros truncation bit-for-bit.
+* ``timestamp[us]`` (round-2 data): Spark reads it as TIMESTAMP_NTZ;
+  we cast to session-tz TIMESTAMP (the session is pinned to UTC, so
+  the cast is value-preserving and ``unix_*``/window functions work).
 
 At 100 TB these reads are partitioned scans: filters/projections issued
 on the returned DataFrame push down to parquet (verify via
@@ -53,6 +58,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS LONG))")
             )
+    for c, t in dtypes.items():
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources.tables import scan_parallel
 from .dedup import _shingles_from_tokens
@@ -318,4 +319,105 @@ def boilerplate_segments(
             ),
             " ",
         ).alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mixture balancing + filter-funnel observability
+
+#: target per-source token share for mixture rebalancing (uniform over
+#: the 20 test sources; production passes per-domain targets).
+TARGET_SOURCE_SHARE = 0.05
+
+
+def source_mixture_weights(
+    docs: DataFrame,
+    *,
+    target_share: float = TARGET_SOURCE_SHARE,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-mixture rebalancing weights (the Pile/DoReMi-style
+    mixture step): per source, token totals and the sampling weight
+    ``min(1, target_tokens / actual_tokens)`` that downsamples
+    over-represented domains to the target share.
+
+    Scale: one partial-agg shuffle reduces the corpus to #sources
+    rows; the global total is a window over that tiny aggregate (one
+    single-row exchange), never a second corpus scan. All shares are
+    exact integer-over-integer IEEE divisions — bit-identical in the
+    DuckDB oracle."""
+    n_tok = F.size(_tokens(text_col))
+    per_src = (
+        scan_parallel(docs)
+        .select(F.col(source_col), n_tok.alias("__nt"))
+        .groupBy(source_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("__nt").cast("long")).alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    total = F.sum("n_tokens").over(w)
+    target = total.cast("double") * F.lit(float(target_share))
+    return per_src.select(
+        F.col(source_col),
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / total).alias("token_share"),
+        F.least(
+            F.lit(1.0), target / F.col("n_tokens").cast("double")
+        ).alias("sample_weight"),
+    )
+
+
+#: ordered filter stages for the attrition report; each is a
+#: (stage_name, fail-predicate builder) over quality_heuristics cols.
+ATTRITION_STAGES = ("min_tokens", "max_tokens", "mean_token_len", "repetition")
+
+
+def filter_attrition(docs: DataFrame) -> DataFrame:
+    """Filter-funnel observability: how many documents each quality
+    gate removes, applied in pipeline order (docs failing an earlier
+    stage are not re-counted later). Returns one row per stage with
+    n_in / n_fail / n_out — the attrition report a curation pipeline
+    publishes per snapshot.
+
+    Scale: the per-doc flags ride the same single codegen pass as
+    quality_heuristics; the funnel reduces to ONE aggregate row of
+    conditional counts (map-side partial agg), then explodes into the
+    per-stage report rows driver-side math never touches."""
+    m = quality_heuristics(docs)
+    f1 = F.col("n_tokens") < MIN_TOKENS
+    f2 = F.col("n_tokens") > MAX_TOKENS
+    f3 = (F.col("mean_token_len") < MIN_MEAN_TOKEN_LEN) | (
+        F.col("mean_token_len") > MAX_MEAN_TOKEN_LEN
+    )
+    f4 = F.col("dup_3gram_frac") > MAX_DUP_3GRAM_FRAC
+    fails = [f1, f2, f3, f4]
+    # cumulative: a doc is charged to the FIRST stage it fails
+    agg_cols = []
+    survived = F.lit(True)
+    for i, f in enumerate(fails):
+        agg_cols.append(
+            F.sum((survived & f).cast("long")).alias(f"__fail{i}")
+        )
+        survived = survived & ~f
+    row = m.agg(F.count("*").alias("__total"), *agg_cols)
+    stages = []
+    n_in = F.col("__total")
+    for i, name in enumerate(ATTRITION_STAGES):
+        n_fail = F.col(f"__fail{i}")
+        stages.append(
+            F.struct(
+                F.lit(i + 1).cast("long").alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                n_in.alias("n_in"),
+                n_fail.alias("n_fail"),
+                (n_in - n_fail).alias("n_out"),
+            )
+        )
+        n_in = n_in - n_fail
+    return row.select(F.explode(F.array(*stages)).alias("s")).select(
+        "s.stage_idx", "s.stage", "s.n_in", "s.n_fail", "s.n_out"
     )

@@ -287,3 +287,70 @@ def quantize_embeddings(
             / F.lit(float(dim))
         ).alias("recon_mae"),
     )
+
+
+#: own-centroid cosine below this marks an embedding-space outlier
+#: (candidate mislabel / noise document in a curation pass).
+OUTLIER_COS = 0.0
+
+
+def label_centroid_distance(
+    emb: DataFrame,
+    *,
+    dim: int = 64,
+    outlier_cos: float = OUTLIER_COS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid + each vector's cosine to its own centroid —
+    the embedding-space outlier/mislabel detector a curation pipeline
+    runs before training (SemDeDup-adjacent: far-from-centroid docs
+    are noise candidates).
+
+    Exactness: the centroid is a SEQUENTIAL fold over vectors sorted
+    by id (collect_list → sort_array → aggregate), so Spark and the
+    DuckDB oracle produce bit-identical doubles. Scale: the fold
+    collects each label's vectors into one task — the oracle-exact
+    form for the gate; at warehouse scale swap the fold for per-dim
+    partial-agg means (same output column, order-dependent last bits)
+    and broadcast the #labels×dim centroid table, which is what the
+    join below already does."""
+    e = scan_parallel(emb).select(
+        F.col(id_col),
+        F.col(label_col),
+        _as_double(F.col(vec_col)).alias("__v"),
+    )
+    zero = F.array(*[F.lit(0.0) for _ in range(dim)])
+    folded = (
+        e.groupBy(label_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("__v").alias("v")))
+            ).alias("__vs"),
+            F.count("*").alias("__n"),
+        )
+        .select(
+            F.col(label_col).alias("__lbl"),
+            F.transform(
+                F.aggregate(
+                    F.col("__vs"),
+                    zero,
+                    lambda acc, s: F.zip_with(acc, s["v"], lambda a, b: a + b),
+                ),
+                lambda x: x / F.col("__n"),
+            ).alias("__cen"),
+        )
+    )
+    return (
+        e.join(F.broadcast(folded), e[label_col] == folded["__lbl"])
+        .withColumn("cos_centroid", cosine(F.col("__v"), F.col("__cen")))
+        .select(
+            id_col,
+            label_col,
+            "cos_centroid",
+            (F.col("cos_centroid") < F.lit(float(outlier_cos))).alias(
+                "is_outlier"
+            ),
+        )
+    )

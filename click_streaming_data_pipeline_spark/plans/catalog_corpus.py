@@ -606,3 +606,90 @@ def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tf").desc(), "token")
         .limit(100)
     )
+
+
+@query(
+    "source_mixture_weights",
+    oracle="""
+        WITH s AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+            GROUP BY source
+        )
+        SELECT source, n_docs, n_tokens,
+               CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE)
+                   AS token_share,
+               least(
+                   CAST(1.0 AS DOUBLE),
+                   CAST(sum(n_tokens) OVER () AS DOUBLE)
+                       * CAST(0.05 AS DOUBLE)
+                       / CAST(n_tokens AS DOUBLE)
+               ) AS sample_weight
+        FROM s
+    """,
+    doc=(
+        "extension (corpus curation): domain-mixture rebalancing — "
+        "per-source token totals and the min(1, target/actual) "
+        "sampling weight that downsamples over-represented domains "
+        "(the Pile/DoReMi mixture step); one partial-agg shuffle to "
+        "#sources rows, global total via a window over the aggregate"
+    ),
+    tags=("corpus",),
+)
+def source_mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.corpus import source_mixture_weights
+
+    return source_mixture_weights(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "filter_attrition",
+    oracle=f"""
+        WITH {_QH_CTE},
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS total,
+                   CAST(sum(CASE WHEN n_tokens < 20
+                            THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+                   CAST(sum(CASE WHEN n_tokens >= 20 AND n_tokens > 1000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+                   CAST(sum(CASE WHEN n_tokens >= 20 AND n_tokens <= 1000
+                                  AND (mean_token_len < CAST(3.0 AS DOUBLE)
+                                       OR mean_token_len > CAST(10.0 AS DOUBLE))
+                            THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+                   CAST(sum(CASE WHEN n_tokens >= 20 AND n_tokens <= 1000
+                                  AND mean_token_len >= CAST(3.0 AS DOUBLE)
+                                  AND mean_token_len <= CAST(10.0 AS DOUBLE)
+                                  AND dup_3gram_frac > CAST(0.25 AS DOUBLE)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS f4
+            FROM m
+        )
+        SELECT CAST(1 AS BIGINT) AS stage_idx, 'min_tokens' AS stage,
+               total AS n_in, f1 AS n_fail, total - f1 AS n_out FROM agg
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'max_tokens',
+               total - f1, f2, total - f1 - f2 FROM agg
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'mean_token_len',
+               total - f1 - f2, f3, total - f1 - f2 - f3 FROM agg
+        UNION ALL
+        SELECT CAST(4 AS BIGINT), 'repetition',
+               total - f1 - f2 - f3, f4,
+               total - f1 - f2 - f3 - f4 FROM agg
+    """,
+    doc=(
+        "extension (corpus curation): filter-funnel ATTRITION report — "
+        "per-stage n_in/n_fail/n_out with docs charged to the FIRST "
+        "failing gate, pipeline order (Gopher token gates → repetition); "
+        "the per-snapshot observability table a curation pipeline "
+        "publishes; one conditional-count aggregate row exploded into "
+        "stage rows"
+    ),
+    tags=("corpus",),
+)
+def filter_attrition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.corpus import filter_attrition
+
+    return filter_attrition(load_table(spark, sf_dir, "documents"))

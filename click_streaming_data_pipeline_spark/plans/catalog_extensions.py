@@ -709,3 +709,47 @@ def audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.col("text"), "utf-8").alias("content"),
     )
     return audio_energy(assets)
+
+
+@query(
+    "embedding_label_outliers",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        g AS (
+            SELECT label, list(v ORDER BY vec_id) AS vs,
+                   count(*) AS n
+            FROM e GROUP BY label
+        ),
+        c AS (
+            SELECT label,
+                   list_transform(generate_series(1, 64), i ->
+                       list_reduce(
+                           list_transform(vs, x -> x[i]),
+                           (a, b) -> a + b
+                       ) / n
+                   ) AS cen
+            FROM g
+        )
+        SELECT e.vec_id, e.label,
+               {_cos_sql('e.v', 'cen')} AS cos_centroid,
+               {_cos_sql('e.v', 'cen')} < CAST(0.0 AS DOUBLE) AS is_outlier
+        FROM e JOIN c ON e.label = c.label
+    """,
+    doc=(
+        "extension (embedding curation): per-label centroid + own-"
+        "centroid cosine — the embedding-space outlier/mislabel "
+        "detector (SemDeDup-adjacent) run before training; centroid "
+        "is a vec_id-ordered sequential fold so the DuckDB oracle is "
+        "bit-identical, and the #labels x dim centroid table "
+        "broadcasts back onto one corpus scan"
+    ),
+    tags=("similarity", "corpus"),
+)
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.similarity import label_centroid_distance
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroid_distance(emb)

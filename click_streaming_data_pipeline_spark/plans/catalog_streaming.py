@@ -438,3 +438,68 @@ def dedup_events_watermarked_streamed(
     return spark.table(name).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
+
+
+@query(
+    "segment_revenue_streamed",
+    oracle=f"""
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_events,
+               {dsum_sql('value', 'total_value')}
+        FROM events
+        JOIN customer ON user_id = c_custkey
+        WHERE event_type = 'purchase'
+        GROUP BY c_mktsegment
+    """,
+    doc=(
+        "beyond-reference streaming: STREAM-STATIC enrichment join — "
+        "purchase events arrive as a micro-batched stream and join a "
+        "static customer dimension (broadcast per micro-batch, the "
+        "Structured Streaming dimension-enrichment idiom; at 100 TB "
+        "the dim is a slowly-changing broadcast or a state-store "
+        "lookup), then fold into per-segment running revenue; the "
+        "drained complete-mode state must equal the all-batch join"
+    ),
+    tags=("streaming", "join"),
+)
+def segment_revenue_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    work = tempfile.mkdtemp(prefix="csdp_segrev_")
+    src = os.path.join(work, "in")
+    events.repartition(6).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 3)
+        .parquet(src)
+        .filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("__tv"),
+        )
+    )
+    name = f"segrev_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.queryName(name)
+        .format("memory")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "c_mktsegment",
+        "n_events",
+        F.col("__tv").cast("double").alias("total_value"),
+    )

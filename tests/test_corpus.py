@@ -333,3 +333,95 @@ def test_boilerplate_all_removed_yields_empty_text(spark):
     )
     rows = boilerplate_segments(docs, min_df=2).collect()
     assert all(r["clean_text"] == "" and r["n_boiler"] == 1 for r in rows)
+
+
+def test_filter_attrition_funnel_invariants(spark):
+    from click_streaming_data_pipeline_spark.extensions.corpus import (
+        filter_attrition,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # passes everything (>=20 tokens, sane lengths, no repeats)
+            (1, " ".join(f"tok{i:02d}" for i in range(30))),
+            # too short -> charged to min_tokens, invisible later
+            (2, "tiny doc"),
+            # repetitive -> survives token gates, fails repetition
+            (3, " ".join(["dup dup dup"] * 10)),
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        filter_attrition(docs).collect(), key=lambda r: r["stage_idx"]
+    )
+    assert [r["stage"] for r in rows] == [
+        "min_tokens", "max_tokens", "mean_token_len", "repetition",
+    ]
+    # chain: each stage starts with the survivors of the previous one
+    assert rows[0]["n_in"] == 3
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_in"] == prev["n_out"]
+        assert cur["n_out"] == cur["n_in"] - cur["n_fail"]
+    assert rows[0]["n_fail"] == 1          # doc 2
+    assert rows[3]["n_fail"] == 1          # doc 3
+    assert rows[3]["n_out"] == 1           # doc 1 survives
+
+
+def test_source_mixture_weights_bounds(spark):
+    from click_streaming_data_pipeline_spark.extensions.corpus import (
+        source_mixture_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h", "big"),
+            (2, "a b c d e f g h", "big"),
+            (3, "a b", "small"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        r["source"]: r
+        for r in source_mixture_weights(docs, target_share=0.5).collect()
+    }
+    assert rows["big"]["n_tokens"] == 16 and rows["small"]["n_tokens"] == 2
+    # shares sum to 1; weights clamp at 1.0 for under-represented sources
+    assert abs(sum(r["token_share"] for r in rows.values()) - 1.0) < 1e-12
+    assert rows["small"]["sample_weight"] == 1.0
+    assert abs(rows["big"]["sample_weight"] - (18 * 0.5) / 16) < 1e-12
+
+
+def test_label_centroid_distance_matches_numpy(spark):
+    import numpy as np
+
+    from click_streaming_data_pipeline_spark.extensions.similarity import (
+        label_centroid_distance,
+    )
+
+    rng = [
+        (0, 0, [1.0, 0.0, 0.0, 0.0]),
+        (1, 0, [0.9, 0.1, 0.0, 0.0]),
+        (2, 0, [-1.0, 0.0, 0.0, 0.0]),   # opposite -> outlier
+        (3, 1, [0.0, 1.0, 0.0, 0.0]),
+        (4, 1, [0.0, 0.8, 0.2, 0.0]),
+    ]
+    emb = spark.createDataFrame(
+        rng, "vec_id long, label int, embedding array<double>"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in label_centroid_distance(emb, dim=4).collect()
+    }
+    vecs = {i: np.array(v) for i, l, v in rng}
+    labels = {i: l for i, l, v in rng}
+    for lbl in (0, 1):
+        members = [vecs[i] for i in sorted(vecs) if labels[i] == lbl]
+        cen = np.add.reduce(members) / len(members)
+        for i in vecs:
+            if labels[i] != lbl:
+                continue
+            exp = float(
+                vecs[i] @ cen / (np.linalg.norm(vecs[i]) * np.linalg.norm(cen))
+            )
+            assert abs(out[i]["cos_centroid"] - exp) < 1e-12
+    assert out[2]["is_outlier"] and not out[0]["is_outlier"]

@@ -201,3 +201,35 @@ def test_dynamic_partition_pruning_fires(spark):
         # and the join still answers correctly
         n = fact.join(dim, "day").count()
         assert n > 0
+
+
+def test_tpch_shapes_plan_properties(spark):
+    """The catalog_tpch queries must keep their 100 TB plan shapes:
+    dims broadcast, anti-join stays anti, OR-of-ANDs bounds reach the
+    scan, and the Q15 argmax never rescans the fact."""
+    from click_streaming_data_pipeline_spark.plans import QUERIES
+
+    # Q22: anti-join present, no cartesian explosion besides the
+    # 1-row scalar broadcast
+    plan = _plan(QUERIES["rich_idle_customers"].fn(spark, SF_TEST))
+    assert "LeftAnti" in plan
+
+    # Q19: derived bounds pushed into the lineitem scan
+    plan = _plan(QUERIES["brand_size_revenue"].fn(spark, SF_TEST))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_quantity" in ln for ln in pushed)
+    assert any("p_brand" in ln or "p_size" in ln for ln in pushed)
+    assert "BroadcastHashJoin" in plan
+
+    # Q7: both nation copies broadcast; facts never broadcast
+    plan = _plan(QUERIES["nation_trade_volume"].fn(spark, SF_TEST))
+    assert plan.count("BroadcastHashJoin") >= 3  # sup + n1 + n2
+
+    # Q15: exactly ONE lineitem scan (window over the aggregate,
+    # not a max-subquery rescan)
+    plan = _plan(QUERIES["top_revenue_suppliers"].fn(spark, SF_TEST))
+    assert plan.count("lineitem.parquet") == 1
+
+    # Q10: top-20 is TakeOrderedAndProject, never a global sort
+    plan = _plan(QUERIES["returned_item_customers"].fn(spark, SF_TEST))
+    assert "TakeOrderedAndProject" in plan

@@ -421,3 +421,59 @@ def filter_attrition(docs: DataFrame) -> DataFrame:
     return row.select(F.explode(F.array(*stages)).alias("s")).select(
         "s.stage_idx", "s.stage", "s.n_in", "s.n_fail", "s.n_out"
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG passage chunking
+
+#: default passage window/stride in whitespace tokens (overlap =
+#: window - stride keeps boundary context in two passages).
+PASSAGE_TOKENS = 32
+PASSAGE_STRIDE = 24
+
+
+def passage_chunks(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = PASSAGE_TOKENS,
+    stride: int = PASSAGE_STRIDE,
+) -> DataFrame:
+    """Overlapping fixed-token passage windows per document — the
+    chunking step a RAG / retrieval-training pipeline runs before
+    embedding. Passage p covers tokens [p*stride, p*stride+window);
+    the final passage may be short but is never empty; a doc shorter
+    than one window yields exactly one passage.
+
+    Scale: pure expressions — tokenize once per row behind a
+    projection boundary (the 16x split-inlining trap, see
+    _shingles_from_tokens), expand via transform over a precomputed
+    index sequence, explode inside the scan stage. 1:N fan-out with
+    no shuffle; the explode multiplies rows before any exchange, so
+    downstream ops see an already-parallel passage table."""
+    tok = scan_parallel(docs).select(
+        F.col(id_col), _tokens(text_col).alias("__t")
+    )
+    n = F.size("__t")
+    # number of passages: 1 + ceil(max(0, n - window) / stride)
+    n_pass = F.lit(1) + F.ceil(
+        F.greatest(n - window, F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    idx = F.sequence(F.lit(0), n_pass - 1)
+    mk = lambda p: F.struct(  # noqa: E731
+        p.alias("passage_idx"),
+        F.array_join(
+            F.slice(F.col("__t"), p * stride + 1, window), " "
+        ).alias("passage"),
+        F.least(n - p * stride, F.lit(window)).alias("n_tokens"),
+    )
+    return (
+        tok.select(F.col(id_col), F.explode(F.transform(idx, mk)).alias("p"))
+        .select(
+            id_col,
+            F.col("p.passage_idx").cast("bigint").alias("passage_idx"),
+            "p.passage",
+            F.col("p.n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )

@@ -65,3 +65,49 @@ def compact_parquet(
     ).parquet(dst)
     after = plan_compaction(dst, target_bytes=target_bytes)
     return {"before": before, "after": after}
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering (multi-dimensional data skipping)
+
+#: bits interleaved per dimension (16+16 -> 32-bit key: enough
+#: resolution for file-level skipping; production scales with the
+#: key domains).
+ZORDER_BITS = 16
+
+
+def zorder_key(a, b, *, bits: int = ZORDER_BITS):
+    """Morton/Z-order interleave of two non-negative integer columns:
+    bit i of ``a`` lands at position 2i, bit i of ``b`` at 2i+1.
+
+    Sorting (then range-splitting into files) by this key clusters
+    BOTH dimensions at once, so per-file min/max statistics prune
+    scans filtered on either column — the Delta/Iceberg OPTIMIZE
+    ZORDER primitive. Pure integer expression (fold of shift/mask
+    terms collapsed by codegen); deterministic and engine-portable,
+    so a DuckDB oracle reproduces it bit-for-bit.
+    """
+    from pyspark.sql import functions as F
+
+    acol = F.col(a) if isinstance(a, str) else a
+    bcol = F.col(b) if isinstance(b, str) else b
+    acol, bcol = acol.cast("long"), bcol.cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(acol, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(
+                F.shiftright(bcol, i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    return z
+
+
+def zorder_key_sql(a: str, b: str, *, bits: int = ZORDER_BITS) -> str:
+    """DuckDB twin of ``zorder_key`` (bit-identical BIGINT)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({a} >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"(({b} >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"

@@ -693,3 +693,43 @@ def filter_attrition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.corpus import filter_attrition
 
     return filter_attrition(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "rag_passage_chunks",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id, t,
+                   unnest(generate_series(
+                       0,
+                       CAST(ceil(greatest(len(t) - 32, 0) / 24.0)
+                            AS BIGINT)
+                   )) AS passage_idx
+            FROM tok
+        )
+        SELECT doc_id,
+               CAST(passage_idx AS BIGINT) AS passage_idx,
+               array_to_string(
+                   t[passage_idx * 24 + 1 : passage_idx * 24 + 32], ' '
+               ) AS passage,
+               CAST(least(len(t) - passage_idx * 24, 32) AS BIGINT)
+                   AS n_tokens
+        FROM p
+    """,
+    doc=(
+        "extension (RAG curation): overlapping fixed-token PASSAGE "
+        "CHUNKS (window 32, stride 24) per document — the chunking "
+        "step before embedding for retrieval; 1:N fan-out entirely "
+        "inside the scan stage (sequence + transform + explode), no "
+        "shuffle"
+    ),
+    tags=("corpus", "text"),
+)
+def rag_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.corpus import passage_chunks
+
+    return passage_chunks(load_table(spark, sf_dir, "documents"))

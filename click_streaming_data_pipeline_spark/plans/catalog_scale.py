@@ -384,3 +384,37 @@ def incremental_doc_views_streamed(
     )
     q.awaitTermination()
     return finalize(read_state_dir(spark, state_dir))
+
+
+@query(
+    "events_zorder_key",
+    oracle="""
+        WITH e AS (
+            SELECT event_id, user_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS doc_key
+            FROM events
+        )
+        SELECT event_id, user_id, doc_key,
+               CAST(((user_id >> 0) & 1) * 1 + ((doc_key >> 0) & 1) * 2 + ((user_id >> 1) & 1) * 4 + ((doc_key >> 1) & 1) * 8 + ((user_id >> 2) & 1) * 16 + ((doc_key >> 2) & 1) * 32 + ((user_id >> 3) & 1) * 64 + ((doc_key >> 3) & 1) * 128 + ((user_id >> 4) & 1) * 256 + ((doc_key >> 4) & 1) * 512 + ((user_id >> 5) & 1) * 1024 + ((doc_key >> 5) & 1) * 2048 + ((user_id >> 6) & 1) * 4096 + ((doc_key >> 6) & 1) * 8192 + ((user_id >> 7) & 1) * 16384 + ((doc_key >> 7) & 1) * 32768 + ((user_id >> 8) & 1) * 65536 + ((doc_key >> 8) & 1) * 131072 + ((user_id >> 9) & 1) * 262144 + ((doc_key >> 9) & 1) * 524288 + ((user_id >> 10) & 1) * 1048576 + ((doc_key >> 10) & 1) * 2097152 + ((user_id >> 11) & 1) * 4194304 + ((doc_key >> 11) & 1) * 8388608 + ((user_id >> 12) & 1) * 16777216 + ((doc_key >> 12) & 1) * 33554432 + ((user_id >> 13) & 1) * 67108864 + ((doc_key >> 13) & 1) * 134217728 + ((user_id >> 14) & 1) * 268435456 + ((doc_key >> 14) & 1) * 536870912 + ((user_id >> 15) & 1) * 1073741824 + ((doc_key >> 15) & 1) * 2147483648 AS BIGINT) AS zkey
+        FROM e
+    """,
+    doc=(
+        "beyond-reference lakehouse maintenance: Z-ORDER clustering "
+        "key (Morton interleave of user_id and doc_key, 16+16 bits) - "
+        "sorting + range-splitting output files by zkey clusters BOTH "
+        "columns so per-file min/max stats prune scans on either "
+        "predicate (the OPTIMIZE ZORDER primitive); pure integer "
+        "expression, bit-identical in the DuckDB oracle"
+    ),
+    tags=("scale",),
+)
+def events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.maintenance import zorder_key
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("doc_key"),
+    )
+    return ev.withColumn("zkey", zorder_key("user_id", "doc_key"))

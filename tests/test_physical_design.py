@@ -233,3 +233,72 @@ def test_tpch_shapes_plan_properties(spark):
     # Q10: top-20 is TakeOrderedAndProject, never a global sort
     plan = _plan(QUERIES["returned_item_customers"].fn(spark, SF_TEST))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_zorder_layout_skips_on_both_dimensions(spark):
+    """Writing range-split files sorted by the Morton key bounds the
+    per-file min/max span of BOTH interleaved columns, so footer
+    stats prune scans on either predicate; a single-column sort only
+    prunes its own column."""
+    import pyarrow.parquet as pq
+
+    from click_streaming_data_pipeline_spark.operators.maintenance import (
+        zorder_key,
+    )
+
+    ev = (
+        load_table(spark, SF_TEST, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("doc_key"),
+        )
+        .withColumn("zkey", zorder_key("user_id", "doc_key"))
+    )
+
+    def spans(path):
+        out = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(path, f))
+            mins = {c: None for c in ("user_id", "doc_key")}
+            maxs = {c: None for c in ("user_id", "doc_key")}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    if name in mins and col.statistics is not None:
+                        s = col.statistics
+                        mins[name] = (
+                            s.min if mins[name] is None
+                            else min(mins[name], s.min)
+                        )
+                        maxs[name] = (
+                            s.max if maxs[name] is None
+                            else max(maxs[name], s.max)
+                        )
+            out.append(
+                {c: maxs[c] - mins[c] for c in ("user_id", "doc_key")}
+            )
+        return out
+
+    with tempfile.TemporaryDirectory() as d:
+        zpath = os.path.join(d, "zorder")
+        upath = os.path.join(d, "bysingle")
+        # range-split into 16 files along the sort key
+        ev.repartitionByRange(16, "zkey").sortWithinPartitions(
+            "zkey"
+        ).write.parquet(zpath)
+        ev.repartitionByRange(16, "user_id").sortWithinPartitions(
+            "user_id"
+        ).write.parquet(upath)
+        zs, us = spans(zpath), spans(upath)
+        full_doc_span = 99  # doc_key domain 0..99
+        mean = lambda xs: (lambda l: sum(l) / len(l))(list(xs))  # noqa: E731
+        # user_id-sorted files know nothing about doc_key: full span
+        assert mean(s["doc_key"] for s in us) > 0.9 * full_doc_span
+        # z-ordered files bound BOTH dimensions well below full span
+        assert mean(s["doc_key"] for s in zs) < 0.6 * full_doc_span
+        assert mean(s["user_id"] for s in zs) < 0.6 * 149

@@ -12,6 +12,7 @@ from pyspark.sql.window import Window
 from ..operators.search import search
 from ..operators.skew import salted_distinct_count
 from ..sources import load_table
+from ..sources.tables import scan_parallel
 from .registry import dsum, dsum_sql, query
 
 
@@ -418,3 +419,58 @@ def events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("long").alias("doc_key"),
     )
     return ev.withColumn("zkey", zorder_key("user_id", "doc_key"))
+
+
+@query(
+    "orders_table_checksum",
+    oracle="""
+        WITH h AS (
+            SELECT CAST(('0x' || substr(md5(concat_ws('|',
+                       CAST(o_orderkey AS VARCHAR),
+                       CAST(o_custkey AS VARCHAR),
+                       o_orderstatus,
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                       CAST(o_orderdate AS VARCHAR),
+                       o_orderpriority)), 1, 15)) AS BIGINT) AS rh
+            FROM orders
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               bit_xor(rh) AS xor_hash,
+               CAST(sum(rh % 2147483647) % 2147483647 AS BIGINT)
+                   AS sum_hash
+        FROM h
+    """,
+    doc=(
+        "beyond-reference reconciliation: ORDER-INSENSITIVE TABLE "
+        "CHECKSUM - per-row md5 digest folded with commutative "
+        "aggregates (count + xor + modular sum), so two replicas / "
+        "two engines can verify table equality with one scan each and "
+        "a 3-value exchange, regardless of row order or partitioning. "
+        "xor alone cancels duplicate row pairs; the modular sum "
+        "catches that, and count catches cardinality. Doubles ride as "
+        "DECIMAL(18,2) strings because raw double->string formatting "
+        "is not engine-portable. Scale: pure map + partial agg - the "
+        "cheapest possible anti-entropy pass."
+    ),
+    tags=("scale",),
+)
+def orders_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.col("o_orderdate").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    rh = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("long")
+    h = scan_parallel(orders).select(rh.alias("rh"))
+    return h.agg(
+        F.count("*").alias("n_rows"),
+        F.bit_xor("rh").alias("xor_hash"),
+        (F.sum(F.col("rh") % 2147483647) % 2147483647)
+        .cast("long")
+        .alias("sum_hash"),
+    )

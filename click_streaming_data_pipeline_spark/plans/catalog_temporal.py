@@ -369,3 +369,117 @@ def page_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = transition_edges(load_table(spark, sf_dir, "events"))
     return pagerank(edges)
+
+
+@query(
+    "hourly_error_spine",
+    oracle="""
+        WITH bounds AS (
+            SELECT date_trunc('hour', min(ts)) AS lo,
+                   date_trunc('hour', max(ts)) AS hi
+            FROM events
+        ),
+        spine AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                AS hour
+            FROM bounds
+        ),
+        err AS (
+            SELECT date_trunc('hour', ts) AS hour,
+                   CAST(count(*) AS BIGINT) AS n_errors
+            FROM events WHERE event_type = 'error'
+            GROUP BY 1
+        )
+        SELECT spine.hour, coalesce(n_errors, 0) AS n_errors
+        FROM spine LEFT JOIN err ON spine.hour = err.hour
+    """,
+    doc=(
+        "beyond-reference time-series: GAP-FILLED RESAMPLE - a "
+        "calendar spine (sequence over the observed hour range) left-"
+        "joins sparse per-hour error counts and zero-fills the 42 "
+        "missing hours; the resample-with-fill operator dashboards "
+        "and downstream window functions need (a gap breaks every "
+        "trailing-window calc). Scale: bounds reduce to ONE row, the "
+        "spine explodes from it (rows = hours, tiny), and the fact "
+        "side is a partial-agg groupBy - no extra fact scan."
+    ),
+    tags=("window", "agg"),
+)
+def hourly_error_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour")
+    )
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count("*").alias("n_errors"))
+    )
+    return spine.join(err, "hour", "left").select(
+        "hour", F.coalesce("n_errors", F.lit(0)).alias("n_errors")
+    )
+
+
+@query(
+    "user_status_scd2",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER w AS prev_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        changes AS (
+            SELECT user_id, event_type AS status, ts, event_id
+            FROM ordered
+            WHERE prev_type IS NULL OR prev_type <> event_type
+        )
+        SELECT user_id, status,
+               ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               lead(ts) OVER w IS NULL AS is_current
+        FROM changes
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc=(
+        "beyond-reference warehouse modeling: SCD TYPE 2 interval "
+        "build - collapse each user's event stream into status "
+        "validity intervals (change detection via lag, interval close "
+        "via lead, open-ended current row); the slowly-changing-"
+        "dimension history table every warehouse maintains. Scale: "
+        "both window passes share ONE hash partitioning on user_id "
+        "(Catalyst reuses the exchange), so the whole build is a "
+        "single shuffle."
+    ),
+    tags=("window",),
+)
+def user_status_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            "user_id", F.col("event_type").alias("status"), "ts", "event_id"
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w2)
+    return changes.select(
+        "user_id",
+        "status",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

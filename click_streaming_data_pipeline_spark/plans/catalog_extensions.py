@@ -199,16 +199,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "equi-join — never the O(N^2) all-pairs join) + exact-cosine "
         "verify of candidates only; sequential-fold double math "
         "matches the all-pairs oracle bit-for-bit because this "
-        "(planes, tables) choice has empirical recall 1 on the sf0.001 "
-        "and sf0.01 gate corpora (parity also pytest-asserted vs "
+        "(planes, tables) choice has empirical recall 1 on the "
+        "sf0.001/sf0.01/sf0.1 corpora (parity also pytest-asserted vs "
         "neardup_pairs; the all-pairs form survives as the oracle/"
-        "verifier, not the plan)"
+        "verifier, not the plan). 32 tables, not 16: the weakest true "
+        "pair sits AT the 0.45 threshold (cos 0.4501), where 16 "
+        "tables miss with p=6e-3 per pair — measured one dropped pair "
+        "among sf0.1's 144; 32 tables push that to 4e-5 for ~25% more "
+        "wall"
     ),
     tags=("dedup", "similarity"),
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_bucketed_pairs(emb, threshold=0.45, n_planes=3, n_tables=16)
+    return lsh_bucketed_pairs(emb, threshold=0.45, n_planes=3, n_tables=32)
 
 
 # ---------------------------------------------------------------------------

@@ -18,6 +18,13 @@ RUNTIME_CONF = {
     # The driver-generated parquet uses TIMESTAMP(NANOS) which Spark
     # refuses by default; read as long then convert (sources.tables).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # timestamp[us] parquet (round-2 testdata) reads as session-tz
+    # TimestampType AT THE SCAN, not TIMESTAMP_NTZ + a cast Project.
+    # The projection isn't just noise: it blocks Catalyst's runtime
+    # bloom-filter injection (InjectRuntimeFilter wants a selective
+    # filter directly over a scan) — measured: might_contain appears
+    # without the cast, never with it.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Deterministic timestamps across engines (DuckDB oracle is UTC).
     "spark.sql.session.timeZone": "UTC",
     # Runtime re-planning: coalesce tiny post-shuffle partitions and

@@ -9,9 +9,12 @@ normalises BOTH forms to plain ``TimestampType``:
   ``spark.sql.legacy.parquet.nanosAsLong``; we convert with integer
   division (``DIV 1000`` → ``timestamp_micros``) to match DuckDB's
   nanos→micros truncation bit-for-bit.
-* ``timestamp[us]`` (round-2 data): Spark reads it as TIMESTAMP_NTZ;
-  we cast to session-tz TIMESTAMP (the session is pinned to UTC, so
-  the cast is value-preserving and ``unix_*``/window functions work).
+* ``timestamp[us]`` (round-2 data): read as session-tz TIMESTAMP at
+  the scan via ``spark.sql.parquet.inferTimestampNTZ.enabled=false``
+  (session pinned to UTC, so values are preserved). The NTZ→TIMESTAMP
+  cast below stays as a FALLBACK for sessions where the conf could
+  not be applied — but the conf path matters at scale: the cast
+  Project blocks runtime bloom-filter injection on scans.
 
 At 100 TB these reads are partitioned scans: filters/projections issued
 on the returned DataFrame push down to parquet (verify via

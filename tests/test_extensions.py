@@ -109,14 +109,16 @@ def test_jaccard_max_df_cap(spark):
 
 
 def test_embedding_lsh_neardup_equals_allpairs(spark):
-    """The catalog's LSH near-dup config (3 planes x 16 tables) must
-    reproduce the exact all-pairs cosine result on the gate corpus."""
+    """The catalog's LSH near-dup config (3 planes x 32 tables) must
+    reproduce the exact all-pairs cosine result on the gate corpus
+    (32 tables: the weakest true pair sits at the threshold, where 16
+    tables dropped one of sf0.1's 144 pairs)."""
     emb = load_table(spark, SF_TEST, "embeddings")
     lsh = sorted(
         map(
             tuple,
             lsh_bucketed_pairs(
-                emb, threshold=0.45, n_planes=3, n_tables=16
+                emb, threshold=0.45, n_planes=3, n_tables=32
             ).collect(),
         )
     )

@@ -302,3 +302,37 @@ def test_zorder_layout_skips_on_both_dimensions(spark):
         # z-ordered files bound BOTH dimensions well below full span
         assert mean(s["doc_key"] for s in zs) < 0.6 * full_doc_span
         assert mean(s["user_id"] for s in zs) < 0.6 * 149
+
+
+def test_runtime_bloom_filter_injected_on_fact_join(spark):
+    """Selective dim filter + shuffle join must inject a runtime
+    bloom filter on the fact scan (Spark's InjectRuntimeFilter). This
+    is the config regression test for inferTimestampNTZ=false: a
+    compatibility cast Project over the scan silently disables the
+    rewrite (no might_contain in the plan)."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        # load FIRST: load_table's apply_runtime_conf would reset the
+        # broadcast threshold we disable below
+        orders = load_table(spark, SF_TEST, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF_TEST, "lineitem")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

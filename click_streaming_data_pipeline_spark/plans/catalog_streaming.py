@@ -503,3 +503,82 @@ def segment_revenue_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("__tv").cast("double").alias("total_value"),
     )
+
+
+@query(
+    "window_tumbling_append_streamed",
+    oracle=f"""
+        WITH wm AS (
+            SELECT max(ts) - INTERVAL 2 HOUR AS horizon FROM events
+        )
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               {dsum_sql('value', 'total_value')}
+        FROM events, wm
+        WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR
+              <= horizon
+        GROUP BY 1, 2
+    """,
+    doc=(
+        "I2 streaming, APPEND mode: watermarked tumbling windows "
+        "drained from a time-ordered micro-batched stream - each "
+        "window is emitted EXACTLY ONCE when the watermark passes its "
+        "end and its state is evicted (the unbounded-stream form; "
+        "complete/trending keeps all state forever). Emitted set == "
+        "batch windows whose end <= max(ts) - delay, which is what "
+        "the oracle encodes; in-order arrival is forced by per-file "
+        "mtimes (range partition k holds the k-th time slice). "
+        "Late-vs-watermark semantics are separately pinned by "
+        "test_watermark_finalized_windows_ignore_late_data."
+    ),
+    tags=("streaming", "window"),
+)
+def window_tumbling_append_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from ..functions.exact import dsum
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="csdp_apwin_")
+    src = os.path.join(work, "in")
+    events.repartitionByRange(6, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(src)
+    # FileStreamSource orders by modification time; make that order the
+    # ts order (part-k == range partition k == k-th time slice)
+    parts = sorted(f for f in os.listdir(src) if f.startswith("part-"))
+    base = _time.time() - 10_000
+    for k, f in enumerate(parts):
+        os.utime(os.path.join(src, f), (base + 10 * k, base + 10 * k))
+
+    agg = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+    )
+    name = f"apwin_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.queryName(name)
+        .format("memory")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )

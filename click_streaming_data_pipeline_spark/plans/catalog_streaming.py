@@ -582,3 +582,100 @@ def window_tumbling_append_streamed(
         "n_events",
         "total_value",
     )
+
+
+@query(
+    "window_session_append_streamed",
+    oracle="""
+        WITH o AS (
+            SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+            FROM events
+        ),
+        marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN prev IS NULL
+                             OR ts - prev >= INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_s
+            FROM o
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS sid
+            FROM marked
+        ),
+        built AS (
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL '30 minutes' AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM sessions
+            GROUP BY user_id, sid
+        ),
+        wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS horizon FROM events)
+        SELECT user_id, session_start, session_end, n_events
+        FROM built, wm
+        WHERE session_end <= horizon
+    """,
+    doc=(
+        "I2 streaming, session windows in APPEND mode: per-user "
+        "30-min-gap sessions MERGED ACROSS MICRO-BATCHES by the state "
+        "store (session_window + watermark), each emitted exactly "
+        "once when the watermark passes its end - the stateful merge "
+        "a batch gaps-and-islands pass cannot express incrementally. "
+        "Emitted set == batch sessions whose end <= max(ts) - delay "
+        "(in-order arrival via per-file mtimes, same determinism "
+        "device as window_tumbling_append_streamed)."
+    ),
+    tags=("streaming", "window"),
+)
+def window_session_append_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="csdp_apsess_")
+    src = os.path.join(work, "in")
+    events.repartitionByRange(6, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(src)
+    parts = sorted(f for f in os.listdir(src) if f.startswith("part-"))
+    base = _time.time() - 10_000
+    for k, f in enumerate(parts):
+        os.utime(os.path.join(src, f), (base + 10 * k, base + 10 * k))
+
+    agg = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "2 hours")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    name = f"apsess_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.queryName(name)
+        .format("memory")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+    )

@@ -1389,3 +1389,109 @@ def cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_name").alias("best_supplier"),
         )
     )
+
+
+@query(
+    "price_quantity_correlation",
+    oracle="""
+        WITH d AS (
+            SELECT l_returnflag,
+                   CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+                   CAST(l_quantity AS DECIMAL(18,2)) AS q
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(floor(
+                   (CAST(count(*) AS DOUBLE) * CAST(sum(p * q) AS DOUBLE)
+                    - CAST(sum(p) AS DOUBLE) * CAST(sum(q) AS DOUBLE))
+                   / (sqrt(CAST(count(*) AS DOUBLE)
+                               * CAST(sum(p * p) AS DOUBLE)
+                           - CAST(sum(p) AS DOUBLE)
+                             * CAST(sum(p) AS DOUBLE))
+                      * sqrt(CAST(count(*) AS DOUBLE)
+                                 * CAST(sum(q * q) AS DOUBLE)
+                             - CAST(sum(q) AS DOUBLE)
+                               * CAST(sum(q) AS DOUBLE)))
+                   * CAST(1000000000.0 AS DOUBLE)
+                   + CAST(0.5 AS DOUBLE)
+               ) AS BIGINT) AS pearson_nano
+        FROM d
+        GROUP BY l_returnflag
+    """,
+    doc=(
+        "beyond-reference statistics: PEARSON CORRELATION from decimal-"
+        "exact co-moments (inputs cast to DECIMAL(18,2) BEFORE "
+        "multiplying, so all five sums are exact). The ratio itself is "
+        "emitted at fixed 1e-9 resolution (floor(r*1e9+0.5) integer): "
+        "sum(p*p)'s scaled integer exceeds 2^53, where DuckDB's "
+        "int128->double conversion double-rounds while Java BigDecimal "
+        "rounds once - a half-ulp divergence no expression ordering "
+        "can remove, so the spec quantizes below it (same rational-"
+        "space convention as the LM scores)"
+    ),
+    tags=("agg",),
+)
+def price_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = scan_parallel(load_table(spark, sf_dir, "lineitem"))
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    d = lambda c: F.sum(c).cast("double")  # noqa: E731
+    n = F.count("*").cast("double")
+    sx, sy = d(p), d(q)
+    sxy, sxx, syy = d(p * q), d(p * p), d(q * q)
+    r = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    nano = F.floor(r * F.lit(1_000_000_000.0) + F.lit(0.5)).cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), nano.alias("pearson_nano")
+    )
+
+
+@query(
+    "value_histogram",
+    oracle="""
+        WITH bounds AS (
+            SELECT min(value) AS lo, max(value) AS hi FROM events
+        ),
+        b AS (
+            SELECT least(CAST(floor((value - lo) / ((hi - lo) /
+                       CAST(20.0 AS DOUBLE))) AS BIGINT), 19) AS bucket,
+                   value
+            FROM events, bounds
+        )
+        SELECT bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               min(value) AS bucket_min,
+               max(value) AS bucket_max
+        FROM b
+        GROUP BY bucket
+    """,
+    doc=(
+        "beyond-reference statistics: equal-width HISTOGRAM (20 "
+        "buckets over the observed range) - two-pass shape: the "
+        "min/max bounds reduce to ONE broadcast row, bucketing is a "
+        "pure expression, counts partial-aggregate; the profile "
+        "companion to value_quantiles' equal-frequency view"
+    ),
+    tags=("agg",),
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(20.0)
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("lo")) / width).cast("long"),
+        F.lit(19).cast("long"),
+    )
+    return (
+        ev.join(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("bucket_min"),
+            F.max("value").alias("bucket_max"),
+        )
+    )

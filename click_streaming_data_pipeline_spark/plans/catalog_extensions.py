@@ -167,13 +167,51 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup(docs, threshold=0.8)
 
 
+_SIMHASH_BIT_TERMS = " + ".join(
+    f"(CASE WHEN coalesce(list_aggregate(list_transform(h, "
+    f"x -> ((x >> {b}) & 1) * 2 - 1), 'sum'), 0) > 0 "
+    f"THEN {1 << b} ELSE 0 END)"
+    for b in range(32)
+)
+
+_SIMHASH_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t
+        FROM documents
+    ),
+    shf AS (
+        SELECT doc_id,
+               list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                              for i in generate_series(1, len(t)-2)]) AS f
+        FROM tok
+    ),
+    hs AS (
+        SELECT doc_id,
+               list_transform(f, s ->
+                   CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS h
+        FROM shf
+    ),
+    fp AS (
+        SELECT doc_id, CAST({_SIMHASH_BIT_TERMS} AS BIGINT) AS fp
+        FROM hs
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 4
+"""
+
+
 @query(
     "dedup_simhash",
-    oracle=None,  # bit-level fingerprint; python-oracle in pytest
+    oracle=_SIMHASH_SQL,
     doc=(
         "extension: 32-bit SimHash fingerprint pairs at hamming<=4 "
-        "(xor + bit_count); scale path chunks the fingerprint "
-        "pigeonhole-style instead of the all-pairs join"
+        "(xor + bit_count); the plan chunks the fingerprint "
+        "pigeonhole-style (recall 1 by construction), never the "
+        "all-pairs join the DuckDB oracle runs; md5-derived bit math "
+        "is engine-portable, so this is a full value gate (the "
+        "python-oracle pytest remains as a third opinion)"
     ),
     tags=("dedup",),
 )

@@ -336,3 +336,51 @@ def test_runtime_bloom_filter_injected_on_fact_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_optimize_zorder_compacts_and_clusters(spark):
+    """One rewrite must both right-size the files AND bound per-file
+    min/max spans on both z-ordered columns, preserving rows."""
+    from click_streaming_data_pipeline_spark.operators.maintenance import (
+        optimize_zorder,
+    )
+
+    ev = load_table(spark, SF_TEST, "events").select(
+        "event_id",
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("doc_key"),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        dst = os.path.join(d, "dst")
+        # fragmented input: many tiny files
+        ev.repartition(64).write.parquet(src)
+        report = optimize_zorder(
+            spark, src, dst, "user_id", "doc_key",
+            target_bytes=16 * 1024,
+        )
+        assert report["before"]["n_files"] == 64
+        assert report["after"]["n_files"] < 64
+        out = spark.read.parquet(dst)
+        assert out.count() == ev.count()
+        # both-dimension clustering: no file spans the full doc_key
+        # domain (a plain compaction would)
+        import pyarrow.parquet as pq
+
+        spans = []
+        for f in os.listdir(dst):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(dst, f))
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    if c.path_in_schema == "doc_key" and c.statistics:
+                        s = c.statistics
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+            spans.append(hi - lo)
+        assert len(spans) > 1
+        assert sum(spans) / len(spans) < 0.7 * 99

@@ -483,3 +483,78 @@ def user_status_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@query(
+    "point_in_time_status",
+    oracle="""
+        WITH o AS (
+            SELECT user_id, ts, event_type,
+                   lag(event_type) OVER w AS prev_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        changes AS (
+            SELECT user_id, event_type AS status, ts AS valid_from
+            FROM o
+            WHERE prev_type IS NULL OR prev_type <> event_type
+        ),
+        purchases AS (
+            SELECT user_id, ts, event_id FROM events
+            WHERE event_type = 'purchase'
+        )
+        SELECT p.user_id, p.ts, p.event_id,
+               c.status AS status_asof,
+               c.valid_from AS status_since
+        FROM purchases p
+        ASOF LEFT JOIN changes c
+          ON p.user_id = c.user_id AND c.valid_from <= p.ts
+    """,
+    doc=(
+        "beyond-reference feature-store: POINT-IN-TIME join - each "
+        "purchase is annotated with the status interval valid AT that "
+        "moment (the SCD2 table of user_status_scd2 probed as-of the "
+        "event time), the leakage-free feature lookup a training "
+        "pipeline must use instead of joining current state onto past "
+        "events. Same union-tag carry-forward plan as "
+        "asof_attribution: one shuffle, hot-key safe, no range join "
+        "explosion; oracle is DuckDB's native ASOF JOIN against the "
+        "gaps-and-islands interval build."
+    ),
+    tags=("join", "temporal", "window"),
+)
+def point_in_time_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("status"),
+            F.col("ts").alias("valid_from"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = asof_join(
+        changes.select(
+            "user_id", F.col("valid_from").alias("ts"), "status"
+        ),
+        purchases,
+        left_val_cols=["status"],
+    )
+    return joined.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("asof_status").alias("status_asof"),
+        F.col("asof_ts").alias("status_since"),
+    )

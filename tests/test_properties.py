@@ -379,3 +379,86 @@ def test_incremental_fold_replay_idempotent(spark, tmp_path):
     # and the state equals the from-scratch aggregation
     full = sorted(map(tuple, finalize(agg_state(df, ["k"], "value")).collect()))
     assert once == full
+
+
+def test_table_checksum_detects_single_value_change(spark):
+    """The reconciliation checksum must differ when any one value
+    changes, and be invariant to row order/partitioning."""
+    from click_streaming_data_pipeline_spark.plans import QUERIES
+
+    from .conftest import SF_TEST
+
+    base = QUERIES["orders_table_checksum"].fn(spark, SF_TEST).collect()[0]
+
+    from click_streaming_data_pipeline_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, SF_TEST, "orders")
+    # same rows, different order/partitioning -> identical checksum
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        orders.orderBy(F.rand(7)).repartition(13).write.parquet(d + "/o")
+        shuffled = spark.read.parquet(d + "/o")
+        row_str = F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+            F.col("o_orderdate").cast("string"),
+            F.col("o_orderpriority"),
+        )
+        rh = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("long")
+
+        def checksum(df):
+            return df.select(rh.alias("rh")).agg(
+                F.count("*").alias("n_rows"),
+                F.bit_xor("rh").alias("xor_hash"),
+                (F.sum(F.col("rh") % 2147483647) % 2147483647)
+                .cast("long")
+                .alias("sum_hash"),
+            ).collect()[0]
+
+        same = checksum(shuffled)
+        assert tuple(same) == tuple(base)
+        # flip one value -> all three-tuple must differ in hash parts
+        mutated = shuffled.withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") == 1, F.col("o_totalprice") + 0.01)
+            .otherwise(F.col("o_totalprice")),
+        )
+        diff = checksum(mutated)
+        assert diff["n_rows"] == same["n_rows"]
+        assert (diff["xor_hash"], diff["sum_hash"]) != (
+            same["xor_hash"], same["sum_hash"]
+        )
+
+
+def test_zorder_key_roundtrip_and_locality(spark):
+    """Morton interleave: de-interleaving the key recovers both
+    inputs exactly (bit-level inverse), for the full 16-bit domain
+    corners and a lattice of interior points."""
+    from click_streaming_data_pipeline_spark.operators.maintenance import (
+        ZORDER_BITS,
+        zorder_key,
+    )
+    from pyspark.sql import functions as F
+
+    pts = [(a, b) for a in (0, 1, 2, 65535, 32768, 12345)
+           for b in (0, 1, 3, 65535, 21845, 54321)]
+    df = spark.createDataFrame(pts, "a long, b long")
+    z = zorder_key("a", "b")
+    back_a = sum(
+        (F.shiftright(F.col("z"), 2 * i).bitwiseAND(F.lit(1)) * (1 << i))
+        for i in range(ZORDER_BITS)
+    )
+    back_b = sum(
+        (F.shiftright(F.col("z"), 2 * i + 1).bitwiseAND(F.lit(1)) * (1 << i))
+        for i in range(ZORDER_BITS)
+    )
+    out = df.withColumn("z", z).select(
+        "a", "b", back_a.alias("ra"), back_b.alias("rb")
+    )
+    for r in out.collect():
+        assert r["ra"] == r["a"] and r["rb"] == r["b"]

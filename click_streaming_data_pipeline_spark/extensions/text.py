@@ -308,3 +308,128 @@ def bigram_fluency(
         known_frac.alias("known_frac"),
         (known_frac >= F.lit(KNOWN_FRAC_MIN)).alias("fluency_accept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (merge-rank learning)
+
+#: merge iterations for the catalog query (production: 30k-100k; the
+#: SHAPE per iteration is identical, only the loop count grows).
+BPE_N_MERGES = 10
+
+
+def _merge_pair_expr(symbols: "Column", x: str, y: str) -> "Column":
+    """Rewrite a symbol array replacing each non-overlapping adjacent
+    (x, y) with the merged symbol x+y, left-to-right — pure fold
+    expression (struct accumulator carries a skip flag), no UDF."""
+    from pyspark.sql import functions as F
+
+    merged = x + y
+    init = F.struct(
+        F.expr("CAST(array() AS array<string>)").alias("arr"),
+        F.lit(False).alias("skip"),
+    )
+
+    def step(acc, pair):
+        take_merge = (
+            ~acc["skip"]
+            & (pair["s"] == F.lit(x))
+            & (pair["nxt"] == F.lit(y))
+        )
+        new_arr = (
+            F.when(acc["skip"], acc["arr"])
+            .when(take_merge, F.concat(acc["arr"], F.array(F.lit(merged))))
+            .otherwise(F.concat(acc["arr"], F.array(pair["s"])))
+        )
+        return F.struct(
+            new_arr.alias("arr"),
+            (~acc["skip"] & take_merge).alias("skip"),
+        )
+
+    paired = F.arrays_zip(
+        symbols.alias("s"),
+        F.concat(
+            F.slice(symbols, 2, F.greatest(F.size(symbols) - 1, F.lit(0))),
+            F.array(F.lit(None).cast("string")),
+        ).alias("nxt"),
+    )
+    return F.aggregate(paired, init, step)["arr"]
+
+
+def bpe_merges(docs: "DataFrame", *, n_merges: int = BPE_N_MERGES,
+               text_col: str = "text") -> "DataFrame":
+    """Learn the first ``n_merges`` BPE merges from the corpus — the
+    tokenizer-TRAINING step (token_stats only counts with a fixed
+    tokenizer; this learns one). Classic iterative driver-loop shape:
+
+    1. word table: (word, freq) — one groupBy; the working set shrinks
+       from corpus-size to vocabulary-size immediately, which is what
+       makes per-iteration cost independent of corpus bytes at 100 TB.
+    2. per iteration: explode each word's symbol array into adjacent
+       pairs, one partial-agg groupBy sums weighted pair counts, the
+       argmax pair (count desc, pair asc — deterministic tie-break)
+       becomes the next merge, and every word's symbols are rewritten
+       by a pure fold expression (no UDF). State localCheckpoints each
+       round (flat lineage, the PageRank/k-means convention).
+
+    Returns (rank, left, right, pair_count). Exactly reproduced by the
+    pure-python oracle in tests (rows-only at the driver gate:
+    iterative argmax is not ANSI-SQL-expressible)."""
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import scan_parallel
+
+    words = (
+        scan_parallel(docs)
+        .select(
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.concat(
+                F.split(F.col("w"), ""), F.array(F.lit("</w>"))
+            ).alias("symbols"),
+            "freq",
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = []
+    for rank in range(n_merges):
+        pairs = words.select(
+            F.col("freq"),
+            F.explode(
+                F.arrays_zip(
+                    F.slice(
+                        F.col("symbols"),
+                        1,
+                        F.greatest(F.size("symbols") - 1, F.lit(0)),
+                    ).alias("l"),
+                    F.slice(
+                        F.col("symbols"),
+                        2,
+                        F.greatest(F.size("symbols") - 1, F.lit(0)),
+                    ).alias("r"),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, n = top[0]["l"], top[0]["r"], top[0]["n"]
+        out.append((rank, l, r, int(n)))
+        words = words.select(
+            _merge_pair_expr(F.col("symbols"), l, r).alias("symbols"),
+            "freq",
+        ).localCheckpoint(eager=True)
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        out, "rank long, left string, right string, pair_count long"
+    )

@@ -733,3 +733,26 @@ def rag_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.corpus import passage_chunks
 
     return passage_chunks(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "bpe_merge_ranks",
+    oracle=None,  # iterative argmax; pure-python oracle in pytest
+    doc=(
+        "extension (tokenization): BPE TOKENIZER TRAINING - learn the "
+        "first 10 merge ranks from the corpus (token_stats counts "
+        "with a fixed tokenizer; this LEARNS one). Per iteration: "
+        "explode word symbols into adjacent pairs, one partial-agg "
+        "groupBy, deterministic argmax (count desc, pair asc), then "
+        "rewrite every word by a pure fold expression - no UDF; the "
+        "working set is the VOCABULARY (not the corpus) after the "
+        "first groupBy, so iteration cost is corpus-size-independent "
+        "at 100 TB. Rows-only at the driver; the pure-python oracle "
+        "pytest replays the algorithm exactly."
+    ),
+    tags=("corpus", "text"),
+)
+def bpe_merge_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.text import bpe_merges
+
+    return bpe_merges(load_table(spark, sf_dir, "documents"))

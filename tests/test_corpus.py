@@ -425,3 +425,74 @@ def test_label_centroid_distance_matches_numpy(spark):
             )
             assert abs(out[i]["cos_centroid"] - exp) < 1e-12
     assert out[2]["is_outlier"] and not out[0]["is_outlier"]
+
+
+def test_bpe_merges_match_python_oracle(spark):
+    """The DataFrame driver-loop must replay classic BPE exactly:
+    same merges, same ranks, same tie-breaks as a pure-python
+    reference on the sf_test corpus."""
+    from collections import Counter
+
+    import duckdb
+
+    from click_streaming_data_pipeline_spark.extensions.text import (
+        bpe_merges,
+    )
+    from click_streaming_data_pipeline_spark.sources import load_table
+
+    from .conftest import SF_TEST
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT text FROM '{SF_TEST}/documents.parquet'"
+        ).fetchall()
+    ]
+    words = Counter()
+    for t in texts:
+        for w in t.lower().split(" "):
+            if w:
+                words[w] += 1
+    vocab = {tuple(list(w) + ["</w>"]): f for w, f in words.items()}
+
+    def py_merges(n):
+        out, v = [], dict(vocab)
+        for rank in range(n):
+            pc = Counter()
+            for syms, f in v.items():
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] += f
+            if not pc:
+                break
+            # count desc, pair asc — the same deterministic tie-break
+            (l, r), n_pair = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            out.append((rank, l, r, n_pair))
+            nv = {}
+            for syms, f in v.items():
+                ns, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == l
+                        and syms[i + 1] == r
+                    ):
+                        ns.append(l + r)
+                        i += 2
+                    else:
+                        ns.append(syms[i])
+                        i += 1
+                key = tuple(ns)
+                nv[key] = nv.get(key, 0) + f
+            v = nv
+        return out
+
+    want = py_merges(10)
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_merges(
+            load_table(spark, SF_TEST, "documents")
+        ).collect()
+    ]
+    assert got == want

@@ -354,3 +354,67 @@ def label_centroid_distance(
             ),
         )
     )
+
+
+#: SemDeDup: within-cluster cosine above this marks a semantic
+#: duplicate; the smaller id survives (0.45 = the corpus's planted
+#: near-dup band, same threshold as embedding_neardup).
+SEMDEDUP_COS = 0.45
+
+
+def semdedup(
+    emb: DataFrame,
+    *,
+    threshold: float = SEMDEDUP_COS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023 shape): k-means-cluster the
+    embedding space, then compare pairs ONLY within each cluster and
+    drop every vector that has a more-similar-than-threshold neighbor
+    with a smaller id (deterministic keep-lowest rule).
+
+    Scale: the quadratic pair step is confined to single clusters —
+    sum(c_k^2) work instead of N^2, the paper's entire point; the
+    within-cluster join shuffles on cluster id (AQE splits a skewed
+    mega-cluster). K sizes itself to sqrt(N) via the IVF trainer, so
+    expected cluster size grows as sqrt(N), not N. Returns
+    (vec_id, cluster_id, is_kept, dup_of) where dup_of is the
+    smallest more-similar neighbor id for dropped rows (null when
+    kept)."""
+    from .ivf import _assign, train_kmeans
+
+    cents = train_kmeans(emb, id_col=id_col, vec_col=vec_col)
+    e = scan_parallel(emb).select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    )
+    assigned = _assign(e, cents, "__v").select(
+        F.col(id_col), F.col("__v"), F.col("centroid_id").alias("cluster_id")
+    )
+    a = assigned.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("id_a"),
+        F.col("__v").alias("__va"),
+    )
+    b = assigned.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("id_b"),
+        F.col("__v").alias("__vb"),
+    )
+    dup_pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cos") >= F.lit(float(threshold)))
+        .select("id_b", "id_a")
+    )
+    dup_of = dup_pairs.groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
+    return (
+        assigned.join(dup_of, assigned[id_col] == dup_of.id_b, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.col("dup_of").isNull().alias("is_kept"),
+            "dup_of",
+        )
+    )

@@ -795,3 +795,25 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return label_centroid_distance(emb)
+
+
+@query(
+    "semdedup_keep",
+    oracle=None,  # iterative k-means clustering; python-parity pytest
+    doc=(
+        "extension (semantic dedup): SEMDEDUP - k-means-cluster the "
+        "embedding space (deterministic IVF trainer, K~sqrt(N)), "
+        "compare pairs only WITHIN clusters (sum(c^2) work, never "
+        "N^2), drop any vector with a more-similar-than-0.45 smaller-"
+        "id neighbor; returns keep/drop + dup_of lineage. The "
+        "embedding-space complement to MinHash (lexical) and SimHash "
+        "(bitwise) dedup; python-parity pytest replays clustering + "
+        "rule exactly"
+    ),
+    tags=("dedup", "similarity"),
+)
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(emb)

@@ -587,3 +587,53 @@ def test_minhash_array_path_equals_explode_path(spark):
     b = minhash_signatures_from_docs(docs)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_semdedup_matches_python_replay(spark):
+    """semdedup's cluster assignment + keep-lowest rule must be
+    replayable in pure python/numpy from the same centroids."""
+    import numpy as np
+
+    from click_streaming_data_pipeline_spark.extensions.ivf import (
+        train_kmeans,
+    )
+    from click_streaming_data_pipeline_spark.extensions.similarity import (
+        SEMDEDUP_COS,
+        semdedup,
+    )
+
+    emb = load_table(spark, SF_TEST, "embeddings")
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["is_kept"], r["dup_of"])
+        for r in semdedup(emb).collect()
+    }
+
+    cents = train_kmeans(emb)
+    C = {cid: np.array(v) for cid, v in cents}
+    rows = emb.select("vec_id", "embedding").collect()
+    V = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in rows}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    assign = {}
+    for i, v in V.items():
+        best = max(C, key=lambda c: (cos(v, C[c]), -c))
+        assign[i] = best
+    clusters = {}
+    for i, c in assign.items():
+        clusters.setdefault(c, []).append(i)
+    for i in V:
+        assert assign[i] == got[i][0], f"cluster mismatch vec {i}"
+    for c, members in clusters.items():
+        for i in members:
+            sims = [
+                j for j in members
+                if j < i and cos(V[i], V[j]) >= SEMDEDUP_COS
+            ]
+            kept, dup_of = got[i][1], got[i][2]
+            assert kept == (not sims), f"keep mismatch vec {i}"
+            if sims:
+                assert dup_of == min(sims), f"dup_of mismatch vec {i}"
+    # non-trivial: at least one drop on the gate corpus
+    assert any(not k for _, k, _ in got.values())

@@ -172,3 +172,125 @@ def run_streaming_neardup(
     )
     q.awaitTermination()
     return spark.read.parquet(pairs_store)
+
+
+# ---------------------------------------------------------------------------
+# incremental SEMANTIC dedup (embedding-space SemDeDup over a stream)
+
+
+def process_semdedup_batch(
+    batch_emb: DataFrame,
+    centroids,
+    *,
+    batch_id: int,
+    vec_store: str,
+    pairs_store: str,
+    threshold: float,
+) -> None:
+    """One incremental SemDeDup step: assign the batch's vectors to
+    the FIXED centroid codebook, compare them against the accumulated
+    per-cluster store (plus the batch itself), and upsert verified
+    semantic-dup pairs. Mirrors process_batch: new vectors only ever
+    join their own cluster's accumulated members, never the corpus."""
+    from .similarity import _as_double, cosine
+    from .ivf import _assign
+
+    spark = batch_emb.sparkSession
+    e = batch_emb.select(
+        F.col("vec_id"), _as_double(F.col("embedding")).alias("v")
+    )
+    new = _assign(e, centroids, "v").select(
+        "vec_id", F.col("centroid_id").alias("cluster_id"), "v"
+    )
+    prev = _read_prior(spark, vec_store, batch_id)
+    allv = prev.unionByName(new) if prev is not None else new
+
+    a = allv.select(
+        "cluster_id", F.col("vec_id").alias("id_x"), F.col("v").alias("vx")
+    )
+    b = new.select(
+        "cluster_id", F.col("vec_id").alias("id_y"), F.col("v").alias("vy")
+    )
+    cand = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_x") != F.col("id_y"))
+        .withColumn("cos", cosine(F.col("vx"), F.col("vy")))
+        .filter(F.col("cos") >= F.lit(float(threshold)))
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+            "cos",
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    upsert_parquet(spark, pairs_store, cand, ["id_a", "id_b"], ["cos"])
+    new.write.mode("overwrite").parquet(_batch_dir(vec_store, batch_id))
+
+
+def run_streaming_semdedup(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    threshold: float | None = None,
+    files_per_trigger: int = 2,
+    n_files: int = 6,
+) -> DataFrame:
+    """Incremental SemDeDup over a stream of embeddings: the centroid
+    codebook is trained ONCE up front (deterministic sampled k-means —
+    at warehouse scale a separate offline job, exactly like an IVF/PQ
+    index build), then each micro-batch assigns, verifies within its
+    clusters against the accumulated store, and upserts pairs. The
+    drained keep/drop result must equal batch semdedup exactly: every
+    within-cluster pair is examined when its LATER-ARRIVING member
+    shows up, and the keep rule (min smaller-id neighbor) is computed
+    from the full accumulated pair set at drain time — arrival-order
+    independent."""
+    from ..sources import load_table
+    from .ivf import train_kmeans
+    from .similarity import SEMDEDUP_COS
+
+    thr = SEMDEDUP_COS if threshold is None else threshold
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_kmeans(emb)
+
+    work = tempfile.mkdtemp(prefix="csdp_semdd_")
+    src = os.path.join(work, "in")
+    vec_store = os.path.join(work, "vecs")
+    pairs_store = os.path.join(work, "pairs")
+    ckpt = os.path.join(work, "ckpt")
+    emb.repartition(n_files).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(src)
+    )
+
+    def on_batch(batch_emb: DataFrame, batch_id: int) -> None:
+        process_semdedup_batch(
+            batch_emb,
+            centroids,
+            batch_id=batch_id,
+            vec_store=vec_store,
+            pairs_store=pairs_store,
+            threshold=thr,
+        )
+
+    q = (
+        stream.writeStream.queryName(f"semdd_{uuid.uuid4().hex[:8]}")
+        .foreachBatch(on_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    vecs = spark.read.parquet(os.path.join(vec_store, "*"))
+    pairs = spark.read.parquet(pairs_store)
+    dup_of = pairs.groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
+    return vecs.join(dup_of, vecs.vec_id == dup_of.id_b, "left").select(
+        "vec_id",
+        "cluster_id",
+        F.col("dup_of").isNull().alias("is_kept"),
+        "dup_of",
+    )

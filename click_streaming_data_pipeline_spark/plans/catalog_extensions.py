@@ -817,3 +817,24 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semdedup(emb)
+
+
+@query(
+    "semdedup_streamed",
+    oracle=None,  # k-means codebook; batch-parity pytest is the gate
+    doc=(
+        "extension (semantic dedup, INCREMENTAL): embeddings arrive "
+        "as a micro-batched stream; the centroid codebook is trained "
+        "once up front (the offline-index-build pattern of IVF/PQ), "
+        "each batch assigns + verifies within its clusters against "
+        "the accumulated per-cluster store only, pairs upsert "
+        "idempotently (per-batch subdir stores, replay-safe), and the "
+        "drained keep/drop result must equal batch semdedup_keep "
+        "exactly - arrival-order independent by construction"
+    ),
+    tags=("streaming", "dedup", "similarity"),
+)
+def semdedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup_streaming import run_streaming_semdedup
+
+    return run_streaming_semdedup(spark, sf_dir)

@@ -637,3 +637,21 @@ def test_semdedup_matches_python_replay(spark):
                 assert dup_of == min(sims), f"dup_of mismatch vec {i}"
     # non-trivial: at least one drop on the gate corpus
     assert any(not k for _, k, _ in got.values())
+
+
+def test_semdedup_streamed_equals_batch(spark):
+    """Incremental SemDeDup drained over micro-batches must equal the
+    all-batch result row-for-row (same clusters, keeps, lineage)."""
+    from click_streaming_data_pipeline_spark.extensions.dedup_streaming import (
+        run_streaming_semdedup,
+    )
+    from click_streaming_data_pipeline_spark.extensions.similarity import (
+        semdedup,
+    )
+
+    emb = load_table(spark, SF_TEST, "embeddings")
+    batch = sorted(map(tuple, semdedup(emb).collect()))
+    streamed = sorted(
+        map(tuple, run_streaming_semdedup(spark, SF_TEST).collect())
+    )
+    assert streamed == batch

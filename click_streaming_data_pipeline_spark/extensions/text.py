@@ -346,13 +346,17 @@ def _merge_pair_expr(symbols: "Column", x: str, y: str) -> "Column":
             (~acc["skip"] & take_merge).alias("skip"),
         )
 
-    paired = F.arrays_zip(
-        symbols.alias("s"),
+    # the lookahead array must be EXACTLY size(symbols) long: padding
+    # an empty input would make arrays_zip emit one phantom (null,
+    # null) pair and the fold return [null] instead of []
+    lookahead = F.when(
+        F.size(symbols) > 0,
         F.concat(
             F.slice(symbols, 2, F.greatest(F.size(symbols) - 1, F.lit(0))),
             F.array(F.lit(None).cast("string")),
-        ).alias("nxt"),
-    )
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    paired = F.arrays_zip(symbols.alias("s"), lookahead.alias("nxt"))
     return F.aggregate(paired, init, step)["arr"]
 
 

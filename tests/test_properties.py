@@ -462,3 +462,41 @@ def test_zorder_key_roundtrip_and_locality(spark):
     )
     for r in out.collect():
         assert r["ra"] == r["a"] and r["rb"] == r["b"]
+
+
+symbols_strategy = st.lists(
+    st.sampled_from(["a", "b", "ab", "</w>"]), min_size=0, max_size=9
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    syms=symbols_strategy,
+    x=st.sampled_from(["a", "b", "ab"]),
+    y=st.sampled_from(["a", "b", "</w>"]),
+)
+def test_bpe_merge_expression_matches_python(spark, syms, x, y):
+    """The fold-expression pair merge must equal the classic
+    left-to-right non-overlapping python merge on arbitrary symbol
+    arrays — including x==y runs ('a a a' -> ['aa','a']) and empty
+    inputs."""
+    from click_streaming_data_pipeline_spark.extensions.text import (
+        _merge_pair_expr,
+    )
+
+    def py_merge(s):
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == x and s[i + 1] == y:
+                out.append(x + y)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        return out
+
+    df = spark.createDataFrame([(syms,)], "symbols array<string>")
+    got = df.select(
+        _merge_pair_expr(F.col("symbols"), x, y).alias("m")
+    ).collect()[0]["m"]
+    assert list(got) == py_merge(syms)

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from ..functions.quality import quality_check_columns, quality_oracle_exprs
 from ..sources import load_table
 from ..sources.cdc import ENVELOPE_SCHEMA, synth_cdc_envelopes
-from .registry import query
+from .registry import dsum_sql, query
 
 
 @query(
@@ -332,3 +332,67 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return wide.select(F.explode(profiles).alias("p")).select("p.*")
+
+
+@query(
+    "multi_format_roundtrip",
+    oracle=f"""
+        SELECT 'csv' AS fmt,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               {dsum_sql('value', 'total_value')}
+        FROM events
+        UNION ALL
+        SELECT 'orc',
+               CAST(count(*) AS BIGINT),
+               CAST(count(DISTINCT user_id) AS BIGINT),
+               {dsum_sql('value', 'total_value')}
+        FROM events
+    """,
+    doc=(
+        "A5 source-format breadth: the events table round-trips "
+        "through CSV (header + explicit schema + timestamp format - "
+        "the lossy-text path needs every knob pinned) and ORC (the "
+        "other columnar native), then both re-aggregate to the same "
+        "exact totals as the parquet original; proves scan parity "
+        "across the engine's batch source formats. Scale: both "
+        "readers are splittable native sources with column pruning "
+        "(ORC) and schema-at-read (CSV) - same partitioned-scan "
+        "model as parquet."
+    ),
+    tags=("scan",),
+)
+def multi_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="csdp_fmt_")
+    csv_dir = os.path.join(work, "csv")
+    orc_dir = os.path.join(work, "orc")
+    (
+        ev.write.option("header", True)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .mode("overwrite")
+        .csv(csv_dir)
+    )
+    ev.write.mode("overwrite").orc(orc_dir)
+    csv = (
+        spark.read.option("header", True)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .schema(ev.schema)
+        .csv(csv_dir)
+    )
+    orc = spark.read.orc(orc_dir)
+
+    def agg(df, tag):
+        return df.agg(
+            F.lit(tag).alias("fmt"),
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_value"),
+        ).select("fmt", "n_events", "n_users", "total_value")
+
+    return agg(csv, "csv").unionByName(agg(orc, "orc"))

@@ -384,3 +384,21 @@ def test_optimize_zorder_compacts_and_clusters(spark):
             spans.append(hi - lo)
         assert len(spans) > 1
         assert sum(spans) / len(spans) < 0.7 * 99
+
+
+def test_scd2_build_is_single_shuffle(spark):
+    """user_status_scd2's two window passes (change detection, then
+    interval close) must reuse ONE hashpartitioning(user_id) exchange
+    — the claim its docstring makes."""
+    import re
+
+    from click_streaming_data_pipeline_spark.plans import QUERIES
+
+    plan = (
+        QUERIES["user_status_scd2"]
+        .fn(spark, SF_TEST)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1

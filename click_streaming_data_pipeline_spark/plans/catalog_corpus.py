@@ -756,3 +756,69 @@ def bpe_merge_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.text import bpe_merges
 
     return bpe_merges(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "corpus_health_report",
+    oracle=f"""
+        WITH {_QH_CTE},
+        per_doc AS (
+            SELECT d.doc_id, d.source,
+                   (m.n_tokens >= 20 AND m.n_tokens <= 1000
+                    AND m.mean_token_len >= CAST(3.0 AS DOUBLE)
+                    AND m.mean_token_len <= CAST(10.0 AS DOUBLE)
+                    AND m.dup_3gram_frac <= CAST(0.25 AS DOUBLE))
+                       AS q_ok,
+                   m.n_tokens,
+                   count(*) OVER (PARTITION BY md5(d.text)) > 1
+                       AS is_exact_dup
+            FROM documents d JOIN m ON d.doc_id = m.doc_id
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_quality_ok,
+               CAST(sum(CASE WHEN q_ok THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*) AS quality_ok_frac,
+               CAST(sum(CASE WHEN is_exact_dup THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_exact_dup,
+               CAST(sum(CASE WHEN is_exact_dup THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*) AS exact_dup_frac
+        FROM per_doc
+        GROUP BY source
+    """,
+    doc=(
+        "extension (corpus curation, capstone): per-source CORPUS "
+        "HEALTH REPORT - one pass composes the Gopher quality gates, "
+        "token totals, and exact-dup incidence (window count over the "
+        "content hash) into the per-domain dashboard a curation "
+        "pipeline publishes per snapshot; the dedup window shuffles "
+        "on the 16-byte md5 key, everything else rides the "
+        "quality_heuristics codegen pass + one source groupBy"
+    ),
+    tags=("corpus",),
+)
+def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..extensions.corpus import quality_heuristics
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = quality_heuristics(docs).select("doc_id", "n_tokens", "quality_ok")
+    w = Window.partitionBy(F.md5("text"))
+    per_doc = (
+        docs.select("doc_id", "source", "text")
+        .withColumn("is_exact_dup", F.count("*").over(w) > 1)
+        .join(m, "doc_id")
+    )
+    q = F.col("quality_ok").cast("long")
+    d = F.col("is_exact_dup").cast("long")
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("long")).alias("n_tokens"),
+        F.sum(q).alias("n_quality_ok"),
+        (F.sum(q).cast("double") / F.count("*")).alias("quality_ok_frac"),
+        F.sum(d).alias("n_exact_dup"),
+        (F.sum(d).cast("double") / F.count("*")).alias("exact_dup_frac"),
+    )

@@ -838,3 +838,48 @@ def semdedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.dedup_streaming import run_streaming_semdedup
 
     return run_streaming_semdedup(spark, sf_dir)
+
+
+@query(
+    "ann_recall_report",
+    oracle=None,  # k-means-dependent; python recompute pytest-gated
+    doc=(
+        "extension (similarity, eval): ANN INDEX-QUALITY REPORT - "
+        "recall@10 of each approximate strategy (IVF, PQ-ADC, IVF-PQ) "
+        "against the exact brute-force top-k for the standard query "
+        "set, computed as a semi-join overlap count per query then "
+        "averaged; the self-evaluation operator a production ANN "
+        "deployment runs after every index rebuild. One row per "
+        "method; exact baseline row pinned at 1.0"
+    ),
+    tags=("similarity",),
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.ivf import ivf_topk
+    from ..extensions.pq import ivf_pq_topk, pq_topk
+    from ..extensions.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(emb, _QUERY_IDS, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    n_exact = exact.count()
+    methods = {
+        "brute_force": exact,
+        "ivf": ivf_topk(emb, _QUERY_IDS, k=10).select(
+            "query_id", "neighbor_id"
+        ),
+        "pq_adc": pq_topk(emb, _QUERY_IDS, k=10).select(
+            "query_id", "neighbor_id"
+        ),
+        "ivf_pq": ivf_pq_topk(emb, _QUERY_IDS, k=10).select(
+            "query_id", "neighbor_id"
+        ),
+    }
+    rows = []
+    for name, df in methods.items():
+        hits = df.join(exact, ["query_id", "neighbor_id"], "semi").count()
+        rows.append((name, hits, n_exact, hits / n_exact))
+    return emb.sparkSession.createDataFrame(
+        rows, "method string, n_hits long, n_exact long, recall double"
+    )

@@ -655,3 +655,41 @@ def test_semdedup_streamed_equals_batch(spark):
         map(tuple, run_streaming_semdedup(spark, SF_TEST).collect())
     )
     assert streamed == batch
+
+
+def test_ann_recall_report_matches_recompute(spark):
+    """The recall report must equal an independent python recompute
+    from the methods' own top-k outputs (and keep the known floors)."""
+    from click_streaming_data_pipeline_spark.extensions.ivf import ivf_topk
+    from click_streaming_data_pipeline_spark.extensions.pq import (
+        ivf_pq_topk,
+        pq_topk,
+    )
+    from click_streaming_data_pipeline_spark.extensions.similarity import (
+        brute_force_topk,
+    )
+    from click_streaming_data_pipeline_spark.plans import QUERIES
+
+    emb = load_table(spark, SF_TEST, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, qids, k=10).collect()
+    }
+    got = {
+        r["method"]: (r["n_hits"], r["recall"])
+        for r in QUERIES["ann_recall_report"].fn(spark, SF_TEST).collect()
+    }
+    for name, fn in (
+        ("ivf", ivf_topk),
+        ("pq_adc", pq_topk),
+        ("ivf_pq", ivf_pq_topk),
+    ):
+        mine = {
+            (r["query_id"], r["neighbor_id"])
+            for r in fn(emb, qids, k=10).collect()
+        }
+        hits = len(mine & exact)
+        assert got[name] == (hits, hits / len(exact)), name
+    assert got["brute_force"] == (len(exact), 1.0)
+    assert got["ivf"][1] >= 0.8 and got["ivf_pq"][1] >= 0.8

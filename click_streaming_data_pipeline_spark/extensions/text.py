@@ -437,3 +437,66 @@ def bpe_merges(docs: "DataFrame", *, n_merges: int = BPE_N_MERGES,
     return spark.createDataFrame(
         out, "rank long, left string, right string, pair_count long"
     )
+
+
+def bpe_encode(
+    docs: "DataFrame",
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Tokenize every document with a LEARNED merge list — the
+    tokenizer-APPLY step that pairs with :func:`bpe_merges` (training
+    learns the ranks; this encodes the corpus with them).
+
+    Each merge is one non-overlapping left-to-right rewrite pass
+    (:func:`_merge_pair_expr`), applied in rank order — exactly the
+    per-rule application the trainer used, so train→encode round-trips
+    bit-for-bit (pytest replays both against a pure-python reference).
+
+    Scale shape: merges are applied to the DISTINCT word table
+    (vocabulary-sized — corpus bytes don't multiply the merge work),
+    then the encoded forms join back to the corpus-sized (doc, pos,
+    word) spine and re-assemble in word order. One groupBy for the
+    vocab, one hash join on word, one doc_id re-aggregation; the merge
+    chain itself is pure fold expressions, no UDFs.
+
+    Returns (id_col, n_tokens, tokens) with ``tokens`` the
+    space-joined token sequence.
+    """
+    spine = (
+        scan_parallel(docs)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.lower(F.col(text_col)), " ")
+            ).alias("pos", "w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    vocab = spine.select("w").distinct().withColumn(
+        "symbols",
+        F.concat(F.split(F.col("w"), ""), F.array(F.lit("</w>"))),
+    )
+    for left, right in merges:
+        vocab = vocab.select(
+            "w", _merge_pair_expr(F.col("symbols"), left, right).alias("symbols")
+        )
+    encoded = vocab.select("w", F.col("symbols").alias("word_tokens"))
+    return (
+        spine.join(encoded, "w")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "word_tokens"))
+                )["word_tokens"]
+            ).alias("toks")
+        )
+        .select(
+            id_col,
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.concat_ws(" ", "toks").alias("tokens"),
+        )
+    )

@@ -11,5 +11,6 @@ from . import catalog_temporal  # noqa: F401
 from . import catalog_quality  # noqa: F401
 from . import catalog_corpus  # noqa: F401
 from . import catalog_tpch  # noqa: F401
+from . import catalog_clickstream  # noqa: F401
 
 __all__ = ["QUERIES", "CatalogQuery", "query", "queries_dict", "oracle_dict"]

@@ -759,6 +759,33 @@ def bpe_merge_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bpe_encode",
+    oracle=None,  # chained iterative rewrites; pure-python oracle pytest
+    doc=(
+        "extension (tokenization): BPE ENCODE - tokenize the corpus "
+        "with the merge table bpe_merge_ranks LEARNS (train->apply "
+        "round-trip, replayed exactly by the pure-python oracle "
+        "pytest). The merge chain runs over the DISTINCT word table "
+        "(vocabulary-sized, corpus-byte-independent), encoded forms "
+        "hash-join back to the (doc, pos, word) spine and re-assemble "
+        "in word order - one vocab groupBy + one join + one doc "
+        "aggregation, merges as pure fold expressions, no UDF. "
+        "Rows-only at the driver (iterative spec)."
+    ),
+    tags=("corpus", "text"),
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.text import bpe_encode, bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_merges(docs).orderBy("rank").collect()
+    ]
+    return bpe_encode(docs, merges)
+
+
+@query(
     "corpus_health_report",
     oracle=f"""
         WITH {_QH_CTE},

@@ -1,0 +1,68 @@
+"""Clickstream-analytics catalog: semantic invariants beyond the
+oracle hash-match (conservation, split sanity, plan shape)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from click_streaming_data_pipeline_spark.plans import QUERIES
+
+from .conftest import SF_TEST
+
+
+def test_linear_attribution_conserves_revenue(spark):
+    """Every attributed purchase's micro-cent shares must sum back to
+    its price up to the per-touch floor loss (< n_touch micro-cents),
+    and un-clicked purchases receive nothing."""
+    rows = QUERIES["linear_attribution"].fn(spark, SF_TEST).collect()
+    attributed = sum(r["attributed_microcents"] for r in rows)
+    per_purchase = duckdb.sql(
+        f"""
+        WITH c AS (SELECT user_id, ts FROM '{SF_TEST}/events.parquet'
+                   WHERE event_type = 'click'),
+        p AS (SELECT user_id, ts, event_id,
+                     CAST(round(value*100) AS BIGINT) AS cents
+              FROM '{SF_TEST}/events.parquet'
+              WHERE event_type = 'purchase')
+        SELECT p.cents, count(*) AS n_touch
+        FROM p JOIN c ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
+        GROUP BY p.event_id, p.cents
+        """
+    ).fetchall()
+    exact = sum(c * 10000 for c, _ in per_purchase)
+    floor_loss_bound = sum(n for _, n in per_purchase)
+    assert exact - floor_loss_bound < attributed <= exact
+    assert attributed > 0
+
+
+def test_ab_split_covers_all_users(spark):
+    df = QUERIES["ab_test_report"].fn(spark, SF_TEST)
+    row = df.collect()[0]
+    n_users = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM '{SF_TEST}/events.parquet'"
+    ).fetchone()[0]
+    assert row["n_control"] + row["n_treatment"] == n_users
+    assert row["n_control"] > 0 and row["n_treatment"] > 0
+    assert row["conv_control"] <= row["n_control"]
+    assert row["conv_treatment"] <= row["n_treatment"]
+
+
+def test_top_events_per_type_plans_window_group_limit(spark):
+    """The per-group top-k must push a partial limit below the
+    shuffle (WindowGroupLimit), not rank the full partition."""
+    df = QUERIES["top_events_per_type"].fn(spark, SF_TEST)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_suspect_bots_one_row_per_user(spark):
+    df = QUERIES["suspect_bots"].fn(spark, SF_TEST)
+    rows = df.collect()
+    users = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM '{SF_TEST}/events.parquet'"
+    ).fetchone()[0]
+    assert len(rows) == users
+    for r in rows:
+        if r["n_events"] == 1:
+            assert r["min_gap_us"] is None and r["span_us"] == 0

@@ -496,3 +496,60 @@ def test_bpe_merges_match_python_oracle(spark):
         ).collect()
     ]
     assert got == want
+
+
+def test_bpe_encode_matches_python_oracle(spark):
+    """Train→encode round-trip: encoding with the learned merges must
+    replay the pure-python tokenizer exactly (same per-rule single
+    left-to-right pass the trainer applies)."""
+    import duckdb
+
+    from click_streaming_data_pipeline_spark.extensions.text import (
+        bpe_encode,
+        bpe_merges,
+    )
+    from click_streaming_data_pipeline_spark.sources import load_table
+
+    from .conftest import SF_TEST
+
+    docs = load_table(spark, SF_TEST, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_merges(docs).orderBy("rank").collect()
+    ]
+    assert len(merges) == 10
+
+    def py_encode_word(w):
+        syms = list(w) + ["</w>"]
+        for left, right in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    texts = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_TEST}/documents.parquet'"
+    ).fetchall()
+    want = {}
+    for doc_id, text in texts:
+        toks = []
+        for w in text.lower().split(" "):
+            if w:
+                toks.extend(py_encode_word(w))
+        want[doc_id] = (len(toks), " ".join(toks))
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["tokens"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+    assert got == want

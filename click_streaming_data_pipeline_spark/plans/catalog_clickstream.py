@@ -355,3 +355,196 @@ def top_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("event_type", "rnk", "event_id", "user_id", "value")
     )
+
+
+@query(
+    "clickpath_trigrams",
+    oracle="""
+        WITH keyed AS (
+            SELECT user_id, ts, event_id,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER)
+                       AS page
+            FROM events
+        ),
+        paths AS (
+            SELECT page AS p1,
+                   lead(page, 1) OVER w AS p2,
+                   lead(page, 2) OVER w AS p3
+            FROM keyed
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        counted AS (
+            SELECT p1, p2, p3, CAST(count(*) AS BIGINT) AS n_paths
+            FROM paths
+            WHERE p2 IS NOT NULL AND p3 IS NOT NULL
+            GROUP BY 1, 2, 3
+        )
+        SELECT p1, p2, p3, n_paths, rn FROM (
+            SELECT *, CAST(row_number() OVER (
+                ORDER BY n_paths DESC, p1, p2, p3) AS INT) AS rn
+            FROM counted
+        ) WHERE rn <= 20
+    """,
+    doc=(
+        "beyond-reference sequence mining: TOP CLICKPATH TRIGRAMS - "
+        "the 20 most frequent length-3 page sequences across user "
+        "sessions (two leads in ONE user_id window pass, the "
+        "path-analysis big brother of page_transitions' bigrams). "
+        "Count groups are page-triple-bounded; the final top-20 is a "
+        "TakeOrderedAndProject with a total-order tie-break so the "
+        "selected set is deterministic."
+    ),
+    tags=("window", "graph"),
+)
+def clickpath_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    page = F.get_json_object("props", "$.k").cast("int")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.select("user_id", "ts", "event_id", page.alias("p1"))
+        .select(
+            "p1",
+            F.lead("p1", 1).over(w).alias("p2"),
+            F.lead("p1", 2).over(w).alias("p3"),
+        )
+        .filter(F.col("p2").isNotNull() & F.col("p3").isNotNull())
+    )
+    counted = paths.groupBy("p1", "p2", "p3").agg(
+        F.count("*").alias("n_paths")
+    )
+    wr = Window.orderBy(
+        F.col("n_paths").desc(), F.col("p1"), F.col("p2"), F.col("p3")
+    )
+    return counted.select(
+        "p1", "p2", "p3", "n_paths",
+        F.row_number().over(wr).cast("int").alias("rn"),
+    ).filter(F.col("rn") <= 20)
+
+
+# drift math stays exact by clearing denominators: per-bin deviations
+# are |c_w*N_0 - c_0*N_w| computed in DECIMAL (exact integers), summed
+# exactly, with ONE final double division — no ln(), no float sums.
+_DRIFT_SQL = """
+    WITH bounds AS (
+        SELECT min(value) AS lo, max(value) AS hi FROM events
+    ),
+    binned AS (
+        SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+               least(CAST(floor((value - lo) / ((hi - lo) /
+                   CAST(20.0 AS DOUBLE))) AS BIGINT), 19) AS bin
+        FROM events, bounds
+    ),
+    counts AS (
+        SELECT week, bin, CAST(count(*) AS BIGINT) AS c
+        FROM binned GROUP BY 1, 2
+    ),
+    weeks AS (
+        SELECT week, CAST(sum(c) AS BIGINT) AS n_week FROM counts
+        GROUP BY 1
+    ),
+    base AS (
+        SELECT bin, c AS c0 FROM counts
+        WHERE week = (SELECT min(week) FROM weeks)
+    ),
+    n0 AS (
+        SELECT n_week AS n_base FROM weeks
+        WHERE week = (SELECT min(week) FROM weeks)
+    ),
+    grid AS (
+        SELECT w.week, w.n_week, b.bin,
+               coalesce(c.c, 0) AS c_w,
+               coalesce(base.c0, 0) AS c_0
+        FROM weeks w
+        CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS bin) b
+        LEFT JOIN counts c ON c.week = w.week AND c.bin = b.bin
+        LEFT JOIN base ON base.bin = b.bin
+    )
+    SELECT week, n_week,
+           CAST(CAST(sum(abs(
+                    CAST(c_w AS DECIMAL(18,0)) * CAST(n_base AS DECIMAL(18,0))
+                  - CAST(c_0 AS DECIMAL(18,0)) * CAST(n_week AS DECIMAL(18,0))
+               )) AS DOUBLE)
+               / CAST(CAST(2 AS DECIMAL(18,0))
+                      * CAST(n_week AS DECIMAL(18,0))
+                      * CAST(n_base AS DECIMAL(18,0)) AS DOUBLE)
+               AS DOUBLE) AS tv_distance,
+           CAST(CAST(max(abs(
+                    CAST(c_w AS DECIMAL(18,0)) * CAST(n_base AS DECIMAL(18,0))
+                  - CAST(c_0 AS DECIMAL(18,0)) * CAST(n_week AS DECIMAL(18,0))
+               )) AS DOUBLE)
+               / CAST(CAST(n_week AS DECIMAL(18,0))
+                      * CAST(n_base AS DECIMAL(18,0)) AS DOUBLE)
+               AS DOUBLE) AS max_bin_dev
+    FROM grid, n0
+    GROUP BY week, n_week, n_base
+"""
+
+
+@query(
+    "weekly_value_drift",
+    oracle=_DRIFT_SQL,
+    doc=(
+        "beyond-reference data-quality monitoring: DISTRIBUTION DRIFT "
+        "- each week's value distribution vs the first week's, as "
+        "total-variation distance and max per-bin deviation over a "
+        "20-bin equal-width histogram (the drift monitor a feature "
+        "pipeline alarms on; TV instead of PSI because ln() is not "
+        "bit-portable across engines - docstring convention of the LM "
+        "scores). All deviations are exact DECIMAL integer products "
+        "(denominators cleared), one double division at the end. "
+        "Scale: one bounds row broadcast, one (week,bin) partial agg, "
+        "then week-count-sized joins - nothing proportional to raw "
+        "events after the first groupBy."
+    ),
+    tags=("agg", "window"),
+)
+def weekly_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(20.0)
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        F.to_date(F.date_trunc("week", F.col("ts"))).alias("week"),
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / width).cast("long"),
+            F.lit(19).cast("long"),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("week", "bin").agg(F.count("*").alias("c"))
+    weeks = counts.groupBy("week").agg(F.sum("c").alias("n_week"))
+    base_week = weeks.agg(F.min("week").alias("bw"))
+    base = (
+        counts.join(
+            F.broadcast(base_week), F.col("week") == F.col("bw")
+        ).select(F.col("bin"), F.col("c").alias("c0"))
+    )
+    n0 = (
+        weeks.join(F.broadcast(base_week), F.col("week") == F.col("bw"))
+        .select(F.col("n_week").alias("n_base"))
+    )
+    bins = spark.range(20).select(F.col("id").alias("bin"))
+    grid = (
+        weeks.crossJoin(F.broadcast(bins))
+        .join(counts, ["week", "bin"], "left")
+        .join(F.broadcast(base), "bin", "left")
+        .select(
+            "week",
+            "n_week",
+            "bin",
+            F.coalesce("c", F.lit(0)).alias("c_w"),
+            F.coalesce("c0", F.lit(0)).alias("c_0"),
+        )
+        .crossJoin(F.broadcast(n0))
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    dev = F.abs(dec("c_w") * dec("n_base") - dec("c_0") * dec("n_week"))
+    return grid.groupBy("week", "n_week", F.col("n_base")).agg(
+        (
+            F.sum(dev).cast("double")
+            / (F.lit(2).cast("decimal(18,0)") * dec("n_week") * dec("n_base"))
+            .cast("double")
+        ).alias("tv_distance"),
+        (
+            F.max(dev).cast("double")
+            / (dec("n_week") * dec("n_base")).cast("double")
+        ).alias("max_bin_dev"),
+    ).drop("n_base").select("week", "n_week", "tv_distance", "max_bin_dev")

@@ -474,3 +474,41 @@ def orders_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_hash"),
     )
+
+
+@query(
+    "bloom_prefiltered_orders",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM customer
+            WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING'
+        )
+    """,
+    doc=(
+        "beyond-reference scale pattern: BLOOM-PREFILTERED SEMI-JOIN "
+        "- the manual form of Spark's runtime bloom filter, for key "
+        "sets too large to broadcast as rows but whose filter fits in "
+        "KBs. Fact rows are pruned at the SCAN by a codegen'd "
+        "literal-bitmap bit test (no shuffle, no Python), then the "
+        "exact semi-join removes the ~1% false positives - so the "
+        "result IS the plain semi-join, bit for bit (this oracle), "
+        "while the shuffle sees only ~segment-fraction of the fact. "
+        "Bitmap build is one tiny word-index groupBy + a bounded "
+        "collect (ivf.py's k-row convention)."
+    ),
+    tags=("join", "scale"),
+)
+def bloom_prefiltered_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import bloom_semi_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    seg = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return bloom_semi_join(orders, seg, "o_custkey")

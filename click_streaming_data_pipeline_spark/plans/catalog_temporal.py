@@ -558,3 +558,119 @@ def point_in_time_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_status").alias("status_asof"),
         F.col("asof_ts").alias("status_since"),
     )
+
+
+@query(
+    "click_purchase_left_outer_streamed",
+    oracle="""
+        SELECT c.user_id,
+               c.event_id AS click_id, c.ts AS click_ts,
+               p.event_id AS purchase_id, p.ts AS purchase_ts
+        FROM (SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'click') c
+        LEFT JOIN (SELECT user_id, ts, event_id FROM events
+                   WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL '1 hour'
+    """,
+    doc=(
+        "beyond-reference: LEFT OUTER stream-stream join - every "
+        "click emits, attributed or not, with the null row produced "
+        "only when the watermark proves no purchase can still arrive "
+        "(the hard part of outer streaming joins: unmatched results "
+        "are watermark-delayed state evictions, not immediate rows). "
+        "Parity with the batch LEFT JOIN is exact because a sentinel "
+        "event past max(ts)+delay is appended as the LAST file (later "
+        "mtime), pushing the final watermark beyond every click's "
+        "expiry so all pending state drains inside availableNow's "
+        "no-data batch - the standard flush technique for bounded "
+        "replays of an outer join."
+    ),
+    tags=("streaming", "join", "temporal"),
+)
+def click_purchase_left_outer_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import time as _time
+
+    events = load_table(spark, sf_dir, "events")
+    max_ts = events.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    work = tempfile.mkdtemp(prefix="csdp_ssloj_")
+    src = os.path.join(work, "in")
+    events.repartition(6).write.mode("overwrite").parquet(src)
+    # sentinel pair (user_id<0) past max_ts + watermark delay: its
+    # arrival advances the watermark beyond every real click's
+    # expiry, draining unmatched state before termination. Written
+    # AFTER the data files (plus a sleep beating coarse mtime
+    # granularity) so FileStreamSource's mtime order puts it in the
+    # last micro-batch.
+    _time.sleep(1.1)
+    sentinel = spark.createDataFrame(
+        [(-1, "click"), (-2, "purchase")], "user_id long, event_type string"
+    ).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.lit(max_ts) + F.expr("INTERVAL 91 DAYS")).alias("ts"),
+        "user_id",
+        "event_type",
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).select(*[c for c in events.columns])
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 3)
+            .parquet(src)
+        )
+
+    clicks = (
+        stream()
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "90 days")
+    )
+    purchases = (
+        stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "90 days")
+    )
+    # NOTE: the sentinel filter must NOT be part of the streaming
+    # plan: Catalyst pushes `user_id >= 0` through the outer join to
+    # BOTH scans (constraint propagation via the equi-key), which
+    # would drop the sentinel rows at the source — before their event
+    # time ever reaches the watermark operator — and the flush never
+    # happens. Filter the materialized result instead.
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 1 hour")
+        ),
+        "left_outer",
+    ).select(
+        "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts"
+    )
+
+    name = f"ssloj_{_uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.queryName(name)
+        .format("memory")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).filter(F.col("user_id") >= 0)

@@ -66,3 +66,47 @@ def test_suspect_bots_one_row_per_user(spark):
     for r in rows:
         if r["n_events"] == 1:
             assert r["min_gap_us"] is None and r["span_us"] == 0
+
+
+def test_bloom_prefilter_is_exact_and_selective(spark):
+    """The bloom prefilter alone must pass every true match (no
+    false negatives) and prune most non-matches at ~1% fpp."""
+    import duckdb
+
+    from click_streaming_data_pipeline_spark.operators.bloom import (
+        build_bloom,
+        might_contain,
+    )
+    from click_streaming_data_pipeline_spark.sources import load_table
+
+    from .conftest import SF_TEST
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, SF_TEST, "orders")
+    seg = (
+        load_table(spark, SF_TEST, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+        .distinct()
+    )
+    n_keys = seg.count()
+    m_bits = max(64, n_keys * 10)
+    bitmap = build_bloom(seg, "o_custkey", m_bits=m_bits)
+    assert len(bitmap) == (m_bits + 63) // 64
+
+    passed = orders.filter(
+        might_contain(F.col("o_custkey"), bitmap, m_bits=m_bits)
+    ).count()
+    true_matches = duckdb.sql(
+        f"""
+        SELECT count(*) FROM '{SF_TEST}/orders.parquet' o
+        WHERE EXISTS (SELECT 1 FROM '{SF_TEST}/customer.parquet' c
+                      WHERE c.c_custkey = o.o_custkey
+                        AND c.c_mktsegment = 'BUILDING')
+        """
+    ).fetchone()[0]
+    total = orders.count()
+    # no false negatives, and false positives well under 5% of the
+    # non-matching population (sized for ~1%)
+    assert passed >= true_matches
+    assert passed - true_matches <= max(5, 0.05 * (total - true_matches))

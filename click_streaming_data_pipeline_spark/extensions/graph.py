@@ -106,3 +106,85 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Global triangle census of the undirected page graph: node /
+    edge / wedge / triangle counts and the global clustering
+    coefficient (3T/W).
+
+    Compact-forward algorithm: every undirected edge is ORIENTED from
+    its lower endpoint to its higher endpoint under the (degree, id)
+    total order, so each triangle is counted exactly once at its
+    lowest-degree corner and — the scale property — the per-node
+    join fan-out is bounded by the node's FORWARD degree, which
+    degree-ordering keeps small even for hubs (the standard fix for
+    the quadratic wedge blow-up a raw id-orientation suffers on
+    skewed graphs). Two equi-joins, no window over full history;
+    wedge counts come from one degree aggregation. The DuckDB oracle
+    enumerates id-ordered triangles instead — orientation changes the
+    join cost, never the count."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    with_deg = (
+        und.join(deg.withColumnRenamed("v", "a"), "a")
+        .withColumnRenamed("deg", "deg_a")
+        .join(
+            deg.withColumnRenamed("v", "b").withColumnRenamed(
+                "deg", "deg_b"
+            ),
+            "b",
+        )
+    )
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedge_pairs = o1.join(
+        o2,
+        (F.col("o1.u") == F.col("o2.u")) & (F.col("o1.v") < F.col("o2.v")),
+    ).select(
+        F.least("o1.v", "o2.v").alias("a"),
+        F.greatest("o1.v", "o2.v").alias("b"),
+    )
+    triangles = wedge_pairs.join(und, ["a", "b"], "left_semi").count()
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2)
+        .cast("long")
+        .alias("n_wedges"),
+    ).collect()[0]
+    n_edges = und.count()
+    spark = edges.sparkSession
+    coeff = (
+        3.0 * triangles / stats["n_wedges"] if stats["n_wedges"] else None
+    )
+    return spark.createDataFrame(
+        [
+            (
+                stats["n_nodes"],
+                n_edges,
+                stats["n_wedges"],
+                triangles,
+                coeff,
+            )
+        ],
+        "n_nodes long, n_edges long, n_wedges long, n_triangles long, "
+        "global_clustering double",
+    )

@@ -396,3 +396,72 @@ def multi_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("fmt", "n_events", "n_users", "total_value")
 
     return agg(csv, "csv").unionByName(agg(orc, "orc"))
+
+
+@query(
+    "snapshot_cdc_diff",
+    oracle="""
+        WITH old AS (
+            SELECT doc_id, text, n_chars FROM documents
+            WHERE doc_id % 97 <> 3
+        ),
+        new AS (
+            SELECT doc_id, text,
+                   CASE WHEN doc_id % 13 = 5 THEN n_chars + 1
+                        ELSE n_chars END AS n_chars
+            FROM documents
+            WHERE doc_id % 89 <> 7
+        )
+        SELECT CASE WHEN o.doc_id IS NULL THEN 'c'
+                    WHEN n.doc_id IS NULL THEN 'd'
+                    ELSE 'u' END AS op,
+               coalesce(o.doc_id, n.doc_id) AS doc_id,
+               o.n_chars AS before_n_chars,
+               n.n_chars AS after_n_chars,
+               md5(o.text) AS before_text_md5,
+               md5(n.text) AS after_text_md5
+        FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
+        WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+           OR o.n_chars <> n.n_chars OR o.text <> n.text
+    """,
+    doc=(
+        "beyond-reference CDC GENERATION (inverse of A1): diff two "
+        "table snapshots into the Debezium-shaped change set (op "
+        "c/u/d + before/after) - the change-feed publisher for "
+        "tables with only periodic full extracts. One full outer "
+        "join on the key, null-safe column compares; round-trip "
+        "pytest proves applying the deltas onto the old snapshot "
+        "reproduces the new one exactly. The catalog projection "
+        "flattens before/after to scalars (driver-hashable); the "
+        "operator returns real structs."
+    ),
+    tags=("join", "cdc"),
+)
+def snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.diff import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 97 != 3).select(
+        "doc_id", "text", "n_chars"
+    )
+    new = (
+        docs.filter(F.col("doc_id") % 89 != 7)
+        .select(
+            "doc_id",
+            "text",
+            F.when(
+                F.col("doc_id") % 13 == 5, F.col("n_chars") + 1
+            ).otherwise(F.col("n_chars")).alias("n_chars"),
+        )
+    )
+    d = snapshot_diff(old, new, ["doc_id"])
+    return d.select(
+        "op",
+        F.coalesce(F.col("before.doc_id"), F.col("after.doc_id")).alias(
+            "doc_id"
+        ),
+        F.col("before.n_chars").alias("before_n_chars"),
+        F.col("after.n_chars").alias("after_n_chars"),
+        F.md5(F.col("before.text")).alias("before_text_md5"),
+        F.md5(F.col("after.text")).alias("after_text_md5"),
+    )

@@ -674,3 +674,166 @@ def click_purchase_left_outer_streamed(
     )
     q.awaitTermination()
     return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+@query(
+    "click_purchase_full_outer_streamed",
+    oracle="""
+        SELECT coalesce(c.user_id, p.user_id) AS user_id,
+               c.event_id AS click_id, c.ts AS click_ts,
+               p.event_id AS purchase_id, p.ts AS purchase_ts
+        FROM (SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'click') c
+        FULL JOIN (SELECT user_id, ts, event_id FROM events
+                   WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL '1 hour'
+    """,
+    doc=(
+        "beyond-reference: FULL OUTER stream-stream join - attributed "
+        "pairs, never-converting clicks AND orphan purchases all "
+        "emit; both sides' null rows are watermark-driven state "
+        "evictions. Same sentinel-flush + post-materialization filter "
+        "discipline as the left-outer form (the filter must stay out "
+        "of the streaming plan or constraint propagation pushes it "
+        "into both scans and kills the flush row before the watermark "
+        "sees it). Exactly equals the batch FULL JOIN."
+    ),
+    tags=("streaming", "join", "temporal"),
+)
+def click_purchase_full_outer_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import time as _time
+
+    events = load_table(spark, sf_dir, "events")
+    max_ts = events.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    work = tempfile.mkdtemp(prefix="csdp_ssfoj_")
+    src = os.path.join(work, "in")
+    events.repartition(6).write.mode("overwrite").parquet(src)
+    _time.sleep(1.1)
+    sentinel = spark.createDataFrame(
+        [(-1, "click"), (-2, "purchase")], "user_id long, event_type string"
+    ).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.lit(max_ts) + F.expr("INTERVAL 91 DAYS")).alias("ts"),
+        "user_id",
+        "event_type",
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).select(*[c for c in events.columns])
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 3)
+            .parquet(src)
+        )
+
+    clicks = (
+        stream()
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "90 days")
+    )
+    purchases = (
+        stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "90 days")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 1 hour")
+        ),
+        "full_outer",
+    ).select(
+        F.coalesce("user_id", "p_user_id").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+    )
+
+    name = f"ssfoj_{_uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.queryName(name)
+        .format("memory")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+@query(
+    "page_triangles",
+    oracle="""
+        WITH keyed AS (
+            SELECT user_id, ts, event_id,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER)
+                       AS dst
+            FROM events
+        ),
+        pairs AS (
+            SELECT lag(dst) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS src, dst
+            FROM keyed
+        ),
+        und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM pairs WHERE src IS NOT NULL AND src <> dst
+        ),
+        deg AS (
+            SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+                SELECT a AS v FROM und UNION ALL SELECT b FROM und
+            ) GROUP BY v
+        ),
+        tri AS (
+            SELECT count(*) AS t
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+               (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+               (SELECT CAST(sum(deg * (deg - 1)) // 2 AS BIGINT) FROM deg)
+                   AS n_wedges,
+               (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles,
+               CAST(3.0 AS DOUBLE) * (SELECT t FROM tri)
+                   / (SELECT sum(deg * (deg - 1)) // 2 FROM deg)
+                   AS global_clustering
+    """,
+    doc=(
+        "beyond-reference graph analytics: TRIANGLE CENSUS of the "
+        "page-transition graph (nodes/edges/wedges/triangles + global "
+        "clustering coefficient) via the compact-forward degree-"
+        "oriented join - each triangle counted once at its lowest-"
+        "degree corner, bounding hub fan-out (the skew-safe plan; "
+        "the oracle's id-ordered enumeration proves the count is "
+        "orientation-independent). Counts are exact BIGINTs; the "
+        "coefficient is one final division."
+    ),
+    tags=("graph", "join"),
+)
+def page_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.graph import transition_edges, triangle_stats
+
+    edges = transition_edges(load_table(spark, sf_dir, "events"))
+    return triangle_stats(edges)

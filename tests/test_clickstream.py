@@ -110,3 +110,45 @@ def test_bloom_prefilter_is_exact_and_selective(spark):
     # non-matching population (sized for ~1%)
     assert passed >= true_matches
     assert passed - true_matches <= max(5, 0.05 * (total - true_matches))
+
+
+def test_snapshot_diff_roundtrip_reproduces_new(spark):
+    """Applying the generated change set onto the old snapshot must
+    reproduce the new snapshot exactly (delete 'd' keys, upsert 'c'
+    and 'u' afters)."""
+    from pyspark.sql import functions as F
+
+    from click_streaming_data_pipeline_spark.operators.diff import (
+        snapshot_diff,
+    )
+    from click_streaming_data_pipeline_spark.sources import load_table
+
+    from .conftest import SF_TEST
+
+    docs = load_table(spark, SF_TEST, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 3).select(
+        "doc_id", "text", "n_chars"
+    )
+    new = (
+        docs.filter(F.col("doc_id") % 5 != 2)
+        .select(
+            "doc_id",
+            "text",
+            F.when(F.col("doc_id") % 3 == 1, F.col("n_chars") + 10)
+            .otherwise(F.col("n_chars"))
+            .alias("n_chars"),
+        )
+    )
+    deltas = snapshot_diff(old, new, ["doc_id"]).collect()
+    ops = {r["op"] for r in deltas}
+    assert ops == {"c", "u", "d"}
+
+    old_rows = {r["doc_id"]: (r["text"], r["n_chars"]) for r in old.collect()}
+    for r in deltas:
+        if r["op"] == "d":
+            del old_rows[r["before"]["doc_id"]]
+        else:
+            a = r["after"]
+            old_rows[a["doc_id"]] = (a["text"], a["n_chars"])
+    new_rows = {r["doc_id"]: (r["text"], r["n_chars"]) for r in new.collect()}
+    assert old_rows == new_rows

@@ -268,3 +268,74 @@ def phrase_search(
         )
         base = leg if base is None else base.join(leg, [id_col, "start"])
     return base.groupBy(id_col).agg(F.count("*").alias("phrase_freq"))
+
+
+# --- full BM25 (TF saturation + document-length normalization) -----------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def corpus_search_stats(
+    docs: DataFrame, terms: list[str], *, body_col: str = "body"
+) -> tuple[int, dict[str, int], float]:
+    """(corpus size, per-term df, average body token length) in ONE
+    corpus aggregation — the bounded single-row collect that feeds
+    idf/avgdl literals. avgdl is exact-integer token totals divided
+    once, so the DuckDB oracle (SUM(dl)::DOUBLE / COUNT) reproduces
+    the identical float."""
+    toks = tokenize(body_col)
+    aggs = (
+        [F.count("*").alias("__n"), F.sum(F.size(toks)).alias("__toks")]
+        + [
+            F.sum((term_frequency(toks, t) > 0).cast("long")).alias(
+                f"__df_{i}"
+            )
+            for i, t in enumerate(terms)
+        ]
+    )
+    row = docs.agg(*aggs).collect()[0]
+    n = int(row["__n"])
+    return (
+        n,
+        {t: int(row[f"__df_{i}"]) for i, t in enumerate(terms)},
+        float(row["__toks"]) / float(n),
+    )
+
+
+def score_columns_bm25(
+    title_col: str,
+    body_col: str,
+    terms: list[str],
+    *,
+    idf: dict[str, float],
+    avgdl: float,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> Column:
+    """FULL BM25 over the boosted multi-field TF (the BM25F-lite shape
+    ES's combined-fields query uses): per term,
+
+        idf * wtf*(k1+1) / (wtf + k1*(1 - b + b*dl/avgdl))
+
+    with wtf = 2*tf(title) + 1*tf(body) and dl the body token count.
+    Saturation caps a term's contribution (the 50th repetition of
+    'spark' adds ~nothing — raw TF ranks spammy docs first) and the
+    dl/avgdl norm stops long documents from winning on bulk. Every
+    operand is cast/ordered exactly as the DuckDB oracle writes it, so
+    the chained IEEE ops produce bit-identical doubles."""
+    title_toks = tokenize(title_col)
+    body_toks = tokenize(body_col)
+    dl = F.size(body_toks).cast("double")
+    norm = F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * (dl / F.lit(avgdl))
+    )
+    score = F.lit(0.0)
+    for t in terms:
+        wtf = (
+            term_frequency(title_toks, t) * F.lit(TITLE_BOOST)
+            + term_frequency(body_toks, t) * F.lit(BODY_BOOST)
+        )
+        sat = wtf * F.lit(k1 + 1.0) / (wtf + norm)
+        score = score + F.lit(idf[t]) * sat
+    return score

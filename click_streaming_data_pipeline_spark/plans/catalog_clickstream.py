@@ -548,3 +548,107 @@ def weekly_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (dec("n_week") * dec("n_base")).cast("double")
         ).alias("max_bin_dev"),
     ).drop("n_base").select("week", "n_week", "tv_distance", "max_bin_dev")
+
+
+@query(
+    "session_funnel_stats",
+    oracle=f"""
+        WITH o AS (
+            SELECT user_id, ts, event_id, event_type, value,
+                   lag(ts) OVER w AS prev
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        marked AS (
+            SELECT *, CASE WHEN prev IS NULL
+                                OR ts - prev >= INTERVAL '30 minutes'
+                           THEN 1 ELSE 0 END AS new_s
+            FROM o
+        ),
+        sessions AS (
+            SELECT *, sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS sid
+            FROM marked
+        )
+        SELECT user_id, CAST(sid AS BIGINT) AS sid,
+               min(ts) AS session_start,
+               CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
+                   AS duration_us,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_views,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clicks,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchases,
+               CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                      THEN {_CENTS_SQL} END), 0) AS BIGINT)
+                   AS revenue_cents,
+               (sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0)
+                   AS converted,
+               (count(*) = 1) AS bounced
+        FROM sessions
+        GROUP BY 1, 2
+    """,
+    doc=(
+        "beyond-reference sessionization: SESSION FEATURE TABLE - "
+        "gaps-and-islands session assignment (30-min inactivity gap, "
+        "lag + running sum in ONE user_id exchange) rolled up to the "
+        "per-session feature vector session-based models consume: "
+        "duration (integer microseconds), per-type event counts, "
+        "exact cent revenue, converted/bounced flags. The relational "
+        "twin of window_session's session_window view - this one "
+        "keeps the session KEY so downstream joins can attach "
+        "features; all outputs integer/boolean, no float drift."
+    ),
+    tags=("window", "agg", "temporal"),
+)
+def session_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                >= 1800 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sessions = marked.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    is_p = F.col("event_type") == "purchase"
+    n_purch = F.sum(F.when(is_p, 1).otherwise(0))
+    return sessions.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("session_start"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "duration_us"
+        ),
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "n_views"
+        ),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "n_clicks"
+        ),
+        n_purch.alias("n_purchases"),
+        F.coalesce(F.sum(F.when(is_p, _cents())), F.lit(0)).alias(
+            "revenue_cents"
+        ),
+        (n_purch > 0).alias("converted"),
+        (F.count("*") == 1).alias("bounced"),
+    )

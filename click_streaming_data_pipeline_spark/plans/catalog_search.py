@@ -299,3 +299,86 @@ def search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_with_fields(spark, sf_dir)
     idx = build_positional_index(docs, body_col="body")
     return phrase_search(idx, _PHRASE)
+
+
+def _make_search_bm25():
+    """The avgdl literal depends on the corpus, but the ORACLE string
+    must be fixed at registration. Solution: express avgdl in pure SQL
+    inside the oracle (exact integer sum / count — the same float the
+    driver-side python division produces), so no substitution is
+    needed; only the Spark side computes it at call time."""
+    avgdl_sql = (
+        "(SELECT CAST(SUM(len(string_split(lower(text), ' '))) AS DOUBLE)"
+        " / CAST(count(*) AS DOUBLE) FROM documents)"
+    )
+    dl = "CAST(len(string_split(lower(text), ' ')) AS DOUBLE)"
+    norm = (
+        f"CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)"
+        f" + CAST(0.75 AS DOUBLE) * ({dl} / {avgdl_sql}))"
+    )
+    parts = []
+    for t in _TERMS:
+        wtf = (
+            f"({_sql_tf('substr(text, 1, 64)', t)} * CAST(2.0 AS DOUBLE)"
+            f" + {_sql_tf('text', t)} * CAST(1.0 AS DOUBLE))"
+        )
+        parts.append(
+            f"{_sql_idf(t)} * ({wtf} * CAST(2.2 AS DOUBLE) / ({wtf} + {norm}))"
+        )
+    score_sql = "(CAST(0.0 AS DOUBLE) + " + " + ".join(parts) + ")"
+
+    oracle = f"""
+        SELECT doc_id, score, rn FROM (
+            SELECT doc_id, {score_sql} AS score,
+                   CAST(row_number() OVER (
+                       ORDER BY {score_sql} DESC, doc_id ASC
+                   ) AS INT) AS rn
+            FROM documents
+        ) WHERE rn <= 10 AND score > CAST(0.0 AS DOUBLE)
+    """
+
+    @query(
+        "search_bm25_topk",
+        oracle=oracle,
+        doc=(
+            "F1/F6 upgraded to FULL BM25 (what ES actually runs, "
+            "reference search main.py:90-99): the boosted multi-field "
+            "TF goes through k1=1.2 saturation and b=0.75 document-"
+            "length normalization before the idf weighting - spammy "
+            "term repetition caps out and long docs stop winning on "
+            "bulk, so rankings track ES where raw TF-IDF diverges. "
+            "idf/avgdl come from ONE corpus aggregation (bounded "
+            "single-row collect); the oracle recomputes both in exact "
+            "integer space + ln (libm both sides), with every IEEE op "
+            "in the same order. Top-10 with unique tie-break."
+        ),
+        tags=("search",),
+    )
+    def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..operators.search import corpus_search_stats, score_columns_bm25
+        from pyspark.sql.window import Window
+
+        docs = _docs_with_fields(spark, sf_dir)
+        n_docs, dfs, avgdl = corpus_search_stats(
+            docs, _TERMS, body_col="body"
+        )
+        idf = {t: bm25_idf(n_docs, dfs[t]) for t in _TERMS}
+        scored = docs.select(
+            "doc_id",
+            score_columns_bm25(
+                "title", "body", _TERMS, idf=idf, avgdl=avgdl
+            ).alias("score"),
+        )
+        w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        return (
+            scored.select(
+                "doc_id", "score",
+                F.row_number().over(w).cast("int").alias("rn"),
+            )
+            .filter((F.col("rn") <= 10) & (F.col("score") > 0.0))
+        )
+
+    return search_bm25_topk
+
+
+_make_search_bm25()

@@ -344,3 +344,295 @@ def rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal", "totacctbal"),
         )
     )
+
+
+@query(
+    "shipping_priority",
+    oracle=f"""
+        SELECT l_orderkey,
+               {dsum_sql(_REVENUE_SQL, 'revenue')},
+               o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND l_shipdate > TIMESTAMP '1997-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        LIMIT 10
+    """,
+    doc=(
+        "TPC-H Q3 shape: top-10 unshipped-order revenue for one "
+        "market segment - the canonical two-fact join with "
+        "complementary date predicates on EACH side (both push into "
+        "the scans), partial-agg on orderkey, TakeOrderedAndProject "
+        "top-k (never a global sort)"
+    ),
+    tags=("join", "sort", "agg"),
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+        )
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue, "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(
+            F.col("revenue").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("l_orderkey").asc(),
+        )
+        .limit(10)
+    )
+
+
+@query(
+    "local_supplier_volume",
+    oracle=f"""
+        SELECT n_name,
+               {dsum_sql(_REVENUE_SQL, 'revenue')}
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
+    doc=(
+        "TPC-H Q5 shape: per-nation revenue where customer and "
+        "supplier share a nation, restricted to one region and year - "
+        "the 6-table star-with-a-twist join (the c_nationkey = "
+        "s_nationkey equality is BETWEEN two dimension paths, which "
+        "join reordering must handle); dims broadcast, facts shuffle "
+        "once on orderkey"
+    ),
+    tags=("join", "agg"),
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue, "revenue"))
+    )
+
+
+@query(
+    "nation_market_share",
+    oracle=f"""
+        WITH all_orders AS (
+            SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                   l_extendedprice * (1 - l_discount) AS volume,
+                   s_nationkey
+            FROM part
+            JOIN lineitem ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region ON cn.n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        )
+        SELECT o_year,
+               {dsum_sql("CASE WHEN s_nationkey = 7 THEN volume ELSE 0 END", 'nation_volume')},
+               {dsum_sql('volume', 'total_volume')},
+               CAST({dsum_sql("CASE WHEN s_nationkey = 7 THEN volume ELSE 0 END", 'x')[:-5]} AS DOUBLE)
+                   / CAST({dsum_sql('volume', 'y')[:-5]} AS DOUBLE)
+                   AS market_share
+        FROM all_orders
+        GROUP BY o_year
+    """,
+    doc=(
+        "TPC-H Q8 shape: one supplier nation's yearly share of PROMO-"
+        "part revenue sold into a region - conditional-vs-total "
+        "decimal-exact sums in ONE pass with a single final division "
+        "(no self-join for the denominator); the 7-table join tree "
+        "broadcasts every dim and shuffles the two facts once"
+    ),
+    tags=("join", "agg"),
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice",
+        "l_discount",
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    region = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"),
+            "s_nationkey",
+        )
+    )
+    is7 = F.when(F.col("s_nationkey") == 7, F.col("volume")).otherwise(0)
+    return base.groupBy("o_year").agg(
+        dsum(is7, "nation_volume"),
+        dsum(F.col("volume"), "total_volume"),
+        (
+            F.sum(is7.cast("decimal(28,6)")).cast("double")
+            / F.sum(F.col("volume").cast("decimal(28,6)")).cast("double")
+        ).alias("market_share"),
+    )
+
+
+@query(
+    "waiting_suppliers",
+    oracle="""
+        WITH late AS (
+            SELECT l_orderkey, l_suppkey
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        )
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM late l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+        )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 10
+    """,
+    doc=(
+        "TPC-H Q21 shape (adapted to the available columns: 'late' = "
+        "shipped >90 days after ordering): suppliers who were the "
+        "SOLE late supplier on a multi-supplier order - the classic "
+        "semi-join + anti-join against the same fact, which Catalyst "
+        "must plan as two hash joins on orderkey reusing one "
+        "exchange, never correlated per-row subqueries"
+    ),
+    tags=("join", "agg"),
+)
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    others = li.select("l_orderkey", "l_suppkey").alias("l2")
+    late3 = late.alias("l3")
+    semi = l1.join(
+        others,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    anti = semi.alias("l1").join(
+        late3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        anti.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )

@@ -480,36 +480,26 @@ _DRIFT_SQL = """
 """
 
 
-@query(
-    "weekly_value_drift",
-    oracle=_DRIFT_SQL,
-    doc=(
-        "beyond-reference data-quality monitoring: DISTRIBUTION DRIFT "
-        "- each week's value distribution vs the first week's, as "
-        "total-variation distance and max per-bin deviation over a "
-        "20-bin equal-width histogram (the drift monitor a feature "
-        "pipeline alarms on; TV instead of PSI because ln() is not "
-        "bit-portable across engines - docstring convention of the LM "
-        "scores). All deviations are exact DECIMAL integer products "
-        "(denominators cleared), one double division at the end. "
-        "Scale: one bounds row broadcast, one (week,bin) partial agg, "
-        "then week-count-sized joins - nothing proportional to raw "
-        "events after the first groupBy."
-    ),
-    tags=("agg", "window"),
-)
-def weekly_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+def _drift_binned(ev: DataFrame) -> DataFrame:
+    """(week, bin) spine of the drift monitor — 20 equal-width bins
+    over the GLOBAL value range (in production the bin codebook is
+    fixed once; here the bounds pass derives it from the corpus so
+    the oracle can reproduce it)."""
     bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     width = (F.col("hi") - F.col("lo")) / F.lit(20.0)
-    binned = ev.crossJoin(F.broadcast(bounds)).select(
+    return ev.crossJoin(F.broadcast(bounds)).select(
         F.to_date(F.date_trunc("week", F.col("ts"))).alias("week"),
         F.least(
             F.floor((F.col("value") - F.col("lo")) / width).cast("long"),
             F.lit(19).cast("long"),
         ).alias("bin"),
     )
-    counts = binned.groupBy("week", "bin").agg(F.count("*").alias("c"))
+
+
+def _drift_report(spark: SparkSession, counts: DataFrame) -> DataFrame:
+    """Drift statistics from a (week, bin, c) count table — shared by
+    the batch query and the streaming incremental fold (identical
+    math, so both hit the same oracle)."""
     weeks = counts.groupBy("week").agg(F.sum("c").alias("n_week"))
     base_week = weeks.agg(F.min("week").alias("bw"))
     base = (
@@ -548,6 +538,32 @@ def weekly_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (dec("n_week") * dec("n_base")).cast("double")
         ).alias("max_bin_dev"),
     ).drop("n_base").select("week", "n_week", "tv_distance", "max_bin_dev")
+
+
+@query(
+    "weekly_value_drift",
+    oracle=_DRIFT_SQL,
+    doc=(
+        "beyond-reference data-quality monitoring: DISTRIBUTION DRIFT "
+        "- each week's value distribution vs the first week's, as "
+        "total-variation distance and max per-bin deviation over a "
+        "20-bin equal-width histogram (the drift monitor a feature "
+        "pipeline alarms on; TV instead of PSI because ln() is not "
+        "bit-portable across engines - docstring convention of the LM "
+        "scores). All deviations are exact DECIMAL integer products "
+        "(denominators cleared), one double division at the end. "
+        "Scale: one bounds row broadcast, one (week,bin) partial agg, "
+        "then week-count-sized joins - nothing proportional to raw "
+        "events after the first groupBy."
+    ),
+    tags=("agg", "window"),
+)
+def weekly_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = _drift_binned(ev).groupBy("week", "bin").agg(
+        F.count("*").alias("c")
+    )
+    return _drift_report(spark, counts)
 
 
 @query(
@@ -652,3 +668,75 @@ def session_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_purch > 0).alias("converted"),
         (F.count("*") == 1).alias("bounced"),
     )
+
+
+
+@query(
+    "weekly_value_drift_streamed",
+    oracle=_DRIFT_SQL,
+    doc=(
+        "beyond-reference data-quality monitoring, STREAMING form: "
+        "the (week, bin) histogram state folds incrementally per "
+        "micro-batch (foreachBatch + the versioned replay-safe merge "
+        "of operators/incremental.py - history never re-read, "
+        "per-batch cost is delta-agg + state-sized merge), and the "
+        "drained state feeds the SAME drift math as the batch query, "
+        "hitting the same oracle bit-for-bit. What a production "
+        "drift alarm actually runs: the monitor stays current "
+        "without rescanning the corpus."
+    ),
+    tags=("streaming", "agg", "scale"),
+)
+def weekly_value_drift_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..operators.incremental import fold_state_dir, read_state_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="csdp_drift_")
+    src = os.path.join(work, "in")
+    state_dir = os.path.join(work, "state")
+    ev.repartition(6).write.mode("overwrite").parquet(src)
+    # the bin codebook (global bounds) is fixed up front, as a real
+    # monitor would fix it; the stream only folds counts
+    b = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    row = b.collect()[0]
+    lo, hi = float(row["lo"]), float(row["hi"])
+    width = (hi - lo) / 20.0
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        binned = batch.select(
+            F.to_date(F.date_trunc("week", F.col("ts"))).alias("week"),
+            F.least(
+                F.floor((F.col("value") - F.lit(lo)) / F.lit(width)).cast(
+                    "long"
+                ),
+                F.lit(19).cast("long"),
+            ).alias("bin"),
+        )
+        delta = binned.groupBy("week", "bin").agg(
+            F.count("*").alias("n"),
+            F.lit(0).cast("decimal(28,6)").alias("s"),
+            F.lit(0.0).alias("mn"),
+            F.lit(0.0).alias("mx"),
+        )
+        fold_state_dir(
+            batch.sparkSession, state_dir, delta, batch_id, ["week", "bin"]
+        )
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    counts = read_state_dir(spark, state_dir).select(
+        "week", "bin", F.col("n").alias("c")
+    )
+    return _drift_report(spark, counts)

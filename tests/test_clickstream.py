@@ -152,3 +152,20 @@ def test_snapshot_diff_roundtrip_reproduces_new(spark):
             old_rows[a["doc_id"]] = (a["text"], a["n_chars"])
     new_rows = {r["doc_id"]: (r["text"], r["n_chars"]) for r in new.collect()}
     assert old_rows == new_rows
+
+
+def test_tpch_new_shapes_plan_properties(spark):
+    """Q5 broadcasts every dimension (no cartesian, no dim shuffle
+    join); Q21 plans the EXISTS/NOT-EXISTS as semi/anti hash joins,
+    never correlated subqueries."""
+    from .conftest import SF_TEST
+
+    q5 = QUERIES["local_supplier_volume"].fn(spark, SF_TEST)
+    plan5 = q5._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan5
+    assert "CartesianProduct" not in plan5
+
+    q21 = QUERIES["waiting_suppliers"].fn(spark, SF_TEST)
+    plan21 = q21._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan21
+    assert "LeftAnti" in plan21

@@ -418,3 +418,58 @@ def semdedup(
             "dup_of",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Random projection (Johnson-Lindenstrauss dimensionality reduction)
+
+RP_OUT_DIM = 16
+
+
+def rp_signs(out_dim: int, in_dim: int) -> list[list[float]]:
+    """Deterministic Rademacher (+-1) projection matrix from md5
+    parity — the Achlioptas construction (signs suffice for JL; no
+    Gaussians needed), reproducible on any engine with md5."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[-1], 16)
+            % 2
+            == 0
+            else -1.0
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    in_dim: int = 64,
+    out_dim: int = RP_OUT_DIM,
+) -> DataFrame:
+    """Project embeddings to ``out_dim`` dims with a +-1 Rademacher
+    matrix — 4x smaller vectors whose pairwise distances are
+    JL-preserved in expectation (the cheap first stage before
+    LSH/IVF when the raw dimension is high).
+
+    Each output component is a FIXED-ORDER chain of fused
+    multiply-adds over the input components (one codegen'd expression
+    per dim, no shuffle, no UDF), so Spark and the DuckDB oracle
+    produce bit-identical doubles. The (out_dim x in_dim) sign matrix
+    is a compile-time literal — nothing is collected or broadcast.
+    """
+    signs = rp_signs(out_dim, in_dim)
+    v = _as_double(F.col(vec_col))
+    cols = []
+    for j in range(out_dim):
+        expr = F.lit(0.0)
+        for i in range(in_dim):
+            expr = expr + F.element_at(v, i + 1) * F.lit(signs[j][i])
+        cols.append(expr.alias(f"p{j}"))
+    return scan_parallel(emb).select(F.col(id_col), *cols)

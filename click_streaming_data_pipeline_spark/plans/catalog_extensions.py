@@ -883,3 +883,49 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.sparkSession.createDataFrame(
         rows, "method string, n_hits long, n_exact long, recall double"
     )
+
+
+_RP_COLS_SQL = """       (CAST(0.0 AS DOUBLE) + v[1] * CAST(-1.0 AS DOUBLE) + v[2] * CAST(-1.0 AS DOUBLE) + v[3] * CAST(-1.0 AS DOUBLE) + v[4] * CAST(-1.0 AS DOUBLE) + v[5] * CAST(1.0 AS DOUBLE) + v[6] * CAST(1.0 AS DOUBLE) + v[7] * CAST(1.0 AS DOUBLE) + v[8] * CAST(1.0 AS DOUBLE) + v[9] * CAST(1.0 AS DOUBLE) + v[10] * CAST(1.0 AS DOUBLE) + v[11] * CAST(1.0 AS DOUBLE) + v[12] * CAST(1.0 AS DOUBLE) + v[13] * CAST(1.0 AS DOUBLE) + v[14] * CAST(-1.0 AS DOUBLE) + v[15] * CAST(-1.0 AS DOUBLE) + v[16] * CAST(-1.0 AS DOUBLE) + v[17] * CAST(-1.0 AS DOUBLE) + v[18] * CAST(-1.0 AS DOUBLE) + v[19] * CAST(-1.0 AS DOUBLE) + v[20] * CAST(-1.0 AS DOUBLE) + v[21] * CAST(1.0 AS DOUBLE) + v[22] * CAST(1.0 AS DOUBLE) + v[23] * CAST(-1.0 AS DOUBLE) + v[24] * CAST(-1.0 AS DOUBLE) + v[25] * CAST(-1.0 AS DOUBLE) + v[26] * CAST(-1.0 AS DOUBLE) + v[27] * CAST(-1.0 AS DOUBLE) + v[28] * CAST(-1.0 AS DOUBLE) + v[29] * CAST(1.0 AS DOUBLE) + v[30] * CAST(-1.0 AS DOUBLE) + v[31] * CAST(-1.0 AS DOUBLE) + v[32] * CAST(-1.0 AS DOUBLE) + v[33] * CAST(1.0 AS DOUBLE) + v[34] * CAST(1.0 AS DOUBLE) + v[35] * CAST(1.0 AS DOUBLE) + v[36] * CAST(-1.0 AS DOUBLE) + v[37] * CAST(-1.0 AS DOUBLE) + v[38] * CAST(-1.0 AS DOUBLE) + v[39] * CAST(-1.0 AS DOUBLE) + v[40] * CAST(1.0 AS DOUBLE) + v[41] * CAST(-1.0 AS DOUBLE) + v[42] * CAST(1.0 AS DOUBLE) + v[43] * CAST(1.0 AS DOUBLE) + v[44] * CAST(-1.0 AS DOUBLE) + v[45] * CAST(-1.0 AS DOUBLE) + v[46] * CAST(-1.0 AS DOUBLE) + v[47] * CAST(-1.0 AS DOUBLE) + v[48] * CAST(-1.0 AS DOUBLE) + v[49] * CAST(1.0 AS DOUBLE) + v[50] * CAST(-1.0 AS DOUBLE) + v[51] * CAST(-1.0 AS DOUBLE) + v[52] * CAST(1.0 AS DOUBLE) + v[53] * CAST(-1.0 AS DOUBLE) + v[54] * CAST(1.0 AS DOUBLE) + v[55] * CAST(1.0 AS DOUBLE) + v[56] * CAST(-1.0 AS DOUBLE) + v[57] * CAST(1.0 AS DOUBLE) + v[58] * CAST(1.0 AS DOUBLE) + v[59] * CAST(1.0 AS DOUBLE) + v[60] * CAST(-1.0 AS DOUBLE) + v[61] * CAST(1.0 AS DOUBLE) + v[62] * CAST(-1.0 AS DOUBLE) + v[63] * CAST(1.0 AS DOUBLE) + v[64] * CAST(-1.0 AS DOUBLE)) AS p0,
+       (CAST(0.0 AS DOUBLE) + v[1] * CAST(-1.0 AS DOUBLE) + v[2] * CAST(1.0 AS DOUBLE) + v[3] * CAST(1.0 AS DOUBLE) + v[4] * CAST(-1.0 AS DOUBLE) + v[5] * CAST(1.0 AS DOUBLE) + v[6] * CAST(-1.0 AS DOUBLE) + v[7] * CAST(-1.0 AS DOUBLE) + v[8] * CAST(1.0 AS DOUBLE) + v[9] * CAST(-1.0 AS DOUBLE) + v[10] * CAST(-1.0 AS DOUBLE) + v[11] * CAST(1.0 AS DOUBLE) + v[12] * CAST(1.0 AS DOUBLE) + v[13] * CAST(-1.0 AS DOUBLE) + v[14] * CAST(1.0 AS DOUBLE) + v[15] * CAST(1.0 AS DOUBLE) + v[16] * CAST(-1.0 AS DOUBLE) + v[17] * CAST(1.0 AS DOUBLE) + v[18] * CAST(1.0 AS DOUBLE) + v[19] * CAST(1.0 AS DOUBLE) + v[20] * CAST(-1.0 AS DOUBLE) + v[21] * CAST(-1.0 AS DOUBLE) + v[22] * CAST(-1.0 AS DOUBLE) + v[23] * CAST(1.0 AS DOUBLE) + v[24] * CAST(1.0 AS DOUBLE) + v[25] * CAST(-1.0 AS DOUBLE) + v[26] * CAST(-1.0 AS DOUBLE) + v[27] * CAST(1.0 AS DOUBLE) + v[28] * CAST(1.0 AS DOUBLE) + v[29] * CAST(-1.0 AS DOUBLE) + v[30] * CAST(-1.0 AS DOUBLE) + v[31] * CAST(-1.0 AS DOUBLE) + v[32] * CAST(1.0 AS DOUBLE) + v[33] * CAST(1.0 AS DOUBLE) + v[34] * CAST(1.0 AS DOUBLE) + v[35] * CAST(1.0 AS DOUBLE) + v[36] * CAST(1.0 AS DOUBLE) + v[37] * CAST(1.0 AS DOUBLE) + v[38] * CAST(-1.0 AS DOUBLE) + v[39] * CAST(1.0 AS DOUBLE) + v[40] * CAST(-1.0 AS DOUBLE) + v[41] * CAST(1.0 AS DOUBLE) + v[42] * CAST(1.0 AS DOUBLE) + v[43] * CAST(1.0 AS DOUBLE) + v[44] * CAST(1.0 AS DOUBLE) + v[45] * CAST(-1.0 AS DOUBLE) + v[46] * CAST(1.0 AS DOUBLE) + v[47] * CAST(-1.0 AS DOUBLE) + v[48] * CAST(-1.0 AS DOUBLE) + v[49] * CAST(-1.0 AS DOUBLE) + v[50] * CAST(-1.0 AS DOUBLE) + v[51] * CAST(1.0 AS DOUBLE) + v[52] * CAST(1.0 AS DOUBLE) + v[53] * CAST(-1.0 AS DOUBLE) + v[54] * CAST(1.0 AS DOUBLE) + v[55] * CAST(-1.0 AS DOUBLE) + v[56] * CAST(1.0 AS DOUBLE) + v[57] * CAST(1.0 AS DOUBLE) + v[58] * CAST(1.0 AS DOUBLE) + v[59] * CAST(1.0 AS DOUBLE) + v[60] * CAST(-1.0 AS DOUBLE) + v[61] * CAST(-1.0 AS DOUBLE) + v[62] * CAST(-1.0 AS DOUBLE) + v[63] * CAST(-1.0 AS DOUBLE) + v[64] * CAST(1.0 AS DOUBLE)) AS p1,
+       (CAST(0.0 AS DOUBLE) + v[1] * CAST(1.0 AS DOUBLE) + v[2] * CAST(1.0 AS DOUBLE) + v[3] * CAST(1.0 AS DOUBLE) + v[4] * CAST(1.0 AS DOUBLE) + v[5] * CAST(-1.0 AS DOUBLE) + v[6] * CAST(-1.0 AS DOUBLE) + v[7] * CAST(1.0 AS DOUBLE) + v[8] * CAST(1.0 AS DOUBLE) + v[9] * CAST(1.0 AS DOUBLE) + v[10] * CAST(-1.0 AS DOUBLE) + v[11] * CAST(-1.0 AS DOUBLE) + v[12] * CAST(1.0 AS DOUBLE) + v[13] * CAST(1.0 AS DOUBLE) + v[14] * CAST(1.0 AS DOUBLE) + v[15] * CAST(-1.0 AS DOUBLE) + v[16] * CAST(-1.0 AS DOUBLE) + v[17] * CAST(-1.0 AS DOUBLE) + v[18] * CAST(1.0 AS DOUBLE) + v[19] * CAST(1.0 AS DOUBLE) + v[20] * CAST(1.0 AS DOUBLE) + v[21] * CAST(1.0 AS DOUBLE) + v[22] * CAST(1.0 AS DOUBLE) + v[23] * CAST(1.0 AS DOUBLE) + v[24] * CAST(1.0 AS DOUBLE) + v[25] * CAST(-1.0 AS DOUBLE) + v[26] * CAST(1.0 AS DOUBLE) + v[27] * CAST(-1.0 AS DOUBLE) + v[28] * CAST(-1.0 AS DOUBLE) + v[29] * CAST(1.0 AS DOUBLE) + v[30] * CAST(1.0 AS DOUBLE) + v[31] * CAST(1.0 AS DOUBLE) + v[32] * CAST(1.0 AS DOUBLE) + v[33] * CAST(-1.0 AS DOUBLE) + v[34] * CAST(1.0 AS DOUBLE) + v[35] * CAST(-1.0 AS DOUBLE) + v[36] * CAST(1.0 AS DOUBLE) + v[37] * CAST(1.0 AS DOUBLE) + v[38] * CAST(-1.0 AS DOUBLE) + v[39] * CAST(-1.0 AS DOUBLE) + v[40] * CAST(1.0 AS DOUBLE) + v[41] * CAST(-1.0 AS DOUBLE) + v[42] * CAST(1.0 AS DOUBLE) + v[43] * CAST(-1.0 AS DOUBLE) + v[44] * CAST(1.0 AS DOUBLE) + v[45] * CAST(-1.0 AS DOUBLE) + v[46] * CAST(1.0 AS DOUBLE) + v[47] * CAST(-1.0 AS DOUBLE) + v[48] * CAST(-1.0 AS DOUBLE) + v[49] * CAST(1.0 AS DOUBLE) + v[50] * CAST(-1.0 AS DOUBLE) + v[51] * CAST(-1.0 AS DOUBLE) + v[52] * CAST(-1.0 AS DOUBLE) + v[53] * CAST(1.0 AS DOUBLE) + v[54] * CAST(-1.0 AS DOUBLE) + v[55] * CAST(-1.0 AS DOUBLE) + v[56] * CAST(-1.0 AS DOUBLE) + v[57] * CAST(-1.0 AS DOUBLE) + v[58] * CAST(-1.0 AS DOUBLE) + v[59] * CAST(1.0 AS DOUBLE) + v[60] * CAST(-1.0 AS DOUBLE) + v[61] * CAST(1.0 AS DOUBLE) + v[62] * CAST(-1.0 AS DOUBLE) + v[63] * CAST(-1.0 AS DOUBLE) + v[64] * CAST(1.0 AS DOUBLE)) AS p2,
+       (CAST(0.0 AS DOUBLE) + v[1] * CAST(1.0 AS DOUBLE) + v[2] * CAST(-1.0 AS DOUBLE) + v[3] * CAST(-1.0 AS DOUBLE) + v[4] * CAST(1.0 AS DOUBLE) + v[5] * CAST(1.0 AS DOUBLE) + v[6] * CAST(1.0 AS DOUBLE) + v[7] * CAST(1.0 AS DOUBLE) + v[8] * CAST(-1.0 AS DOUBLE) + v[9] * CAST(-1.0 AS DOUBLE) + v[10] * CAST(1.0 AS DOUBLE) + v[11] * CAST(-1.0 AS DOUBLE) + v[12] * CAST(1.0 AS DOUBLE) + v[13] * CAST(-1.0 AS DOUBLE) + v[14] * CAST(1.0 AS DOUBLE) + v[15] * CAST(1.0 AS DOUBLE) + v[16] * CAST(-1.0 AS DOUBLE) + v[17] * CAST(1.0 AS DOUBLE) + v[18] * CAST(-1.0 AS DOUBLE) + v[19] * CAST(-1.0 AS DOUBLE) + v[20] * CAST(1.0 AS DOUBLE) + v[21] * CAST(1.0 AS DOUBLE) + v[22] * CAST(-1.0 AS DOUBLE) + v[23] * CAST(-1.0 AS DOUBLE) + v[24] * CAST(1.0 AS DOUBLE) + v[25] * CAST(-1.0 AS DOUBLE) + v[26] * CAST(1.0 AS DOUBLE) + v[27] * CAST(-1.0 AS DOUBLE) + v[28] * CAST(1.0 AS DOUBLE) + v[29] * CAST(-1.0 AS DOUBLE) + v[30] * CAST(1.0 AS DOUBLE) + v[31] * CAST(-1.0 AS DOUBLE) + v[32] * CAST(1.0 AS DOUBLE) + v[33] * CAST(1.0 AS DOUBLE) + v[34] * CAST(-1.0 AS DOUBLE) + v[35] * CAST(1.0 AS DOUBLE) + v[36] * CAST(1.0 AS DOUBLE) + v[37] * CAST(1.0 AS DOUBLE) + v[38] * CAST(-1.0 AS DOUBLE) + v[39] * CAST(1.0 AS DOUBLE) + v[40] * CAST(-1.0 AS DOUBLE) + v[41] * CAST(1.0 AS DOUBLE) + v[42] * CAST(-1.0 AS DOUBLE) + v[43] * CAST(1.0 AS DOUBLE) + v[44] * CAST(1.0 AS DOUBLE) + v[45] * CAST(-1.0 AS DOUBLE) + v[46] * CAST(1.0 AS DOUBLE) + v[47] * CAST(1.0 AS DOUBLE) + v[48] * CAST(-1.0 AS DOUBLE) + v[49] * CAST(-1.0 AS DOUBLE) + v[50] * CAST(-1.0 AS DOUBLE) + v[51] * CAST(1.0 AS DOUBLE) + v[52] * CAST(1.0 AS DOUBLE) + v[53] * CAST(1.0 AS DOUBLE) + v[54] * CAST(-1.0 AS DOUBLE) + v[55] * CAST(-1.0 AS DOUBLE) + v[56] * CAST(-1.0 AS DOUBLE) + v[57] * CAST(1.0 AS DOUBLE) + v[58] * CAST(-1.0 AS DOUBLE) + v[59] * CAST(1.0 AS DOUBLE) + v[60] * CAST(-1.0 AS DOUBLE) + v[61] * CAST(-1.0 AS DOUBLE) + v[62] * CAST(1.0 AS DOUBLE) + v[63] * CAST(1.0 AS DOUBLE) + v[64] * CAST(-1.0 AS DOUBLE)) AS p3,
+       (CAST(0.0 AS DOUBLE) + v[1] * CAST(1.0 AS DOUBLE) + v[2] * CAST(-1.0 AS DOUBLE) + v[3] * CAST(-1.0 AS DOUBLE) + v[4] * CAST(1.0 AS DOUBLE) + v[5] * CAST(-1.0 AS DOUBLE) + v[6] * CAST(1.0 AS DOUBLE) + v[7] * CAST(-1.0 AS DOUBLE) + v[8] * CAST(-1.0 AS DOUBLE) + v[9] * CAST(1.0 AS DOUBLE) + v[10] * CAST(-1.0 AS DOUBLE) + v[11] * CAST(1.0 AS DOUBLE) + v[12] * CAST(-1.0 AS DOUBLE) + v[13] * CAST(1.0 AS DOUBLE) + v[14] * CAST(1.0 AS DOUBLE) + v[15] * CAST(1.0 AS DOUBLE) + v[16] * CAST(1.0 AS DOUBLE) + v[17] * CAST(1.0 AS DOUBLE) + v[18] * CAST(1.0 AS DOUBLE) + v[19] * CAST(1.0 AS DOUBLE) + v[20] * CAST(-1.0 AS DOUBLE) + v[21] * CAST(-1.0 AS DOUBLE) + v[22] * CAST(-1.0 AS DOUBLE) + v[23] * CAST(1.0 AS DOUBLE) + v[24] * CAST(-1.0 AS DOUBLE) + v[25] * CAST(-1.0 AS DOUBLE) + v[26] * CAST(-1.0 AS DOUBLE) + v[27] * CAST(1.0 AS DOUBLE) + v[28] * CAST(-1.0 AS DOUBLE) + v[29] * CAST(1.0 AS DOUBLE) + v[30] * CAST(-1.0 AS DOUBLE) + v[31] * CAST(-1.0 AS DOUBLE) + v[32] * CAST(-1.0 AS DOUBLE) + v[33] * CAST(-1.0 AS DOUBLE) + v[34] * CAST(-1.0 AS DOUBLE) + v[35] * CAST(1.0 AS DOUBLE) + v[36] * CAST(-1.0 AS DOUBLE) + v[37] * CAST(1.0 AS DOUBLE) + v[38] * CAST(1.0 AS DOUBLE) + v[39] * CAST(-1.0 AS DOUBLE) + v[40] * CAST(1.0 AS DOUBLE) + v[41] * CAST(1.0 AS DOUBLE) + v[42] * CAST(-1.0 AS DOUBLE) + v[43] * CAST(-1.0 AS DOUBLE) + v[44] * CAST(-1.0 AS DOUBLE) + v[45] * CAST(-1.0 AS DOUBLE) + v[46] * CAST(-1.0 AS DOUBLE) + v[47] * CAST(1.0 AS DOUBLE) + v[48] * CAST(1.0 AS DOUBLE) + v[49] * CAST(1.0 AS DOUBLE) + v[50] * CAST(-1.0 AS DOUBLE) + v[51] * CAST(-1.0 AS DOUBLE) + v[52] * CAST(-1.0 AS DOUBLE) + v[53] * CAST(-1.0 AS DOUBLE) + v[54] * CAST(-1.0 AS DOUBLE) + v[55] * CAST(-1.0 AS DOUBLE) + v[56] * CAST(1.0 AS DOUBLE) + v[57] * CAST(1.0 AS DOUBLE) + v[58] * CAST(-1.0 AS DOUBLE) + v[59] * CAST(1.0 AS DOUBLE) + v[60] * CAST(-1.0 AS DOUBLE) + v[61] * CAST(-1.0 AS DOUBLE) + v[62] * CAST(-1.0 AS DOUBLE) + v[63] * CAST(1.0 AS DOUBLE) + v[64] * CAST(-1.0 AS DOUBLE)) AS p4,
+       (CAST(0.0 AS DOUBLE) + v[1] * CAST(-1.0 AS DOUBLE) + v[2] * CAST(-1.0 AS DOUBLE) + v[3] * CAST(-1.0 AS DOUBLE) + v[4] * CAST(-1.0 AS DOUBLE) + v[5] * CAST(1.0 AS DOUBLE) + v[6] * CAST(-1.0 AS DOUBLE) + v[7] * CAST(1.0 AS DOUBLE) + v[8] * CAST(-1.0 AS DOUBLE) + v[9] * CAST(-1.0 AS DOUBLE) + v[10] * CAST(1.0 AS DOUBLE) + v[11] * CAST(1.0 AS DOUBLE) + v[12] * CAST(1.0 AS DOUBLE) + v[13] * CAST(1.0 AS DOUBLE) + v[14] * CAST(1.0 AS DOUBLE) + v[15] * CAST(1.0 AS DOUBLE) + v[16] * CAST(1.0 AS DOUBLE) + v[17] * CAST(1.0 AS DOUBLE) + v[18] * CAST(-1.0 AS DOUBLE) + v[19] * CAST(-1.0 AS DOUBLE) + v[20] * CAST(-1.0 AS DOUBLE) + v[21] * CAST(1.0 AS DOUBLE) + v[22] * CAST(-1.0 AS DOUBLE) + v[23] * CAST(1.0 AS DOUBLE) + v[24] * CAST(-1.0 AS DOUBLE) + v[25] * CAST(-1.0 AS DOUBLE) + v[26] * CAST(1.0 AS DOUBLE) + v[27] * CAST(-1.0 AS DOUBLE) + v[28] * CAST(1.0 AS DOUBLE) + v[29] * CAST(1.0 AS DOUBLE) + v[30] * CAST(-1.0 AS DOUBLE) + v[31] * CAST(1.0 AS DOUBLE) + v[32] * CAST(1.0 AS DOUBLE) + v[33] * CAST(1.0 AS DOUBLE) + v[34] * CAST(1.0 AS DOUBLE) + v[35] * CAST(1.0 AS DOUBLE) + v[36] * CAST(-1.0 AS DOUBLE) + v[37] * CAST(-1.0 AS DOUBLE) + v[38] * CAST(-1.0 AS DOUBLE) + v[39] * CAST(1.0 AS DOUBLE) + v[40] * CAST(1.0 AS DOUBLE) + v[41] * CAST(1.0 AS DOUBLE) + v[42] * CAST(1.0 AS DOUBLE) + v[43] * CAST(-1.0 AS DOUBLE) + v[44] * CAST(1.0 AS DOUBLE) + v[45] * CAST(1.0 AS DOUBLE) + v[46] * CAST(1.0 AS DOUBLE) + v[47] * CAST(1.0 AS DOUBLE) + v[48] * CAST(-1.0 AS DOUBLE) + v[49] * CAST(-1.0 AS DOUBLE) + v[50] * CAST(-1.0 AS DOUBLE) + v[51] * CAST(1.0 AS DOUBLE) + v[52] * CAST(1.0 AS DOUBLE) + v[53] * CAST(1.0 AS DOUBLE) + v[54] * CAST(1.0 AS DOUBLE) + v[55] * CAST(-1.0 AS DOUBLE) + v[56] * CAST(1.0 AS DOUBLE) + v[57] * CAST(1.0 AS DOUBLE) + v[58] * CAST(-1.0 AS DOUBLE) + v[59] * CAST(-1.0 AS DOUBLE) + v[60] * CAST(1.0 AS DOUBLE) + v[61] * CAST(-1.0 AS DOUBLE) + v[62] * CAST(1.0 AS DOUBLE) + v[63] * CAST(1.0 AS DOUBLE) + v[64] * CAST(-1.0 AS DOUBLE)) AS p5,
+       (CAST(0.0 AS DOUBLE) + v[1] * CAST(-1.0 AS DOUBLE) + v[2] * CAST(1.0 AS DOUBLE) + v[3] * CAST(1.0 AS DOUBLE) + v[4] * CAST(1.0 AS DOUBLE) + v[5] * CAST(1.0 AS DOUBLE) + v[6] * CAST(-1.0 AS DOUBLE) + v[7] * CAST(-1.0 AS DOUBLE) + v[8] * CAST(-1.0 AS DOUBLE) + v[9] * CAST(-1.0 AS DOUBLE) + v[10] * CAST(1.0 AS DOUBLE) + v[11] * CAST(-1.0 AS DOUBLE) + v[12] * CAST(-1.0 AS DOUBLE) + v[13] * CAST(1.0 AS DOUBLE) + v[14] * CAST(1.0 AS DOUBLE) + v[15] * CAST(1.0 AS DOUBLE) + v[16] * CAST(1.0 AS DOUBLE) + v[17] * CAST(1.0 AS DOUBLE) + v[18] * CAST(-1.0 AS DOUBLE) + v[19] * CAST(1.0 AS DOUBLE) + v[20] * CAST(-1.0 AS DOUBLE) + v[21] * CAST(-1.0 AS DOUBLE) + v[22] * CAST(-1.0 AS DOUBLE) + v[23] * CAST(1.0 AS DOUBLE) + v[24] * CAST(-1.0 AS DOUBLE) + v[25] * CAST(1.0 AS DOUBLE) + v[26] * CAST(-1.0 AS DOUBLE) + v[27] * CAST(-1.0 AS DOUBLE) + v[28] * CAST(-1.0 AS DOUBLE) + v[29] * CAST(-1.0 AS DOUBLE) + v[30] * CAST(1.0 AS DOUBLE) + v[31] * CAST(-1.0 AS DOUBLE) + v[32] * CAST(1.0 AS DOUBLE) + v[33] * CAST(-1.0 AS DOUBLE) + v[34] * CAST(-1.0 AS DOUBLE) + v[35] * CAST(1.0 AS DOUBLE) + v[36] * CAST(-1.0 AS DOUBLE) + v[37] * CAST(1.0 AS DOUBLE) + v[38] * CAST(-1.0 AS DOUBLE) + v[39] * CAST(1.0 AS DOUBLE) + v[40] * CAST(1.0 AS DOUBLE) + v[41] * CAST(1.0 AS DOUBLE) + v[42] * CAST(-1.0 AS DOUBLE) + v[43] * CAST(1.0 AS DOUBLE) + v[44] * CAST(-1.0 AS DOUBLE) + v[45] * CAST(-1.0 AS DOUBLE) + v[46] * CAST(1.0 AS DOUBLE) + v[47] * CAST(1.0 AS DOUBLE) + v[48] * CAST(-1.0 AS DOUBLE) + v[49] * CAST(-1.0 AS DOUBLE) + v[50] * CAST(1.0 AS DOUBLE) + v[51] * CAST(1.0 AS DOUBLE) + v[52] * CAST(1.0 AS DOUBLE) + v[53] * CAST(-1.0 AS DOUBLE) + v[54] * CAST(1.0 AS DOUBLE) + v[55] * CAST(-1.0 AS DOUBLE) + v[56] * CAST(-1.0 AS DOUBLE) + v[57] * CAST(1.0 AS DOUBLE) + v[58] * CAST(1.0 AS DOUBLE) + v[59] * CAST(1.0 AS DOUBLE) + v[60] * CAST(-1.0 AS DOUBLE) + v[61] * CAST(-1.0 AS DOUBLE) + v[62] * CAST(1.0 AS DOUBLE) + v[63] * CAST(1.0 AS DOUBLE) + v[64] * CAST(1.0 AS DOUBLE)) AS p6,
+       (CAST(0.0 AS DOUBLE) + v[1] * CAST(-1.0 AS DOUBLE) + v[2] * CAST(1.0 AS DOUBLE) + v[3] * CAST(1.0 AS DOUBLE) + v[4] * CAST(1.0 AS DOUBLE) + v[5] * CAST(-1.0 AS DOUBLE) + v[6] * CAST(1.0 AS DOUBLE) + v[7] * CAST(1.0 AS DOUBLE) + v[8] * CAST(1.0 AS DOUBLE) + v[9] * CAST(-1.0 AS DOUBLE) + v[10] * CAST(1.0 AS DOUBLE) + v[11] * CAST(1.0 AS DOUBLE) + v[12] * CAST(-1.0 AS DOUBLE) + v[13] * CAST(1.0 AS DOUBLE) + v[14] * CAST(-1.0 AS DOUBLE) + v[15] * CAST(-1.0 AS DOUBLE) + v[16] * CAST(-1.0 AS DOUBLE) + v[17] * CAST(1.0 AS DOUBLE) + v[18] * CAST(1.0 AS DOUBLE) + v[19] * CAST(-1.0 AS DOUBLE) + v[20] * CAST(1.0 AS DOUBLE) + v[21] * CAST(1.0 AS DOUBLE) + v[22] * CAST(-1.0 AS DOUBLE) + v[23] * CAST(1.0 AS DOUBLE) + v[24] * CAST(1.0 AS DOUBLE) + v[25] * CAST(1.0 AS DOUBLE) + v[26] * CAST(-1.0 AS DOUBLE) + v[27] * CAST(1.0 AS DOUBLE) + v[28] * CAST(-1.0 AS DOUBLE) + v[29] * CAST(1.0 AS DOUBLE) + v[30] * CAST(1.0 AS DOUBLE) + v[31] * CAST(1.0 AS DOUBLE) + v[32] * CAST(1.0 AS DOUBLE) + v[33] * CAST(-1.0 AS DOUBLE) + v[34] * CAST(1.0 AS DOUBLE) + v[35] * CAST(1.0 AS DOUBLE) + v[36] * CAST(-1.0 AS DOUBLE) + v[37] * CAST(-1.0 AS DOUBLE) + v[38] * CAST(-1.0 AS DOUBLE) + v[39] * CAST(1.0 AS DOUBLE) + v[40] * CAST(-1.0 AS DOUBLE) + v[41] * CAST(-1.0 AS DOUBLE) + v[42] * CAST(1.0 AS DOUBLE) + v[43] * CAST(1.0 AS DOUBLE) + v[44] * CAST(-1.0 AS DOUBLE) + v[45] * CAST(1.0 AS DOUBLE) + v[46] * CAST(1.0 AS DOUBLE) + v[47] * CAST(1.0 AS DOUBLE) + v[48] * CAST(-1.0 AS DOUBLE) + v[49] * CAST(1.0 AS DOUBLE) + v[50] * CAST(1.0 AS DOUBLE) + v[51] * CAST(1.0 AS DOUBLE) + v[52] * CAST(1.0 AS DOUBLE) + v[53] * CAST(-1.0 AS DOUBLE) + v[54] * CAST(-1.0 AS DOUBLE) + v[55] * CAST(1.0 AS DOUBLE) + v[56] * CAST(1.0 AS DOUBLE) + v[57] * CAST(1.0 AS DOUBLE) + v[58] * CAST(1.0 AS DOUBLE) + v[59] * CAST(-1.0 AS DOUBLE) + v[60] * CAST(-1.0 AS DOUBLE) + v[61] * CAST(1.0 AS DOUBLE) + v[62] * CAST(-1.0 AS DOUBLE) + v[63] * CAST(-1.0 AS DOUBLE) + v[64] * CAST(-1.0 AS DOUBLE)) AS p7,
+       (CAST(0.0 AS DOUBLE) + v[1] * CAST(-1.0 AS DOUBLE) + v[2] * CAST(1.0 AS DOUBLE) + v[3] * CAST(-1.0 AS DOUBLE) + v[4] * CAST(1.0 AS DOUBLE) + v[5] * CAST(-1.0 AS DOUBLE) + v[6] * CAST(-1.0 AS DOUBLE) + v[7] * CAST(1.0 AS DOUBLE) + v[8] * CAST(1.0 AS DOUBLE) + v[9] * CAST(1.0 AS DOUBLE) + v[10] * CAST(-1.0 AS DOUBLE) + v[11] * CAST(1.0 AS DOUBLE) + v[12] * CAST(1.0 AS DOUBLE) + v[13] * CAST(-1.0 AS DOUBLE) + v[14] * CAST(1.0 AS DOUBLE) + v[15] * CAST(-1.0 AS DOUBLE) + v[16] * CAST(1.0 AS DOUBLE) + v[17] * CAST(1.0 AS DOUBLE) + v[18] * CAST(1.0 AS DOUBLE) + v[19] * CAST(-1.0 AS DOUBLE) + v[20] * CAST(-1.0 AS DOUBLE) + v[21] * CAST(1.0 AS DOUBLE) + v[22] * CAST(1.0 AS DOUBLE) + v[23] * CAST(1.0 AS DOUBLE) + v[24] * CAST(1.0 AS DOUBLE) + v[25] * CAST(1.0 AS DOUBLE) + v[26] * CAST(-1.0 AS DOUBLE) + v[27] * CAST(1.0 AS DOUBLE) + v[28] * CAST(-1.0 AS DOUBLE) + v[29] * CAST(-1.0 AS DOUBLE) + v[30] * CAST(1.0 AS DOUBLE) + v[31] * CAST(-1.0 AS DOUBLE) + v[32] * CAST(1.0 AS DOUBLE) + v[33] * CAST(-1.0 AS DOUBLE) + v[34] * CAST(-1.0 AS DOUBLE) + v[35] * CAST(1.0 AS DOUBLE) + v[36] * CAST(1.0 AS DOUBLE) + v[37] * CAST(-1.0 AS DOUBLE) + v[38] * CAST(1.0 AS DOUBLE) + v[39] * CAST(-1.0 AS DOUBLE) + v[40] * CAST(-1.0 AS DOUBLE) + v[41] * CAST(-1.0 AS DOUBLE) + v[42] * CAST(-1.0 AS DOUBLE) + v[43] * CAST(-1.0 AS DOUBLE) + v[44] * CAST(1.0 AS DOUBLE) + v[45] * CAST(-1.0 AS DOUBLE) + v[46] * CAST(1.0 AS DOUBLE) + v[47] * CAST(-1.0 AS DOUBLE) + v[48] * CAST(1.0 AS DOUBLE) + v[49] * CAST(1.0 AS DOUBLE) + v[50] * CAST(-1.0 AS DOUBLE) + v[51] * CAST(1.0 AS DOUBLE) + v[52] * CAST(1.0 AS DOUBLE) + v[53] * CAST(1.0 AS DOUBLE) + v[54] * CAST(-1.0 AS DOUBLE) + v[55] * CAST(-1.0 AS DOUBLE) + v[56] * CAST(1.0 AS DOUBLE) + v[57] * CAST(1.0 AS DOUBLE) + v[58] * CAST(-1.0 AS DOUBLE) + v[59] * CAST(1.0 AS DOUBLE) + v[60] * CAST(1.0 AS DOUBLE) + v[61] * CAST(-1.0 AS DOUBLE) + v[62] * CAST(-1.0 AS DOUBLE) + v[63] * CAST(-1.0 AS DOUBLE) + v[64] * CAST(1.0 AS DOUBLE)) AS p8,
+       (CAST(0.0 AS DOUBLE) + v[1] * CAST(-1.0 AS DOUBLE) + v[2] * CAST(-1.0 AS DOUBLE) + v[3] * CAST(1.0 AS DOUBLE) + v[4] * CAST(1.0 AS DOUBLE) + v[5] * CAST(1.0 AS DOUBLE) + v[6] * CAST(-1.0 AS DOUBLE) + v[7] * CAST(1.0 AS DOUBLE) + v[8] * CAST(1.0 AS DOUBLE) + v[9] * CAST(1.0 AS DOUBLE) + v[10] * CAST(-1.0 AS DOUBLE) + v[11] * CAST(1.0 AS DOUBLE) + v[12] * CAST(-1.0 AS DOUBLE) + v[13] * CAST(1.0 AS DOUBLE) + v[14] * CAST(1.0 AS DOUBLE) + v[15] * CAST(1.0 AS DOUBLE) + v[16] * CAST(-1.0 AS DOUBLE) + v[17] * CAST(-1.0 AS DOUBLE) + v[18] * CAST(1.0 AS DOUBLE) + v[19] * CAST(-1.0 AS DOUBLE) + v[20] * CAST(1.0 AS DOUBLE) + v[21] * CAST(-1.0 AS DOUBLE) + v[22] * CAST(1.0 AS DOUBLE) + v[23] * CAST(1.0 AS DOUBLE) + v[24] * CAST(1.0 AS DOUBLE) + v[25] * CAST(-1.0 AS DOUBLE) + v[26] * CAST(-1.0 AS DOUBLE) + v[27] * CAST(-1.0 AS DOUBLE) + v[28] * CAST(-1.0 AS DOUBLE) + v[29] * CAST(-1.0 AS DOUBLE) + v[30] * CAST(-1.0 AS DOUBLE) + v[31] * CAST(-1.0 AS DOUBLE) + v[32] * CAST(1.0 AS DOUBLE) + v[33] * CAST(1.0 AS DOUBLE) + v[34] * CAST(1.0 AS DOUBLE) + v[35] * CAST(1.0 AS DOUBLE) + v[36] * CAST(1.0 AS DOUBLE) + v[37] * CAST(-1.0 AS DOUBLE) + v[38] * CAST(1.0 AS DOUBLE) + v[39] * CAST(1.0 AS DOUBLE) + v[40] * CAST(-1.0 AS DOUBLE) + v[41] * CAST(-1.0 AS DOUBLE) + v[42] * CAST(1.0 AS DOUBLE) + v[43] * CAST(1.0 AS DOUBLE) + v[44] * CAST(1.0 AS DOUBLE) + v[45] * CAST(1.0 AS DOUBLE) + v[46] * CAST(1.0 AS DOUBLE) + v[47] * CAST(-1.0 AS DOUBLE) + v[48] * CAST(1.0 AS DOUBLE) + v[49] * CAST(-1.0 AS DOUBLE) + v[50] * CAST(1.0 AS DOUBLE) + v[51] * CAST(1.0 AS DOUBLE) + v[52] * CAST(1.0 AS DOUBLE) + v[53] * CAST(-1.0 AS DOUBLE) + v[54] * CAST(1.0 AS DOUBLE) + v[55] * CAST(-1.0 AS DOUBLE) + v[56] * CAST(-1.0 AS DOUBLE) + v[57] * CAST(1.0 AS DOUBLE) + v[58] * CAST(-1.0 AS DOUBLE) + v[59] * CAST(-1.0 AS DOUBLE) + v[60] * CAST(1.0 AS DOUBLE) + v[61] * CAST(-1.0 AS DOUBLE) + v[62] * CAST(1.0 AS DOUBLE) + v[63] * CAST(-1.0 AS DOUBLE) + v[64] * CAST(1.0 AS DOUBLE)) AS p9,
+       (CAST(0.0 AS DOUBLE) + v[1] * CAST(-1.0 AS DOUBLE) + v[2] * CAST(1.0 AS DOUBLE) + v[3] * CAST(-1.0 AS DOUBLE) + v[4] * CAST(1.0 AS DOUBLE) + v[5] * CAST(-1.0 AS DOUBLE) + v[6] * CAST(-1.0 AS DOUBLE) + v[7] * CAST(1.0 AS DOUBLE) + v[8] * CAST(-1.0 AS DOUBLE) + v[9] * CAST(-1.0 AS DOUBLE) + v[10] * CAST(1.0 AS DOUBLE) + v[11] * CAST(-1.0 AS DOUBLE) + v[12] * CAST(-1.0 AS DOUBLE) + v[13] * CAST(-1.0 AS DOUBLE) + v[14] * CAST(1.0 AS DOUBLE) + v[15] * CAST(1.0 AS DOUBLE) + v[16] * CAST(1.0 AS DOUBLE) + v[17] * CAST(1.0 AS DOUBLE) + v[18] * CAST(-1.0 AS DOUBLE) + v[19] * CAST(-1.0 AS DOUBLE) + v[20] * CAST(-1.0 AS DOUBLE) + v[21] * CAST(1.0 AS DOUBLE) + v[22] * CAST(-1.0 AS DOUBLE) + v[23] * CAST(1.0 AS DOUBLE) + v[24] * CAST(-1.0 AS DOUBLE) + v[25] * CAST(-1.0 AS DOUBLE) + v[26] * CAST(-1.0 AS DOUBLE) + v[27] * CAST(-1.0 AS DOUBLE) + v[28] * CAST(-1.0 AS DOUBLE) + v[29] * CAST(1.0 AS DOUBLE) + v[30] * CAST(1.0 AS DOUBLE) + v[31] * CAST(-1.0 AS DOUBLE) + v[32] * CAST(1.0 AS DOUBLE) + v[33] * CAST(-1.0 AS DOUBLE) + v[34] * CAST(-1.0 AS DOUBLE) + v[35] * CAST(-1.0 AS DOUBLE) + v[36] * CAST(-1.0 AS DOUBLE) + v[37] * CAST(1.0 AS DOUBLE) + v[38] * CAST(-1.0 AS DOUBLE) + v[39] * CAST(1.0 AS DOUBLE) + v[40] * CAST(-1.0 AS DOUBLE) + v[41] * CAST(-1.0 AS DOUBLE) + v[42] * CAST(1.0 AS DOUBLE) + v[43] * CAST(1.0 AS DOUBLE) + v[44] * CAST(1.0 AS DOUBLE) + v[45] * CAST(-1.0 AS DOUBLE) + v[46] * CAST(1.0 AS DOUBLE) + v[47] * CAST(-1.0 AS DOUBLE) + v[48] * CAST(-1.0 AS DOUBLE) + v[49] * CAST(1.0 AS DOUBLE) + v[50] * CAST(1.0 AS DOUBLE) + v[51] * CAST(1.0 AS DOUBLE) + v[52] * CAST(1.0 AS DOUBLE) + v[53] * CAST(1.0 AS DOUBLE) + v[54] * CAST(1.0 AS DOUBLE) + v[55] * CAST(-1.0 AS DOUBLE) + v[56] * CAST(1.0 AS DOUBLE) + v[57] * CAST(1.0 AS DOUBLE) + v[58] * CAST(1.0 AS DOUBLE) + v[59] * CAST(1.0 AS DOUBLE) + v[60] * CAST(1.0 AS DOUBLE) + v[61] * CAST(-1.0 AS DOUBLE) + v[62] * CAST(-1.0 AS DOUBLE) + v[63] * CAST(-1.0 AS DOUBLE) + v[64] * CAST(-1.0 AS DOUBLE)) AS p10,
+       (CAST(0.0 AS DOUBLE) + v[1] * CAST(1.0 AS DOUBLE) + v[2] * CAST(-1.0 AS DOUBLE) + v[3] * CAST(-1.0 AS DOUBLE) + v[4] * CAST(-1.0 AS DOUBLE) + v[5] * CAST(1.0 AS DOUBLE) + v[6] * CAST(-1.0 AS DOUBLE) + v[7] * CAST(1.0 AS DOUBLE) + v[8] * CAST(-1.0 AS DOUBLE) + v[9] * CAST(-1.0 AS DOUBLE) + v[10] * CAST(1.0 AS DOUBLE) + v[11] * CAST(-1.0 AS DOUBLE) + v[12] * CAST(1.0 AS DOUBLE) + v[13] * CAST(1.0 AS DOUBLE) + v[14] * CAST(-1.0 AS DOUBLE) + v[15] * CAST(1.0 AS DOUBLE) + v[16] * CAST(1.0 AS DOUBLE) + v[17] * CAST(1.0 AS DOUBLE) + v[18] * CAST(1.0 AS DOUBLE) + v[19] * CAST(-1.0 AS DOUBLE) + v[20] * CAST(-1.0 AS DOUBLE) + v[21] * CAST(-1.0 AS DOUBLE) + v[22] * CAST(-1.0 AS DOUBLE) + v[23] * CAST(1.0 AS DOUBLE) + v[24] * CAST(-1.0 AS DOUBLE) + v[25] * CAST(-1.0 AS DOUBLE) + v[26] * CAST(1.0 AS DOUBLE) + v[27] * CAST(1.0 AS DOUBLE) + v[28] * CAST(1.0 AS DOUBLE) + v[29] * CAST(-1.0 AS DOUBLE) + v[30] * CAST(-1.0 AS DOUBLE) + v[31] * CAST(-1.0 AS DOUBLE) + v[32] * CAST(1.0 AS DOUBLE) + v[33] * CAST(1.0 AS DOUBLE) + v[34] * CAST(1.0 AS DOUBLE) + v[35] * CAST(-1.0 AS DOUBLE) + v[36] * CAST(-1.0 AS DOUBLE) + v[37] * CAST(-1.0 AS DOUBLE) + v[38] * CAST(1.0 AS DOUBLE) + v[39] * CAST(-1.0 AS DOUBLE) + v[40] * CAST(1.0 AS DOUBLE) + v[41] * CAST(-1.0 AS DOUBLE) + v[42] * CAST(-1.0 AS DOUBLE) + v[43] * CAST(1.0 AS DOUBLE) + v[44] * CAST(1.0 AS DOUBLE) + v[45] * CAST(1.0 AS DOUBLE) + v[46] * CAST(-1.0 AS DOUBLE) + v[47] * CAST(1.0 AS DOUBLE) + v[48] * CAST(1.0 AS DOUBLE) + v[49] * CAST(1.0 AS DOUBLE) + v[50] * CAST(1.0 AS DOUBLE) + v[51] * CAST(1.0 AS DOUBLE) + v[52] * CAST(-1.0 AS DOUBLE) + v[53] * CAST(1.0 AS DOUBLE) + v[54] * CAST(1.0 AS DOUBLE) + v[55] * CAST(1.0 AS DOUBLE) + v[56] * CAST(1.0 AS DOUBLE) + v[57] * CAST(-1.0 AS DOUBLE) + v[58] * CAST(1.0 AS DOUBLE) + v[59] * CAST(1.0 AS DOUBLE) + v[60] * CAST(1.0 AS DOUBLE) + v[61] * CAST(-1.0 AS DOUBLE) + v[62] * CAST(1.0 AS DOUBLE) + v[63] * CAST(-1.0 AS DOUBLE) + v[64] * CAST(1.0 AS DOUBLE)) AS p11,
+       (CAST(0.0 AS DOUBLE) + v[1] * CAST(1.0 AS DOUBLE) + v[2] * CAST(-1.0 AS DOUBLE) + v[3] * CAST(-1.0 AS DOUBLE) + v[4] * CAST(1.0 AS DOUBLE) + v[5] * CAST(-1.0 AS DOUBLE) + v[6] * CAST(1.0 AS DOUBLE) + v[7] * CAST(-1.0 AS DOUBLE) + v[8] * CAST(-1.0 AS DOUBLE) + v[9] * CAST(1.0 AS DOUBLE) + v[10] * CAST(1.0 AS DOUBLE) + v[11] * CAST(1.0 AS DOUBLE) + v[12] * CAST(-1.0 AS DOUBLE) + v[13] * CAST(-1.0 AS DOUBLE) + v[14] * CAST(-1.0 AS DOUBLE) + v[15] * CAST(1.0 AS DOUBLE) + v[16] * CAST(-1.0 AS DOUBLE) + v[17] * CAST(1.0 AS DOUBLE) + v[18] * CAST(-1.0 AS DOUBLE) + v[19] * CAST(1.0 AS DOUBLE) + v[20] * CAST(-1.0 AS DOUBLE) + v[21] * CAST(1.0 AS DOUBLE) + v[22] * CAST(-1.0 AS DOUBLE) + v[23] * CAST(-1.0 AS DOUBLE) + v[24] * CAST(1.0 AS DOUBLE) + v[25] * CAST(-1.0 AS DOUBLE) + v[26] * CAST(-1.0 AS DOUBLE) + v[27] * CAST(1.0 AS DOUBLE) + v[28] * CAST(1.0 AS DOUBLE) + v[29] * CAST(1.0 AS DOUBLE) + v[30] * CAST(1.0 AS DOUBLE) + v[31] * CAST(-1.0 AS DOUBLE) + v[32] * CAST(-1.0 AS DOUBLE) + v[33] * CAST(-1.0 AS DOUBLE) + v[34] * CAST(1.0 AS DOUBLE) + v[35] * CAST(1.0 AS DOUBLE) + v[36] * CAST(1.0 AS DOUBLE) + v[37] * CAST(-1.0 AS DOUBLE) + v[38] * CAST(-1.0 AS DOUBLE) + v[39] * CAST(1.0 AS DOUBLE) + v[40] * CAST(-1.0 AS DOUBLE) + v[41] * CAST(1.0 AS DOUBLE) + v[42] * CAST(-1.0 AS DOUBLE) + v[43] * CAST(-1.0 AS DOUBLE) + v[44] * CAST(-1.0 AS DOUBLE) + v[45] * CAST(-1.0 AS DOUBLE) + v[46] * CAST(-1.0 AS DOUBLE) + v[47] * CAST(-1.0 AS DOUBLE) + v[48] * CAST(1.0 AS DOUBLE) + v[49] * CAST(-1.0 AS DOUBLE) + v[50] * CAST(1.0 AS DOUBLE) + v[51] * CAST(1.0 AS DOUBLE) + v[52] * CAST(1.0 AS DOUBLE) + v[53] * CAST(-1.0 AS DOUBLE) + v[54] * CAST(1.0 AS DOUBLE) + v[55] * CAST(1.0 AS DOUBLE) + v[56] * CAST(1.0 AS DOUBLE) + v[57] * CAST(-1.0 AS DOUBLE) + v[58] * CAST(1.0 AS DOUBLE) + v[59] * CAST(-1.0 AS DOUBLE) + v[60] * CAST(-1.0 AS DOUBLE) + v[61] * CAST(1.0 AS DOUBLE) + v[62] * CAST(1.0 AS DOUBLE) + v[63] * CAST(-1.0 AS DOUBLE) + v[64] * CAST(1.0 AS DOUBLE)) AS p12,
+       (CAST(0.0 AS DOUBLE) + v[1] * CAST(-1.0 AS DOUBLE) + v[2] * CAST(-1.0 AS DOUBLE) + v[3] * CAST(1.0 AS DOUBLE) + v[4] * CAST(1.0 AS DOUBLE) + v[5] * CAST(-1.0 AS DOUBLE) + v[6] * CAST(1.0 AS DOUBLE) + v[7] * CAST(-1.0 AS DOUBLE) + v[8] * CAST(-1.0 AS DOUBLE) + v[9] * CAST(1.0 AS DOUBLE) + v[10] * CAST(1.0 AS DOUBLE) + v[11] * CAST(1.0 AS DOUBLE) + v[12] * CAST(-1.0 AS DOUBLE) + v[13] * CAST(1.0 AS DOUBLE) + v[14] * CAST(1.0 AS DOUBLE) + v[15] * CAST(-1.0 AS DOUBLE) + v[16] * CAST(1.0 AS DOUBLE) + v[17] * CAST(-1.0 AS DOUBLE) + v[18] * CAST(1.0 AS DOUBLE) + v[19] * CAST(1.0 AS DOUBLE) + v[20] * CAST(1.0 AS DOUBLE) + v[21] * CAST(-1.0 AS DOUBLE) + v[22] * CAST(-1.0 AS DOUBLE) + v[23] * CAST(1.0 AS DOUBLE) + v[24] * CAST(-1.0 AS DOUBLE) + v[25] * CAST(-1.0 AS DOUBLE) + v[26] * CAST(-1.0 AS DOUBLE) + v[27] * CAST(1.0 AS DOUBLE) + v[28] * CAST(1.0 AS DOUBLE) + v[29] * CAST(1.0 AS DOUBLE) + v[30] * CAST(-1.0 AS DOUBLE) + v[31] * CAST(1.0 AS DOUBLE) + v[32] * CAST(1.0 AS DOUBLE) + v[33] * CAST(1.0 AS DOUBLE) + v[34] * CAST(-1.0 AS DOUBLE) + v[35] * CAST(-1.0 AS DOUBLE) + v[36] * CAST(-1.0 AS DOUBLE) + v[37] * CAST(1.0 AS DOUBLE) + v[38] * CAST(-1.0 AS DOUBLE) + v[39] * CAST(1.0 AS DOUBLE) + v[40] * CAST(1.0 AS DOUBLE) + v[41] * CAST(1.0 AS DOUBLE) + v[42] * CAST(1.0 AS DOUBLE) + v[43] * CAST(1.0 AS DOUBLE) + v[44] * CAST(-1.0 AS DOUBLE) + v[45] * CAST(-1.0 AS DOUBLE) + v[46] * CAST(-1.0 AS DOUBLE) + v[47] * CAST(-1.0 AS DOUBLE) + v[48] * CAST(-1.0 AS DOUBLE) + v[49] * CAST(-1.0 AS DOUBLE) + v[50] * CAST(-1.0 AS DOUBLE) + v[51] * CAST(1.0 AS DOUBLE) + v[52] * CAST(-1.0 AS DOUBLE) + v[53] * CAST(1.0 AS DOUBLE) + v[54] * CAST(1.0 AS DOUBLE) + v[55] * CAST(1.0 AS DOUBLE) + v[56] * CAST(1.0 AS DOUBLE) + v[57] * CAST(-1.0 AS DOUBLE) + v[58] * CAST(1.0 AS DOUBLE) + v[59] * CAST(-1.0 AS DOUBLE) + v[60] * CAST(1.0 AS DOUBLE) + v[61] * CAST(-1.0 AS DOUBLE) + v[62] * CAST(1.0 AS DOUBLE) + v[63] * CAST(1.0 AS DOUBLE) + v[64] * CAST(-1.0 AS DOUBLE)) AS p13,
+       (CAST(0.0 AS DOUBLE) + v[1] * CAST(1.0 AS DOUBLE) + v[2] * CAST(-1.0 AS DOUBLE) + v[3] * CAST(-1.0 AS DOUBLE) + v[4] * CAST(1.0 AS DOUBLE) + v[5] * CAST(-1.0 AS DOUBLE) + v[6] * CAST(-1.0 AS DOUBLE) + v[7] * CAST(-1.0 AS DOUBLE) + v[8] * CAST(-1.0 AS DOUBLE) + v[9] * CAST(-1.0 AS DOUBLE) + v[10] * CAST(1.0 AS DOUBLE) + v[11] * CAST(1.0 AS DOUBLE) + v[12] * CAST(1.0 AS DOUBLE) + v[13] * CAST(1.0 AS DOUBLE) + v[14] * CAST(-1.0 AS DOUBLE) + v[15] * CAST(-1.0 AS DOUBLE) + v[16] * CAST(1.0 AS DOUBLE) + v[17] * CAST(-1.0 AS DOUBLE) + v[18] * CAST(-1.0 AS DOUBLE) + v[19] * CAST(-1.0 AS DOUBLE) + v[20] * CAST(1.0 AS DOUBLE) + v[21] * CAST(1.0 AS DOUBLE) + v[22] * CAST(-1.0 AS DOUBLE) + v[23] * CAST(-1.0 AS DOUBLE) + v[24] * CAST(-1.0 AS DOUBLE) + v[25] * CAST(-1.0 AS DOUBLE) + v[26] * CAST(1.0 AS DOUBLE) + v[27] * CAST(1.0 AS DOUBLE) + v[28] * CAST(-1.0 AS DOUBLE) + v[29] * CAST(-1.0 AS DOUBLE) + v[30] * CAST(-1.0 AS DOUBLE) + v[31] * CAST(1.0 AS DOUBLE) + v[32] * CAST(-1.0 AS DOUBLE) + v[33] * CAST(1.0 AS DOUBLE) + v[34] * CAST(1.0 AS DOUBLE) + v[35] * CAST(1.0 AS DOUBLE) + v[36] * CAST(-1.0 AS DOUBLE) + v[37] * CAST(-1.0 AS DOUBLE) + v[38] * CAST(-1.0 AS DOUBLE) + v[39] * CAST(1.0 AS DOUBLE) + v[40] * CAST(-1.0 AS DOUBLE) + v[41] * CAST(-1.0 AS DOUBLE) + v[42] * CAST(-1.0 AS DOUBLE) + v[43] * CAST(1.0 AS DOUBLE) + v[44] * CAST(1.0 AS DOUBLE) + v[45] * CAST(1.0 AS DOUBLE) + v[46] * CAST(-1.0 AS DOUBLE) + v[47] * CAST(-1.0 AS DOUBLE) + v[48] * CAST(1.0 AS DOUBLE) + v[49] * CAST(-1.0 AS DOUBLE) + v[50] * CAST(1.0 AS DOUBLE) + v[51] * CAST(-1.0 AS DOUBLE) + v[52] * CAST(1.0 AS DOUBLE) + v[53] * CAST(-1.0 AS DOUBLE) + v[54] * CAST(-1.0 AS DOUBLE) + v[55] * CAST(-1.0 AS DOUBLE) + v[56] * CAST(1.0 AS DOUBLE) + v[57] * CAST(-1.0 AS DOUBLE) + v[58] * CAST(1.0 AS DOUBLE) + v[59] * CAST(-1.0 AS DOUBLE) + v[60] * CAST(-1.0 AS DOUBLE) + v[61] * CAST(-1.0 AS DOUBLE) + v[62] * CAST(1.0 AS DOUBLE) + v[63] * CAST(-1.0 AS DOUBLE) + v[64] * CAST(1.0 AS DOUBLE)) AS p14,
+       (CAST(0.0 AS DOUBLE) + v[1] * CAST(-1.0 AS DOUBLE) + v[2] * CAST(-1.0 AS DOUBLE) + v[3] * CAST(1.0 AS DOUBLE) + v[4] * CAST(-1.0 AS DOUBLE) + v[5] * CAST(-1.0 AS DOUBLE) + v[6] * CAST(-1.0 AS DOUBLE) + v[7] * CAST(-1.0 AS DOUBLE) + v[8] * CAST(-1.0 AS DOUBLE) + v[9] * CAST(-1.0 AS DOUBLE) + v[10] * CAST(-1.0 AS DOUBLE) + v[11] * CAST(-1.0 AS DOUBLE) + v[12] * CAST(-1.0 AS DOUBLE) + v[13] * CAST(1.0 AS DOUBLE) + v[14] * CAST(1.0 AS DOUBLE) + v[15] * CAST(-1.0 AS DOUBLE) + v[16] * CAST(-1.0 AS DOUBLE) + v[17] * CAST(-1.0 AS DOUBLE) + v[18] * CAST(1.0 AS DOUBLE) + v[19] * CAST(-1.0 AS DOUBLE) + v[20] * CAST(1.0 AS DOUBLE) + v[21] * CAST(1.0 AS DOUBLE) + v[22] * CAST(-1.0 AS DOUBLE) + v[23] * CAST(-1.0 AS DOUBLE) + v[24] * CAST(-1.0 AS DOUBLE) + v[25] * CAST(1.0 AS DOUBLE) + v[26] * CAST(1.0 AS DOUBLE) + v[27] * CAST(1.0 AS DOUBLE) + v[28] * CAST(-1.0 AS DOUBLE) + v[29] * CAST(1.0 AS DOUBLE) + v[30] * CAST(1.0 AS DOUBLE) + v[31] * CAST(-1.0 AS DOUBLE) + v[32] * CAST(1.0 AS DOUBLE) + v[33] * CAST(-1.0 AS DOUBLE) + v[34] * CAST(1.0 AS DOUBLE) + v[35] * CAST(-1.0 AS DOUBLE) + v[36] * CAST(-1.0 AS DOUBLE) + v[37] * CAST(1.0 AS DOUBLE) + v[38] * CAST(1.0 AS DOUBLE) + v[39] * CAST(-1.0 AS DOUBLE) + v[40] * CAST(1.0 AS DOUBLE) + v[41] * CAST(-1.0 AS DOUBLE) + v[42] * CAST(1.0 AS DOUBLE) + v[43] * CAST(1.0 AS DOUBLE) + v[44] * CAST(1.0 AS DOUBLE) + v[45] * CAST(1.0 AS DOUBLE) + v[46] * CAST(1.0 AS DOUBLE) + v[47] * CAST(1.0 AS DOUBLE) + v[48] * CAST(-1.0 AS DOUBLE) + v[49] * CAST(-1.0 AS DOUBLE) + v[50] * CAST(1.0 AS DOUBLE) + v[51] * CAST(-1.0 AS DOUBLE) + v[52] * CAST(-1.0 AS DOUBLE) + v[53] * CAST(1.0 AS DOUBLE) + v[54] * CAST(-1.0 AS DOUBLE) + v[55] * CAST(1.0 AS DOUBLE) + v[56] * CAST(1.0 AS DOUBLE) + v[57] * CAST(1.0 AS DOUBLE) + v[58] * CAST(1.0 AS DOUBLE) + v[59] * CAST(1.0 AS DOUBLE) + v[60] * CAST(-1.0 AS DOUBLE) + v[61] * CAST(1.0 AS DOUBLE) + v[62] * CAST(-1.0 AS DOUBLE) + v[63] * CAST(-1.0 AS DOUBLE) + v[64] * CAST(1.0 AS DOUBLE)) AS p15"""
+
+
+@query(
+    "embedding_random_projection",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        )
+        SELECT vec_id,
+{_RP_COLS_SQL}
+        FROM e
+    """,
+    doc=(
+        "extension (similarity): RANDOM PROJECTION to 16 dims via a "
+        "deterministic md5-parity Rademacher matrix (Achlioptas JL "
+        "construction) - 4x vector compression preserving pairwise "
+        "distances in expectation, the cheap pre-stage before "
+        "LSH/IVF. Each component is one fixed-order codegen'd "
+        "multiply-add chain (no shuffle, no UDF, matrix is a literal), "
+        "bit-identical to the oracle's mirrored expression."
+    ),
+    tags=("similarity",),
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.similarity import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return random_projection(emb)

@@ -169,3 +169,63 @@ def test_tpch_new_shapes_plan_properties(spark):
     plan21 = q21._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan21
     assert "LeftAnti" in plan21
+
+
+def test_observation_metrics_without_second_scan(spark):
+    """df.observe() collects pipeline health metrics (rows seen,
+    rows rejected) as a side-effect of the SAME job — the production
+    alternative to a second count() scan over 100 TB."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from click_streaming_data_pipeline_spark.sources import load_table
+
+    from .conftest import SF_TEST
+
+    docs = load_table(spark, SF_TEST, "documents")
+    obs = Observation("gate")
+    gated = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_seen"),
+        F.sum((F.col("n_chars") < 50).cast("long")).alias("n_short"),
+    ).filter(F.col("n_chars") >= 50)
+    kept = gated.count()
+    metrics = obs.get
+    assert metrics["n_seen"] == docs.count()
+    assert metrics["n_seen"] - metrics["n_short"] == kept
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL sanity: for a sample of pairs, the scaled projected
+    distance approximates the original distance (loose bound — 16
+    dims gives coarse but unbiased preservation)."""
+    import numpy as np
+
+    from click_streaming_data_pipeline_spark.extensions.similarity import (
+        random_projection,
+    )
+    from click_streaming_data_pipeline_spark.sources import load_table
+
+    from .conftest import SF_TEST
+
+    emb = load_table(spark, SF_TEST, "embeddings")
+    orig = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in emb.limit(40).collect()
+    }
+    proj = {
+        r["vec_id"]: np.array([r[f"p{j}"] for j in range(16)])
+        for r in random_projection(emb).collect()
+    }
+    ratios = []
+    ids = sorted(orig)
+    for a in ids[:20]:
+        for b in ids[20:40]:
+            d_orig = np.linalg.norm(orig[a] - orig[b])
+            d_proj = np.linalg.norm(proj[a] - proj[b]) / np.sqrt(16.0)
+            if d_orig > 0:
+                ratios.append(d_proj / d_orig)
+    mean = sum(ratios) / len(ratios)
+    # unbiased in expectation; 16 dims => wide but bounded spread
+    assert 0.7 < mean < 1.3
+    assert all(0.2 < r < 2.5 for r in ratios)

@@ -740,3 +740,122 @@ def weekly_value_drift_streamed(
         "week", "bin", F.col("n").alias("c")
     )
     return _drift_report(spark, counts)
+
+
+@query(
+    "session_funnel_stats_streamed",
+    oracle=f"""
+        WITH o AS (
+            SELECT user_id, ts, event_id, event_type, value,
+                   lag(ts) OVER w AS prev
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        marked AS (
+            SELECT *, CASE WHEN prev IS NULL
+                                OR ts - prev >= INTERVAL '30 minutes'
+                           THEN 1 ELSE 0 END AS new_s
+            FROM o
+        ),
+        sessions AS (
+            SELECT *, sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS sid
+            FROM marked
+        ),
+        built AS (
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
+                       AS duration_us,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS n_purchases,
+                   CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                          THEN {_CENTS_SQL} END), 0)
+                        AS BIGINT) AS revenue_cents
+            FROM sessions
+            GROUP BY user_id, sid
+        ),
+        wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS horizon FROM events)
+        SELECT user_id, session_start, duration_us, n_events,
+               n_purchases, revenue_cents,
+               (n_purchases > 0) AS converted
+        FROM built, wm
+        WHERE session_end <= horizon
+    """,
+    doc=(
+        "beyond-reference sessionization, STREAMING form: the session "
+        "FEATURE TABLE built by session_window + state-store merge - "
+        "per-session duration/counts/exact-cent revenue/conversion "
+        "computed incrementally and emitted exactly once when the "
+        "watermark finalizes the session (sessions spanning micro-"
+        "batches are merged by state, which a batch gaps-and-islands "
+        "pass cannot do incrementally). Emitted set == batch sessions "
+        "finalized by the final watermark (same in-order-arrival "
+        "device as window_session_append_streamed)."
+    ),
+    tags=("streaming", "window", "agg"),
+)
+def session_funnel_stats_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="csdp_sfss_")
+    src = os.path.join(work, "in")
+    events.repartitionByRange(6, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(src)
+    parts = sorted(f for f in os.listdir(src) if f.startswith("part-"))
+    base = _time.time() - 10_000
+    for k, f in enumerate(parts):
+        os.utime(os.path.join(src, f), (base + 10 * k, base + 10 * k))
+
+    is_p = F.col("event_type") == "purchase"
+    n_purch = F.sum(F.when(is_p, 1).otherwise(0))
+    agg = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "2 hours")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("n_events"),
+            n_purch.alias("n_purchases"),
+            F.coalesce(F.sum(F.when(is_p, _cents())), F.lit(0)).alias(
+                "revenue_cents"
+            ),
+        )
+    )
+    name = f"sfss_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.queryName(name)
+        .format("memory")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.col("first_ts").alias("session_start"),
+        (F.unix_micros("last_ts") - F.unix_micros("first_ts")).alias(
+            "duration_us"
+        ),
+        "n_events",
+        "n_purchases",
+        "revenue_cents",
+        (F.col("n_purchases") > 0).alias("converted"),
+    )

@@ -837,3 +837,107 @@ def page_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = transition_edges(load_table(spark, sf_dir, "events"))
     return triangle_stats(edges)
+
+
+@query(
+    "point_in_time_status_streamed",
+    oracle="""
+        WITH o AS (
+            SELECT user_id, ts, event_type,
+                   lag(event_type) OVER w AS prev_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        changes AS (
+            SELECT user_id, event_type AS status, ts AS valid_from
+            FROM o
+            WHERE prev_type IS NULL OR prev_type <> event_type
+        ),
+        purchases AS (
+            SELECT user_id, ts, event_id FROM events
+            WHERE event_type = 'purchase'
+        )
+        SELECT p.user_id, p.ts, p.event_id,
+               c.status AS status_asof,
+               c.valid_from AS status_since
+        FROM purchases p
+        ASOF LEFT JOIN changes c
+          ON p.user_id = c.user_id AND c.valid_from <= p.ts
+    """,
+    doc=(
+        "beyond-reference feature-store, STREAMING form: each "
+        "purchase micro-batch is enriched point-in-time against the "
+        "STATIC SCD2 interval table (stream-static join - the static "
+        "side re-resolves per trigger, so a slowly-refreshed dim "
+        "stays current; no watermark state because the dim is "
+        "bounded). The interval probe is closed intervals "
+        "[valid_from, valid_to) so exactly one row matches - the "
+        "leakage-free online feature lookup, equal to the batch "
+        "as-of join row for row."
+    ),
+    tags=("streaming", "join", "temporal"),
+)
+def point_in_time_status_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    # static SCD2 interval dim (same build as user_status_scd2)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            F.col("user_id").alias("d_user_id"),
+            F.col("event_type").alias("status"),
+            F.col("ts").alias("valid_from"),
+        )
+        .withColumn(
+            "valid_to",
+            F.lead("valid_from").over(
+                Window.partitionBy("d_user_id").orderBy("valid_from")
+            ),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="csdp_pits_")
+    src = os.path.join(work, "in")
+    events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    ).repartition(6).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_id long")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    joined = stream.join(
+        changes,
+        (F.col("user_id") == F.col("d_user_id"))
+        & (F.col("valid_from") <= F.col("ts"))
+        & (
+            F.col("valid_to").isNull()
+            | (F.col("valid_to") > F.col("ts"))
+        ),
+        "left",
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("status").alias("status_asof"),
+        F.col("valid_from").alias("status_since"),
+    )
+    name = f"pits_{_uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.queryName(name)
+        .format("memory")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,116 @@
+"""Repo-wide plan linter: no catalog query may plan an all-pairs
+join (CartesianProduct / BroadcastNestedLoopJoin) or a row-at-a-time
+Python UDF unless it is on the explicit allowlist with a documented
+reason. This is the automated form of the scale review — a quadratic
+plan sneaking into any query fails CI, not a human read of PLANS.md.
+
+Streaming queries are exercised by their own oracle tests (building
+them here would run real streams); batch queries only get PLANNED
+(executedPlan), so the sweep is cheap.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from click_streaming_data_pipeline_spark.plans import QUERIES
+
+from .conftest import SF_TEST
+
+#: queries allowed to plan an all-pairs join, each with the reason it
+#: is deliberate and bounded.
+ALLPAIRS_ALLOWED = {
+    # exact ANN baseline: tiny broadcast query side x one corpus scan
+    "knn_topk",
+    # ADC brute-scan baseline: broadcast query side x coded corpus
+    # (IVF-PQ is the scale path)
+    "knn_pq_topk",
+    # 1-row bounds/stats frames crossJoined back onto the corpus
+    # (broadcast of a single row, not an N^2 pair join)
+    "value_histogram",
+    "embedding_quantize",
+    "weekly_value_drift",
+    "weekly_value_drift_streamed",
+    "value_anomalies",
+    "hourly_error_spine",
+    "value_stats",
+    "ab_test_report",
+    "table_profile",
+    "orders_table_checksum",
+    "rich_idle_customers",
+    "corpus_health_report",
+    "source_mixture_weights",
+    "filter_attrition",
+    "contamination_check",
+    "page_triangles",
+    "ann_recall_report",
+    "embedding_label_outliers",
+    "price_quantity_correlation",
+    "priority_order_counts",
+    "customer_order_distribution",
+    "top_revenue_suppliers",
+    "nation_market_share",
+    "search_result_count",
+    "value_quantiles",
+    "value_quantiles_approx",
+    "heavy_hitters_cms",
+    "stratified_sample",
+    "dataset_split",
+    "lm_quality_score",
+    "bigram_fluency",
+    "tfidf_keywords",
+    "corpus_vocabulary",
+    "bpe_merge_ranks",
+    "bpe_encode",
+}
+
+# streaming queries execute real streams in their builder; driver-loop
+# queries execute collects — both are covered by the oracle suite, so
+# the linter plans only the pure-batch rest.
+SKIP_NAMES = {
+    "page_rank",
+    "bpe_merge_ranks",
+    "bpe_encode",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "knn_ivf_topk",
+    "knn_ivfpq_topk",
+    "semdedup_keep",
+    "optimize_zorder",
+}
+
+BATCH_QUERIES = sorted(
+    n
+    for n, q in QUERIES.items()
+    if "streaming" not in q.tags and n not in SKIP_NAMES
+)
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    out = {}
+    for name in BATCH_QUERIES:
+        df = QUERIES[name].fn(spark, SF_TEST)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+@pytest.mark.parametrize("name", BATCH_QUERIES)
+def test_no_unapproved_allpairs_join(plans, name):
+    plan = plans[name]
+    has_allpairs = (
+        "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+    )
+    if has_allpairs:
+        assert name in ALLPAIRS_ALLOWED, (
+            f"{name} plans an all-pairs join and is not allowlisted:\n"
+            + plan[:2000]
+        )
+
+
+@pytest.mark.parametrize("name", BATCH_QUERIES)
+def test_no_row_at_a_time_python_udf(plans, name):
+    # BatchEvalPython = per-row Python UDF (the slow path). Arrow
+    # forms (ArrowEvalPython / mapInPandas / FlatMapGroupsInPandas)
+    # are fine and deliberately used.
+    assert "BatchEvalPython" not in plans[name], name

@@ -473,3 +473,51 @@ def random_projection(
             expr = expr + F.element_at(v, i + 1) * F.lit(signs[j][i])
         cols.append(expr.alias(f"p{j}"))
     return scan_parallel(emb).select(F.col(id_col), *cols)
+
+
+def hard_negative_pairs(
+    emb: DataFrame,
+    query_ids: list[int],
+    *,
+    k: int = 8,
+    max_cos: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive-training HARD-NEGATIVE MINING: for each anchor,
+    the k most similar vectors with a DIFFERENT label and cosine
+    below the near-dup threshold — confusable-but-wrong examples,
+    the negatives that actually move a contrastive loss (random
+    negatives are trivially separable; near-dups above ``max_cos``
+    are likely label noise, so they're excluded).
+
+    Same plan as ``brute_force_topk``: broadcast anchor batch, one
+    corpus scan, per-anchor window top-k — exact for a bounded
+    anchor set; at corpus-scale anchors, candidates come from the
+    IVF/LSH probes instead and this stays the per-batch scorer.
+    """
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("q_label"),
+    )
+    cand = scan_parallel(emb).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
+        F.col(label_col).alias("n_label"),
+    )
+    scored = (
+        cand.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .filter(F.col("q_label") != F.col("n_label"))
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+        .filter(F.col("cos") < F.lit(max_cos))
+        .select("query_id", "q_label", "neighbor_id", "n_label", "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

@@ -929,3 +929,88 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return random_projection(emb)
+
+
+@query(
+    "hard_negative_pairs",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id AS query_id, v AS qv, label AS q_label FROM e
+            WHERE vec_id IN (0, 1, 2, 3, 4)
+        ),
+        scored AS (
+            SELECT query_id, q_label, e.vec_id AS neighbor_id,
+                   e.label AS n_label,
+                   {_cos_sql('qv', 'e.v')} AS cos
+            FROM q JOIN e ON e.vec_id <> query_id
+            WHERE e.label <> q_label
+        )
+        SELECT query_id, q_label, neighbor_id, n_label, cos, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+            ) AS rank
+            FROM scored
+            WHERE cos < CAST(0.45 AS DOUBLE)
+        ) WHERE rank <= 8
+    """,
+    doc=(
+        "extension (contrastive training data): HARD-NEGATIVE MINING "
+        "- per anchor, the 8 most similar DIFFERENT-label vectors "
+        "below the near-dup threshold (confusable-but-wrong examples; "
+        "random negatives are trivially separable, near-dups above "
+        "the threshold are likely label noise). Broadcast anchor "
+        "batch x one corpus scan, bit-exact fold cosine, per-anchor "
+        "window top-k; at corpus-scale anchor sets the candidates "
+        "come from the IVF/LSH probes and this stays the scorer."
+    ),
+    tags=("similarity",),
+)
+def hard_negative_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.similarity import hard_negative_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negative_pairs(emb, _QUERY_IDS, k=8)
+
+
+@query(
+    "tokenizer_fertility",
+    oracle=f"""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                   AS ws_tokens,
+               CAST(sum(len(regexp_extract_all(text, '{BPE_SPLIT_RE}')))
+                   AS BIGINT) AS bpe_tokens,
+               CAST(sum(len(regexp_extract_all(text, '{BPE_SPLIT_RE}')))
+                       AS DOUBLE)
+                   / CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+                   AS fertility
+        FROM documents
+        GROUP BY lang
+    """,
+    doc=(
+        "extension (tokenization): TOKENIZER FERTILITY per language - "
+        "subword-to-word ratio (the standard tokenizer-quality "
+        "diagnostic: high fertility = the vocab splinters that "
+        "language, inflating training cost and hurting quality). "
+        "Exact integer token sums per group + ONE final division; a "
+        "single partial-agg pass over the corpus."
+    ),
+    tags=("text",),
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.text import bpe_ish_token_count, whitespace_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.sum(whitespace_token_count("text").cast("long"))
+    bpe = F.sum(bpe_ish_token_count("text").cast("long"))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        (bpe.cast("double") / ws.cast("double")).alias("fertility"),
+    )

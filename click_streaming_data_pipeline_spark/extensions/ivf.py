@@ -202,3 +202,116 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Index persistence: build once, probe many times
+
+def save_ivf_index(
+    emb: DataFrame,
+    index_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index as TABLES: the centroid codebook and
+    the corpus partitioned-by-centroid — so the (expensive) k-means
+    train + assign runs once and every later query is a partition-
+    pruned read. ``partitionBy(centroid_id)`` is the point: a probe
+    of nprobe partitions lists only those directories, touching
+    ~nprobe/K of the corpus FILES (file-level pruning, not a
+    post-scan filter)."""
+    import os
+
+    centroids = train_kmeans(emb, id_col=id_col, vec_col=vec_col)
+    spark = emb.sparkSession
+    spark.createDataFrame(
+        [(cid, list(map(float, vec))) for cid, vec in centroids],
+        "centroid_id int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "centroids")
+    )
+    assigned = _assign(
+        emb.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("n_vec"),
+        ),
+        centroids,
+        "n_vec",
+    )
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        os.path.join(index_dir, "corpus")
+    )
+
+
+def load_ivf_centroids(spark, index_dir: str) -> list[tuple[int, list[float]]]:
+    import os
+
+    rows = (
+        spark.read.parquet(os.path.join(index_dir, "centroids"))
+        .orderBy("centroid_id")
+        .collect()
+    )
+    return [(int(r["centroid_id"]), list(r["cvec"])) for r in rows]
+
+
+def ivf_index_topk(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Top-k from a SAVED index: rank centroids for each query
+    (codebook is a literal — no corpus access), then read ONLY the
+    probed partitions of the corpus table and score those. The
+    centroid_id filter prunes at the directory level, which is the
+    persistent-index form of ivf_topk's probe join."""
+    import os
+
+    centroids = load_ivf_centroids(spark, index_dir)
+    if nprobe is None:
+        nprobe = max(1, len(centroids) // 4)
+    carr = _centroid_array_col(centroids)
+    probed = (
+        queries.withColumn(
+            "__ranked",
+            F.reverse(
+                F.array_sort(
+                    F.transform(
+                        carr,
+                        lambda c: F.struct(
+                            cosine(F.col("q_vec"), c["cvec"]).alias("cos"),
+                            (-c["cid"]).alias("neg_cid"),
+                            c["cid"].alias("cid"),
+                        ),
+                    )
+                )
+            ),
+        )
+        .withColumn(
+            "probe_cids",
+            F.transform(
+                F.slice(F.col("__ranked"), 1, nprobe), lambda s: s["cid"]
+            ),
+        )
+        .select(
+            "query_id", "q_vec", F.explode("probe_cids").alias("centroid_id")
+        )
+    )
+    corpus = spark.read.parquet(os.path.join(index_dir, "corpus"))
+    cand = corpus.join(F.broadcast(probed), "centroid_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.withColumn(
+        "cos", cosine(F.col("q_vec"), F.col("n_vec"))
+    ).select("query_id", "neighbor_id", "cos")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -150,3 +150,25 @@ def optimize_zorder(
     )
     after = plan_compaction(dst, target_bytes=target_bytes)
     return {"before": before, "after": after}
+
+
+def backfill_partitions(
+    new_data: DataFrame,
+    table_dir: str,
+    partition_col: str,
+) -> None:
+    """Idempotent partition BACKFILL: rewrite exactly the partitions
+    present in ``new_data``, leaving every other partition's files
+    untouched (Spark's dynamic partitionOverwriteMode) — the
+    recompute-one-day operation a warehouse runs after late data or a
+    logic fix. Static overwrite would truncate the whole table; the
+    dynamic mode scopes the overwrite to the partitions being
+    written, so a backfill is safe to re-run (same input → same
+    files) and safe to run concurrently with readers of other
+    partitions."""
+    (
+        new_data.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(table_dir)
+    )

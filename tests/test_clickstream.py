@@ -229,3 +229,109 @@ def test_random_projection_preserves_distances(spark):
     # unbiased in expectation; 16 dims => wide but bounded spread
     assert 0.7 < mean < 1.3
     assert all(0.2 < r < 2.5 for r in ratios)
+
+
+def test_backfill_overwrites_only_target_partitions(spark, tmp_path):
+    """Dynamic-partition backfill: rewriting one day leaves the other
+    days' files untouched (same paths, same mtimes) and replaces the
+    target day's content exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from click_streaming_data_pipeline_spark.operators.maintenance import (
+        backfill_partitions,
+    )
+    from click_streaming_data_pipeline_spark.sources import load_table
+
+    from .conftest import SF_TEST
+
+    table = str(tmp_path / "events_by_day")
+    ev = load_table(spark, SF_TEST, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    days = [r["day"] for r in ev.select("day").distinct().limit(3).collect()]
+    base = ev.filter(F.col("day").isin(days))
+    base.write.mode("overwrite").partitionBy("day").parquet(table)
+
+    def files_with_mtimes(day):
+        d = os.path.join(table, f"day={day}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    target, keep = days[0], days[1:]
+    before_keep = {d: files_with_mtimes(d) for d in keep}
+
+    fixed = base.filter(F.col("day") == target).withColumn(
+        "value", F.col("value") + 1000.0
+    )
+    backfill_partitions(fixed, table, "day")
+
+    # untouched partitions: identical files and mtimes
+    for d in keep:
+        assert files_with_mtimes(d) == before_keep[d]
+    # target partition: new content, other partitions' rows unchanged
+    got = spark.read.parquet(table)
+    assert (
+        got.filter(F.col("day") == target)
+        .filter(F.col("value") < 1000.0)
+        .count()
+        == 0
+    )
+    assert got.count() == base.count()
+    # idempotent: re-running the same backfill keeps the row set
+    backfill_partitions(fixed, table, "day")
+    assert spark.read.parquet(table).count() == base.count()
+
+
+def test_ivf_saved_index_matches_fresh_and_prunes(spark, tmp_path):
+    """The persisted IVF index must return exactly what a fresh
+    train+probe returns (training is deterministic), and the probed
+    read must touch only the probed partitions' files."""
+    from pyspark.sql import functions as F
+
+    from click_streaming_data_pipeline_spark.extensions.ivf import (
+        ivf_index_topk,
+        ivf_topk,
+        load_ivf_centroids,
+        save_ivf_index,
+    )
+    from click_streaming_data_pipeline_spark.sources import load_table
+
+    from .conftest import SF_TEST
+
+    emb = load_table(spark, SF_TEST, "embeddings")
+    idx = str(tmp_path / "ivf_index")
+    save_ivf_index(emb, idx)
+    centroids = load_ivf_centroids(spark, idx)
+
+    qids = [0, 1, 2, 3, 4]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+    )
+    from_index = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cos"], 9))
+        for r in ivf_index_topk(spark, idx, queries, k=10).collect()
+    }
+    fresh = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cos"], 9))
+        for r in ivf_topk(emb, qids, k=10, centroids=centroids).collect()
+    }
+    assert from_index == fresh
+
+    # partition pruning: one probed partition reads only its files
+    import os
+
+    corpus = spark.read.parquet(os.path.join(idx, "corpus"))
+    one = corpus.filter(F.col("centroid_id") == centroids[0][0])
+    read_files = {
+        r[0]
+        for r in one.select(F.input_file_name()).distinct().collect()
+    }
+    all_files = set(corpus.inputFiles())
+    assert 0 < len(read_files) < len(all_files)
+    assert all(f"centroid_id={centroids[0][0]}" in f for f in read_files)

@@ -859,3 +859,98 @@ def session_funnel_stats_streamed(
         "revenue_cents",
         (F.col("n_purchases") > 0).alias("converted"),
     )
+
+
+@query(
+    "suspect_bots_streamed",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, ts, event_id,
+                   lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_ts
+            FROM events
+        ),
+        per AS (
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
+                       AS span_us,
+                   CAST(min(epoch_us(ts) - epoch_us(prev_ts)) AS BIGINT)
+                       AS min_gap_us
+            FROM g GROUP BY 1
+        )
+        SELECT user_id, n_events, span_us, min_gap_us,
+               (n_events >= 30 AND
+                n_events * 3600000000 >= span_us * 100) AS high_rate,
+               (min_gap_us IS NOT NULL AND min_gap_us < 1000000)
+                   AS burst,
+               ((n_events >= 30 AND
+                 n_events * 3600000000 >= span_us * 100)
+                OR (min_gap_us IS NOT NULL AND min_gap_us < 1000000))
+                   AS is_suspect
+        FROM per
+    """,
+    doc=(
+        "beyond-reference abuse detection, STREAMING form: the "
+        "per-user rate/gap feature vector maintained as O(1) custom "
+        "state (applyInPandasWithState) - count/first/last/min-gap "
+        "updated per micro-batch with the cross-batch bridge gap, "
+        "correct under per-user in-order arrival (Kafka per-key "
+        "ordering; the harness feeds time-ordered files). Converged "
+        "state == the batch suspect_bots rollup, same oracle."
+    ),
+    tags=("streaming", "window", "agg"),
+)
+def suspect_bots_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from ..operators.upsert import latest_rows
+    from ..streaming.stateful import bot_features_stream
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="csdp_bots_")
+    src = os.path.join(work, "in")
+    events.repartitionByRange(6, "ts").sortWithinPartitions(
+        "ts", "event_id"
+    ).write.mode("overwrite").parquet(src)
+    parts = sorted(f for f in os.listdir(src) if f.startswith("part-"))
+    base = _time.time() - 10_000
+    for k, f in enumerate(parts):
+        os.utime(os.path.join(src, f), (base + 10 * k, base + 10 * k))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"bots_{_uuid.uuid4().hex[:8]}"
+    q = (
+        bot_features_stream(stream)
+        .writeStream.queryName(name)
+        .format("memory")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = latest_rows(spark.table(name), ["user_id"], ["n_events"])
+    high_rate = (F.col("n_events") >= 30) & (
+        F.col("n_events") * F.lit(3_600_000_000)
+        >= F.col("span_us") * F.lit(100)
+    )
+    burst = F.col("min_gap_us").isNotNull() & (
+        F.col("min_gap_us") < 1_000_000
+    )
+    return final.select(
+        "user_id",
+        "n_events",
+        "span_us",
+        "min_gap_us",
+        high_rate.alias("high_rate"),
+        burst.alias("burst"),
+        (high_rate | burst).alias("is_suspect"),
+    )

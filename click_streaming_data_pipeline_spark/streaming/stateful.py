@@ -238,3 +238,79 @@ def user_state_stream_tws(events_stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-user rate/gap features (the streaming twin of suspect_bots)
+
+BOT_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("first_ts_us", LongType()),
+        StructField("last_ts_us", LongType()),
+        StructField("min_gap_us", LongType()),
+    ]
+)
+
+BOT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("span_us", LongType()),
+        StructField("min_gap_us", LongType()),
+    ]
+)
+
+
+def _bot_update(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Running (count, first, last, min-gap) per user. Correct under
+    IN-ORDER event-time arrival per user (what Kafka's per-key
+    partition ordering gives a production stream; the test harness
+    feeds time-ordered files): each batch's gaps are the within-batch
+    consecutive diffs plus the bridge from the previous batch's last
+    event — O(1) state, no timestamp log."""
+    (user_id,) = key
+    if state.exists:
+        n, first_us, last_us, min_gap = state.get
+    else:
+        n, first_us, last_us, min_gap = 0, None, None, None
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ts_us = (pdf["ts"].astype("int64") // 1_000).tolist()
+        if last_us is not None:
+            bridge = ts_us[0] - last_us
+            min_gap = bridge if min_gap is None else min(min_gap, bridge)
+        gaps = [b - a for a, b in zip(ts_us, ts_us[1:])]
+        if gaps:
+            batch_min = min(gaps)
+            min_gap = batch_min if min_gap is None else min(min_gap, batch_min)
+        n += len(pdf)
+        first_us = ts_us[0] if first_us is None else first_us
+        last_us = ts_us[-1]
+    state.update((n, first_us, last_us, min_gap))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "span_us": [last_us - first_us],
+            "min_gap_us": [min_gap if min_gap is not None else None],
+        }
+    )
+
+
+def bot_features_stream(events_stream: DataFrame) -> DataFrame:
+    """Stateful per-user rate/gap features over a stream (update
+    mode; final batch rows carry the converged state)."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _bot_update,
+        outputStructType=BOT_OUTPUT_SCHEMA,
+        stateStructType=BOT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

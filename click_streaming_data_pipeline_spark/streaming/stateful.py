@@ -314,3 +314,82 @@ def bot_features_stream(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension maintenance (the streaming twin of user_status_scd2)
+
+SCD2_STATE_SCHEMA = StructType(
+    [
+        StructField("statuses", ArrayType(StringType())),
+        StructField("froms_us", ArrayType(LongType())),
+        StructField("tos_us", ArrayType(LongType())),  # -1 = open
+        StructField("version", LongType()),
+    ]
+)
+
+SCD2_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("status", StringType()),
+        StructField("valid_from_us", LongType()),
+        StructField("valid_to_us", LongType()),  # -1 = open
+        StructField("version", LongType()),
+    ]
+)
+
+
+def _scd2_update(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold status-change events into validity intervals. In-order
+    per-user arrival assumed (Kafka per-key ordering / time-ordered
+    files). The full interval list rides in state and is re-emitted
+    with a version per batch so the harness can select each user's
+    converged history; a production deployment would keep ONLY the
+    open interval in state and append closed rows straight to the
+    sink (they never change once closed)."""
+    (user_id,) = key
+    if state.exists:
+        statuses, froms, tos, version = state.get
+        statuses, froms, tos = list(statuses), list(froms), list(tos)
+    else:
+        statuses, froms, tos, version = [], [], [], 0
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        version += len(pdf)
+        for ts_val, etype in zip(
+            (pdf["ts"].astype("int64") // 1_000).tolist(),
+            pdf["event_type"].tolist(),
+        ):
+            if not statuses or statuses[-1] != etype:
+                if statuses:
+                    tos[-1] = ts_val
+                statuses.append(etype)
+                froms.append(ts_val)
+                tos.append(-1)
+    state.update((statuses, froms, tos, version))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(statuses),
+            "status": statuses,
+            "valid_from_us": froms,
+            "valid_to_us": tos,
+            "version": [version] * len(statuses),
+        }
+    )
+
+
+def scd2_stream(events_stream: DataFrame) -> DataFrame:
+    """Incrementally-maintained SCD2 history over a stream."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _scd2_update,
+        outputStructType=SCD2_OUTPUT_SCHEMA,
+        stateStructType=SCD2_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -595,3 +595,94 @@ def neardup_clusters(pairs: DataFrame, *, max_iter: int = 20) -> DataFrame:
     return labels.select(
         F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtering exact set-similarity join (AllPairs / PPJoin family)
+
+
+def prefix_filter_pairs(
+    shingle_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT Jaccard >= ``threshold`` pairs via prefix filtering — the
+    AllPairs/PPJoin candidate scheme (Bayardo et al. WWW'07; Vernica et
+    al. SIGMOD'10 for the MapReduce shape), the third scale-safe dedup
+    path next to MinHash-LSH (probabilistic recall) and pigeonhole
+    SimHash (hamming only). Unlike LSH there is NO recall loss: the
+    filter is lossless, so the output equals the all-pairs join's.
+
+    Why it is complete: order all shingles by a fixed global total
+    order (ascending document frequency, then shingle text — rare
+    first, so prefixes land on low-fan-out join keys). Give each doc's
+    sorted shingle list a prefix of length ``n - ceil(t*n) + 1``. If
+    J(A,B) >= t then |A∩B| >= t*|A∪B| >= t*max(|A|,|B|), so fewer than
+    ``n - ceil(t*n) + 1`` of either side's smallest shingles can be
+    unshared — the globally-first shared shingle sits inside BOTH
+    prefixes and the prefix equi-join finds the pair.
+
+    Plan shape (every stage a bounded-key shuffle, no all-pairs join):
+    df-count groupBy -> per-doc sort (collect_list is per-doc bounded)
+    -> prefix explode -> equi-join on shingle (prefixes only: ~(1-t)
+    of the corpus postings, rarest shingles => smallest groups) with a
+    symmetric size filter -> exact intersection count restricted to
+    candidate pairs. Callers should localCheckpoint ``shingle_df``
+    (it feeds four subtrees).
+    """
+    dfc = shingle_df.groupBy("shingle").agg(F.count("*").alias("__df"))
+    per_doc = (
+        shingle_df.join(dfc, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("__df", "shingle"))
+            ).alias("__ord"),
+            F.count("*").alias("n_sh"),
+        )
+    )
+    plen = (
+        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).cast("int")
+    prefix = per_doc.select(
+        F.col(id_col),
+        F.col("n_sh"),
+        F.explode(F.slice("__ord", F.lit(1), plen)).alias("__e"),
+    ).select(id_col, "n_sh", F.col("__e.shingle").alias("shingle"))
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    # J >= t forces t*|A| <= |B| and t*|B| <= |A|: prune size-skewed
+    # candidates before the distinct
+    cand = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("n_b") >= F.ceil(F.lit(threshold) * F.col("n_a")))
+            & (F.col("n_a") >= F.ceil(F.lit(threshold) * F.col("n_b")))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = shingle_df.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = shingle_df.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    counts = shingle_df.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -18,6 +18,7 @@ from ..extensions.dedup import (
     jaccard_pairs,
     minhash_lsh_dedup,
     minhash_signatures,
+    prefix_filter_pairs,
     simhash_pairs,
 )
 from ..extensions.multimodal import (
@@ -119,6 +120,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     )
     return jaccard_pairs(sh, threshold=0.8)
+
+
+@query(
+    "dedup_prefix_filter",
+    # oracle = the EXACT all-pairs Jaccard result: prefix filtering is
+    # a LOSSLESS candidate scheme (see extensions/dedup.py::
+    # prefix_filter_pairs docstring), so unlike LSH there is no recall
+    # tuning — the output must equal the all-pairs join bit-for-bit.
+    oracle=_JACCARD_SQL,
+    doc=(
+        "extension: exact-Jaccard near-dup pairs via AllPairs/PPJoin "
+        "prefix filtering (Bayardo WWW'07) — the lossless scale path: "
+        "candidates come from an equi-join on each doc's df-rarest "
+        "shingle prefix (~(1-t) of postings, rare keys => tiny join "
+        "groups), then exact verification only on candidates. "
+        "Completes the dedup triad: LSH (probabilistic), pigeonhole "
+        "SimHash (hamming), prefix filter (exact Jaccard)."
+    ),
+    tags=("dedup",),
+)
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = doc_shingles(load_table(spark, sf_dir, "documents")).localCheckpoint(
+        eager=True
+    )
+    return prefix_filter_pairs(sh, threshold=0.8)
 
 
 _MINHASH_ORACLE_COLS = ",\n".join(

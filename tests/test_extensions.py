@@ -693,3 +693,27 @@ def test_ann_recall_report_matches_recompute(spark):
         assert got[name] == (hits, hits / len(exact)), name
     assert got["brute_force"] == (len(exact), 1.0)
     assert got["ivf"][1] >= 0.8 and got["ivf_pq"][1] >= 0.8
+
+
+def test_prefix_filter_equals_allpairs_jaccard(spark):
+    """Prefix filtering is LOSSLESS: the candidate scheme may not drop
+    any pair the all-pairs join finds, at any threshold — including
+    low thresholds where prefixes get long and doc-size ratios widen."""
+    from click_streaming_data_pipeline_spark.extensions.dedup import (
+        prefix_filter_pairs,
+    )
+
+    sh = doc_shingles(load_table(spark, SF_TEST, "documents")).localCheckpoint(
+        eager=True
+    )
+    for t in (0.8, 0.5):
+        exact = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+            for r in jaccard_pairs(sh, threshold=t, max_df=None).collect()
+        }
+        pf = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+            for r in prefix_filter_pairs(sh, threshold=t).collect()
+        }
+        assert exact, "corpus should contain planted near-dups"
+        assert pf == exact, f"t={t}: {pf ^ exact}"

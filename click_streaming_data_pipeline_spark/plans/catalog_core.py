@@ -769,6 +769,98 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cube_revenue",
+    oracle="""
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc=(
+        "beyond-reference breadth: CUBE grouping sets (every "
+        "flag x status combination plus both one-dimension margins "
+        "and the grand total) in ONE shuffle — Catalyst expands the "
+        "cube to a grouping-id Expand node, not four passes. Both "
+        "keys are non-null in lineitem, so coalesce-to-'ALL' labels "
+        "the margin rows unambiguously."
+    ),
+    tags=("agg",),
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_extendedprice", "revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+@query(
+    "customer_spend_deciles",
+    oracle="""
+        WITH spend AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                        AS DOUBLE) AS spend
+            FROM orders
+            GROUP BY 1
+        ),
+        ranked AS (
+            SELECT spend,
+                   ntile(10) OVER (ORDER BY spend DESC, o_custkey)
+                       AS decile
+            FROM spend
+        )
+        SELECT decile,
+               count(*) AS n_customers,
+               CAST(SUM(CAST(spend AS DECIMAL(28,6))) AS DOUBLE)
+                   AS total_spend,
+               min(spend) AS min_spend,
+               max(spend) AS max_spend
+        FROM ranked
+        GROUP BY 1
+    """,
+    doc=(
+        "beyond-reference breadth: equal-population customer value "
+        "deciles (ntile over lifetime spend, ties broken by custkey "
+        "for determinism) with per-decile population and spend "
+        "bounds. Scale note: the global ntile window sorts ONE ROW "
+        "PER CUSTOMER (the dimension, after the fact table is "
+        "already aggregated), not the fact table; at warehouse scale "
+        "the same readout comes from percentile_approx boundaries + "
+        "a bucket join, trading exact equal population for a "
+        "sort-free plan."
+    ),
+    tags=("agg", "window"),
+)
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(dsum("o_totalprice", "spend"))
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum("spend", "total_spend"),
+            F.min("spend").alias("min_spend"),
+            F.max("spend").alias("max_spend"),
+        )
+    )
+
+
+@query(
     "daily_event_pivot",
     oracle="""
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

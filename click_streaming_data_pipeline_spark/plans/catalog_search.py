@@ -382,3 +382,99 @@ def _make_search_bm25():
 
 
 _make_search_bm25()
+
+
+@query(
+    "search_index_streamed",
+    # oracle = the SAME full-corpus TF-IDF expression score as
+    # search_via_index: the incrementally-maintained index + collection
+    # stats must converge to exactly the batch-built index's results.
+    oracle=f"""
+        SELECT doc_id, score
+        FROM (
+            SELECT doc_id, {_sql_score()} AS score
+            FROM documents
+        )
+        WHERE score > 0
+    """,
+    doc=(
+        "STREAMING index maintenance (the reference's ES ingestion, "
+        "event main.py:71-136, as incremental inverted-index upkeep): "
+        "each micro-batch appends its postings AND its collection "
+        "statistics (per-token body df, doc count) to batch-versioned "
+        "stores — replay-idempotent, history never re-read; BM25 idf "
+        "is derived from the folded stats at query time exactly like "
+        "ES computes idf from segment stats. The drained index must "
+        "score bit-identically to the batch expression strategy."
+    ),
+    tags=("streaming", "search"),
+)
+def search_index_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..operators.search import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="csdp_sidx_")
+    src = os.path.join(work, "in")
+    postings_store = os.path.join(work, "postings")
+    stats_store = os.path.join(work, "stats")
+    docs.repartition(6).write.mode("overwrite").parquet(src)
+
+    def index_batch(batch: DataFrame, batch_id: int) -> None:
+        fields = batch.withColumn(
+            "title", F.substring("text", 1, 64)
+        ).withColumn("body", F.col("text"))
+        postings = build_inverted_index(
+            fields, fields={"title": 2.0, "body": 1.0}
+        )
+        # per-token body document frequency + the batch doc count
+        # (carried as token='' so one store folds both statistics)
+        stats = (
+            fields.select(
+                "doc_id", F.explode(tokenize("body")).alias("token")
+            )
+            .distinct()
+            .groupBy("token")
+            .agg(F.count("*").alias("df"))
+            .unionByName(
+                fields.select(
+                    F.lit("").alias("token"),
+                    F.count("*").alias("df"),
+                )
+            )
+        )
+        # batch-versioned subdirectories: an at-least-once replay
+        # overwrites its own directory instead of double-appending
+        postings.write.mode("overwrite").parquet(
+            os.path.join(postings_store, f"b{batch_id}")
+        )
+        stats.write.mode("overwrite").parquet(
+            os.path.join(stats_store, f"b{batch_id}")
+        )
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream.foreachBatch(index_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # fold the stats (doc_ids are stream-unique, so summing per-batch
+    # contributions is the exact global statistic), then query the
+    # union-of-batches postings exactly like the batch index path
+    stats = (
+        spark.read.parquet(os.path.join(stats_store, "b*"))
+        .filter(F.col("token").isin([""] + _TERMS))
+        .groupBy("token")
+        .agg(F.sum("df").alias("df"))
+    )
+    folded = {r["token"]: int(r["df"]) for r in stats.collect()}
+    n_docs = folded.pop("", 0)
+    idf = {t: bm25_idf(n_docs, folded.get(t, 0)) for t in _TERMS}
+    index = spark.read.parquet(os.path.join(postings_store, "b*"))
+    return search_via_index(index, _TERMS, idf=idf)

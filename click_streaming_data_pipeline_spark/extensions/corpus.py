@@ -477,3 +477,68 @@ def passage_chunks(
             F.col("p.n_tokens").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+def mixture_allocation_sample(
+    docs: DataFrame,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT-count training-mixture construction: select exactly ``k``
+    documents, allocated across sources proportionally to their token
+    mass by the largest-remainder method (Hamilton apportionment), and
+    within each source picked by ascending md5(doc_id) — the
+    count-exact companion to the rate-based samplers
+    (``stratified_sample_summary`` keeps ~rate, this keeps =quota).
+
+    All allocation math is integer (k*n_s div/mod total), so Spark and
+    the SQL oracle agree exactly; selection order (md5 hex, then id)
+    is engine-portable. Scale: quotas come from a #sources-row
+    aggregate; selection ranks within source — a per-source sort. At
+    warehouse scale replace the full rank with an md5-threshold
+    prefilter at ~quota/n_s rate (the rate-based sibling) and rank
+    only the surviving sliver.
+    """
+    n_tok = F.size(_tokens(text_col))
+    per_src = (
+        scan_parallel(docs)
+        .select(F.col(source_col), n_tok.alias("__nt"))
+        .groupBy(source_col)
+        .agg(F.sum(F.col("__nt").cast("long")).alias("n_tokens"))
+    )
+    wall = Window.partitionBy()
+    total = F.sum("n_tokens").over(wall)
+    base = (F.lit(int(k)) * F.col("n_tokens"))
+    quotas = per_src.select(
+        F.col(source_col),
+        F.floor(base / total).alias("__q"),
+        (base % total).alias("__rem"),
+        total.alias("__total"),
+    )
+    # distribute the k - sum(floor) leftover seats by largest
+    # remainder, ties to the lexically-first source (deterministic)
+    leftover = F.lit(int(k)) - F.sum("__q").over(wall)
+    worder = Window.partitionBy().orderBy(
+        F.col("__rem").desc(), F.col(source_col)
+    )
+    quotas = quotas.select(
+        F.col(source_col),
+        (
+            F.col("__q")
+            + (F.row_number().over(worder) <= leftover).cast("long")
+        ).alias("quota"),
+    )
+    sel = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        scan_parallel(docs)
+        .select(F.col(id_col), F.col(source_col))
+        .withColumn("pick_rank", F.row_number().over(sel))
+        .join(quotas, source_col)
+        .filter(F.col("pick_rank") <= F.col("quota"))
+        .select(id_col, source_col, "pick_rank")
+    )

@@ -849,3 +849,56 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(d).alias("n_exact_dup"),
         (F.sum(d).cast("double") / F.count("*")).alias("exact_dup_frac"),
     )
+
+
+@query(
+    "mixture_allocation_sample",
+    oracle="""
+        WITH s AS (
+            SELECT source,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+            GROUP BY source
+        ),
+        q0 AS (
+            SELECT source,
+                   (120 * n_tokens) // sum(n_tokens) OVER () AS q,
+                   (120 * n_tokens) % sum(n_tokens) OVER () AS rem
+            FROM s
+        ),
+        q1 AS (
+            SELECT source,
+                   q + CASE WHEN row_number()
+                                OVER (ORDER BY rem DESC, source)
+                            <= 120 - sum(q) OVER ()
+                       THEN 1 ELSE 0 END AS quota
+            FROM q0
+        ),
+        r AS (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS pick_rank
+            FROM documents
+        )
+        SELECT doc_id, source, CAST(pick_rank AS BIGINT) AS pick_rank
+        FROM r JOIN q1 USING (source)
+        WHERE pick_rank <= quota
+    """,
+    doc=(
+        "extension (corpus curation): EXACT-count mixture construction "
+        "— select exactly k=120 documents allocated across sources by "
+        "token mass via largest-remainder (Hamilton) apportionment, "
+        "picked within source by ascending md5(doc_id). Integer quota "
+        "math + hex selection order make it engine-exact; the "
+        "count-exact companion to the rate-based stratified_sample."
+    ),
+    tags=("corpus",),
+)
+def mixture_allocation_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.corpus import mixture_allocation_sample
+
+    out = mixture_allocation_sample(load_table(spark, sf_dir, "documents"), 120)
+    return out.withColumn("pick_rank", F.col("pick_rank").cast("long"))

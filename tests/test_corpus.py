@@ -553,3 +553,31 @@ def test_bpe_encode_matches_python_oracle(spark):
         for r in bpe_encode(docs, merges).collect()
     }
     assert got == want
+
+
+def test_mixture_allocation_exact_k_and_proportionality(spark):
+    """Largest-remainder apportionment: exactly k picks in total, each
+    source within 1 of its ideal (fractional) share, and selection is
+    the md5-smallest ids per source."""
+    from click_streaming_data_pipeline_spark.extensions.corpus import (
+        mixture_allocation_sample,
+    )
+
+    docs = load_table(spark, SF_TEST, "documents")
+    k = 97
+    picked = mixture_allocation_sample(docs, k).collect()
+    assert len(picked) == k
+    per_src = {}
+    for r in picked:
+        per_src[r["source"]] = per_src.get(r["source"], 0) + 1
+    tok = (
+        docs.select("source", F.size(F.split(F.lower("text"), " ")).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("nt"))
+        .collect()
+    )
+    total = sum(r["nt"] for r in tok)
+    for r in tok:
+        ideal = k * r["nt"] / total
+        got = per_src.get(r["source"], 0)
+        assert abs(got - ideal) < 1, (r["source"], got, ideal)

@@ -636,3 +636,111 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(10)
     )
+
+
+@query(
+    "large_quantity_orders",
+    oracle=f"""
+        WITH big AS (
+            SELECT l_orderkey
+            FROM lineitem
+            GROUP BY 1
+            HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(28,6)))
+                        AS DOUBLE) > 250
+        )
+        SELECT c_name, c_custkey, o_orderkey,
+               CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+               o_totalprice,
+               {dsum_sql('l_quantity', 'sum_qty')}
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+        GROUP BY 1, 2, 3, 4, 5
+        ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        LIMIT 100
+    """,
+    doc=(
+        "TPC-H Q18 shape: semi-join against an AGGREGATED subquery "
+        "(orders whose lineitems sum past a quantity threshold, "
+        "HAVING over a groupBy) feeding a three-table join and a "
+        "top-100 composite sort. Catalyst plans the IN-subquery as a "
+        "left-semi hash join on the pre-aggregated key set — the "
+        "filter collapses the fact table before the wide join; "
+        "deterministic via the orderkey tie-break at the LIMIT edge."
+    ),
+    tags=("join", "agg", "sort"),
+)
+def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "__sq"))
+        .filter(F.col("__sq") > 250)
+        .select("l_orderkey")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(dsum("l_quantity", "sum_qty"))
+        .orderBy(
+            F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "customer_order_distribution",
+    oracle="""
+        WITH per_cust AS (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders
+              ON c_custkey = o_custkey
+             AND o_orderpriority <> '1-URGENT'
+            GROUP BY 1
+        )
+        SELECT c_count, count(*) AS custdist
+        FROM per_cust
+        GROUP BY 1
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    doc=(
+        "TPC-H Q13 shape: order-count-per-customer distribution via a "
+        "LEFT OUTER join whose exclusion predicate lives in the ON "
+        "clause (customers with only urgent orders must still appear "
+        "with count 0 — moving the filter to WHERE would wrongly drop "
+        "them), then a second aggregation over the first. Two "
+        "shuffles: custkey, then the tiny count-histogram key."
+    ),
+    tags=("join", "agg"),
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )

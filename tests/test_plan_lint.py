@@ -22,6 +22,9 @@ from .conftest import SF_TEST
 ALLPAIRS_ALLOWED = {
     # exact ANN baseline: tiny broadcast query side x one corpus scan
     "knn_topk",
+    # same shape as knn_topk: broadcast bounded anchor batch x one
+    # corpus scan (at corpus-scale anchors the IVF/LSH probes feed it)
+    "hard_negative_pairs",
     # ADC brute-scan baseline: broadcast query side x coded corpus
     # (IVF-PQ is the scale path)
     "knn_pq_topk",

@@ -478,3 +478,54 @@ def search_index_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf = {t: bm25_idf(n_docs, folded.get(t, 0)) for t in _TERMS}
     index = spark.read.parquet(os.path.join(postings_store, "b*"))
     return search_via_index(index, _TERMS, idf=idf)
+
+
+@query(
+    "search_prefix",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(string_split(lower(substr(text, 1, 64)), ' '))
+                       AS token,
+                   CAST(2.0 AS DOUBLE) AS boost
+            FROM documents
+            UNION ALL
+            SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS token,
+                   CAST(1.0 AS DOUBLE)
+            FROM documents
+        ),
+        postings AS (
+            SELECT doc_id, token, sum(boost) AS wtf
+            FROM tok
+            GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               count(*) AS n_prefix_tokens,
+               CAST(sum(wtf) AS DOUBLE) AS prefix_tf
+        FROM postings
+        WHERE token LIKE 'spa%'
+        GROUP BY 1
+    """,
+    doc=(
+        "ES prefix query analogue (the DSL's {'prefix': {...}}, "
+        "constant-score family next to F1's scored match): matching "
+        "tokens come from a StartsWith range predicate over the "
+        "postings table — with postings RANGE-partitioned by token "
+        "(not hashed), a prefix is a contiguous partition slice, so "
+        "the scan prunes to the prefix's files; per-doc boosted tf "
+        "sums are integer-valued doubles (exact in any order)."
+    ),
+    tags=("search",),
+)
+def search_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_fields(spark, sf_dir)
+    index = build_inverted_index(docs, fields={"title": 2.0, "body": 1.0})
+    return (
+        index.filter(F.col("token").startswith("spa"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_prefix_tokens"),
+            F.sum("weighted_tf").alias("prefix_tf"),
+        )
+    )

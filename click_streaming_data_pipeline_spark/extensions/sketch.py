@@ -94,3 +94,130 @@ def cms_estimate(
         .groupBy(item_col)
         .agg(F.min("n").alias("cms_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — mergeable distinct counts
+# PLUS set intersection/Jaccard estimation, which HLL cannot provide
+# without inclusion-exclusion error stacking (Beyer et al., SIGMOD'07
+# "On synopses for distinct-value estimation under multiset
+# operations"). The sketch of a key's item set is its k smallest
+# 60-bit md5 values; sketches merge by "k smallest of the union" —
+# the same bounded partial-aggregate shape as the CMS above.
+
+KMV_K = 64
+#: 15 md5 hex chars = 60 bits: fits signed 64-bit exactly (no conv
+#: overflow) and makes hash ties across distinct items ~impossible
+#: (p < n^2 / 2^61), so the k-th order statistic is engine-portable.
+KMV_BITS_DENOM = float(1 << 60)
+
+
+def kmv_hash(item: Column) -> Column:
+    """60-bit uniform integer hash of an item (md5-derived, exact in
+    both engines; DuckDB twin: CAST(('0x' || substr(md5(x),1,15)) AS
+    BIGINT))."""
+    return F.conv(
+        F.substring(F.md5(item.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    item_col: str,
+    *,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Per-key KMV sketch rows ``(key, u)``: the k smallest distinct
+    item hashes. Distinct-first collapses duplicates so the window
+    ranks the SET's order statistics; the per-key sort is k-bounded
+    after the rank filter and partition-local before it."""
+    from pyspark.sql.window import Window
+
+    hashed = (
+        df.select(F.col(key_col), kmv_hash(F.col(item_col)).alias("u"))
+        .distinct()
+    )
+    w = Window.partitionBy(key_col).orderBy("u")
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(key_col, "u")
+    )
+
+
+def kmv_estimates(sketch: DataFrame, key_col: str, *, k: int = KMV_K) -> DataFrame:
+    """Distinct-count estimate per key from its sketch: exact when the
+    sketch holds the whole set (n_sketch < k), else (k-1)/u_k with u_k
+    normalized to (0,1) — the classic KMV estimator."""
+    return sketch.groupBy(key_col).agg(
+        F.count("*").alias("n_sketch"),
+        F.max("u").alias("u_k"),
+    ).select(
+        F.col(key_col),
+        F.col("n_sketch"),
+        F.when(F.col("n_sketch") < k, F.col("n_sketch").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1))
+            * F.lit(KMV_BITS_DENOM)
+            / F.col("u_k").cast("double")
+        )
+        .alias("est_distinct"),
+    )
+
+
+def kmv_pairwise_overlap(
+    sketch: DataFrame, key_col: str, *, k: int = KMV_K
+) -> DataFrame:
+    """Pairwise set-overlap estimates between every two keys from
+    their KMV sketches: merged sketch = k smallest of the union of the
+    two k-min sets (a valid KMV of A∪B); Jaccard estimate = fraction
+    of merged values present in BOTH input sketches; intersection =
+    jaccard * union. Every step is an equi-join or a k-bounded window
+    over sketch-sized data (#keys x k rows), never the raw corpus."""
+    from pyspark.sql.window import Window
+
+    keys = sketch.select(F.col(key_col).alias("__key")).distinct()
+    pairs = (
+        keys.select(F.col("__key").alias("key_a"))
+        .join(
+            keys.select(F.col("__key").alias("key_b")),
+            F.col("key_a") < F.col("key_b"),
+        )
+    )
+    sk = sketch.select(F.col(key_col).alias("__k"), "u")
+    a_side = pairs.join(
+        sk.withColumnRenamed("__k", "key_a"), "key_a"
+    ).select("key_a", "key_b", "u", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    b_side = pairs.join(
+        sk.withColumnRenamed("__k", "key_b"), "key_b"
+    ).select("key_a", "key_b", "u", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    merged = (
+        a_side.unionByName(b_side)
+        .groupBy("key_a", "key_b", "u")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("key_a", "key_b").orderBy("u")
+    kept = merged.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    agg = kept.groupBy("key_a", "key_b").agg(
+        F.count("*").alias("k_used"),
+        F.max("u").alias("u_k"),
+        F.sum((F.col("in_a") * F.col("in_b"))).alias("n_both"),
+    )
+    est_union = F.when(
+        F.col("k_used") < k, F.col("k_used").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(KMV_BITS_DENOM) / F.col("u_k").cast("double")
+    )
+    jacc = F.col("n_both").cast("double") / F.col("k_used").cast("double")
+    return agg.select(
+        "key_a",
+        "key_b",
+        "k_used",
+        "n_both",
+        jacc.alias("est_jaccard"),
+        est_union.alias("est_union"),
+        (jacc * est_union).alias("est_intersection"),
+    )

@@ -512,3 +512,137 @@ def bloom_prefiltered_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("o_custkey"))
     )
     return bloom_semi_join(orders, seg, "o_custkey")
+
+
+_KMV_SKETCH_CTE = """
+kmv_d AS (
+    SELECT DISTINCT event_type,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                AS BIGINT) AS u
+    FROM events
+),
+kmv_r AS (
+    SELECT event_type, u,
+           row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+    FROM kmv_d
+),
+kmv_sk AS (SELECT event_type, u FROM kmv_r WHERE rn <= 64)
+"""
+
+_KMV_EST = (
+    "CAST(63 AS DOUBLE) * 1152921504606846976.0 / CAST({uk} AS DOUBLE)"
+)
+
+
+@query(
+    "kmv_distinct_users",
+    oracle=f"""
+        WITH {_KMV_SKETCH_CTE},
+        s AS (
+            SELECT event_type, count(*) AS n_sketch, max(u) AS u_k
+            FROM kmv_sk
+            GROUP BY 1
+        ),
+        x AS (
+            SELECT event_type, count(DISTINCT user_id) AS n_exact
+            FROM events
+            GROUP BY 1
+        )
+        SELECT event_type, n_exact, n_sketch,
+               CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
+                    ELSE {_KMV_EST.format(uk='u_k')} END AS est_distinct
+        FROM x JOIN s USING (event_type)
+    """,
+    doc=(
+        "extension: KMV (k-minimum-values) distinct sketch per "
+        "event_type next to the HLL path (C2) — k=64 smallest 60-bit "
+        "md5 hashes per key, estimate (k-1)/u_k, EXACT when the set "
+        "fits the sketch. Unlike HLL the sketch supports set "
+        "intersection (kmv_user_overlap); md5-determinism gives a "
+        "full value oracle, unusual for a sketch. Exact distinct "
+        "rides along as the error report."
+    ),
+    tags=("agg", "approx", "scale"),
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sketch import kmv_estimates, kmv_sketch
+
+    events = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch(events, "event_type", "user_id")
+    est = kmv_estimates(sk, "event_type")
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type", "n_exact", "n_sketch", "est_distinct"
+    )
+
+
+@query(
+    "kmv_user_overlap",
+    oracle=f"""
+        WITH {_KMV_SKETCH_CTE},
+        pairs AS (
+            SELECT a.event_type AS key_a, b.event_type AS key_b
+            FROM (SELECT DISTINCT event_type FROM events) a
+            JOIN (SELECT DISTINCT event_type FROM events) b
+              ON a.event_type < b.event_type
+        ),
+        sides AS (
+            SELECT key_a, key_b, u, 1 AS in_a, 0 AS in_b
+            FROM pairs JOIN kmv_sk ON kmv_sk.event_type = key_a
+            UNION ALL
+            SELECT key_a, key_b, u, 0 AS in_a, 1 AS in_b
+            FROM pairs JOIN kmv_sk ON kmv_sk.event_type = key_b
+        ),
+        merged AS (
+            SELECT key_a, key_b, u,
+                   max(in_a) AS in_a, max(in_b) AS in_b
+            FROM sides
+            GROUP BY 1, 2, 3
+        ),
+        kept AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY key_a, key_b
+                                      ORDER BY u) AS rn
+            FROM merged
+        ),
+        agg AS (
+            SELECT key_a, key_b,
+                   CAST(count(*) AS BIGINT) AS k_used,
+                   max(u) AS u_k,
+                   CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+            FROM kept
+            WHERE rn <= 64
+            GROUP BY 1, 2
+        )
+        SELECT key_a, key_b, k_used, n_both,
+               CAST(n_both AS DOUBLE) / CAST(k_used AS DOUBLE)
+                   AS est_jaccard,
+               CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE)
+                    ELSE {_KMV_EST.format(uk='u_k')} END AS est_union,
+               CAST(n_both AS DOUBLE) / CAST(k_used AS DOUBLE)
+                   * (CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE)
+                           ELSE {_KMV_EST.format(uk='u_k')} END)
+                   AS est_intersection
+        FROM agg
+    """,
+    doc=(
+        "extension: pairwise audience-overlap estimation between "
+        "event types from their KMV sketches — merged sketch = k "
+        "smallest of the union (a valid KMV of A∪B), Jaccard = "
+        "fraction of merged values in BOTH sketches, intersection = "
+        "jaccard x union (Beyer et al. SIGMOD'07). The set-operation "
+        "capability HLL lacks; every stage works on sketch-sized "
+        "frames (#keys x k rows), never re-touching the corpus. The "
+        "keys-squared pair frame is a tiny-dimension nested-loop, "
+        "allowlisted like the 1-row bounds frames."
+    ),
+    tags=("agg", "approx", "scale"),
+)
+def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sketch import kmv_pairwise_overlap, kmv_sketch
+
+    events = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch(events, "event_type", "user_id")
+    return kmv_pairwise_overlap(sk, "event_type")

@@ -717,3 +717,61 @@ def test_prefix_filter_equals_allpairs_jaccard(spark):
         }
         assert exact, "corpus should contain planted near-dups"
         assert pf == exact, f"t={t}: {pf ^ exact}"
+
+
+def test_kmv_sketch_merge_validity_and_error(spark):
+    """KMV invariants on the events corpus: (1) merging two keys'
+    sketches (k smallest of the union of k-min sets) equals the
+    sketch built directly from the unioned hash sets — the mergeable-
+    state contract; (2) distinct estimates land within the estimator's
+    error bounds; (3) pairwise Jaccard estimates track the exact
+    set Jaccard."""
+    from click_streaming_data_pipeline_spark.extensions.sketch import (
+        KMV_K,
+        kmv_estimates,
+        kmv_hash,
+        kmv_pairwise_overlap,
+        kmv_sketch,
+    )
+
+    events = load_table(spark, SF_TEST, "events")
+    sk = kmv_sketch(events, "event_type", "user_id")
+    rows = sk.collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["event_type"], []).append(r["u"])
+
+    hashed = events.select(
+        "event_type", kmv_hash(F.col("user_id")).alias("u")
+    ).distinct()
+    full = {}
+    for r in hashed.collect():
+        full.setdefault(r["event_type"], set()).add(r["u"])
+
+    keys = sorted(by_key)
+    for a in keys:
+        assert sorted(by_key[a]) == sorted(full[a])[: KMV_K], a
+        for b in keys:
+            if a >= b:
+                continue
+            merged = sorted(set(by_key[a]) | set(by_key[b]))[:KMV_K]
+            direct = sorted(full[a] | full[b])[:KMV_K]
+            assert merged == direct, (a, b)
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in kmv_estimates(sk, "event_type").collect():
+        n = exact[r["event_type"]]
+        assert abs(r["est_distinct"] - n) <= max(3.0, 0.4 * n), r
+
+    users = {}
+    for r in events.select("event_type", "user_id").distinct().collect():
+        users.setdefault(r["event_type"], set()).add(r["user_id"])
+    for r in kmv_pairwise_overlap(sk, "event_type").collect():
+        ua, ub = users[r["key_a"]], users[r["key_b"]]
+        true_j = len(ua & ub) / len(ua | ub)
+        assert abs(r["est_jaccard"] - true_j) <= 0.25, (r, true_j)

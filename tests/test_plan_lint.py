@@ -25,6 +25,9 @@ ALLPAIRS_ALLOWED = {
     # same shape as knn_topk: broadcast bounded anchor batch x one
     # corpus scan (at corpus-scale anchors the IVF/LSH probes feed it)
     "hard_negative_pairs",
+    # keys-squared pair frame over the tiny event_type dimension
+    # (sketch-sized inputs, never the corpus)
+    "kmv_user_overlap",
     # ADC brute-scan baseline: broadcast query side x coded corpus
     # (IVF-PQ is the scale path)
     "knn_pq_topk",

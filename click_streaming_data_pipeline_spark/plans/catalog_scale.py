@@ -646,3 +646,94 @@ def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     sk = kmv_sketch(events, "event_type", "user_id")
     return kmv_pairwise_overlap(sk, "event_type")
+
+
+@query(
+    "kmv_distinct_users_streamed",
+    # oracle = the batch KMV sketch over ALL events: k-min-of-union
+    # folding must converge to exactly the from-scratch sketch
+    oracle=f"""
+        WITH {_KMV_SKETCH_CTE},
+        s AS (
+            SELECT event_type, count(*) AS n_sketch, max(u) AS u_k
+            FROM kmv_sk
+            GROUP BY 1
+        )
+        SELECT event_type, n_sketch,
+               CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
+                    ELSE {_KMV_EST.format(uk='u_k')} END AS est_distinct
+        FROM s
+    """,
+    doc=(
+        "extension: STREAMING KMV distinct maintenance — the true "
+        "mergeable-bounded-state form of the reference's Redis "
+        "PFADD/PFCOUNT (C2): each micro-batch's k-min sketch folds "
+        "into versioned state via k-min-of-union (state stays k rows "
+        "per key FOREVER, independent of stream length), versions "
+        "derive only from strictly-older versions so at-least-once "
+        "replays are byte-identical. The drained sketch must equal "
+        "the from-scratch batch sketch exactly."
+    ),
+    tags=("streaming", "agg", "approx", "scale"),
+)
+def kmv_distinct_users_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window as W
+
+    from ..extensions.sketch import KMV_K, kmv_estimates, kmv_sketch
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="csdp_kmv_")
+    src = os.path.join(work, "in")
+    state_dir = os.path.join(work, "state")
+    os.makedirs(state_dir)
+    events.repartition(6).write.mode("overwrite").parquet(src)
+
+    def _versions() -> list[int]:
+        return sorted(
+            int(d[1:])
+            for d in os.listdir(state_dir)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+
+    def fold_kmv(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        delta = kmv_sketch(batch, "event_type", "user_id")
+        prior_vs = [v for v in _versions() if v < batch_id]
+        if prior_vs:
+            prior = sp.read.parquet(
+                os.path.join(state_dir, f"v{prior_vs[-1]}")
+            )
+            delta = prior.unionByName(delta).distinct()
+        w = W.partitionBy("event_type").orderBy("u")
+        merged = (
+            delta.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= KMV_K)
+            .select("event_type", "u")
+        )
+        out = os.path.join(state_dir, f"v{batch_id}")
+        tmp = out + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        os.rename(tmp, out)
+        for v in prior_vs[:-1]:
+            shutil.rmtree(os.path.join(state_dir, f"v{v}"), True)
+
+    q = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream.foreachBatch(fold_kmv)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    latest = _versions()[-1]
+    state = spark.read.parquet(os.path.join(state_dir, f"v{latest}"))
+    return kmv_estimates(state, "event_type").select(
+        "event_type", "n_sketch", "est_distinct"
+    )

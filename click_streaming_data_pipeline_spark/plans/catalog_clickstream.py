@@ -1044,3 +1044,100 @@ def user_status_scd2_streamed(
         ).alias("valid_to"),
         (F.col("valid_to_us") < 0).alias("is_current"),
     )
+
+
+@query(
+    "item_cooccurrence",
+    oracle="""
+        WITH ui AS (
+            SELECT DISTINCT user_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS item
+            FROM events
+        ),
+        capped AS (
+            SELECT user_id, item
+            FROM ui
+            QUALIFY count(*) OVER (PARTITION BY user_id) <= 512
+        ),
+        pair AS (
+            SELECT a.item AS item_a, b.item AS item_b,
+                   CAST(count(*) AS BIGINT) AS n_ab
+            FROM capped a
+            JOIN capped b
+              ON a.user_id = b.user_id AND a.item < b.item
+            GROUP BY 1, 2
+        ),
+        deg AS (
+            SELECT item, CAST(count(*) AS BIGINT) AS n
+            FROM capped
+            GROUP BY 1
+        )
+        SELECT item_a, item_b, n_ab,
+               CAST(n_ab AS DOUBLE)
+                   / sqrt(CAST(da.n * db.n AS DOUBLE)) AS cosine,
+               CAST(n_ab AS DOUBLE)
+                   / CAST(da.n + db.n - n_ab AS DOUBLE) AS jaccard
+        FROM pair
+        JOIN deg da ON da.item = item_a
+        JOIN deg db ON db.item = item_b
+        WHERE n_ab >= 3
+    """,
+    doc=(
+        "extension (clickstream/recsys): item-item co-visitation "
+        "similarity — the collaborative-filtering prep table (users "
+        "as the join key, cosine = n_ab/sqrt(n_a*n_b) over binary "
+        "interaction sets, plus Jaccard). Scale guard: per-user "
+        "fan-out is QUADRATIC in a user's item count, so users above "
+        "a 512-item cap are excluded before the self-join (heavy "
+        "accounts are bots/crawlers and carry no preference signal — "
+        "the standard co-visitation cap); on this corpus the cap "
+        "excludes nobody, keeping the oracle exact. sqrt/division "
+        "are IEEE-correctly-rounded, so doubles match DuckDB "
+        "bit-for-bit. Min support n_ab >= 3 prunes noise pairs."
+    ),
+    tags=("join", "agg"),
+)
+def item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ui = events.select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    capped = (
+        ui.withColumn("__n", F.count("*").over(w))
+        .filter(F.col("__n") <= 512)
+        .select("user_id", "item")
+    )
+    a = capped.select("user_id", F.col("item").alias("item_a"))
+    b = capped.select("user_id", F.col("item").alias("item_b"))
+    pair = (
+        a.join(b, "user_id")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    deg = capped.groupBy("item").agg(F.count("*").alias("n"))
+    da = deg.select(F.col("item").alias("item_a"), F.col("n").alias("n_a"))
+    db = deg.select(F.col("item").alias("item_b"), F.col("n").alias("n_b"))
+    return (
+        pair.join(da, "item_a")
+        .join(db, "item_b")
+        .filter(F.col("n_ab") >= 3)
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            (
+                F.col("n_ab").cast("double")
+                / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double"))
+            ).alias("cosine"),
+            (
+                F.col("n_ab").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_ab")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )

@@ -679,3 +679,38 @@ def window_session_append_streamed(
         F.col("w.end").alias("session_end"),
         "n_events",
     )
+
+
+@query(
+    "cdc_pipeline_pyds",
+    oracle=_CDC_EXPECTED_SQL,
+    doc=(
+        "Same flagship dataflow consumed through a CUSTOM PYTHON "
+        "DATA SOURCE (Spark 4 pyspark.sql.datasource API, "
+        "sources/pyds.py): envelopes archived as JSONL files are "
+        "read by a registered 'cdc_jsonl' format with one "
+        "InputPartition per file (executor-parallel, nothing read "
+        "on the driver), then flow through the identical parse/"
+        "filter/score/LWW plan. Same oracle as cdc_pipeline — the "
+        "source swap changes only the first line, the A1/A2 "
+        "pluggability claim made executable."
+    ),
+    tags=("streaming",),
+)
+def cdc_pipeline_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..operators.upsert import latest_rows
+    from ..sources.cdc import synth_cdc_envelopes
+    from ..sources.pyds import FORMAT_NAME, register
+    from ..streaming.pipeline import transform
+
+    work = tempfile.mkdtemp(prefix="csdp_pyds_")
+    arch = os.path.join(work, "archive")
+    synth_cdc_envelopes(spark, sf_dir).repartition(4).write.mode(
+        "overwrite"
+    ).text(arch)
+    register(spark)
+    raw = spark.read.format(FORMAT_NAME).option("path", arch).load()
+    return latest_rows(transform(raw), ["doc_id"], ["version", "ts_ms"])

@@ -1587,3 +1587,33 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("bucket_max"),
         )
     )
+
+
+@query(
+    "variant_props_extract",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   AS doc_key,
+               CAST(json_valid(props) AS BOOLEAN) AS is_valid_json
+        FROM events
+    """,
+    doc=(
+        "G6 JSON decode on the modern path: props parsed ONCE into a "
+        "binary VARIANT (Spark 4 parse_json), then typed "
+        "variant_get extraction — at scale this replaces N repeated "
+        "get_json_object string re-parses with one parse + cheap "
+        "binary probes, and parquet variant shredding pushes the "
+        "extraction into the scan. try_parse_json nullity doubles as "
+        "the validity predicate (B7's malformed-input gate)."
+    ),
+    tags=("scalar",),
+)
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return scan_parallel(events).select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("doc_key"),
+        F.try_parse_json("props").isNotNull().alias("is_valid_json"),
+    )

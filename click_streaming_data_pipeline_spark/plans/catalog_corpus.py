@@ -902,3 +902,70 @@ def mixture_allocation_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = mixture_allocation_sample(load_table(spark, sf_dir, "documents"), 120)
     return out.withColumn("pick_rank", F.col("pick_rank").cast("long"))
+
+
+@query(
+    "rag_passage_chunks_udtf",
+    # same oracle as rag_passage_chunks: the UDTF surface must
+    # reproduce the expression pipeline's chunks exactly
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id, t,
+                   unnest(generate_series(
+                       0,
+                       CAST(ceil(greatest(len(t) - 32, 0) / 24.0)
+                            AS BIGINT)
+                   )) AS passage_idx
+            FROM tok
+        )
+        SELECT doc_id,
+               CAST(passage_idx AS BIGINT) AS passage_idx,
+               array_to_string(
+                   t[passage_idx * 24 + 1 : passage_idx * 24 + 32], ' '
+               ) AS passage,
+               CAST(least(len(t) - passage_idx * 24, 32) AS BIGINT)
+                   AS n_tokens
+        FROM p
+    """,
+    doc=(
+        "extension (API surface): the passage chunker as a PYTHON "
+        "UDTF (Spark 4 pyspark.sql.functions.udtf) applied with "
+        "LATERAL — the 1:N fan-out expressed as a user-defined table "
+        "function instead of sequence+explode expressions, gated by "
+        "the SAME oracle as rag_passage_chunks. The UDTF is the "
+        "escape hatch for fan-outs too irregular for expressions "
+        "(stateful parsers, tokenizers); chunking is regular, which "
+        "is exactly why it can pin the API against a bit-exact "
+        "oracle. Executor-side row generation, Arrow-batched."
+    ),
+    tags=("corpus", "udf"),
+)
+def rag_passage_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="passage_idx bigint, passage string, n_tokens bigint")
+    class ChunkPassages:
+        def eval(self, text: str):
+            toks = (text or "").lower().split(" ")
+            n = len(toks)
+            last = math.ceil(max(n - 32, 0) / 24.0)
+            for i in range(int(last) + 1):
+                seg = toks[i * 24 : i * 24 + 32]
+                yield i, " ".join(seg), min(n - i * 24, 32)
+
+    spark.udtf.register("chunk_passages", ChunkPassages)
+    from ..sources import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT doc_id, p.passage_idx, p.passage, p.n_tokens
+        FROM documents, LATERAL chunk_passages(text) p
+        """
+    )

@@ -949,7 +949,10 @@ def rag_passage_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="passage_idx bigint, passage string, n_tokens bigint")
+    @udtf(
+        returnType="passage_idx bigint, passage string, n_tokens bigint",
+        useArrow=True,
+    )
     class ChunkPassages:
         def eval(self, text: str):
             toks = (text or "").lower().split(" ")

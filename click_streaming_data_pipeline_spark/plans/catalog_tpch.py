@@ -744,3 +744,313 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("custdist"))
         .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )
+
+
+@query(
+    "linestatus_priority_counts",
+    oracle="""
+        SELECT l_linestatus,
+               count(*) FILTER (
+                   WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+               ) AS high_line_count,
+               count(*) FILTER (
+                   WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               ) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
+    doc=(
+        "TPC-H Q12 shape (adapted: this lineitem carries no shipmode, "
+        "so linestatus is the classification column): per-status "
+        "high/low-priority order-line counts in a ship year — "
+        "conditional counts in ONE pass over the join (no per-branch "
+        "re-scan); the year filter pushes into the lineitem scan"
+    ),
+    tags=("join", "agg"),
+)
+def linestatus_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: orderkey equi-join shuffles both facts once; the two
+    CASE-counts fold in the same partial aggregate, so adding more
+    priority buckets costs no extra scans. The tiny 2-row result
+    ends with a negligible sort."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_linestatus")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, F.lit(1))).alias("high_line_count"),
+            F.count(F.when(~high, F.lit(1))).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "product_type_profit",
+    oracle=f"""
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               {dsum_sql(
+                   _REVENUE_SQL + " - p_retailprice * l_quantity * 0.1",
+                   "sum_profit",
+               )}
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%bolt%'
+        GROUP BY 1, 2
+    """,
+    doc=(
+        "TPC-H Q9 shape (adapted: no partsupp table, so supply cost is "
+        "proxied as 10% of p_retailprice per unit): product-line "
+        "profit by supplier nation and order year for parts matching "
+        "a name pattern — the classic 5-table snowflake with a "
+        "substring dim filter that prunes the fact through the join"
+    ),
+    tags=("join", "agg"),
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: part is filtered on the name pattern BEFORE joining (the
+    LIKE pushes into the dim scan; only matching partkeys reach the
+    fact join, and with AQE the shrunken part side broadcasts).
+    supplier/nation broadcast; lineitem⋈orders is the one big
+    orderkey shuffle. The profit expression keeps double
+    multiplication order identical to the oracle (left-assoc), so the
+    decimal-accumulated sum is bit-identical."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(dsum(profit, "sum_profit"))
+    )
+
+
+@query(
+    "important_part_values",
+    oracle=f"""
+        WITH val AS (
+            SELECT l_partkey AS partkey,
+                   SUM(CAST({_REVENUE_SQL} AS DECIMAL(28,6))) AS dec_value
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_1'
+            GROUP BY 1
+        )
+        SELECT partkey, CAST(dec_value AS DOUBLE) AS value
+        FROM (
+            SELECT partkey, dec_value,
+                   SUM(dec_value) OVER () AS dec_total
+            FROM val
+        )
+        WHERE CAST(dec_value AS DOUBLE)
+              > CAST(dec_total AS DOUBLE) * 0.001
+    """,
+    doc=(
+        "TPC-H Q11 shape (adapted: no partsupp, so 'stock value' is "
+        "shipped revenue per part from one nation's suppliers): parts "
+        "whose value exceeds a fraction of the nation-wide total — "
+        "aggregate, then a scalar global total compared back against "
+        "every group (HAVING over a scalar subquery)"
+    ),
+    tags=("join", "agg", "window"),
+)
+def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: ONE fact scan: the per-part aggregate is computed once
+    in decimal, and the global total is a window-sum over that
+    |parts|-sized aggregate — never a second pass over lineitem.
+    Decimal accumulation in both stages keeps the threshold compare
+    bit-identical across engines. The empty-frame window means every
+    partition ships its one partial total — fine because the input is
+    the aggregate, not the fact; at extreme |parts| swap in a
+    broadcast scalar agg."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_1")
+        .select("n_nationkey")
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,6)"
+    )
+    val = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(revenue).alias("dec_value"))
+    )
+    w = Window.partitionBy()
+    return (
+        val.withColumn("dec_total", F.sum("dec_value").over(w))
+        .filter(
+            F.col("dec_value").cast("double")
+            > F.col("dec_total").cast("double") * F.lit(0.001)
+        )
+        .select("partkey", F.col("dec_value").cast("double").alias("value"))
+    )
+
+
+@query(
+    "supplier_count_by_part",
+    oracle="""
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_type <> 'PROMO'
+          AND p_size IN (1, 5, 10, 15, 20, 25)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY 1, 2, 3
+    """,
+    doc=(
+        "TPC-H Q16 shape (adapted: supplier-part pairs come from "
+        "shipped lineitems instead of partsupp, and the excluded-"
+        "supplier set is the negative-balance ones instead of "
+        "complaint comments): distinct-supplier counts per part "
+        "attribute triple with a NOT-IN exclusion — anti-join + "
+        "distinct aggregate"
+    ),
+    tags=("join", "agg"),
+)
+def supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the NOT IN is a broadcast anti-join (the excluded set is
+    a filtered dim — tiny); part's three predicates push into its
+    scan; count(DISTINCT) expands to the standard two-phase
+    partial-distinct aggregate, shuffling (brand,type,size,suppkey)
+    once, never collecting raw pairs."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    excluded = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(excluded), li.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "excess_shipped_suppliers",
+    oracle="""
+        WITH shipped AS (
+            SELECT l_suppkey AS suppkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(28,6)))
+                        AS DOUBLE) AS qty
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_name LIKE 'small%'
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        )
+        SELECT s_name, s_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_1'
+          AND s_suppkey IN (SELECT suppkey FROM shipped WHERE qty > 50)
+        ORDER BY s_name
+    """,
+    doc=(
+        "TPC-H Q20 shape (adapted: no partsupp availqty, so the "
+        "volume test is shipped quantity above a threshold): one "
+        "nation's suppliers who moved > 50 units of name-matched "
+        "parts in a year — a nested aggregate feeding a semi-join "
+        "feeding a dim filter"
+    ),
+    tags=("join", "agg"),
+)
+def excess_shipped_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: part's name LIKE prunes before the fact join (prefix
+    pattern even reaches the scan as a range PushedFilter); the
+    per-supplier aggregate is over the doubly-filtered fact only; the
+    final IN is a broadcast semi-join of the (tiny) qualifying
+    supplier keys onto the nation-filtered dim."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    shipped = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("suppkey")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_1")
+        .select("n_nationkey")
+    )
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(shipped), sup.s_suppkey == shipped.suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )

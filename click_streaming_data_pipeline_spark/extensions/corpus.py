@@ -542,3 +542,84 @@ def mixture_allocation_sample(
         .filter(F.col("pick_rank") <= F.col("quota"))
         .select(id_col, source_col, "pick_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score raw documents by
+# how target-like their hashed-token distribution is
+
+DSIR_BUCKETS = 256
+
+
+def dsir_weights(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_filter: Column | None = None,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Hashed-unigram importance weight of every document against a
+    target subcorpus (rows matching ``target_filter``).
+
+    DSIR's estimator is the likelihood ratio of a document under
+    hashed n-gram bag models of the target vs the raw corpus. The
+    bit-portable spec here stays in integer space: per md5 bucket b,
+    ``target_cnt[b]`` / ``raw_cnt[b]`` token counts; a document's
+    weight is
+
+        (sum_tok target_cnt[bucket(tok)] * total_raw)
+        ---------------------------------------------   as ONE double
+        (sum_tok raw_cnt[bucket(tok)]    * total_target)   division
+
+    i.e. the ratio of mean per-token target-rate to raw-rate — exact
+    bigint sums/products, a single exactly-rounded IEEE division, so
+    Spark and DuckDB agree bit-for-bit (no ln(), per the repo's
+    probability-space scoring rule).
+
+    100 TB: ONE tokenized pass feeds two 256-key aggregates (tiny,
+    map-side combined) that broadcast back onto the token stream; the
+    per-doc sum shuffles on doc_id once. No Python, no all-pairs.
+    """
+    if target_filter is None:
+        target_filter = F.col("lang") == "en"
+    tok = scan_parallel(docs).select(
+        F.col(id_col),
+        target_filter.alias("__is_target"),
+        F.explode(_tokens(text_col)).alias("__tok"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("__tok"), 1, 8), 16, 10).cast("bigint")
+        % n_buckets
+    ).alias("bucket")
+    tb = tok.select(F.col(id_col), "__is_target", bucket)
+    raw_counts = tb.groupBy("bucket").agg(F.count("*").alias("raw_cnt"))
+    target_counts = (
+        tb.filter("__is_target")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("target_cnt"))
+    )
+    totals = raw_counts.agg(
+        F.sum("raw_cnt").alias("total_raw")
+    ).crossJoin(
+        target_counts.agg(F.sum("target_cnt").alias("total_target"))
+    )
+    scored = (
+        tb.join(F.broadcast(raw_counts), "bucket")
+        .join(F.broadcast(target_counts), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.coalesce("target_cnt", F.lit(0))).alias("target_hits"),
+            F.sum("raw_cnt").alias("raw_hits"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(totals)).select(
+        F.col(id_col),
+        "target_hits",
+        "raw_hits",
+        (
+            (F.col("target_hits") * F.col("total_raw")).cast("double")
+            / (F.col("raw_hits") * F.col("total_target")).cast("double")
+        ).alias("dsir_weight"),
+    )

@@ -686,3 +686,85 @@ def prefix_filter_pairs(
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better": find verbatim token spans repeated
+# across documents, as maximal per-doc spans ready for removal)
+
+SUBSTRING_WINDOW = 12
+
+
+def duplicate_substring_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = SUBSTRING_WINDOW,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal cross-document verbatim token spans per document.
+
+    The suffix-array pass of Lee et al. re-expressed as dataflow:
+    tokenize -> posexplode every ``window``-token sliding window ->
+    16-byte md5 window hash -> ONE groupBy(hash) marks hashes seen in
+    >= ``min_docs`` distinct docs -> semi-join the marks back onto the
+    positions -> per-doc gaps-and-islands merge of overlapping windows
+    into maximal spans. Output: (id, span_start, span_end, span_tokens)
+    with 1-based token indices and exclusive end — exactly the spans a
+    remover would cut.
+
+    100 TB: the window table is ~|tokens| rows of (id, pos, hash);
+    both the duplicate-marking aggregate and the semi-join shuffle on
+    the hash key — never an all-pairs join, and fan-out is linear in
+    corpus tokens. The island merge partitions by doc (bounded by doc
+    length). Ultra-frequent boilerplate windows are precisely the
+    spans this operator exists to surface, so unlike ``jaccard_pairs``
+    no df cap applies — a hash's row count is its true duplication
+    mass and flows through one aggregate, not a self-join.
+    """
+    from pyspark.sql.window import Window
+
+    tok = scan_parallel(docs).select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("__t")
+    )
+    win = (
+        tok.select(
+            F.col(id_col),
+            F.posexplode(_shingles_from_tokens(F.col("__t"), window)).alias(
+                "pos0", "wtext"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("pos0") + 1).cast("bigint").alias("pos"),
+            F.md5("wtext").alias("whash"),
+        )
+    )
+    dup = (
+        win.groupBy("whash")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("whash")
+    )
+    marked = win.join(dup, "whash", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    stepped = marked.withColumn(
+        "__step",
+        F.when(F.col("pos") > F.lag("pos", 1).over(w) + window, 1).otherwise(0),
+    )
+    isl = stepped.withColumn("__isl", F.sum("__step").over(w))
+    return (
+        isl.groupBy(id_col, "__isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + window).alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )

@@ -972,3 +972,63 @@ def rag_passage_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents, LATERAL chunk_passages(text) p
         """
     )
+
+
+@query(
+    "dsir_weights",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, lang = 'en' AS is_target,
+                   unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents
+        ),
+        tb AS (
+            SELECT doc_id, is_target,
+                   CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+                       % 256 AS bucket
+            FROM tok
+        ),
+        raw_counts AS (
+            SELECT bucket, count(*) AS raw_cnt FROM tb GROUP BY 1
+        ),
+        target_counts AS (
+            SELECT bucket, count(*) AS target_cnt
+            FROM tb WHERE is_target GROUP BY 1
+        ),
+        totals AS (
+            SELECT
+                (SELECT CAST(sum(raw_cnt) AS BIGINT)
+                 FROM raw_counts) AS total_raw,
+                (SELECT CAST(sum(target_cnt) AS BIGINT)
+                 FROM target_counts) AS total_target
+        ),
+        scored AS (
+            SELECT doc_id,
+                   CAST(SUM(coalesce(target_cnt, 0)) AS BIGINT)
+                       AS target_hits,
+                   CAST(SUM(raw_cnt) AS BIGINT) AS raw_hits
+            FROM tb
+            JOIN raw_counts USING (bucket)
+            LEFT JOIN target_counts USING (bucket)
+            GROUP BY doc_id
+        )
+        SELECT doc_id, target_hits, raw_hits,
+               CAST(target_hits * total_raw AS DOUBLE)
+                   / CAST(raw_hits * total_target AS DOUBLE)
+                   AS dsir_weight
+        FROM scored, totals
+    """,
+    doc=(
+        "extension: DSIR-style importance weights (Xie et al. 2023) — "
+        "per-document target-vs-raw likelihood ratio over md5-hashed "
+        "token buckets (target = lang='en'); integer bucket counts, "
+        "one IEEE division, bit-identical across engines; one "
+        "tokenized pass, two tiny 256-key aggregates broadcast back"
+    ),
+    tags=("corpus", "text"),
+)
+def dsir_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.corpus import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_weights(docs, target_filter=F.col("lang") == "en")

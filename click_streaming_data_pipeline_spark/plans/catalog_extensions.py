@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..extensions.dedup import (
     doc_shingles,
+    duplicate_substring_spans,
     exact_dedup_groups,
     jaccard_pairs,
     minhash_lsh_dedup,
@@ -244,6 +245,64 @@ _SIMHASH_SQL = f"""
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, max_hamming=4)
+
+
+@query(
+    "dedup_substring_spans",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents
+        ),
+        win AS (
+            SELECT doc_id,
+                   unnest(generate_series(1, len(t) - 11)) AS pos, t
+            FROM tok WHERE len(t) >= 12
+        ),
+        h AS (
+            SELECT doc_id, pos,
+                   md5(array_to_string(t[pos:pos+11], ' ')) AS whash
+            FROM win
+        ),
+        dup AS (
+            SELECT whash FROM h
+            GROUP BY whash HAVING count(DISTINCT doc_id) >= 2
+        ),
+        m AS (
+            SELECT doc_id, pos FROM h
+            WHERE whash IN (SELECT whash FROM dup)
+        ),
+        stepped AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos > lag(pos) OVER (
+                            PARTITION BY doc_id ORDER BY pos) + 12
+                        THEN 1 ELSE 0 END AS stp
+            FROM m
+        ),
+        grp AS (
+            SELECT doc_id, pos,
+                   SUM(stp) OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS isl_id
+            FROM stepped
+        )
+        SELECT doc_id,
+               min(pos) AS span_start,
+               max(pos) + 12 AS span_end,
+               max(pos) + 12 - min(pos) AS span_tokens
+        FROM grp GROUP BY doc_id, isl_id
+    """,
+    doc=(
+        "extension: exact-substring dedup (Lee et al. 2022) — maximal "
+        "per-doc verbatim token spans repeated across documents, via "
+        "sliding 12-token window hashes, one groupBy(hash) duplicate "
+        "marking, a hash semi-join back, and a per-doc gaps-and-"
+        "islands merge; linear in corpus tokens, no all-pairs join"
+    ),
+    tags=("dedup",),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_substring_spans(docs, window=12, min_docs=2)
 
 
 @query(

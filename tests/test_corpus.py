@@ -581,3 +581,34 @@ def test_mixture_allocation_exact_k_and_proportionality(spark):
         ideal = k * r["nt"] / total
         got = per_src.get(r["source"], 0)
         assert abs(got - ideal) < 1, (r["source"], got, ideal)
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from pyspark.sql import functions as F
+
+    from click_streaming_data_pipeline_spark.extensions.corpus import (
+        dsir_weights,
+    )
+
+    # target = lang 'en'; doc 30 is raw but written in target vocabulary,
+    # doc 31 is raw with vocabulary no target doc uses.
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "alpha beta gamma alpha beta"),
+            (2, "en", "alpha gamma delta beta gamma"),
+            (30, "xx", "alpha beta gamma delta alpha"),
+            (31, "xx", "zork quux blorb frobnitz zyzzyva"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    w = {
+        r["doc_id"]: r["dsir_weight"]
+        for r in dsir_weights(
+            docs, target_filter=F.col("lang") == "en"
+        ).collect()
+    }
+    assert w[30] > w[31]
+    # off-target vocabulary never hits a target bucket => weight 0
+    assert w[31] == 0.0
+    # target-vocab docs score near the corpus-wide target share
+    assert w[1] > 1.0

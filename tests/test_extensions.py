@@ -775,3 +775,43 @@ def test_kmv_sketch_merge_validity_and_error(spark):
         ua, ub = users[r["key_a"]], users[r["key_b"]]
         true_j = len(ua & ub) / len(ua | ub)
         assert abs(r["est_jaccard"] - true_j) <= 0.25, (r, true_j)
+
+
+def test_substring_spans_planted_duplicates(spark):
+    from click_streaming_data_pipeline_spark.extensions.dedup import (
+        duplicate_substring_spans,
+    )
+
+    run = " ".join(f"tok{i}" for i in range(12))  # exactly one window
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {run} gamma delta"),
+            (2, f"{run} unrelated tail words here"),
+            (3, "a totally different document with no shared spans at all"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicate_substring_spans(docs, window=12).collect()
+    }
+    # doc 1: run starts at token 3 (1-based), doc 2: at token 1
+    assert spans == {1: (3, 15, 12), 2: (1, 13, 12)}
+
+
+def test_substring_spans_merge_overlapping_windows(spark):
+    from click_streaming_data_pipeline_spark.extensions.dedup import (
+        duplicate_substring_spans,
+    )
+
+    # 16 shared tokens => 5 overlapping 12-token windows in each doc,
+    # which must merge into ONE maximal span of 16 tokens.
+    run = " ".join(f"tok{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [(1, f"{run} x y z"), (2, f"p q {run}")],
+        "doc_id long, text string",
+    )
+    rows = duplicate_substring_spans(docs, window=12).collect()
+    spans = {r["doc_id"]: (r["span_start"], r["span_end"]) for r in rows}
+    assert len(rows) == 2  # one merged span per doc, not 5
+    assert spans == {1: (1, 17), 2: (3, 19)}

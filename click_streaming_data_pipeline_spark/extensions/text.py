@@ -500,3 +500,56 @@ def bpe_encode(
             F.concat_ws(" ", "toks").alias("tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# compression-ratio quality signal (the classic "too compressible =
+# repetitive boilerplate / too incompressible = noise" heuristic used
+# by Dolma/RefinedWeb-style curation)
+
+COMPRESSION_LEVEL = 6
+
+
+def compressed_length(col: Column | str, *, level: int = COMPRESSION_LEVEL) -> Column:
+    """zlib-compressed byte length of a string column, as an
+    Arrow-batched pandas UDF (zlib is not expressible in Catalyst;
+    per-row Python is banned, so the batch path is the right slow
+    path). Deterministic for a fixed zlib build — the python oracle
+    in tests shares the library, the driver gate is rows-only."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    # note: no type hints on the inner fn — under `from __future__
+    # import annotations` they stringify and pyspark can't resolve
+    # them against this closure's locals; the explicit return type on
+    # the decorator is the contract.
+    def _clen_fn(s):
+        return s.map(
+            lambda t: None
+            if t is None
+            else len(zlib.compress(t.encode("utf-8"), level))
+        )
+
+    _clen = pandas_udf(_clen_fn, "long")
+    c = F.col(col) if isinstance(col, str) else col
+    return _clen(c)
+
+
+def compression_signals(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document compression diagnostics: raw/compressed byte
+    lengths and their ratio (one IEEE division). High ratio flags
+    templated/repetitive text; ratio near 1 flags high-entropy noise.
+    100 TB: embarrassingly parallel scan-stage Arrow batches — no
+    shuffle, no state."""
+    out = scan_parallel(docs).select(
+        F.col(id_col),
+        F.octet_length(text_col).cast("long").alias("byte_len"),
+        compressed_length(text_col).alias("compressed_len"),
+    )
+    return out.withColumn(
+        "compression_ratio",
+        F.col("byte_len").cast("double") / F.col("compressed_len").cast("double"),
+    )

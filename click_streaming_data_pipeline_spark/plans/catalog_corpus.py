@@ -1032,3 +1032,24 @@ def dsir_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dsir_weights(docs, target_filter=F.col("lang") == "en")
+
+
+@query(
+    "compression_signals",
+    oracle=None,  # zlib is not expressible in DuckDB SQL; the python
+    # oracle pytest (tests/test_corpus.py) recomputes every row's
+    # compressed length with the same zlib build, so the value gate
+    # lives there and the driver does the rows-only check.
+    doc=(
+        "extension: zlib compression-ratio quality signal (Dolma/"
+        "RefinedWeb heuristic: too-compressible = boilerplate, "
+        "incompressible = noise) — Arrow-batched pandas UDF in the "
+        "scan stage, no shuffle"
+    ),
+    tags=("corpus", "text"),
+)
+def compression_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.text import compression_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    return compression_signals(docs)

@@ -612,3 +612,44 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     assert w[31] == 0.0
     # target-vocab docs score near the corpus-wide target share
     assert w[1] > 1.0
+
+
+def test_compression_signals_match_python_zlib(spark):
+    import zlib
+
+    from click_streaming_data_pipeline_spark.extensions.text import (
+        compression_signals,
+    )
+    from click_streaming_data_pipeline_spark.sources import load_table
+
+    from .conftest import SF_TEST
+
+    docs = load_table(spark, SF_TEST, "documents")
+    got = {
+        r["doc_id"]: (r["byte_len"], r["compressed_len"], r["compression_ratio"])
+        for r in compression_signals(docs).collect()
+    }
+    for d in docs.select("doc_id", "text").collect():
+        raw = d["text"].encode("utf-8")
+        clen = len(zlib.compress(raw, 6))
+        assert got[d["doc_id"]] == (len(raw), clen, len(raw) / clen)
+
+
+def test_compression_ratio_separates_repetition_from_noise(spark):
+    from click_streaming_data_pipeline_spark.extensions.text import (
+        compression_signals,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham " * 200),  # templated
+            (2, "9f8e2a1c b7d40x6q zk3j w0v5 yt28 lq9m xr47 pd61 cn35 uh80"),
+        ],
+        "doc_id long, text string",
+    )
+    r = {
+        x["doc_id"]: x["compression_ratio"]
+        for x in compression_signals(docs).collect()
+    }
+    assert r[1] > 10.0  # heavy repetition compresses away
+    assert r[2] < 2.0  # high-entropy text barely compresses

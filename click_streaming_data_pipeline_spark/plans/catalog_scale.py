@@ -198,9 +198,7 @@ def search_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "heavy_hitters_cms",
-    oracle="""
+_CMS_HH_SQL = """
         WITH hashes AS (
             SELECT user_id, r,
                    CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':'
@@ -223,7 +221,12 @@ def search_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT user_id, exact_n, cms_est
         FROM exact JOIN est USING (user_id)
-    """,
+"""
+
+
+@query(
+    "heavy_hitters_cms",
+    oracle=_CMS_HH_SQL,
     doc=(
         "scale pattern: count-min sketch heavy hitters — per-user "
         "event frequencies estimated from a 4x32 mergeable counter "
@@ -737,3 +740,61 @@ def kmv_distinct_users_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_estimates(state, "event_type").select(
         "event_type", "n_sketch", "est_distinct"
     )
+
+
+@query(
+    "heavy_hitters_cms_streamed",
+    oracle=_CMS_HH_SQL,
+    doc=(
+        "scale pattern, STREAMING form: the count-min grid is the "
+        "canonical mergeable-sketch state — each micro-batch reduces "
+        "to its own 4x32 grid and folds into the versioned state "
+        "store (operators/incremental.py: replay-safe, history never "
+        "re-read, per-batch cost bounded by the GRID size, not the "
+        "stream). The drained grid feeds the same probe/min estimate "
+        "and hits the batch query's oracle bit-for-bit — a live "
+        "heavy-hitter monitor with O(d*w) standing state."
+    ),
+    tags=("streaming", "agg", "approx", "scale"),
+)
+def heavy_hitters_cms_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..extensions.sketch import cms_build, cms_estimate
+    from ..operators.incremental import fold_state_dir, read_state_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="csdp_cms_")
+    src = os.path.join(work, "in")
+    state_dir = os.path.join(work, "state")
+    ev.repartition(6).write.mode("overwrite").parquet(src)
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        delta = cms_build(batch, "user_id").select(
+            "r",
+            "col",
+            "n",
+            # shoehorn into the shared mergeable-state schema: the
+            # fold sums n per (r, col); s/mn/mx ride along unused
+            F.lit(0).cast("decimal(28,6)").alias("s"),
+            F.lit(0.0).alias("mn"),
+            F.lit(0.0).alias("mx"),
+        )
+        fold_state_dir(
+            batch.sparkSession, state_dir, delta, batch_id, ["r", "col"]
+        )
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sketch = read_state_dir(spark, state_dir).select("r", "col", "n")
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    est = cms_estimate(exact, sketch, "user_id")
+    return exact.join(est, "user_id").select("user_id", "exact_n", "cms_est")

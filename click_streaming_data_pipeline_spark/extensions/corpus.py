@@ -75,19 +75,25 @@ def _tokens(text_col: str) -> Column:
 
 
 def quality_heuristics(
-    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """C4/Gopher-style per-document quality signals, one codegen pass:
     token count, mean token length, alphabetic-token fraction,
     stopword fraction, duplicate-3-gram fraction, and the combined
     accept flag. The duplicate-3-gram fraction is the classic
     within-doc repetition signal (Gopher's rep. filters); computed
-    from the shingle array without exploding."""
+    from the shingle array without exploding. ``carry_cols`` pass
+    through untouched so composers (export_manifest) stay one-scan."""
     tok = scan_parallel(docs).select(
-        F.col(id_col), _tokens(text_col).alias("__t")
+        F.col(id_col), *carry_cols, _tokens(text_col).alias("__t")
     )
     sh = tok.select(
         F.col(id_col),
+        *carry_cols,
         F.col("__t"),
         _shingles_from_tokens(F.col("__t"), 3).alias("__sh"),
     )
@@ -109,6 +115,7 @@ def quality_heuristics(
     ).otherwise(F.lit(0.0))
     out = sh.select(
         F.col(id_col),
+        *carry_cols,
         n_tokens.alias("n_tokens"),
         mean_token_len.alias("mean_token_len"),
         (alpha_tokens / n_tokens).alias("alpha_frac"),
@@ -622,4 +629,57 @@ def dsir_weights(
             (F.col("target_hits") * F.col("total_raw")).cast("double")
             / (F.col("raw_hits") * F.col("total_target")).cast("double")
         ).alias("dsir_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end export manifest: the curation decision record a training
+# pipeline materializes before tokenization — quality gates + exact
+# dedup canonicalization + split assignment, per document
+
+
+def export_manifest(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document export decision: quality_ok (C4/Gopher gates),
+    is_canonical (exact-dedup winner = min id per content hash),
+    train/val/test split, and the combined ``exported`` flag.
+
+    100 TB shape: ONE base scan computes quality metrics, split
+    bucket, and carried attributes in the same codegen pass
+    (carry_cols); the only join is the doc-keyed equi-join against
+    the winner set from the content-hash aggregate (second scan,
+    ~16-byte keys) — both sides shuffle-partition on the id. No
+    all-pairs anything; near-dup canonicalization plugs in by
+    swapping the winner set for dedup_keep_best's."""
+    from .dedup import exact_dedup_groups
+
+    base = quality_heuristics(
+        docs, id_col=id_col, text_col=text_col, carry_cols=("lang", "source")
+    ).withColumn("split", dataset_split_col(F.col(id_col)))
+    keep = exact_dedup_groups(docs, id_col=id_col, text_col=text_col).select(
+        F.col("keep_id").alias(id_col), F.lit(True).alias("is_canonical")
+    )
+    out = base.join(keep, id_col, "left").withColumn(
+        "is_canonical", F.coalesce("is_canonical", F.lit(False))
+    )
+    return out.select(
+        id_col,
+        "lang",
+        "source",
+        "n_tokens",
+        "quality_ok",
+        "is_canonical",
+        "split",
+        (F.col("quality_ok") & F.col("is_canonical")).alias("exported"),
+    )
+
+
+def dataset_split_col(id_col: Column) -> Column:
+    """The split expression behind dataset_split, reusable inline."""
+    b = F.substring(F.md5(id_col.cast("string")), 1, 2)
+    return (
+        F.when(b < TRAIN_MAX_HEX, F.lit("train"))
+        .when(b < VAL_MAX_HEX, F.lit("val"))
+        .otherwise(F.lit("test"))
     )

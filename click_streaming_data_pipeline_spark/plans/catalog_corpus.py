@@ -1053,3 +1053,51 @@ def compression_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return compression_signals(docs)
+
+
+@query(
+    "corpus_export_manifest",
+    oracle=f"""
+        WITH {_QH_CTE},
+        q AS (
+            SELECT doc_id, n_tokens,
+                   (n_tokens >= 20 AND n_tokens <= 1000
+                    AND mean_token_len >= CAST(3.0 AS DOUBLE)
+                    AND mean_token_len <= CAST(10.0 AS DOUBLE)
+                    AND dup_3gram_frac <= CAST(0.25 AS DOUBLE))
+                   AS quality_ok
+            FROM m
+        ),
+        keep AS (
+            SELECT min(doc_id) AS doc_id
+            FROM documents GROUP BY md5(text)
+        )
+        SELECT d.doc_id, d.lang, d.source, q.n_tokens, q.quality_ok,
+               (k.doc_id IS NOT NULL) AS is_canonical,
+               CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2)
+                         < 'cd' THEN 'train'
+                    WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2)
+                         < 'e6' THEN 'val'
+                    ELSE 'test' END AS split,
+               (q.quality_ok AND k.doc_id IS NOT NULL) AS exported
+        FROM documents d
+        JOIN q ON q.doc_id = d.doc_id
+        LEFT JOIN keep k ON k.doc_id = d.doc_id
+    """,
+    doc=(
+        "extension (corpus curation, flagship composition): the "
+        "end-to-end per-document EXPORT DECISION a training pipeline "
+        "materializes before tokenization — C4/Gopher quality gates + "
+        "exact-dedup canonical winner + deterministic split, one "
+        "row per doc with the combined exported flag. One base scan "
+        "computes metrics/split/attrs in a single codegen pass "
+        "(carry_cols), plus the content-hash winner aggregate joined "
+        "back on the id key"
+    ),
+    tags=("corpus", "dedup"),
+)
+def corpus_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.corpus import export_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    return export_manifest(docs)

@@ -549,9 +549,7 @@ _MULTIMODAL_F_COLS = ",\n".join(
 )
 
 
-@query(
-    "multimodal_features",
-    oracle=f"""
+_MULTIMODAL_SQL = f"""
         WITH a AS (
             SELECT doc_id AS asset_id,
                    CASE WHEN doc_id % 2 = 0 THEN 'image/png'
@@ -564,7 +562,12 @@ _MULTIMODAL_F_COLS = ",\n".join(
         SELECT asset_id, media_type, byte_len,
 {_MULTIMODAL_F_COLS}
         FROM a
-    """,
+"""
+
+
+@query(
+    "multimodal_features",
+    oracle=_MULTIMODAL_SQL,
     doc=(
         "extension: multimodal binary columns + Arrow-batched "
         "mapInPandas feature extraction (decode stubbed — codecs not "
@@ -586,6 +589,57 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "byte_len",
         *[F.col("feature")[i].alias(f"f{i}") for i in range(FEATURE_DIM)],
     )
+
+
+@query(
+    "multimodal_features_streamed",
+    oracle=_MULTIMODAL_SQL,
+    doc=(
+        "extension, STREAMING form of the multimodal lane: binary "
+        "assets arrive as a micro-batched file stream and the Arrow "
+        "mapInPandas feature extractor runs INSIDE foreachBatch — "
+        "the shape a production ingest uses to decode media as it "
+        "lands. Features are per-row (stateless), so idempotence "
+        "under at-least-once replay is a per-batch overwrite "
+        "directory keyed by batch_id; the drained union hits the "
+        "batch query's exact oracle bit-for-bit"
+    ),
+    tags=("streaming", "multimodal"),
+)
+def multimodal_features_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="csdp_mm_")
+    src = os.path.join(work, "in")
+    out = os.path.join(work, "out")
+    assets_from_documents(docs).repartition(6).write.mode(
+        "overwrite"
+    ).parquet(src)
+    asset_schema = spark.read.parquet(src).schema
+
+    def extract_batch(batch: DataFrame, batch_id: int) -> None:
+        feats = extract_features(batch).select(
+            "asset_id",
+            "media_type",
+            "byte_len",
+            *[F.col("feature")[i].alias(f"f{i}") for i in range(FEATURE_DIM)],
+        )
+        # replay-safe: a retried micro-batch overwrites its own
+        # subdirectory instead of double-appending rows
+        feats.write.mode("overwrite").parquet(os.path.join(out, f"b{batch_id}"))
+
+    q = (
+        spark.readStream.schema(asset_schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream.foreachBatch(extract_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(out, "b*"))
 
 
 @query(

@@ -741,6 +741,11 @@ def duplicate_substring_spans(
             (F.col("pos0") + 1).cast("bigint").alias("pos"),
             F.md5("wtext").alias("whash"),
         )
+        # the window table feeds BOTH the duplicate-marking aggregate
+        # and the semi-join back; materialize it once so the corpus is
+        # scanned (and tokenized/hashed) once, not twice — the same
+        # single-materialization rule as the LSH shingle table
+        .localCheckpoint(eager=True)
     )
     dup = (
         win.groupBy("whash")

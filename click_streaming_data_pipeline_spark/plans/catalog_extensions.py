@@ -298,7 +298,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "marking, a hash semi-join back, and a per-doc gaps-and-"
         "islands merge; linear in corpus tokens, no all-pairs join"
     ),
-    tags=("dedup",),
+    tags=("bench", "dedup"),
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

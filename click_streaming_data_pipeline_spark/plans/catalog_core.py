@@ -1617,3 +1617,40 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "bigint").alias("doc_key"),
         F.try_parse_json("props").isNotNull().alias("is_valid_json"),
     )
+
+
+@query(
+    "daily_event_unpivot",
+    oracle="""
+        WITH wide AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   count(*) FILTER (event_type = 'view') AS view,
+                   count(*) FILTER (event_type = 'click') AS click,
+                   count(*) FILTER (event_type = 'purchase') AS purchase,
+                   count(*) FILTER (event_type = 'signup') AS signup,
+                   count(*) FILTER (event_type = 'error') AS error
+            FROM events
+            GROUP BY 1
+        )
+        SELECT day, event_type, n
+        FROM wide
+        UNPIVOT (n FOR event_type IN (view, click, purchase, signup, error))
+    """,
+    doc=(
+        "beyond-reference breadth: UNPIVOT/melt — the wide daily-"
+        "count frame from daily_event_pivot folded back to long form "
+        "via DataFrame.unpivot (the Spark melt API; Expand node, no "
+        "shuffle beyond the source aggregate). Pivot→unpivot is the "
+        "reshape round-trip every metrics store needs in both "
+        "directions"
+    ),
+    tags=("agg",),
+)
+def daily_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = daily_event_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["day"],
+        values=["view", "click", "purchase", "signup", "error"],
+        variableColumnName="event_type",
+        valueColumnName="n",
+    )

@@ -500,3 +500,67 @@ def test_bpe_merge_expression_matches_python(spark, syms, x, y):
         _merge_pair_expr(F.col("symbols"), x, y).alias("m")
     ).collect()[0]["m"]
     assert list(got) == py_merge(syms)
+
+
+# --- exact-substring spans vs a plain-python reference ---------------
+
+_substr_docs = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d"]),  # tiny alphabet => collisions
+        min_size=0,
+        max_size=12,
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+def _python_spans(token_lists, window):
+    """Reference implementation: mark every W-window repeated across
+    >=2 distinct docs, merge overlapping marks into maximal spans."""
+    from collections import defaultdict
+
+    where = defaultdict(set)
+    for did, toks in enumerate(token_lists):
+        for p in range(len(toks) - window + 1):
+            where[tuple(toks[p : p + window])].add(did)
+    dup = {w for w, dids in where.items() if len(dids) >= 2}
+    out = set()
+    for did, toks in enumerate(token_lists):
+        marks = [
+            p + 1  # 1-based
+            for p in range(len(toks) - window + 1)
+            if tuple(toks[p : p + window]) in dup
+        ]
+        spans = []
+        for p in marks:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + window)
+            else:
+                spans.append([p, p + window])
+        for s, e in spans:
+            out.add((did, s, e, e - s))
+    return out
+
+
+@given(docs=_substr_docs, window=st.sampled_from([2, 3]))
+@settings(**_SETTINGS)
+def test_substring_spans_match_python_reference(spark, docs, window):
+    from click_streaming_data_pipeline_spark.extensions.dedup import (
+        duplicate_substring_spans,
+    )
+
+    frame = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicate_substring_spans(frame, window=window).collect()
+    }
+    # guard: split(" ") of an empty string is [""], one empty token —
+    # mirror that in the reference input
+    ref = _python_spans(
+        [toks if toks else [""] for toks in docs], window
+    )
+    assert got == ref

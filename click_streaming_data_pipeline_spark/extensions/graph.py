@@ -188,3 +188,65 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         "n_nodes long, n_edges long, n_wedges long, n_triangles long, "
         "global_clustering double",
     )
+
+
+# ---------------------------------------------------------------------------
+# community detection: synchronous weighted label propagation
+
+LPA_ITER = 5
+
+
+def label_propagation(edges: DataFrame, *, n_iter: int = LPA_ITER) -> DataFrame:
+    """Deterministic synchronous weighted label propagation over the
+    undirected form of (src, dst, n_transitions) edges.
+
+    Labels start as the node id; each round EVERY node simultaneously
+    adopts the label with the largest summed edge weight among its
+    neighbors, ties broken by the smallest label. No RNG and no
+    asynchronous update order — with integer weights the whole
+    algorithm is exact, so (unlike PageRank's float ranks) the
+    catalog query carries a FULL DuckDB value oracle: the same rounds
+    unrolled as SQL stages.
+
+    Scale shape: one edge-table symmetrization up front, then per
+    round one equi-join (labels onto the neighbor key) + one grouped
+    sum + one per-node argmax (WindowGroupLimit-able top-1). Label
+    state is node-table-sized and localCheckpoints every round to
+    keep lineage flat — the same Pregel-on-DataFrames discipline as
+    ``pagerank``/``neardup_clusters``.
+    """
+    sym = (
+        edges.select(
+            F.col("src").alias("node"),
+            F.col("dst").alias("nbr"),
+            F.col("n_transitions").alias("w"),
+        )
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("node"),
+                F.col("src").alias("nbr"),
+                F.col("n_transitions").alias("w"),
+            )
+        )
+        .groupBy("node", "nbr")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select("node").distinct().select(
+        "node", F.col("node").alias("lbl")
+    ).localCheckpoint(eager=True)
+    w_rank = Window.partitionBy("node").orderBy(
+        F.col("s").desc(), F.col("lbl").asc()
+    )
+    for _ in range(n_iter):
+        nbr_lbl = sym.join(
+            labels.select(F.col("node").alias("nbr"), "lbl"), "nbr"
+        )
+        scored = nbr_lbl.groupBy("node", "lbl").agg(F.sum("w").alias("s"))
+        labels = (
+            scored.withColumn("rn", F.row_number().over(w_rank))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

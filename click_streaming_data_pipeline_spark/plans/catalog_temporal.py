@@ -941,3 +941,83 @@ def point_in_time_status_streamed(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+_LPA_ROUNDS = 5
+
+_LPA_EDGES_CTE = """
+    keyed AS (
+        SELECT user_id, ts, event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS dst
+        FROM events
+    ),
+    pairs AS (
+        SELECT lag(dst) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS src,
+               dst
+        FROM keyed
+    ),
+    edges AS (
+        SELECT src, dst, count(*) AS n_transitions
+        FROM pairs
+        WHERE src IS NOT NULL AND src <> dst
+        GROUP BY 1, 2
+    ),
+    sym AS (
+        SELECT node, nbr, CAST(sum(w) AS BIGINT) AS w FROM (
+            SELECT src AS node, dst AS nbr, n_transitions AS w FROM edges
+            UNION ALL
+            SELECT dst AS node, src AS nbr, n_transitions AS w FROM edges
+        ) GROUP BY 1, 2
+    ),
+    lab0 AS (SELECT DISTINCT node, node AS lbl FROM sym)
+"""
+
+_LPA_ROUND_CTE = """
+    lab{i} AS (
+        SELECT node, lbl FROM (
+            SELECT s.node, l.lbl,
+                   row_number() OVER (
+                       PARTITION BY s.node
+                       ORDER BY sum(s.w) DESC, l.lbl ASC) AS rn
+            FROM sym s JOIN lab{prev} l ON l.node = s.nbr
+            GROUP BY s.node, l.lbl
+        ) WHERE rn = 1
+    )
+"""
+
+_LPA_SQL = (
+    "WITH "
+    + _LPA_EDGES_CTE
+    + ","
+    + ",".join(
+        _LPA_ROUND_CTE.format(i=i, prev=i - 1)
+        for i in range(1, _LPA_ROUNDS + 1)
+    )
+    + f"SELECT node, lbl AS community FROM lab{_LPA_ROUNDS}"
+)
+
+
+@query(
+    "page_communities",
+    oracle=_LPA_SQL,
+    doc=(
+        "beyond-reference graph analytics: community detection via "
+        "SYNCHRONOUS weighted label propagation over the undirected "
+        "page-transition graph — 5 driver-loop rounds, each one "
+        "equi-join (labels onto the neighbor key) + grouped weight "
+        "sum + per-node argmax with smallest-label ties. All-integer "
+        "math makes the iterative algorithm fully deterministic, so "
+        "unlike PageRank it carries a COMPLETE DuckDB value oracle "
+        "(the same rounds unrolled as SQL stages). Node state "
+        "checkpoints per round; edges shuffle once per round on the "
+        "neighbor key"
+    ),
+    tags=("graph",),
+)
+def page_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.graph import label_propagation, transition_edges
+
+    edges = transition_edges(load_table(spark, sf_dir, "events"))
+    return label_propagation(edges, n_iter=_LPA_ROUNDS)

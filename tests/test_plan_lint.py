@@ -75,6 +75,7 @@ ALLPAIRS_ALLOWED = {
 # the linter plans only the pure-batch rest.
 SKIP_NAMES = {
     "page_rank",
+    "page_communities",
     "bpe_merge_ranks",
     "bpe_encode",
     "dedup_clusters",

@@ -714,3 +714,54 @@ def cdc_pipeline_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
     register(spark)
     raw = spark.read.format(FORMAT_NAME).option("path", arch).load()
     return latest_rows(transform(raw), ["doc_id"], ["version", "ts_ms"])
+
+
+@query(
+    "cdc_pipeline_pyds_streamed",
+    oracle=_CDC_EXPECTED_SQL,
+    doc=(
+        "Flagship dataflow consumed through the custom Python data "
+        "source's STREAM reader (Spark 4 DataSourceStreamReader, "
+        "sources/pyds.py): offsets index the sorted archive listing "
+        "(filesPerBatch=2 is the I7 backpressure bound), partitions "
+        "map offset ranges to per-file executor reads — the driver "
+        "only lists names. Micro-batches append through the identical "
+        "parse/filter/score plan; the final LWW resolve runs over the "
+        "drained sink and hits the batch cdc_pipeline oracle "
+        "bit-for-bit."
+    ),
+    tags=("streaming",),
+)
+def cdc_pipeline_pyds_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from ..operators.upsert import latest_rows
+    from ..sources.cdc import synth_cdc_envelopes
+    from ..sources.pyds import FORMAT_NAME, register
+    from ..streaming.pipeline import transform
+
+    work = tempfile.mkdtemp(prefix="csdp_pyds_s_")
+    arch = os.path.join(work, "archive")
+    synth_cdc_envelopes(spark, sf_dir).repartition(4).write.mode(
+        "overwrite"
+    ).text(arch)
+    register(spark)
+    raw = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("path", arch)
+        .option("filesPerBatch", "2")
+        .load()
+    )
+    name = f"pyds_{_uuid.uuid4().hex[:8]}"
+    q = (
+        transform(raw)
+        .writeStream.queryName(name)
+        .format("memory")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return latest_rows(spark.table(name), ["doc_id"], ["version", "ts_ms"])

@@ -20,7 +20,12 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 FORMAT_NAME = "cdc_jsonl"
 
@@ -28,7 +33,10 @@ FORMAT_NAME = "cdc_jsonl"
 class CdcJsonlDataSource(DataSource):
     """``spark.read.format("cdc_jsonl").option("path", dir)`` — each
     ``*.txt``/``*.jsonl``/``part-*`` file in ``dir`` becomes one input
-    partition; rows are ``value: string`` JSON envelopes."""
+    partition; rows are ``value: string`` JSON envelopes. The same
+    format also registers a STREAM reader (``spark.readStream``):
+    offsets index the sorted archive listing, so the file sequence
+    becomes a replayable log (the object-store analogue of a topic)."""
 
     @classmethod
     def name(cls) -> str:
@@ -40,6 +48,25 @@ class CdcJsonlDataSource(DataSource):
     def reader(self, schema) -> "CdcJsonlReader":
         return CdcJsonlReader(self.options)
 
+    def streamReader(self, schema) -> "CdcJsonlStreamReader":
+        return CdcJsonlStreamReader(self.options)
+
+
+def _archive_files(path: str) -> list[str]:
+    return sorted(
+        f
+        for f in os.listdir(path)
+        if f.endswith((".txt", ".jsonl")) or f.startswith("part-")
+    )
+
+
+def _read_jsonl(full_path: str):
+    with open(full_path, "r", encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if line:
+                yield (line,)
+
 
 class CdcJsonlReader(DataSourceReader):
     def __init__(self, options):
@@ -48,19 +75,53 @@ class CdcJsonlReader(DataSourceReader):
             raise ValueError("cdc_jsonl requires option 'path'")
 
     def partitions(self):
-        names = sorted(
-            f
-            for f in os.listdir(self._path)
-            if f.endswith((".txt", ".jsonl")) or f.startswith("part-")
-        )
-        return [InputPartition(os.path.join(self._path, f)) for f in names]
+        return [
+            InputPartition(os.path.join(self._path, f))
+            for f in _archive_files(self._path)
+        ]
 
     def read(self, partition):
-        with open(partition.value, "r", encoding="utf-8") as fh:
-            for line in fh:
-                line = line.strip()
-                if line:
-                    yield (line,)
+        yield from _read_jsonl(partition.value)
+
+
+class CdcJsonlStreamReader(DataSourceStreamReader):
+    """Micro-batched reads over the archive: the offset is the count
+    of files consumed from the SORTED listing (append-only archives
+    sort by name, so the listing is a log). Each ``latestOffset``
+    advances at most ``filesPerBatch`` files — the backpressure bound
+    (I7, ≙ maxOffsetsPerTrigger); ``partitions(start, end)`` maps the
+    offset range back to one InputPartition per file, so the rows are
+    still read executor-parallel, never on the driver. Offsets are
+    checkpointable dicts; replaying a committed range re-reads the
+    same immutable files — effectively-once downstream via the A4
+    idempotent sink, exactly like the file-stream analogue."""
+
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("cdc_jsonl requires option 'path'")
+        self._per_batch = int(options.get("filesPerBatch", "2"))
+        self._cur = 0
+
+    def initialOffset(self):
+        return {"index": 0}
+
+    def latestOffset(self):
+        n = len(_archive_files(self._path))
+        self._cur = min(self._cur + self._per_batch, n)
+        return {"index": self._cur}
+
+    def partitions(self, start, end):
+        files = _archive_files(self._path)[start["index"] : end["index"]]
+        return [
+            InputPartition(os.path.join(self._path, f)) for f in files
+        ]
+
+    def read(self, partition):
+        yield from _read_jsonl(partition.value)
+
+    def commit(self, end) -> None:
+        pass  # immutable archive: nothing to clean up
 
 
 def register(spark) -> None:

@@ -343,6 +343,12 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                {dsum_sql('value', 'total_value')}
         FROM events
         UNION ALL
+        SELECT 'jsonl',
+               CAST(count(*) AS BIGINT),
+               CAST(count(DISTINCT user_id) AS BIGINT),
+               {dsum_sql('value', 'total_value')}
+        FROM events
+        UNION ALL
         SELECT 'orc',
                CAST(count(*) AS BIGINT),
                CAST(count(DISTINCT user_id) AS BIGINT),
@@ -352,13 +358,15 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "A5 source-format breadth: the events table round-trips "
         "through CSV (header + explicit schema + timestamp format - "
-        "the lossy-text path needs every knob pinned) and ORC (the "
-        "other columnar native), then both re-aggregate to the same "
-        "exact totals as the parquet original; proves scan parity "
-        "across the engine's batch source formats. Scale: both "
-        "readers are splittable native sources with column pruning "
-        "(ORC) and schema-at-read (CSV) - same partitioned-scan "
-        "model as parquet."
+        "the lossy-text path needs every knob pinned), JSON-lines "
+        "(the dominant LLM-corpus interchange format; schema-pinned "
+        "read so doubles/timestamps survive the text hop), and ORC "
+        "(the other columnar native), then all three re-aggregate to "
+        "the same exact totals as the parquet original; proves scan "
+        "parity across the engine's batch source formats. Scale: all "
+        "three readers are splittable native sources with column "
+        "pruning (ORC) and schema-at-read (CSV/JSONL) - same "
+        "partitioned-scan model as parquet."
     ),
     tags=("scan",),
 )
@@ -369,6 +377,7 @@ def multi_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="csdp_fmt_")
     csv_dir = os.path.join(work, "csv")
+    json_dir = os.path.join(work, "jsonl")
     orc_dir = os.path.join(work, "orc")
     (
         ev.write.option("header", True)
@@ -376,12 +385,22 @@ def multi_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mode("overwrite")
         .csv(csv_dir)
     )
+    (
+        ev.write.option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .mode("overwrite")
+        .json(json_dir)
+    )
     ev.write.mode("overwrite").orc(orc_dir)
     csv = (
         spark.read.option("header", True)
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
         .schema(ev.schema)
         .csv(csv_dir)
+    )
+    jsonl = (
+        spark.read.option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .schema(ev.schema)
+        .json(json_dir)
     )
     orc = spark.read.orc(orc_dir)
 
@@ -395,7 +414,11 @@ def multi_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         ).select("fmt", "n_events", "n_users", "total_value")
 
-    return agg(csv, "csv").unionByName(agg(orc, "orc"))
+    return (
+        agg(csv, "csv")
+        .unionByName(agg(jsonl, "jsonl"))
+        .unionByName(agg(orc, "orc"))
+    )
 
 
 @query(

@@ -798,3 +798,130 @@ def heavy_hitters_cms_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
     est = cms_estimate(exact, sketch, "user_id")
     return exact.join(est, "user_id").select("user_id", "exact_n", "cms_est")
+
+
+@query(
+    "rollup_cascade",
+    oracle=f"""
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               event_type,
+               count(*) AS n_events,
+               {dsum_sql('value', 'sum_value')},
+               min(value) AS min_value,
+               max(value) AS max_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc=(
+        "scale pattern: MULTI-RESOLUTION rollup cascade (continuous-"
+        "aggregate / hypertable-downsample analogue): minute-level "
+        "aggregates are built from raw events ONCE, hourly rolls up "
+        "the minute table, daily rolls up the hourly table - each "
+        "coarser level reads only the level below (key-bounded, "
+        "thousands of rows), never the raw corpus. Mergeable state "
+        "only (counts, decimal sums, min/max), so the cascaded daily "
+        "result is bit-identical to a from-scratch daily aggregation "
+        "- which is exactly what the oracle computes. At 100 TB the "
+        "raw scan happens once per ingest window and every "
+        "dashboard-resolution query reads the tiny rollup tables; "
+        "the batch form of chained materialized views "
+        "(TimescaleDB continuous aggregates, Druid rollup)."
+    ),
+    tags=("agg", "scale"),
+)
+def rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(28,6)")
+    minute = events.groupBy(
+        F.date_trunc("minute", "ts").alias("minute"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(dec).alias("sum_dec"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    hour = minute.groupBy(
+        F.date_trunc("hour", "minute").alias("hour"),
+        "event_type",
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_dec").alias("sum_dec"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+    return (
+        hour.groupBy(
+            F.date_trunc("day", "hour").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").alias("sum_dec"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .select(
+            "day",
+            "event_type",
+            "n_events",
+            F.col("sum_dec").cast("double").alias("sum_value"),
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+@query(
+    "forget_users",
+    oracle=f"""
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               {dsum_sql('value', 'total_value')}
+        FROM events
+        WHERE user_id % 97 <> 3
+        GROUP BY event_type
+    """,
+    doc=(
+        "scale pattern: GDPR right-to-be-forgotten DELETE propagation "
+        "(operators/maintenance.py::forget_keys): the events table is "
+        "laid out partitioned by day, a user-deletion list arrives, "
+        "and the operator rewrites ONLY the day-partitions containing "
+        "those users (partition-pruned scan -> broadcast anti-join -> "
+        "dynamic partition overwrite; fully-emptied partitions "
+        "dropped). The surviving table must equal a logical "
+        "DELETE WHERE user_id IN (...) exactly - which is what the "
+        "oracle computes. At 100 TB the rewrite touches the deleted "
+        "users' active days, never the corpus; the untouched "
+        "partitions' files are byte-identical (pytest-gated)."
+    ),
+    tags=("scale", "maintenance"),
+)
+def forget_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..operators.maintenance import forget_keys
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="csdp_forget_")
+    table_dir = os.path.join(work, "events_by_day")
+    (
+        events.withColumn("day", F.to_date(F.date_trunc("day", "ts")))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(table_dir)
+    )
+    deletion_list = events.select("user_id").filter(
+        F.col("user_id") % 97 == 3
+    )
+    forget_keys(spark, table_dir, "day", "user_id", deletion_list)
+    survivors = spark.read.parquet(table_dir)
+    return survivors.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )

@@ -335,3 +335,78 @@ def test_ivf_saved_index_matches_fresh_and_prunes(spark, tmp_path):
     all_files = set(corpus.inputFiles())
     assert 0 < len(read_files) < len(all_files)
     assert all(f"centroid_id={centroids[0][0]}" in f for f in read_files)
+
+
+def test_forget_keys_surgical_rewrite(spark, tmp_path):
+    """GDPR delete: rows for forgotten keys are gone, clean
+    partitions' files are byte-untouched, a fully-forgotten partition
+    is dropped, and re-running is a no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from click_streaming_data_pipeline_spark.operators.maintenance import (
+        forget_keys,
+    )
+    from click_streaming_data_pipeline_spark.sources import load_table
+
+    from .conftest import SF_TEST
+
+    table = str(tmp_path / "events_by_day")
+    ev = load_table(spark, SF_TEST, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    days = sorted(
+        r["day"] for r in ev.select("day").distinct().limit(4).collect()
+    )
+    # controlled layout: days[0] belongs entirely to forgotten user
+    # 999999 (partition must be dropped), half of days[1] to forgotten
+    # user 888888 (partition must be rewritten), days[2:] contain no
+    # forgotten keys (files must stay byte-untouched)
+    base = ev.filter(F.col("day").isin(days)).withColumn(
+        "user_id",
+        F.when(F.col("day") == days[0], F.lit(999999))
+        .when(
+            (F.col("day") == days[1]) & (F.col("event_id") % 2 == 0),
+            F.lit(888888),
+        )
+        .otherwise(F.col("user_id")),
+    )
+    base.write.mode("overwrite").partitionBy("day").parquet(table)
+
+    doomed_set = {999999, 888888}
+    doomed = spark.createDataFrame(
+        [(u,) for u in sorted(doomed_set)], "user_id bigint"
+    )
+
+    def files_with_mtimes(day):
+        d = os.path.join(table, f"day={day}")
+        if not os.path.isdir(d):
+            return None
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    clean_before = {d: files_with_mtimes(d) for d in days[2:]}
+    expected = base.filter(~F.col("user_id").isin(doomed_set))
+
+    stats = forget_keys(spark, table, "day", "user_id", doomed)
+
+    got = spark.read.parquet(table)
+    assert got.filter(F.col("user_id").isin(doomed_set)).count() == 0
+    assert got.count() == expected.count()
+    # clean partitions byte-untouched
+    for d in days[2:]:
+        assert files_with_mtimes(d) == clean_before[d]
+    # fully-forgotten partition dropped from disk
+    if expected.filter(F.col("day") == days[0]).count() == 0:
+        assert files_with_mtimes(days[0]) is None
+        assert stats["partitions_dropped"] >= 1
+    assert stats["rows_deleted"] == base.count() - expected.count()
+
+    # idempotent: nothing left to forget
+    again = forget_keys(spark, table, "day", "user_id", doomed)
+    assert again["rows_deleted"] == 0
+    assert spark.read.parquet(table).count() == expected.count()

@@ -1141,3 +1141,188 @@ def item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov (removal-effect) attribution
+
+
+def _markov_journeys(events: DataFrame) -> DataFrame:
+    """Per-user journey rows truncated at the FIRST conversion
+    ('purchase' -> absorbing state 'conv'), with a dense per-user
+    order column ``rn``. One window pass over user_id."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.when(F.col("event_type") == "purchase", F.lit("conv"))
+        .otherwise(F.col("event_type"))
+        .alias("state"),
+    )
+    first_conv = (
+        ordered.filter(F.col("state") == "conv")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("prn"))
+    )
+    return ordered.join(first_conv, "user_id", "left").filter(
+        F.col("prn").isNull() | (F.col("rn") <= F.col("prn"))
+    )
+
+
+def markov_transition_counts(events: DataFrame) -> DataFrame:
+    """First-order transition-count matrix of user journeys:
+    'start' -> first touch, touch -> next touch, touch -> 'conv'
+    (first purchase) or -> 'null' (journey ends unconverted). The
+    absorbing states emit no outgoing transitions. This is the
+    distributed 99% of Markov attribution — everything after it is
+    k x k driver math."""
+    j = _markov_journeys(events)
+    w = Window.partitionBy("user_id").orderBy("rn")
+    starts = j.filter(F.col("rn") == 1).select(
+        F.lit("start").alias("from_state"), F.col("state").alias("to_state")
+    )
+    steps = (
+        j.withColumn(
+            "to_state", F.coalesce(F.lead("state").over(w), F.lit("null"))
+        )
+        .filter(F.col("state") != "conv")
+        .select(F.col("state").alias("from_state"), "to_state")
+    )
+    return (
+        starts.unionByName(steps)
+        .groupBy("from_state", "to_state")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_MARKOV_TRANSITIONS_SQL = """
+    WITH ordered AS (
+        SELECT user_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               CASE WHEN event_type = 'purchase' THEN 'conv'
+                    ELSE event_type END AS state
+        FROM events
+    ),
+    first_conv AS (
+        SELECT user_id, min(rn) AS prn FROM ordered
+        WHERE state = 'conv' GROUP BY user_id
+    ),
+    j AS (
+        SELECT o.* FROM ordered o
+        LEFT JOIN first_conv fc USING (user_id)
+        WHERE fc.prn IS NULL OR o.rn <= fc.prn
+    ),
+    steps AS (
+        SELECT state AS from_state,
+               coalesce(lead(state) OVER (PARTITION BY user_id
+                                          ORDER BY rn), 'null') AS to_state
+        FROM j
+    ),
+    allt AS (
+        SELECT 'start' AS from_state, state AS to_state FROM j WHERE rn = 1
+        UNION ALL
+        SELECT from_state, to_state FROM steps WHERE from_state <> 'conv'
+    )
+    SELECT from_state, to_state, count(*) AS n
+    FROM allt GROUP BY from_state, to_state
+"""
+
+
+@query(
+    "markov_transitions",
+    oracle=_MARKOV_TRANSITIONS_SQL,
+    doc=(
+        "extension (clickstream/attribution): the first-order Markov "
+        "transition-count matrix of user journeys - 'start' -> first "
+        "touch -> ... -> 'conv' (first purchase, absorbing) or "
+        "'null' (unconverted end). ONE window pass partitioned by "
+        "user_id builds every journey edge; the matrix is "
+        "(channels+3)^2 rows regardless of corpus size. This is the "
+        "distributed stage of Markov removal-effect attribution "
+        "(markov_attribution solves the tiny chain); at 100 TB the "
+        "per-user window is the same shuffle the session/funnel "
+        "queries already pay, and the output is bytes."
+    ),
+    tags=("agg", "window"),
+)
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return markov_transition_counts(load_table(spark, sf_dir, "events"))
+
+
+def markov_removal_effects(counts) -> list[tuple[str, float, float]]:
+    """Solve the absorbing chain for P(conv | start), then for each
+    channel c the chain with c removed (transitions into c land in
+    'null'); removal_effect(c) = 1 - P_removed(c)/P(conv). Driver-side
+    k x k linear algebra on the collected count matrix (k = number of
+    event types, single digits), the same bounded-collect pattern as
+    ivf.py's centroids. Returns [(channel, removal_effect, share)]."""
+    import numpy as np
+
+    trans: dict[tuple[str, str], int] = {
+        (r[0], r[1]): int(r[2]) for r in counts
+    }
+    channels = sorted(
+        {s for s, _ in trans} | {t for _, t in trans} - {"conv", "null"}
+    )
+    channels = [c for c in channels if c not in ("start", "conv", "null")]
+
+    def p_conv(removed: str | None) -> float:
+        states = ["start"] + [c for c in channels if c != removed]
+        idx = {s: i for i, s in enumerate(states)}
+        k = len(states)
+        q = np.zeros((k, k))
+        r = np.zeros(k)
+        for s in states:
+            out = {t: n for (f, t), n in trans.items() if f == s}
+            tot = sum(out.values())
+            if not tot:
+                continue
+            for t, n in out.items():
+                p = n / tot
+                if t == "conv":
+                    r[idx[s]] += p
+                elif t == removed or t == "null":
+                    pass  # removed channel/null absorb without converting
+                elif t in idx:
+                    q[idx[s], idx[t]] += p
+        t_vec = np.linalg.solve(np.eye(k) - q, r)
+        return float(t_vec[idx["start"]])
+
+    base = p_conv(None)
+    effects = [(c, 1.0 - p_conv(c) / base) for c in channels]
+    total = sum(e for _, e in effects)
+    return [
+        (c, e, (e / total if total else 0.0)) for c, e in effects
+    ]
+
+
+@query(
+    "markov_attribution",
+    # no ANSI-SQL oracle: absorption probabilities need a linear
+    # solve; gated by the python-oracle parity pytest instead
+    # (tests/test_clickstream.py) plus the fully-oracled
+    # markov_transitions input stage.
+    oracle=None,
+    doc=(
+        "extension (clickstream/attribution): Markov REMOVAL-EFFECT "
+        "attribution - the data-driven multi-touch model (Anderl et "
+        "al.): P(conversion) of the journey chain is solved with and "
+        "without each channel; a channel's credit is the normalized "
+        "drop. Complements linear_attribution (positional). The "
+        "corpus-scale work is markov_transitions (oracled); the solve "
+        "is (channels+1)^2 driver math on the collected count matrix "
+        "- bounded by the event-type vocabulary, never the data."
+    ),
+    tags=("agg",),
+)
+def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = markov_transition_counts(
+        load_table(spark, sf_dir, "events")
+    ).collect()
+    rows = markov_removal_effects(counts)
+    out = spark.createDataFrame(
+        [(c, round(e, 9), round(s, 9)) for c, e, s in rows],
+        "channel string, removal_effect double, share double",
+    )
+    return out.orderBy("channel")

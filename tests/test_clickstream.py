@@ -410,3 +410,97 @@ def test_forget_keys_surgical_rewrite(spark, tmp_path):
     again = forget_keys(spark, table, "day", "user_id", doomed)
     assert again["rows_deleted"] == 0
     assert spark.read.parquet(table).count() == expected.count()
+
+
+def test_markov_attribution_matches_independent_oracle(spark):
+    """Removal effects from the catalog query must match an
+    independent recomputation: journeys rebuilt in pandas, absorption
+    probabilities by long power iteration instead of the linear
+    solve."""
+    import numpy as np
+
+    from click_streaming_data_pipeline_spark.plans import QUERIES
+    from click_streaming_data_pipeline_spark.sources import load_table
+
+    from .conftest import SF_TEST
+
+    # independent journey/transition build (pure pandas)
+    ev = (
+        load_table(spark, SF_TEST, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    trans: dict[tuple[str, str], int] = {}
+    for _, g in ev.groupby("user_id"):
+        states = [
+            "conv" if t == "purchase" else t for t in g["event_type"]
+        ]
+        if "conv" in states:
+            states = states[: states.index("conv") + 1]
+        path = ["start"] + states + (
+            [] if states[-1] == "conv" else ["null"]
+        )
+        for a, b in zip(path, path[1:]):
+            trans[(a, b)] = trans.get((a, b), 0) + 1
+
+    channels = sorted(
+        {s for s, _ in trans} - {"start", "conv", "null"}
+    )
+
+    def p_conv_power(removed):
+        states = ["start"] + [c for c in channels if c != removed]
+        idx = {s: i for i, s in enumerate(states)}
+        k = len(states)
+        q = np.zeros((k, k))
+        r = np.zeros(k)
+        for s in states:
+            out = {t: n for (f, t), n in trans.items() if f == s}
+            tot = sum(out.values())
+            for t, n in out.items():
+                p = n / tot
+                if t == "conv":
+                    r[idx[s]] += p
+                elif t in idx and t != removed:
+                    q[idx[s], idx[t]] += p
+        # absorption by power iteration: t = r + Q t, iterated
+        t_vec = np.zeros(k)
+        for _ in range(400):
+            t_vec = r + q @ t_vec
+        return t_vec[idx["start"]]
+
+    base = p_conv_power(None)
+    effects = {c: 1.0 - p_conv_power(c) / base for c in channels}
+    total = sum(effects.values())
+
+    got = {
+        r["channel"]: (r["removal_effect"], r["share"])
+        for r in QUERIES["markov_attribution"].fn(spark, SF_TEST).collect()
+    }
+    assert set(got) == set(channels)
+    for c in channels:
+        assert abs(got[c][0] - effects[c]) < 1e-6, c
+        assert abs(got[c][1] - effects[c] / total) < 1e-6, c
+    # invariants: effects in [0, 1], shares normalize
+    assert all(0.0 <= e <= 1.0 for e, _ in got.values())
+    assert abs(sum(s for _, s in got.values()) - 1.0) < 1e-9
+
+
+def test_markov_attribution_credits_the_only_converting_channel(spark):
+    """Synthetic chain where only journeys touching 'click' convert:
+    click must carry ~all the removal effect."""
+    from click_streaming_data_pipeline_spark.plans.catalog_clickstream import (
+        markov_removal_effects,
+    )
+
+    counts = [
+        ("start", "view", 50),
+        ("start", "click", 50),
+        ("view", "null", 50),
+        ("click", "conv", 50),
+    ]
+    rows = markov_removal_effects(counts)
+    by = {c: (e, s) for c, e, s in rows}
+    assert by["click"][0] == 1.0
+    assert by["view"][0] == 0.0
+    assert by["click"][1] == 1.0

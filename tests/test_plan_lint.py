@@ -34,6 +34,7 @@ ALLPAIRS_ALLOWED = {
     # 1-row bounds/stats frames crossJoined back onto the corpus
     # (broadcast of a single row, not an N^2 pair join)
     "value_histogram",
+    "dsir_weights",
     "embedding_quantize",
     "weekly_value_drift",
     "weekly_value_drift_streamed",

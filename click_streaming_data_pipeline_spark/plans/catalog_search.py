@@ -529,3 +529,62 @@ def search_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("weighted_tf").alias("prefix_tf"),
         )
     )
+
+
+@query(
+    "search_facets",
+    oracle="""
+        WITH hits AS (
+            SELECT source,
+                   CAST(floor(n_chars / 500) * 500 AS BIGINT) AS bin
+            FROM documents
+            WHERE list_contains(string_split(lower(text), ' '), 'spark')
+        )
+        SELECT CASE WHEN GROUPING(source) = 0 THEN 'source'
+                    ELSE 'n_chars_hist' END AS facet,
+               coalesce(CAST(source AS VARCHAR), CAST(bin AS VARCHAR))
+                   AS bucket,
+               count(*) AS doc_count
+        FROM hits
+        GROUP BY GROUPING SETS ((source), (bin))
+    """,
+    doc=(
+        "F-extension: ES-style search AGGREGATIONS (facets) computed "
+        "alongside the hit set - a terms facet on source and a "
+        "fixed-interval histogram on n_chars (ES terms/histogram "
+        "aggs), both from ONE pass via GROUPING SETS: Spark's Expand "
+        "duplicates each hit row per facet map-side, so the filtered "
+        "scan happens once no matter how many facets the search UI "
+        "asks for. At 100 TB facets are the expensive half of every "
+        "search page; one-Expand-shuffle beats per-facet re-scans "
+        "#facets-fold. Reference surface: the /search endpoint "
+        "(services/search/app/main.py:72-147) returns hits+total; "
+        "facets are the standard ES companion the engine exposes."
+    ),
+    tags=("search", "agg"),
+)
+def search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hits = docs.filter(
+        F.array_contains(F.split(F.lower("text"), " "), "spark")
+    ).select(
+        "source",
+        (F.floor(F.col("n_chars") / 500) * 500).cast("long").alias("bin"),
+    )
+    return (
+        hits.groupingSets([["source"], ["bin"]], "source", "bin")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.grouping("source").cast("int").alias("g_src"),
+        )
+        .select(
+            F.when(F.col("g_src") == 0, F.lit("source"))
+            .otherwise(F.lit("n_chars_hist"))
+            .alias("facet"),
+            F.coalesce(
+                F.col("source").cast("string"),
+                F.col("bin").cast("string"),
+            ).alias("bucket"),
+            "doc_count",
+        )
+    )

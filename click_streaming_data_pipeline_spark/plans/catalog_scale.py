@@ -925,3 +925,102 @@ def forget_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+@query(
+    "rollup_cascade_streamed",
+    # same oracle as rollup_cascade: the streamed minute-state table,
+    # cascaded up on read, must equal the from-scratch daily rollup
+    oracle=f"""
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               event_type,
+               count(*) AS n_events,
+               {dsum_sql('value', 'sum_value')},
+               min(value) AS min_value,
+               max(value) AS max_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc=(
+        "scale pattern: STREAMED continuous aggregate - foreachBatch "
+        "folds each micro-batch's minute-level mergeable state "
+        "(count/decimal-sum/min/max keyed by minute x event_type) "
+        "into the versioned state store (replay-idempotent "
+        "fold_state_dir); hour and day resolutions are derived from "
+        "the minute state ON READ, never from raw history. Per-batch "
+        "cost = delta aggregation + state-sized merge; the cascaded "
+        "daily readout must be bit-identical to rollup_cascade's "
+        "batch answer - which is what the oracle checks. The "
+        "streaming twin of TimescaleDB continuous-aggregate refresh."
+    ),
+    tags=("streaming", "agg", "scale"),
+)
+def rollup_cascade_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..operators.incremental import (
+        agg_state,
+        fold_state_dir,
+        read_state_dir,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="csdp_cascade_")
+    src = os.path.join(work, "in")
+    state_dir = os.path.join(work, "state")
+    events.repartition(6).write.mode("overwrite").parquet(src)
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        keyed = batch.select(
+            F.date_trunc("minute", "ts").alias("minute"),
+            "event_type",
+            "value",
+        )
+        delta = agg_state(keyed, ["minute", "event_type"], "value")
+        fold_state_dir(
+            batch.sparkSession,
+            state_dir,
+            delta,
+            batch_id,
+            ["minute", "event_type"],
+        )
+
+    q = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    minute_state = read_state_dir(spark, state_dir)
+    hour = minute_state.groupBy(
+        F.date_trunc("hour", "minute").alias("hour"), "event_type"
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+    return (
+        hour.groupBy(
+            F.date_trunc("day", "hour").alias("day"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("s").cast("double").alias("sum_value"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        )
+        .select(
+            "day",
+            "event_type",
+            "n_events",
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+    )

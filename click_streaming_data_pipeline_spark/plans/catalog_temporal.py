@@ -1021,3 +1021,70 @@ def page_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = transition_edges(load_table(spark, sf_dir, "events"))
     return label_propagation(edges, n_iter=_LPA_ROUNDS)
+
+
+@query(
+    "seasonal_decomposition",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   SUM(CAST(round(value * 100) AS BIGINT)) AS day_cents
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT event_type, day,
+               CAST(date_diff('day', DATE '1970-01-05', day) % 7 AS INT)
+                   AS dow,
+               day_cents,
+               (CAST(SUM(day_cents) OVER w AS DOUBLE)
+                / COUNT(*) OVER w) AS dow_mean_cents,
+               (CAST(day_cents AS DOUBLE)
+                - (CAST(SUM(day_cents) OVER w AS DOUBLE)
+                   / COUNT(*) OVER w)) AS residual_cents
+        FROM daily
+        WINDOW w AS (
+            PARTITION BY event_type,
+                         date_diff('day', DATE '1970-01-05', day) % 7
+        )
+    """,
+    doc=(
+        "analytics breadth: seasonal-naive timeseries DECOMPOSITION "
+        "- per event_type, the daily revenue series splits into a "
+        "day-of-week seasonal profile (mean of that weekday's days) "
+        "and a residual; the residual is what anomaly detection "
+        "should watch (a quiet Sunday is not an incident). Exactness: "
+        "daily totals in integer cent-space, the seasonal mean is ONE "
+        "IEEE division of exact bigint sums, the residual one IEEE "
+        "subtraction - bit-identical cross-engine. Day-of-week via "
+        "portable integer date arithmetic (days-since-a-known-Monday "
+        "mod 7), dodging the engines' dayofweek() convention split. "
+        "Scale: the window runs over the DAILY table (rows = days x "
+        "event types, thousands), not events; the only corpus-scale "
+        "work is the first groupBy - partial-agg + one shuffle."
+    ),
+    tags=("agg", "window", "temporal"),
+)
+def seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("day_cents")
+    )
+    dow = (
+        F.datediff(F.col("day"), F.lit("1970-01-05").cast("date")) % 7
+    ).cast("int")
+    w = Window.partitionBy("event_type", dow)
+    mean = F.sum("day_cents").over(w).cast("double") / F.count("*").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        dow.alias("dow"),
+        "day_cents",
+        mean.alias("dow_mean_cents"),
+        (F.col("day_cents").cast("double") - mean).alias("residual_cents"),
+    )

@@ -1326,3 +1326,75 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel string, removal_effect double, share double",
     )
     return out.orderBy("channel")
+
+
+@query(
+    "cep_funnel_regex",
+    oracle="""
+        WITH j AS (
+            SELECT user_id,
+                   string_agg(CASE event_type
+                                  WHEN 'view' THEN 'v'
+                                  WHEN 'click' THEN 'c'
+                                  WHEN 'purchase' THEN 'p'
+                                  WHEN 'signup' THEN 's'
+                                  ELSE 'e' END,
+                              '' ORDER BY ts, event_id) AS journey
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(length(journey) AS INT) AS n_events,
+               CAST(len(regexp_extract_all(journey, 'vc*p')) AS INT)
+                   AS n_funnel_matches
+        FROM j
+    """,
+    doc=(
+        "extension (clickstream/CEP): complex-event-processing "
+        "pattern match - the MATCH_RECOGNIZE / Flink-CEP analogue. "
+        "Each user's journey collapses to an ordered symbol string "
+        "(one char per event) and the funnel pattern is a REGEX "
+        "('vc*p': view, any clicks, purchase) counted per user with "
+        "leftmost non-overlapping semantics - identical in Spark's "
+        "java.util.regex and DuckDB's RE2 for this pattern class "
+        "(no backtracking constructs). Declarative sequence patterns "
+        "beat hand-rolled window chains once the pattern grows "
+        "(funnel_steps covers the fixed 3-step case). Scale: ONE "
+        "groupBy(user_id) with an ordered in-group fold; journey "
+        "length is bounded by per-user activity, and the regex runs "
+        "per user row in codegen, not per event."
+    ),
+    tags=("agg", "window"),
+)
+def cep_funnel_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    initial = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    j = (
+        events.select(
+            "user_id", F.struct("ts", "event_id", initial.alias("sym"))
+            .alias("ev")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("ev")),
+                    lambda e: e["sym"],
+                ),
+                "",
+            ).alias("journey")
+        )
+    )
+    return j.select(
+        "user_id",
+        F.length("journey").cast("int").alias("n_events"),
+        F.size(F.regexp_extract_all("journey", F.lit("vc*p"), 0))
+        .cast("int")
+        .alias("n_funnel_matches"),
+    )

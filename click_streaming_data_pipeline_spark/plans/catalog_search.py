@@ -588,3 +588,162 @@ def search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_count",
         )
     )
+
+
+def _ndcg_weights(k: int = 10) -> list[str]:
+    """1/log2(rank+1) discount as 12-decimal literals, computed ONCE
+    in python and embedded verbatim in BOTH engines' plans — DCG then
+    needs only exact decimal multiply/add, dodging cross-engine libm."""
+    import math
+
+    return [f"{1.0 / math.log2(i + 1):.12f}" for i in range(1, k + 1)]
+
+
+def _make_search_eval():
+    k = 10
+    ws = _ndcg_weights(k)
+    w_cases_rn = " ".join(
+        f"WHEN {i + 1} THEN CAST({w} AS DECIMAL(14,12))"
+        for i, w in enumerate(ws)
+    )
+    rel_sql = (
+        "(CAST(list_contains(string_split(lower(text), ' '), 'spark') "
+        "AS INT) + "
+        "CAST(list_contains(string_split(lower(text), ' '), 'stream') "
+        "AS INT))"
+    )
+    oracle = f"""
+        WITH rels AS (
+            SELECT doc_id, {rel_sql} AS rel FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, rn FROM (
+                SELECT doc_id, {_sql_score()} AS score,
+                       CAST(row_number() OVER (
+                           ORDER BY {_sql_score()} DESC, doc_id ASC
+                       ) AS INT) AS rn
+                FROM documents
+            ) WHERE rn <= {k} AND score > CAST(0.0 AS DOUBLE)
+        ),
+        dcg_t AS (
+            SELECT SUM(r.rel * CASE ranked.rn {w_cases_rn} END) AS dcg_dec,
+                   min(CASE WHEN r.rel >= 1 THEN ranked.rn END)
+                       AS first_rel_rank
+            FROM ranked JOIN rels r USING (doc_id)
+        ),
+        ideal AS (
+            SELECT rel, CAST(row_number() OVER (
+                       ORDER BY rel DESC, doc_id ASC
+                   ) AS INT) AS irn
+            FROM rels
+        ),
+        idcg_t AS (
+            SELECT SUM(rel * CASE irn {w_cases_rn} END) AS idcg_dec
+            FROM ideal WHERE irn <= {k}
+        )
+        SELECT CAST(dcg_dec AS DOUBLE) AS dcg,
+               CAST(idcg_dec AS DOUBLE) AS idcg,
+               (CAST(dcg_dec AS DOUBLE) / CAST(idcg_dec AS DOUBLE))
+                   AS ndcg,
+               CAST(first_rel_rank AS INT) AS first_rel_rank,
+               (CAST(1.0 AS DOUBLE) / first_rel_rank) AS mrr
+        FROM dcg_t, idcg_t
+    """
+
+    @query(
+        "search_eval_ndcg",
+        oracle=oracle,
+        doc=(
+            "F-extension: search-quality EVALUATION - nDCG@10 and MRR "
+            "of the boosted TF-IDF ranking against graded relevance "
+            "labels "
+            "(rel = #query terms the document contains, the standard "
+            "pseudo-qrel when no human labels exist). Rank discounts "
+            "1/log2(rank+1) are python-computed 12-decimal literals "
+            "embedded in both engines, so DCG/IDCG accumulate in "
+            "EXACT decimal space and only the final ndcg/mrr "
+            "divisions are (correctly-rounded) IEEE ops - fully "
+            "hash-oracled, unlike a libm-log formulation. Scale: "
+            "ranking + ideal ranking are the existing top-k plans "
+            "(TakeOrderedAndProject); the metric math happens on "
+            "k rows. The eval harness every search-relevance "
+            "iteration at 100 TB needs next to its index."
+        ),
+        tags=("search", "agg"),
+    )
+    def search_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        docs = _docs_with_fields(spark, sf_dir)
+        idf = _term_idf(docs)
+        toks = F.split(F.lower("text"), " ")
+        rel = (
+            F.array_contains(toks, "spark").cast("int")
+            + F.array_contains(toks, "stream").cast("int")
+        )
+        rels = docs.select("doc_id", rel.alias("rel"))
+
+        scored = docs.select(
+            "doc_id",
+            score_columns(
+                "title", "body", _TERMS, idf=idf
+            ).alias("score"),
+        )
+        w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        ranked = (
+            scored.select(
+                "doc_id",
+                "score",
+                F.row_number().over(w).cast("int").alias("rn"),
+            )
+            .filter((F.col("rn") <= k) & (F.col("score") > 0.0))
+            .select("doc_id", "rn")
+        )
+
+        def weight_of(rank_col):
+            expr = F.lit(None).cast("decimal(14,12)")
+            for i, wlit in enumerate(ws):
+                expr = F.when(
+                    rank_col == i + 1,
+                    F.lit(wlit).cast("decimal(14,12)"),
+                ).otherwise(expr)
+            return expr
+
+        dcg_t = (
+            ranked.join(rels, "doc_id")
+            .agg(
+                F.sum(F.col("rel") * weight_of(F.col("rn"))).alias(
+                    "dcg_dec"
+                ),
+                F.min(
+                    F.when(F.col("rel") >= 1, F.col("rn"))
+                ).alias("first_rel_rank"),
+            )
+        )
+        iw = Window.orderBy(F.col("rel").desc(), F.col("doc_id").asc())
+        idcg_t = (
+            rels.select(
+                "rel", F.row_number().over(iw).cast("int").alias("irn")
+            )
+            .filter(F.col("irn") <= k)
+            .agg(
+                F.sum(F.col("rel") * weight_of(F.col("irn"))).alias(
+                    "idcg_dec"
+                )
+            )
+        )
+        return dcg_t.crossJoin(idcg_t).select(
+            F.col("dcg_dec").cast("double").alias("dcg"),
+            F.col("idcg_dec").cast("double").alias("idcg"),
+            (
+                F.col("dcg_dec").cast("double")
+                / F.col("idcg_dec").cast("double")
+            ).alias("ndcg"),
+            F.col("first_rel_rank").cast("int").alias("first_rel_rank"),
+            (F.lit(1.0) / F.col("first_rel_rank")).alias("mrr"),
+        )
+
+    return search_eval_ndcg
+
+
+_make_search_eval()

@@ -1101,3 +1101,48 @@ def corpus_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return export_manifest(docs)
+
+
+@query(
+    "k_anonymity_audit",
+    oracle="""
+        SELECT lang, source,
+               CAST(floor(n_chars / 100) * 100 AS BIGINT) AS size_bin,
+               count(*) AS n_docs,
+               (count(*) < 5) AS at_risk
+        FROM documents
+        GROUP BY 1, 2, 3
+    """,
+    doc=(
+        "governance extension: K-ANONYMITY audit over the "
+        "quasi-identifier tuple (lang, source, coarse size bin) - "
+        "every equivalence class with fewer than k=5 members is a "
+        "re-identification risk the privacy review must clear before "
+        "a corpus release (the standard privacy-audit companion to "
+        "pii_redaction and forget_users). One partial-agg groupBy; "
+        "the class count is bounded by the QI domain product, never "
+        "the corpus. At 100 TB the same query also drives "
+        "generalization choices (widen the bin until every class "
+        "clears k)."
+    ),
+    tags=("agg",),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            "lang",
+            "source",
+            (F.floor(F.col("n_chars") / 100) * 100)
+            .cast("long")
+            .alias("size_bin"),
+        )
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "lang",
+            "source",
+            "size_bin",
+            "n_docs",
+            (F.col("n_docs") < 5).alias("at_risk"),
+        )
+    )

@@ -488,3 +488,95 @@ def snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("before.text")).alias("before_text_md5"),
         F.md5(F.col("after.text")).alias("after_text_md5"),
     )
+
+
+@query(
+    "data_expectations",
+    oracle="""
+        SELECT 'orders_pk_unique' AS check_name, 'orders' AS table_name,
+               (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+                   AS n_violations
+        UNION ALL
+        SELECT 'orders_custkey_not_null', 'orders',
+               (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+        UNION ALL
+        SELECT 'orders_totalprice_positive', 'orders',
+               (SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+        UNION ALL
+        SELECT 'lineitem_fk_orders', 'lineitem',
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+        UNION ALL
+        SELECT 'lineitem_quantity_positive', 'lineitem',
+               (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+        UNION ALL
+        SELECT 'events_type_accepted', 'events',
+               (SELECT count(*) FROM events
+                WHERE event_type NOT IN
+                      ('view','click','purchase','signup','error'))
+    """,
+    doc=(
+        "governance extension: declarative DATA-EXPECTATION suite "
+        "(the dbt-test / Great Expectations analogue) - primary-key "
+        "uniqueness, not-null, accepted-value, positive-range, and "
+        "referential-integrity checks computed as one report of "
+        "violation counts. The FK check is a left-anti join (the "
+        "same dead-letter shape as orphan_antijoin), everything else "
+        "is a partial-agg scan; each check touches its table once "
+        "and the report is check-count rows. The operational "
+        "companion to B7's ingest constraints: B7 gates rows entering "
+        "the system, this audits tables already at rest - at 100 TB "
+        "it runs post-load per partition, not per row."
+    ),
+    tags=("agg", "join"),
+)
+def data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+
+    def check(name: str, table: str, viol):
+        return viol.select(
+            F.lit(name).alias("check_name"),
+            F.lit(table).alias("table_name"),
+            F.col("n").cast("long").alias("n_violations"),
+        )
+
+    pk = orders.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("n")
+    )
+    nn = orders.agg(
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("n")
+    )
+    pos = orders.agg(
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("n")
+    )
+    fk = (
+        lineitem.join(
+            orders.select("o_orderkey"),
+            lineitem.l_orderkey == orders.o_orderkey,
+            "left_anti",
+        ).agg(F.count("*").alias("n"))
+    )
+    qty = lineitem.agg(
+        F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("n")
+    )
+    acc = events.agg(
+        F.count(
+            F.when(
+                ~F.col("event_type").isin(
+                    "view", "click", "purchase", "signup", "error"
+                ),
+                1,
+            )
+        ).alias("n")
+    )
+    return (
+        check("orders_pk_unique", "orders", pk)
+        .unionByName(check("orders_custkey_not_null", "orders", nn))
+        .unionByName(check("orders_totalprice_positive", "orders", pos))
+        .unionByName(check("lineitem_fk_orders", "lineitem", fk))
+        .unionByName(check("lineitem_quantity_positive", "lineitem", qty))
+        .unionByName(check("events_type_accepted", "events", acc))
+    )

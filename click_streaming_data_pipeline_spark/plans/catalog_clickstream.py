@@ -1398,3 +1398,85 @@ def cep_funnel_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_funnel_matches"),
     )
+
+
+@query(
+    "cep_funnel_regex_streamed",
+    # same oracle as cep_funnel_regex: streamed journey accumulation,
+    # drained and pattern-counted, must equal the batch CEP result
+    oracle="""
+        WITH j AS (
+            SELECT user_id,
+                   string_agg(CASE event_type
+                                  WHEN 'view' THEN 'v'
+                                  WHEN 'click' THEN 'c'
+                                  WHEN 'purchase' THEN 'p'
+                                  WHEN 'signup' THEN 's'
+                                  ELSE 'e' END,
+                              '' ORDER BY ts, event_id) AS journey
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(length(journey) AS INT) AS n_events,
+               CAST(len(regexp_extract_all(journey, 'vc*p')) AS INT)
+                   AS n_funnel_matches
+        FROM j
+    """,
+    doc=(
+        "extension (clickstream/CEP, STREAMING): per-user journey "
+        "strings assembled across micro-batches with "
+        "applyInPandasWithState (in-order per-user arrival, the "
+        "_bot_update contract); the drained converged state is "
+        "pattern-counted with the same regex as the batch twin and "
+        "must match it exactly. The Flink-CEP-shaped deployment: "
+        "accumulate sequence state per key on the stream, evaluate "
+        "patterns on emit. Production bounds journey state with "
+        "session windows or a length cap; the harness corpus is "
+        "per-user bounded already."
+    ),
+    tags=("streaming", "agg"),
+)
+def cep_funnel_regex_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from ..operators.upsert import latest_rows
+    from ..streaming.stateful import cep_journey_stream
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="csdp_cep_")
+    src = os.path.join(work, "in")
+    events.repartitionByRange(6, "ts").sortWithinPartitions(
+        "ts", "event_id"
+    ).write.mode("overwrite").parquet(src)
+    parts = sorted(f for f in os.listdir(src) if f.startswith("part-"))
+    base = _time.time() - 10_000
+    for k, f in enumerate(parts):
+        os.utime(os.path.join(src, f), (base + 10 * k, base + 10 * k))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"cep_{_uuid.uuid4().hex[:8]}"
+    q = (
+        cep_journey_stream(stream)
+        .writeStream.queryName(name)
+        .format("memory")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = latest_rows(spark.table(name), ["user_id"], ["n_events"])
+    return final.select(
+        "user_id",
+        F.col("n_events").cast("int").alias("n_events"),
+        F.size(F.regexp_extract_all("journey", F.lit("vc*p"), 0))
+        .cast("int")
+        .alias("n_funnel_matches"),
+    )

@@ -1088,3 +1088,59 @@ def seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean.alias("dow_mean_cents"),
         (F.col("day_cents").cast("double") - mean).alias("residual_cents"),
     )
+
+
+@query(
+    "conversion_latency_stats",
+    oracle=f"""
+        WITH pairs AS ({_INTERVAL_SQL}),
+        nearest AS (
+            SELECT purchase_id,
+                   min(date_diff('microsecond', click_ts, purchase_ts))
+                       AS latency_us
+            FROM pairs GROUP BY purchase_id
+        )
+        SELECT count(*) AS n_conversions,
+               min(latency_us) AS min_us,
+               quantile_cont(latency_us, 0.5) AS p50_us,
+               quantile_cont(latency_us, 0.9) AS p90_us,
+               max(latency_us) AS max_us
+        FROM nearest
+    """,
+    doc=(
+        "beyond-reference (temporal analytics): CONVERSION-LATENCY "
+        "distribution - each purchase takes the latency to its "
+        "NEAREST preceding click inside the 1h attribution window "
+        "(min over the interval-join pairs), then exact interpolated "
+        "p50/p90 over the per-purchase latencies in integer "
+        "microseconds (Spark percentile == DuckDB quantile_cont on "
+        "bigint, the value_quantiles contract). The funnel-speed KPI "
+        "behind 'how fast do clicks convert'. Scale: rides the "
+        "hot-key-safe binned interval join; the percentile input is "
+        "one row per conversion, orders of magnitude below the "
+        "event stream."
+    ),
+    tags=("join", "temporal", "agg"),
+)
+def conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    pairs = interval_join_binned(
+        _typed(events, "click"), _typed(events, "purchase"), gap_seconds=3600
+    )
+    nearest = (
+        pairs.select(
+            F.col("r_event_id").alias("purchase_id"),
+            (
+                F.unix_micros("r_ts") - F.unix_micros("l_ts")
+            ).alias("latency_us"),
+        )
+        .groupBy("purchase_id")
+        .agg(F.min("latency_us").alias("latency_us"))
+    )
+    return nearest.agg(
+        F.count("*").alias("n_conversions"),
+        F.min("latency_us").alias("min_us"),
+        F.percentile("latency_us", 0.5).alias("p50_us"),
+        F.percentile("latency_us", 0.9).alias("p90_us"),
+        F.max("latency_us").alias("max_us"),
+    )

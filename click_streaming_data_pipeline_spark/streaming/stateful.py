@@ -393,3 +393,69 @@ def scd2_stream(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# CEP journey accumulation (the streaming twin of cep_funnel_regex)
+
+CEP_STATE_SCHEMA = StructType(
+    [
+        StructField("journey", StringType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+CEP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("journey", StringType()),
+    ]
+)
+
+_CEP_SYMBOLS = {
+    "view": "v",
+    "click": "c",
+    "purchase": "p",
+    "signup": "s",
+}
+
+
+def _cep_update(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Append each event's symbol to the user's journey string in
+    (ts, event_id) order. Correct under IN-ORDER per-user arrival
+    (Kafka per-key ordering / time-ordered files), the same contract
+    as _bot_update. State grows with per-user activity — production
+    bounds it with a max-journey cap or a session window; pattern
+    counting happens downstream on the drained state, so the stream
+    stage is pure accumulation."""
+    (user_id,) = key
+    journey, n = state.get if state.exists else ("", 0)
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        journey += "".join(
+            _CEP_SYMBOLS.get(t, "e") for t in pdf["event_type"].tolist()
+        )
+        n += len(pdf)
+    state.update((journey, n))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "journey": [journey]}
+    )
+
+
+def cep_journey_stream(events_stream) -> "DataFrame":
+    """Stateful per-user journey assembly (update mode; the final
+    batch's rows carry each user's complete symbol string)."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _cep_update,
+        outputStructType=CEP_OUTPUT_SCHEMA,
+        stateStructType=CEP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

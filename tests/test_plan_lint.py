@@ -35,6 +35,7 @@ ALLPAIRS_ALLOWED = {
     # (broadcast of a single row, not an N^2 pair join)
     "value_histogram",
     "dsir_weights",
+    "search_eval_ndcg",
     "embedding_quantize",
     "weekly_value_drift",
     "weekly_value_drift_streamed",

@@ -1364,7 +1364,7 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "length is bounded by per-user activity, and the regex runs "
         "per user row in codegen, not per event."
     ),
-    tags=("agg", "window"),
+    tags=("agg", "window", "bench"),
 )
 def cep_funnel_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")

@@ -1480,3 +1480,106 @@ def cep_funnel_regex_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_funnel_matches"),
     )
+
+
+@query(
+    "user_recommendations",
+    oracle="""
+        WITH ui AS (
+            SELECT DISTINCT user_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS item
+            FROM events
+        ),
+        pair AS (
+            SELECT a.item AS item_a, b.item AS item_b,
+                   CAST(count(*) AS BIGINT) AS n_ab
+            FROM ui a
+            JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+            GROUP BY 1, 2
+            HAVING count(*) >= 3
+        ),
+        sym AS (
+            SELECT item_a AS item, item_b AS rec, n_ab FROM pair
+            UNION ALL
+            SELECT item_b, item_a, n_ab FROM pair
+        ),
+        scored AS (
+            SELECT ui.user_id, sym.rec,
+                   CAST(SUM(sym.n_ab) AS BIGINT) AS score
+            FROM ui JOIN sym ON sym.item = ui.item
+            GROUP BY 1, 2
+        ),
+        unseen AS (
+            SELECT s.user_id, s.rec, s.score
+            FROM scored s
+            LEFT JOIN ui seen
+              ON seen.user_id = s.user_id AND seen.item = s.rec
+            WHERE seen.item IS NULL
+        )
+        SELECT user_id, rec, score, rank FROM (
+            SELECT user_id, rec, score,
+                   CAST(row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY score DESC, rec ASC
+                   ) AS INT) AS rank
+            FROM unseen
+        ) WHERE rank <= 3
+    """,
+    doc=(
+        "extension (clickstream/recsys): per-user TOP-3 "
+        "RECOMMENDATIONS from item-item co-visitation - candidate "
+        "items' pair counts (support >= 3) summed over the user's "
+        "history, already-seen items anti-joined out, integer scores "
+        "with deterministic ties. The serving-table capstone on "
+        "item_cooccurrence (same pair build). Scale: history x "
+        "similar-items fan-out is bounded by (per-user items) x "
+        "(pairs per item, support-pruned); the per-user top-3 plans "
+        "as WindowGroupLimit (partial top-k below the shuffle), "
+        "never a global sort."
+    ),
+    tags=("join", "agg", "window"),
+)
+def user_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ui = events.select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+    ).distinct()
+    a = ui.select("user_id", F.col("item").alias("item_a"))
+    b = ui.select("user_id", F.col("item").alias("item_b"))
+    pair = (
+        a.join(b, "user_id")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    sym = pair.select(
+        F.col("item_a").alias("item"), F.col("item_b").alias("rec"), "n_ab"
+    ).unionByName(
+        pair.select(
+            F.col("item_b").alias("item"),
+            F.col("item_a").alias("rec"),
+            "n_ab",
+        )
+    )
+    scored = (
+        ui.join(sym, "item")
+        .groupBy("user_id", "rec")
+        .agg(F.sum("n_ab").alias("score"))
+    )
+    seen = ui.select("user_id", F.col("item").alias("rec"))
+    unseen = scored.join(seen, ["user_id", "rec"], "left_anti")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("score").desc(), F.col("rec").asc()
+    )
+    return (
+        unseen.select(
+            "user_id",
+            "rec",
+            "score",
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+        .filter(F.col("rank") <= 3)
+    )

@@ -1654,3 +1654,56 @@ def daily_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="event_type",
         valueColumnName="n",
     )
+
+
+_SQL_FUNNEL = """
+    WITH firsts AS (
+        SELECT user_id, event_type, min(ts) AS first_ts
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+        GROUP BY user_id, event_type
+    ),
+    per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN first_ts END)
+                   AS v_ts,
+               min(CASE WHEN event_type = 'click' THEN first_ts END)
+                   AS c_ts,
+               min(CASE WHEN event_type = 'purchase' THEN first_ts END)
+                   AS p_ts
+        FROM firsts
+        GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           CAST(SUM(CASE WHEN v_ts IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+           CAST(SUM(CASE WHEN v_ts IS NOT NULL AND c_ts > v_ts
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after,
+           CAST(SUM(CASE WHEN v_ts IS NOT NULL AND c_ts > v_ts
+                              AND p_ts > c_ts
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_purchased_after
+    FROM per_user
+"""
+
+
+@query(
+    "sql_api_funnel",
+    oracle=_SQL_FUNNEL,
+    doc=(
+        "SQL-API parity, complex-query form: the ordered "
+        "view->click->purchase funnel written ENTIRELY in SQL "
+        "(chained CTEs, conditional aggregation) and executed via "
+        "spark.sql() over the registered temp views - the SAME text "
+        "DuckDB runs as the oracle, proving the ANSI surface is "
+        "engine-portable beyond single-block queries. Catalyst "
+        "plans the CTE chain identically to the DataFrame funnel "
+        "(partial aggs, one user_id exchange)."
+    ),
+    tags=("agg", "sql", "window"),
+)
+def sql_api_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_SQL_FUNNEL)

@@ -1583,3 +1583,85 @@ def user_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= 3)
     )
+
+
+@query(
+    "revenue_concentration",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+            FROM events
+            WHERE event_type = 'purchase'
+            GROUP BY user_id
+        ),
+        ranked AS (
+            SELECT cents,
+                   CAST(row_number() OVER (ORDER BY cents ASC, user_id ASC)
+                        AS BIGINT) AS i,
+                   CAST(count(*) OVER () AS BIGINT) AS n
+            FROM per_user
+        )
+        SELECT max(n) AS n_users,
+               SUM(cents) AS total_cents,
+               (CAST(2 * SUM(i * cents) AS DOUBLE)
+                / (CAST(max(n) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE))
+                - CAST(max(n) + 1 AS DOUBLE) / CAST(max(n) AS DOUBLE))
+                   AS gini,
+               (CAST(SUM(CASE WHEN i > n - n // 10 THEN cents ELSE 0 END)
+                     AS DOUBLE)
+                / CAST(SUM(cents) AS DOUBLE)) AS top_decile_share
+        FROM ranked
+    """,
+    doc=(
+        "extension (clickstream/KPI): revenue CONCENTRATION - the "
+        "Gini coefficient and top-decile share of per-user purchase "
+        "revenue (the Lorenz-curve 'whales' readout every "
+        "monetization review asks for). Exactness: cent-space bigint "
+        "sums, the rank-weighted sum SUM(i*cents) is exact integer "
+        "arithmetic via one ordered window, and only the final "
+        "gini/share divisions are IEEE - bit-identical cross-engine "
+        "with deterministic (cents, user_id) tie-break. Scale: one "
+        "groupBy + one global rank over the USER dimension (rows = "
+        "users, not events); at 100 TB the rank runs on the "
+        "aggregated frame, and rangepartitioned sort handles the "
+        "user count."
+    ),
+    tags=("agg", "window"),
+)
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per_user = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(_cents()).alias("cents"))
+    )
+    w = Window.orderBy(F.col("cents").asc(), F.col("user_id").asc())
+    ranked = per_user.select(
+        "cents",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.count("*").over(
+            Window.partitionBy()
+        ).cast("long").alias("n"),
+    )
+    n = F.max("n")
+    tot = F.sum("cents")
+    iw = F.sum(F.col("i") * F.col("cents"))
+    top = F.sum(
+        F.when(
+            F.col("i") > F.col("n") - (F.col("n") / 10).cast("long"),
+            F.col("cents"),
+        ).otherwise(F.lit(0))
+    )
+    return ranked.agg(
+        n.alias("n_users"),
+        tot.alias("total_cents"),
+        (
+            (F.lit(2) * iw).cast("double")
+            / (n.cast("double") * tot.cast("double"))
+            - (n + F.lit(1)).cast("double") / n.cast("double")
+        ).alias("gini"),
+        (top.cast("double") / tot.cast("double")).alias(
+            "top_decile_share"
+        ),
+    )

@@ -1665,3 +1665,129 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_decile_share"
         ),
     )
+
+
+@query(
+    "item_cooccurrence_streamed",
+    # oracle = the batch pair build over ALL events: incremental
+    # maintenance must converge to exactly the from-scratch counts
+    oracle="""
+        WITH ui AS (
+            SELECT DISTINCT user_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS item
+            FROM events
+        )
+        SELECT a.item AS item_a, b.item AS item_b,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM ui a
+        JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+    """,
+    doc=(
+        "extension (clickstream/recsys, STREAMING): INCREMENTAL "
+        "co-visitation maintenance - each micro-batch's genuinely-new "
+        "(user, item) interactions (batch-distinct, anti-joined "
+        "against the accumulated interaction store) generate exactly "
+        "the DELTA pairs (new x prior same-user, plus new x new), "
+        "folded into the versioned replay-safe pair-count state; the "
+        "historical pair table is never rebuilt. Converged counts "
+        "must equal the from-scratch batch build bit-for-bit. Scale: "
+        "per-batch cost is (batch items) x (that user's stored "
+        "items), the true delta work - at 100 TB this is how the "
+        "serving pair table stays minutes-fresh without nightly "
+        "recomputes."
+    ),
+    tags=("streaming", "join", "agg"),
+)
+def item_cooccurrence_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..operators.incremental import fold_state_dir, read_state_dir
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="csdp_covis_")
+    src = os.path.join(work, "in")
+    ui_store = os.path.join(work, "ui")
+    pair_state = os.path.join(work, "pairs")
+    events.repartition(6).write.mode("overwrite").parquet(src)
+
+    def prior_ui(bid: int):
+        if not os.path.isdir(ui_store):
+            return None
+        parts = [
+            os.path.join(ui_store, d)
+            for d in os.listdir(ui_store)
+            if d.startswith("b") and d != f"b{bid}"
+        ]
+        return spark.read.parquet(*parts) if parts else None
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        batch_ui = batch.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        ).distinct()
+        prior = prior_ui(batch_id)
+        new_ui = (
+            batch_ui.join(prior, ["user_id", "item"], "left_anti")
+            if prior is not None
+            else batch_ui
+        ).localCheckpoint(eager=True)
+
+        within = (
+            new_ui.alias("a")
+            .join(new_ui.alias("b"), "user_id")
+            .filter(F.col("a.item") < F.col("b.item"))
+            .select(
+                F.col("a.item").alias("item_a"),
+                F.col("b.item").alias("item_b"),
+            )
+        )
+        if prior is not None:
+            cross = (
+                new_ui.alias("n")
+                .join(prior.alias("p"), "user_id")
+                .select(
+                    F.least("n.item", "p.item").alias("item_a"),
+                    F.greatest("n.item", "p.item").alias("item_b"),
+                )
+            )
+            all_pairs = within.unionByName(cross)
+        else:
+            all_pairs = within
+        delta = (
+            all_pairs.groupBy("item_a", "item_b")
+            .agg(F.count("*").alias("n"))
+            .select(
+                "item_a",
+                "item_b",
+                "n",
+                F.lit(0).cast("decimal(28,6)").alias("s"),
+                F.lit(0.0).alias("mn"),
+                F.lit(0.0).alias("mx"),
+            )
+        )
+        fold_state_dir(s, pair_state, delta, batch_id, ["item_a", "item_b"])
+        new_ui.write.mode("overwrite").parquet(
+            os.path.join(ui_store, f"b{batch_id}")
+        )
+
+    q = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        read_state_dir(spark, pair_state)
+        .filter(F.col("n") >= 3)
+        .select("item_a", "item_b", F.col("n").alias("n_ab"))
+    )

@@ -1024,3 +1024,68 @@ def rollup_cascade_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_value",
         )
     )
+
+
+@query(
+    "bucketed_revenue_join",
+    oracle=f"""
+        SELECT c_mktsegment,
+               count(*) AS n_orders,
+               {dsum_sql('o_totalprice', 'revenue')}
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    doc=(
+        "scale pattern: BUCKETED co-located join - both sides are "
+        "written bucketBy(8, custkey) + sortBy, so the recurring "
+        "orders-joins-customer runs with ZERO exchanges (each bucket "
+        "pair joins locally; the plan's only shuffle is the final "
+        "small aggregation). The physical-design answer to every "
+        "nightly fact-dim join at 100 TB: pay the bucketing once at "
+        "write time, skip the 100 TB shuffle on every subsequent "
+        "join. Values must equal the plain join exactly; the "
+        "no-Exchange property is pinned by "
+        "test_bucketed_tables_join_without_shuffle and the merge "
+        "hint keeps AQE from broadcasting the demo away."
+    ),
+    tags=("join", "scale"),
+)
+def bucketed_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    work = tempfile.mkdtemp(prefix="csdp_bucket_")
+    suffix = _uuid.uuid4().hex[:8]
+    ot, ct = f"orders_bk_{suffix}", f"customer_bk_{suffix}"
+    (
+        orders.write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", os.path.join(work, ot))
+        .saveAsTable(ot)
+    )
+    (
+        cust.write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", os.path.join(work, ct))
+        .saveAsTable(ct)
+    )
+    return (
+        spark.table(ot)
+        .join(
+            spark.table(ct).hint("merge"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+        )
+    )

@@ -1791,3 +1791,106 @@ def item_cooccurrence_streamed(
         .filter(F.col("n") >= 3)
         .select("item_a", "item_b", F.col("n").alias("n_ab"))
     )
+
+
+@query(
+    "markov_transitions_streamed",
+    # same oracle as markov_transitions: journey state accumulated on
+    # the stream, transition edges derived from the drained strings
+    oracle=_MARKOV_TRANSITIONS_SQL,
+    doc=(
+        "extension (clickstream/attribution, STREAMING): the Markov "
+        "transition matrix maintained on a stream - per-user journey "
+        "symbol strings accumulate via applyInPandasWithState (the "
+        "CEP state, one state row per user), and the drained strings "
+        "expand to first-touch/step/absorbing edges with pure "
+        "expressions (truncate at first conversion, pair adjacent "
+        "symbols, terminal null). Must equal the batch window-pass "
+        "matrix exactly. Scale: state is one string per user; the "
+        "edge expansion runs on the user dimension, never the event "
+        "stream - the always-fresh attribution feed."
+    ),
+    tags=("streaming", "agg"),
+)
+def markov_transitions_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from ..operators.upsert import latest_rows
+    from ..streaming.stateful import cep_journey_stream
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="csdp_mkv_")
+    src = os.path.join(work, "in")
+    events.repartitionByRange(6, "ts").sortWithinPartitions(
+        "ts", "event_id"
+    ).write.mode("overwrite").parquet(src)
+    parts = sorted(f for f in os.listdir(src) if f.startswith("part-"))
+    base = _time.time() - 10_000
+    for k, f in enumerate(parts):
+        os.utime(os.path.join(src, f), (base + 10 * k, base + 10 * k))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"mkv_{_uuid.uuid4().hex[:8]}"
+    q = (
+        cep_journey_stream(stream)
+        .writeStream.queryName(name)
+        .format("memory")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = latest_rows(spark.table(name), ["user_id"], ["n_events"])
+
+    sym_to_state = F.create_map(
+        F.lit("v"), F.lit("view"),
+        F.lit("c"), F.lit("click"),
+        F.lit("p"), F.lit("conv"),
+        F.lit("s"), F.lit("signup"),
+        F.lit("e"), F.lit("error"),
+    )
+    # truncate at the first conversion (inclusive); unconverted
+    # journeys get the explicit terminal 'null'
+    upto = F.when(
+        F.instr("journey", "p") > 0,
+        F.substring("journey", 1, F.instr("journey", "p")),
+    ).otherwise(F.col("journey"))
+    syms = F.split(upto, "")
+    j = final.select(
+        F.col("user_id"),
+        F.filter(syms, lambda c: c != "").alias("syms"),
+        (F.instr("journey", "p") > 0).alias("converted"),
+    )
+    starts = j.select(
+        F.lit("start").alias("from_state"),
+        sym_to_state[F.col("syms")[0]].alias("to_state"),
+    )
+    steps = (
+        j.select(
+            F.posexplode("syms").alias("pos", "sym"),
+            F.col("syms"),
+            F.col("converted"),
+        )
+        .filter(F.col("sym") != "p")
+        .select(
+            sym_to_state[F.col("sym")].alias("from_state"),
+            F.coalesce(
+                sym_to_state[F.col("syms")[F.col("pos") + 1]],
+                F.lit("null"),
+            ).alias("to_state"),
+        )
+    )
+    return (
+        starts.unionByName(steps)
+        .groupBy("from_state", "to_state")
+        .agg(F.count("*").alias("n"))
+    )

@@ -402,3 +402,17 @@ def test_scd2_build_is_single_shuffle(spark):
         .toString()
     )
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_bucketed_revenue_join_single_exchange(spark):
+    """The bucketed catalog query's only shuffle is the final
+    aggregation — the join itself must consume the bucketed layout
+    with no Exchange on either input."""
+    import re
+
+    from click_streaming_data_pipeline_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["bucketed_revenue_join"].fn(spark, SF_TEST))
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges <= 1, plan

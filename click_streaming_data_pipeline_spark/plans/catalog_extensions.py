@@ -1153,3 +1153,47 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe.alias("bpe_tokens"),
         (bpe.cast("double") / ws.cast("double")).alias("fertility"),
     )
+
+
+@query(
+    "lang_id_confusion",
+    oracle=f"""
+        WITH pred AS (
+            SELECT lang AS actual, {_PRED_SQL} AS predicted
+            FROM documents
+        )
+        SELECT actual, predicted,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               (actual = predicted) AS correct
+        FROM pred
+        GROUP BY actual, predicted
+    """,
+    doc=(
+        "extension (text/eval): language-ID CONFUSION MATRIX - the "
+        "classifier-quality readout for the lang_id heuristic "
+        "against the labeled lang column (per actual x predicted "
+        "cell counts + correctness marker; precision/recall/accuracy "
+        "are row/column ratios of this frame). The eval pattern "
+        "every model-assisted curation gate needs: before a "
+        "classifier filters 100 TB, its confusion matrix on labeled "
+        "data is the evidence. One scan + one tiny groupBy (cells "
+        "bounded by the language-vocabulary square)."
+    ),
+    tags=("text", "agg"),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("actual"),
+        predicted_lang("text").alias("predicted"),
+    )
+    return (
+        pred.groupBy("actual", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "actual",
+            "predicted",
+            "n_docs",
+            (F.col("actual") == F.col("predicted")).alias("correct"),
+        )
+    )

@@ -1144,3 +1144,56 @@ def conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("latency_us", 0.9).alias("p90_us"),
         F.max("latency_us").alias("max_us"),
     )
+
+
+@query(
+    "rolling_active_users",
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   user_id
+            FROM events
+        ),
+        spine AS (SELECT DISTINCT day FROM du)
+        SELECT s.day,
+               CAST(count(DISTINCT du.user_id) AS BIGINT) AS wau
+        FROM spine s
+        JOIN du ON du.day BETWEEN s.day - INTERVAL 6 DAY AND s.day
+        GROUP BY s.day
+    """,
+    doc=(
+        "beyond-reference (temporal KPI): trailing-7-day ACTIVE "
+        "USERS per day (WAU) - the windowed-distinct problem that "
+        "plain window frames cannot express (no count-distinct over "
+        "RANGE windows). Shape: dedup to (day, user) once, then each "
+        "row joins to at most 7 spine days (broadcast day spine) and "
+        "a distinct-count per day finishes it - fan-out bounded by "
+        "the window length, NEVER events x days. At 100 TB the "
+        "(day, user) frame is the only corpus-scale aggregate; the "
+        "rest runs on user x 7 rows. The mergeable approximate form "
+        "swaps count(DISTINCT) for HLL-union over per-day sketches "
+        "(hll_sketch_views pattern)."
+    ),
+    tags=("agg", "temporal", "join"),
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    du = events.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id"
+    ).distinct()
+    spine = du.select("day").distinct()
+    # each (day, user) row contributes to the 7 trailing windows
+    # ending on day..day+6: explode the bounded fan-out, then an
+    # EQUI semi-join on the day spine drops targets past the data —
+    # no non-equi join anywhere in the plan
+    targets = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+        "user_id",
+    )
+    return (
+        targets.join(F.broadcast(spine), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )

@@ -259,3 +259,47 @@ def forget_keys(
         "partitions_dropped": dropped,
         "rows_deleted": before - after,
     }
+
+
+def vacuum_orphans(
+    table_dir: str,
+    committed_files: set[str],
+    *,
+    min_age_seconds: float = 0.0,
+) -> dict:
+    """Manifest-based VACUUM: delete data files under ``table_dir``
+    that are NOT in the committed set (failed-job debris, superseded
+    compaction inputs, interrupted writes). The lakehouse GC
+    primitive — readers only ever see committed files via the
+    manifest, so removing orphans is invisible to queries; the
+    ``min_age_seconds`` guard (Delta's retention check) keeps an
+    in-flight writer's fresh files safe from a concurrent vacuum.
+
+    ``committed_files`` holds paths relative to ``table_dir`` (as a
+    manifest records them). Returns counts + bytes reclaimed.
+    Driver-side listing: at warehouse scale this walks the object
+    store listing against the manifest — O(files), no data read."""
+    import time
+
+    now = time.time()
+    kept = removed = reclaimed = 0
+    for dp, _, fs in os.walk(table_dir):
+        for f in fs:
+            full = os.path.join(dp, f)
+            rel = os.path.relpath(full, table_dir)
+            if not f.endswith(".parquet"):
+                continue
+            if rel in committed_files:
+                kept += 1
+                continue
+            if now - os.path.getmtime(full) < min_age_seconds:
+                kept += 1
+                continue
+            reclaimed += os.path.getsize(full)
+            os.remove(full)
+            removed += 1
+    return {
+        "files_kept": kept,
+        "files_removed": removed,
+        "bytes_reclaimed": reclaimed,
+    }

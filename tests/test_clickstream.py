@@ -504,3 +504,45 @@ def test_markov_attribution_credits_the_only_converting_channel(spark):
     assert by["click"][0] == 1.0
     assert by["view"][0] == 0.0
     assert by["click"][1] == 1.0
+
+
+def test_vacuum_orphans_removes_only_uncommitted(spark, tmp_path):
+    """Orphan GC: committed files and too-fresh files survive, stale
+    orphans are deleted, and the table's committed rows are intact."""
+    import os
+    import time
+
+    from click_streaming_data_pipeline_spark.operators.maintenance import (
+        vacuum_orphans,
+    )
+    from click_streaming_data_pipeline_spark.sources import load_table
+
+    from .conftest import SF_TEST
+
+    table = str(tmp_path / "t")
+    docs = load_table(spark, SF_TEST, "documents").limit(100)
+    docs.write.mode("overwrite").parquet(table)
+    committed = {
+        f for f in os.listdir(table) if f.endswith(".parquet")
+    }
+    n_rows = spark.read.parquet(table).count()
+
+    # plant debris: a stale orphan and a fresh (in-flight) orphan
+    stale = os.path.join(table, "part-orphan-stale.parquet")
+    fresh = os.path.join(table, "part-orphan-fresh.parquet")
+    for p in (stale, fresh):
+        with open(p, "wb") as fh:
+            fh.write(b"not-a-real-parquet")
+    old = time.time() - 3600
+    os.utime(stale, (old, old))
+
+    stats = vacuum_orphans(table, committed, min_age_seconds=600)
+    assert stats["files_removed"] == 1
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)
+    # committed files untouched; with the debris gone the table
+    # reads back exactly its committed rows
+    for f in committed:
+        assert os.path.exists(os.path.join(table, f))
+    os.remove(fresh)
+    assert spark.read.parquet(table).count() == n_rows

@@ -1197,3 +1197,87 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("wau"))
     )
+
+
+@query(
+    "click_purchase_semi_streamed",
+    oracle="""
+        SELECT c.user_id,
+               c.event_id AS click_id, c.ts AS click_ts
+        FROM (SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'click') c
+        WHERE EXISTS (
+            SELECT 1 FROM events p
+            WHERE p.event_type = 'purchase'
+              AND p.user_id = c.user_id
+              AND p.ts >= c.ts
+              AND p.ts <= c.ts + INTERVAL '1 hour'
+        )
+    """,
+    doc=(
+        "beyond-reference: LEFT SEMI stream-stream join - each click "
+        "emits AT MOST ONCE, when its first in-window purchase "
+        "arrives (the existence test of E1 lifted to two live "
+        "streams); no purchase columns leak and no duplicate emission "
+        "however many purchases match - semantics a projected inner "
+        "join + dropDuplicates would need extra state to fake. "
+        "Completes the stream-stream family (inner, left outer, full "
+        "outer, semi). Watermarks bound both sides' state; equals "
+        "the batch EXISTS exactly."
+    ),
+    tags=("streaming", "join", "temporal"),
+)
+def click_purchase_semi_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="csdp_sssj_")
+    src = os.path.join(work, "in")
+    events.repartition(6).write.mode("overwrite").parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 3)
+            .parquet(src)
+        )
+
+    clicks = (
+        stream()
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "90 days")
+    )
+    purchases = (
+        stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "90 days")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 1 hour")
+        ),
+        "left_semi",
+    )
+    name = f"sssj_{_uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.queryName(name)
+        .format("memory")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("user_id", "click_id", "click_ts")

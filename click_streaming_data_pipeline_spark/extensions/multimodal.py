@@ -348,3 +348,129 @@ def decode_pgm(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return assets.mapInPandas(batches, schema=PGM_DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode: WAV (RIFF, 8-bit PCM), parsed with pure numpy —
+# same story as the PGM lane: a genuine documented container format
+# handled without codec libraries; mp3/flac would swap in soundfile
+# behind the same schema.
+
+WAV_DECODE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("decode_ok", BooleanType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("amp_sum", LongType()),
+        StructField("amp_sumsq", LongType()),
+        StructField("amp_min", LongType()),
+        StructField("amp_max", LongType()),
+    ]
+)
+
+WAV_SAMPLE_RATE = 8000
+
+
+def synth_wav_assets(docs: DataFrame) -> DataFrame:
+    """Pack each document's ASCII bytes as a REAL mono 8-bit PCM WAV
+    file (RIFF/fmt/data chunks, correct little-endian sizes) — text
+    bytes become the waveform. Arrow-batched packer; any WAV tool
+    plays the output."""
+    import struct
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for txt in pdf["text"]:
+                data = txt.encode("utf-8")
+                fmt = struct.pack(
+                    "<4sIHHIIHH", b"fmt ", 16, 1, 1,
+                    WAV_SAMPLE_RATE, WAV_SAMPLE_RATE, 1, 8,
+                )
+                payload = fmt + struct.pack("<4sI", b"data", len(data)) + data
+                riff = struct.pack(
+                    "<4sI4s", b"RIFF", 4 + len(payload), b"WAVE"
+                )
+                blobs.append(riff + payload)
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "content": blobs}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches,
+        schema=StructType(
+            [
+                StructField("asset_id", LongType()),
+                StructField("content", BinaryType()),
+            ]
+        ),
+    )
+
+
+def _parse_wav(b: bytes):
+    """Strict RIFF/WAVE walker: verifies magics and sizes, requires
+    uncompressed mono 8-bit PCM, returns (sample_rate, uint8 samples)
+    or None."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    (riff_size,) = struct.unpack("<I", b[4:8])
+    if riff_size != len(b) - 8:
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid, csize = struct.unpack("<4sI", b[pos : pos + 8])
+        body = b[pos + 8 : pos + 8 + csize]
+        if len(body) != csize:
+            return None
+        if cid == b"fmt ":
+            if csize < 16:
+                return None
+            audio_fmt, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1 or channels != 1 or bits != 8:
+                return None
+            fmt = rate
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    return fmt, np.frombuffer(data, dtype=np.uint8)
+
+
+def decode_wav(assets: DataFrame) -> DataFrame:
+    """Arrow-batched REAL audio decode: walk the RIFF container,
+    validate the PCM format chunk, and emit exact integer amplitude
+    statistics; malformed blobs dead-letter with decode_ok=false."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k.name: [] for k in WAV_DECODE_SCHEMA.fields}
+            for aid, blob in zip(pdf["asset_id"], pdf["content"]):
+                parsed = _parse_wav(bytes(blob))
+                rows["asset_id"].append(aid)
+                if parsed is None or len(parsed[1]) == 0:
+                    rows["decode_ok"].append(False)
+                    for k in ("sample_rate", "n_samples", "amp_sum",
+                              "amp_sumsq", "amp_min", "amp_max"):
+                        rows[k].append(None)
+                    continue
+                rate, s = parsed
+                rows["decode_ok"].append(True)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(s))
+                rows["amp_sum"].append(int(s.sum(dtype="int64")))
+                rows["amp_sumsq"].append(
+                    int((s.astype("int64") ** 2).sum())
+                )
+                rows["amp_min"].append(int(s.min()))
+                rows["amp_max"].append(int(s.max()))
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(batches, schema=WAV_DECODE_SCHEMA)

@@ -1238,3 +1238,48 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_pgm(synth_pgm_assets(docs))
+
+
+@query(
+    "audio_decode_stats",
+    oracle=f"""
+        SELECT doc_id AS asset_id,
+               TRUE AS decode_ok,
+               CAST({8000} AS BIGINT) AS sample_rate,
+               CAST(length(text) AS BIGINT) AS n_samples,
+               CAST(list_aggregate(list_transform(
+                   generate_series(1, length(text)), j -> ord(text[j])),
+                   'sum') AS BIGINT) AS amp_sum,
+               CAST(list_aggregate(list_transform(
+                   generate_series(1, length(text)),
+                   j -> ord(text[j]) * ord(text[j])),
+                   'sum') AS BIGINT) AS amp_sumsq,
+               CAST(list_aggregate(list_transform(
+                   generate_series(1, length(text)), j -> ord(text[j])),
+                   'min') AS BIGINT) AS amp_min,
+               CAST(list_aggregate(list_transform(
+                   generate_series(1, length(text)), j -> ord(text[j])),
+                   'max') AS BIGINT) AS amp_max
+        FROM documents
+        WHERE length(text) > 0
+    """,
+    doc=(
+        "extension (multimodal, REAL decode, audio): document bytes "
+        "are packed into genuine mono 8-bit PCM WAV files (correct "
+        "RIFF/fmt/data chunk structure) and decoded back by a strict "
+        "pure-numpy RIFF walker inside Arrow mapInPandas - container "
+        "traversal, format validation, dead-letter on malformed; "
+        "mp3/flac would swap in soundfile behind the same schema. "
+        "Amplitude statistics (sum, energy=sum-of-squares, min/max) "
+        "are exact integers the DuckDB oracle reproduces from the "
+        "source text (ASCII codepoints == PCM samples). The "
+        "pack->parse round-trip proves both sides. Scan-stage only, "
+        "no shuffle."
+    ),
+    tags=("multimodal",),
+)
+def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.multimodal import decode_wav, synth_wav_assets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_wav(synth_wav_assets(docs)).filter(F.col("decode_ok"))

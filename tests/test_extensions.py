@@ -848,3 +848,45 @@ def test_pgm_decode_real_parser_and_deadletter(spark):
     assert rows[1]["decode_ok"] and rows[1]["px_sum"] == 88 + 89 + 90
     assert rows[1]["width"] == 3 and rows[1]["height"] == 1
     assert not rows[2]["decode_ok"] and rows[2]["px_sum"] is None
+
+
+def test_wav_decode_real_parser_and_deadletter(spark):
+    """RIFF walker: valid synthesized WAVs decode exactly; corrupt
+    magic/size/format variants dead-letter."""
+    import struct
+
+    from click_streaming_data_pipeline_spark.extensions.multimodal import (
+        _parse_wav,
+        decode_wav,
+        synth_wav_assets,
+    )
+
+    def wav(data: bytes, rate=8000, bits=8, channels=1, fmt_code=1):
+        fmt = struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, fmt_code, channels,
+            rate, rate, 1, bits,
+        )
+        payload = fmt + struct.pack("<4sI", b"data", len(data)) + data
+        return struct.pack("<4sI4s", b"RIFF", 4 + len(payload), b"WAVE") + payload
+
+    ok = _parse_wav(wav(b"AZ"))
+    assert ok is not None and ok[0] == 8000
+    assert ok[1].tolist() == [65, 90]
+    assert _parse_wav(b"RIFX" + wav(b"AZ")[4:]) is None  # magic
+    assert _parse_wav(wav(b"AZ")[:-1]) is None  # size mismatch
+    assert _parse_wav(wav(b"AZ", bits=16)) is None  # unsupported bits
+    assert _parse_wav(wav(b"AZ", channels=2)) is None  # stereo
+    assert _parse_wav(wav(b"AZ", fmt_code=3)) is None  # non-PCM
+
+    # synth -> decode round-trip equals direct text stats
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, "Z")], "doc_id long, text string"
+    )
+    rows = {
+        r["asset_id"]: r
+        for r in decode_wav(synth_wav_assets(docs)).collect()
+    }
+    assert rows[1]["decode_ok"] and rows[1]["n_samples"] == 3
+    assert rows[1]["amp_sum"] == ord("a") + ord("b") + ord("c")
+    assert rows[1]["amp_sumsq"] == sum(ord(c) ** 2 for c in "abc")
+    assert rows[2]["amp_min"] == rows[2]["amp_max"] == 90

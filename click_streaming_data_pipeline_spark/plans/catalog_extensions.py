@@ -1283,3 +1283,42 @@ def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_wav(synth_wav_assets(docs)).filter(F.col("decode_ok"))
+
+
+@query(
+    "video_decode_stats",
+    oracle="""
+        SELECT doc_id AS asset_id,
+               CAST(f AS BIGINT) AS frame_idx,
+               CAST(list_aggregate(list_transform(
+                   generate_series(f*16 + 1, f*16 + 16),
+                   j -> ord(text[j])), 'sum') AS BIGINT) AS luma_sum,
+               CAST(list_aggregate(list_transform(
+                   generate_series(f*16 + 1, f*16 + 16),
+                   j -> ord(text[j])), 'min') AS BIGINT) AS luma_min,
+               CAST(list_aggregate(list_transform(
+                   generate_series(f*16 + 1, f*16 + 16),
+                   j -> ord(text[j])), 'max') AS BIGINT) AS luma_max
+        FROM documents,
+             UNNEST(generate_series(0, length(text)//16 - 1)) AS t(f)
+        WHERE length(text) >= 16
+    """,
+    doc=(
+        "extension (multimodal, REAL decode, video): document bytes "
+        "are packed into genuine Y4M/YUV4MPEG2 streams (tagged ASCII "
+        "header, FRAME-delimited raw mono luma planes - a real "
+        "uncompressed video container) and decoded back by a strict "
+        "pure-numpy parser emitting one row PER FRAME: the 1:N "
+        "temporal fan-out of a production frame pipeline, with exact "
+        "integer luma stats the DuckDB oracle reproduces from the "
+        "source text. Completes the real-decode trio (PGM image, WAV "
+        "audio, Y4M video); H.264 would swap in PyAV behind the same "
+        "schema. Scan-stage fan-out, no shuffle."
+    ),
+    tags=("multimodal",),
+)
+def video_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.multimodal import decode_y4m, synth_y4m_assets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_y4m(synth_y4m_assets(docs))

@@ -890,3 +890,35 @@ def test_wav_decode_real_parser_and_deadletter(spark):
     assert rows[1]["amp_sum"] == ord("a") + ord("b") + ord("c")
     assert rows[1]["amp_sumsq"] == sum(ord(c) ** 2 for c in "abc")
     assert rows[2]["amp_min"] == rows[2]["amp_max"] == 90
+
+
+def test_y4m_decode_real_parser(spark):
+    """Y4M walker: valid streams decode per-frame; bad magic, missing
+    FRAME marker, truncated plane, and non-mono colorspace reject."""
+    from click_streaming_data_pipeline_spark.extensions.multimodal import (
+        _parse_y4m,
+        decode_y4m,
+        synth_y4m_assets,
+    )
+
+    good = b"YUV4MPEG2 W4 H1 F25:1 Cmono\nFRAME\nABCDFRAME\nWXYZ"
+    ok = _parse_y4m(good)
+    assert ok is not None
+    w, h, frames = ok
+    assert (w, h, len(frames)) == (4, 1, 2)
+    assert frames[0].tolist() == [65, 66, 67, 68]
+    assert _parse_y4m(b"YUV4MPEG3" + good[9:]) is None
+    assert _parse_y4m(good.replace(b"Cmono", b"C420")) is None
+    assert _parse_y4m(good[:-1]) is None  # truncated plane
+    assert _parse_y4m(
+        b"YUV4MPEG2 W4 H1 F25:1 Cmono\nXRAME\nABCD"
+    ) is None
+
+    docs = spark.createDataFrame(
+        [(1, "0123456789abcdef0123456789abcdefZZ")],
+        "doc_id long, text string",
+    )
+    rows = decode_y4m(synth_y4m_assets(docs)).collect()
+    # 34 chars -> 2 full 16-byte frames, tail dropped
+    assert len(rows) == 2
+    assert rows[0]["luma_sum"] == sum(ord(c) for c in "0123456789abcdef")

@@ -1281,3 +1281,70 @@ def click_purchase_semi_streamed(
     )
     q.awaitTermination()
     return spark.table(name).select("user_id", "click_id", "click_ts")
+
+
+@query(
+    "time_weighted_value",
+    oracle="""
+        WITH stepped AS (
+            SELECT user_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   CAST(date_diff('microsecond', ts,
+                       lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id))
+                       AS BIGINT) AS dur_us
+            FROM events
+        )
+        SELECT user_id,
+               SUM(cents * dur_us) AS weighted_area,
+               SUM(dur_us) AS span_us,
+               (CAST(SUM(cents * dur_us) AS DOUBLE)
+                / CAST(SUM(dur_us) AS DOUBLE)) AS twa_cents
+        FROM stepped
+        WHERE dur_us IS NOT NULL
+        GROUP BY user_id
+        HAVING SUM(dur_us) > 0
+    """,
+    doc=(
+        "beyond-reference (temporal analytics): TIME-WEIGHTED "
+        "average value per user over irregularly-spaced events "
+        "(last-observation-carried-forward integration: each "
+        "reading holds until the next one, its weight is that "
+        "duration) - the irregular-timeseries mean a plain AVG gets "
+        "wrong whenever sampling is bursty (the TimescaleDB "
+        "time_weight primitive). Exactness: cents x microsecond "
+        "durations are exact bigint products/sums; one final IEEE "
+        "division. One window pass per user (the same exchange all "
+        "per-user queries share) then a partial-agg groupBy."
+    ),
+    tags=("temporal", "window", "agg"),
+)
+def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = events.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+        ).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.sum(F.col("cents") * F.col("dur_us")).alias("weighted_area"),
+            F.sum("dur_us").alias("span_us"),
+        )
+        .filter(F.col("span_us") > 0)
+        .select(
+            "user_id",
+            "weighted_area",
+            "span_us",
+            (
+                F.col("weighted_area").cast("double")
+                / F.col("span_us").cast("double")
+            ).alias("twa_cents"),
+        )
+    )

@@ -1348,3 +1348,73 @@ def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twa_cents"),
         )
     )
+
+
+@query(
+    "hourly_ohlc",
+    oracle="""
+        WITH base AS (
+            SELECT event_type,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   row_number() OVER (
+                       PARTITION BY event_type, date_trunc('hour', ts)
+                       ORDER BY ts ASC, event_id ASC) AS rn_open,
+                   row_number() OVER (
+                       PARTITION BY event_type, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn_close
+            FROM events
+        )
+        SELECT event_type, hour,
+               SUM(CASE WHEN rn_open = 1 THEN cents END) AS open_cents,
+               max(cents) AS high_cents,
+               min(cents) AS low_cents,
+               SUM(CASE WHEN rn_close = 1 THEN cents END) AS close_cents,
+               count(*) AS n_events
+        FROM base
+        GROUP BY event_type, hour
+    """,
+    doc=(
+        "beyond-reference (temporal analytics): OHLC / candlestick "
+        "rollup per (event_type, hour) - open and close are the "
+        "chronologically first/last readings (deterministic "
+        "(ts, event_id) tie-break via dual row_numbers, NOT "
+        "arg_min/max whose tie behavior is engine-specific), "
+        "high/low/volume are plain aggregates; everything in exact "
+        "integer cents. The finance-shaped summary every metrics "
+        "dashboard draws. Scale: both window passes and the final "
+        "aggregate share ONE (event_type, hour) exchange; at 100 TB "
+        "this is the standard pre-aggregation the rollup_cascade "
+        "then maintains incrementally."
+    ),
+    tags=("temporal", "window", "agg"),
+)
+def hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", "ts")
+    wa = Window.partitionBy("event_type", hour).orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wd = Window.partitionBy("event_type", hour).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    base = events.select(
+        "event_type",
+        hour.alias("hour"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.row_number().over(wa).alias("rn_open"),
+        F.row_number().over(wd).alias("rn_close"),
+    )
+    return base.groupBy("event_type", "hour").agg(
+        F.sum(F.when(F.col("rn_open") == 1, F.col("cents"))).alias(
+            "open_cents"
+        ),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.sum(F.when(F.col("rn_close") == 1, F.col("cents"))).alias(
+            "close_cents"
+        ),
+        F.count("*").alias("n_events"),
+    )

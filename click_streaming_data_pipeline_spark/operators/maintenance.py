@@ -303,3 +303,47 @@ def vacuum_orphans(
         "files_removed": removed,
         "bytes_reclaimed": reclaimed,
     }
+
+
+def write_audit_publish(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    audits,
+) -> dict:
+    """WRITE-AUDIT-PUBLISH: stage the data, run audit queries against
+    the STAGED files, and only then atomically swap staging into the
+    published location — readers either see the old table or the
+    fully-audited new one, never a half-written or failing state (the
+    Iceberg/Netflix WAP pattern; dbt build's test-then-promote).
+
+    ``audits`` is a list of (name, fn) where fn(DataFrame) -> number
+    of violations in the staged data; any violation aborts publish
+    and leaves the current table untouched (staging is kept for
+    debugging, under ``<table_dir>.quarantine``).
+
+    Returns {"published": bool, "violations": {name: n}}. Scale: the
+    swap is a metadata move; audits are plain Spark jobs over staged
+    files — the audit cost is the price of never publishing bad data.
+    """
+    import shutil
+
+    staging = table_dir + ".staging"
+    df.write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
+    violations = {name: int(fn(staged)) for name, fn in audits}
+    if any(v > 0 for v in violations.values()):
+        quarantine = table_dir + ".quarantine"
+        if os.path.isdir(quarantine):
+            shutil.rmtree(quarantine)
+        os.replace(staging, quarantine)
+        return {"published": False, "violations": violations}
+    old = table_dir + ".old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    if os.path.isdir(table_dir):
+        os.replace(table_dir, old)
+    os.replace(staging, table_dir)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    return {"published": True, "violations": violations}

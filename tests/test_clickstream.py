@@ -546,3 +546,49 @@ def test_vacuum_orphans_removes_only_uncommitted(spark, tmp_path):
         assert os.path.exists(os.path.join(table, f))
     os.remove(fresh)
     assert spark.read.parquet(table).count() == n_rows
+
+
+def test_write_audit_publish_gates_bad_data(spark, tmp_path):
+    """WAP: clean data publishes atomically; data failing an audit is
+    quarantined and the published table is untouched."""
+    from pyspark.sql import functions as F
+
+    from click_streaming_data_pipeline_spark.operators.maintenance import (
+        write_audit_publish,
+    )
+    from click_streaming_data_pipeline_spark.sources import load_table
+
+    from .conftest import SF_TEST
+
+    table = str(tmp_path / "published")
+    ev = load_table(spark, SF_TEST, "events")
+    audits = [
+        ("no_null_users", lambda d: d.filter(
+            F.col("user_id").isNull()).count()),
+        ("positive_values", lambda d: d.filter(
+            F.col("value") < 0).count()),
+    ]
+
+    r1 = write_audit_publish(spark, ev, table, audits)
+    assert r1["published"] and all(v == 0 for v in r1["violations"].values())
+    n_good = spark.read.parquet(table).count()
+    assert n_good == ev.count()
+
+    # poisoned update: nulls in user_id must NOT reach the table
+    bad = ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 10 == 0, None).otherwise(
+            F.col("user_id")
+        ),
+    )
+    r2 = write_audit_publish(spark, bad, table, audits)
+    assert not r2["published"]
+    assert r2["violations"]["no_null_users"] > 0
+    # published table untouched; quarantine holds the rejected data
+    assert spark.read.parquet(table).count() == n_good
+    assert spark.read.parquet(table).filter(
+        F.col("user_id").isNull()
+    ).count() == 0
+    import os
+
+    assert os.path.isdir(table + ".quarantine")

@@ -765,3 +765,78 @@ def cdc_pipeline_pyds_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return latest_rows(spark.table(name), ["doc_id"], ["version", "ts_ms"])
+
+
+@query(
+    "window_sliding_append_streamed",
+    # emitted set == sliding windows (1h every 30min) whose END has
+    # been passed by the final watermark (max ts - 2h)
+    oracle="""
+        WITH wm AS (
+            SELECT max(ts) - INTERVAL 2 HOUR AS horizon FROM events
+        ),
+        expanded AS (
+            SELECT unnest([
+                time_bucket(INTERVAL '30 minutes', ts),
+                time_bucket(INTERVAL '30 minutes', ts)
+                    - INTERVAL '30 minutes'
+            ]) AS window_start, ts
+            FROM events
+        )
+        SELECT window_start, CAST(count(*) AS BIGINT) AS n_events
+        FROM expanded, wm
+        WHERE window_start + INTERVAL 1 HOUR <= horizon
+        GROUP BY 1
+    """,
+    doc=(
+        "I2 streaming, APPEND mode, SLIDING windows: the overlapping "
+        "1h/30min windows drain exactly once as the watermark passes "
+        "each window's end - state per key is #overlap windows (2 "
+        "here), evicted on emit. Emitted set == batch sliding "
+        "windows with end <= max(ts) - delay (the oracle); in-order "
+        "arrival forced by per-file mtimes, same harness as the "
+        "tumbling append twin."
+    ),
+    tags=("streaming", "window"),
+)
+def window_sliding_append_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="csdp_slwin_")
+    src = os.path.join(work, "in")
+    events.repartitionByRange(6, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(src)
+    parts = sorted(f for f in os.listdir(src) if f.startswith("part-"))
+    base = _time.time() - 10_000
+    for k, f in enumerate(parts):
+        os.utime(os.path.join(src, f), (base + 10 * k, base + 10 * k))
+
+    agg = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    name = f"slwin_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.queryName(name)
+        .format("memory")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("w.start").alias("window_start"), "n_events"
+    )

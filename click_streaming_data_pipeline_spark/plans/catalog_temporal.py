@@ -1418,3 +1418,73 @@ def hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_events"),
     )
+
+
+_EDGES_SQL = """
+        SELECT DISTINCT src, dst FROM (
+            SELECT lag(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS src,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER)
+                       AS dst
+            FROM events
+        ) WHERE src IS NOT NULL AND src <> dst
+"""
+
+
+@query(
+    "page_reach_bfs",
+    oracle=f"""
+        WITH RECURSIVE edges AS ({_EDGES_SQL}),
+        reach(node, dist) AS (
+            SELECT 0 AS node, 0 AS dist
+            UNION
+            SELECT e.dst, r.dist + 1
+            FROM reach r JOIN edges e ON e.src = r.node
+            WHERE r.dist < 4
+        )
+        SELECT node, CAST(min(dist) AS INTEGER) AS distance
+        FROM reach
+        GROUP BY node
+    """,
+    doc=(
+        "beyond-reference graph analytics: bounded-hop BFS "
+        "REACHABILITY - shortest-path distance (<= 4 hops) from page "
+        "0 over the deduplicated transition graph, the 'what can a "
+        "session reach from here' traversal. Spark side is the "
+        "Pregel-on-DataFrames frontier loop (per hop: frontier JOIN "
+        "edges -> new frontier minus visited, both localCheckpointed "
+        "like dedup_clusters); DuckDB verifies with a genuinely "
+        "RECURSIVE CTE - the one query class Spark SQL lacks "
+        "natively, expressed as a bounded driver loop instead. "
+        "Scale: each hop is one equi-join shuffle on the frontier "
+        "(frontier-sized, not graph-sized); hop count bounds the "
+        "iteration like every production BFS."
+    ),
+    tags=("graph", "join"),
+)
+def page_reach_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.graph import transition_edges
+
+    edges = (
+        transition_edges(load_table(spark, sf_dir, "events"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = spark.createDataFrame([(0, 0)], "node int, distance int")
+    frontier = visited
+    for hop in range(1, 5):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).alias("distance"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.select(F.col("node").cast("int"), F.col("distance").cast("int"))

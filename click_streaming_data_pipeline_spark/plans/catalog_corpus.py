@@ -1146,3 +1146,38 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_docs") < 5).alias("at_risk"),
         )
     )
+
+
+@query(
+    "group_aware_split",
+    oracle="""
+        SELECT doc_id, source,
+               CASE WHEN substr(md5(source), 1, 2) < 'cd' THEN 'train'
+                    WHEN substr(md5(source), 1, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    doc=(
+        "extension (corpus curation): GROUP-AWARE train/val/test "
+        "split - the bucket hash runs on the GROUP key (source), not "
+        "the row id, so every document from one source lands in the "
+        "same split and evaluation never sees near-copies of "
+        "training material from a shared origin (the leakage mode a "
+        "row-hash split invites when groups correlate content; same "
+        "principle as GroupKFold / user-level splits). Pure "
+        "expression, resharding-stable, zero RNG; the companion to "
+        "dataset_split when rows cluster by origin."
+    ),
+    tags=("corpus",),
+)
+def group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("source")), 1, 2)
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(bucket < "cd", "train")
+        .when(bucket < "e6", "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -1322,3 +1322,99 @@ def video_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_y4m(synth_y4m_assets(docs))
+
+
+@query(
+    "user_embedding_profile",
+    oracle="""
+        WITH ui AS (
+            SELECT DISTINCT user_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS item
+            FROM events
+        ),
+        j AS (
+            SELECT ui.user_id, ui.item,
+                   CAST(e.embedding AS DOUBLE[]) AS v
+            FROM ui JOIN embeddings e ON e.vec_id = ui.item
+        ),
+        g AS (
+            SELECT user_id, list(v ORDER BY item) AS vs,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM j GROUP BY user_id
+        )
+        SELECT user_id, n_items,
+               (list_reduce(list_transform(vs, x -> x[1]),
+                            (a, b) -> a + b) / n_items) AS p0,
+               (list_reduce(list_transform(vs, x -> x[2]),
+                            (a, b) -> a + b) / n_items) AS p1,
+               (list_reduce(list_transform(vs, x -> x[3]),
+                            (a, b) -> a + b) / n_items) AS p2,
+               (list_reduce(list_transform(vs, x -> x[4]),
+                            (a, b) -> a + b) / n_items) AS p3
+        FROM g
+    """,
+    doc=(
+        "extension (recsys/embedding): USER EMBEDDING PROFILE - the "
+        "mean embedding of each user's interacted items (the "
+        "content-based user vector that feeds personalized retrieval "
+        "and cold-start ranking; two-tower-lite). Centroid is the "
+        "repo's item-id-ordered sequential fold (collect -> sort -> "
+        "zip_with aggregate), so both engines chain the SAME IEEE "
+        "additions per dimension - bit-exact, like "
+        "embedding_label_outliers; leading dims project to driver-"
+        "safe scalars. Scale: per-user fold is bounded by history "
+        "length; the item->vector join broadcasts the item-embedding "
+        "dim table. Pair with knn_topk over these profiles for "
+        "user-to-item retrieval."
+    ),
+    tags=("similarity", "join"),
+)
+def user_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.similarity import _as_double
+
+    events = load_table(spark, sf_dir, "events")
+    emb = load_table(spark, sf_dir, "embeddings")
+    ui = events.select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+    ).distinct()
+    j = ui.join(
+        F.broadcast(
+            emb.select(
+                F.col("vec_id").alias("item"),
+                _as_double(F.col("embedding")).alias("v"),
+            )
+        ),
+        "item",
+    )
+    zero = F.array(*[F.lit(0.0) for _ in range(64)])
+    folded = (
+        j.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("item").alias("i"),
+                                        F.col("v").alias("v")))
+            ).alias("vs"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            "user_id",
+            "n_items",
+            F.transform(
+                F.aggregate(
+                    F.col("vs"),
+                    zero,
+                    lambda acc, s: F.zip_with(
+                        acc, s["v"], lambda a, b: a + b
+                    ),
+                ),
+                lambda x: x / F.col("n_items"),
+            ).alias("cen"),
+        )
+    )
+    return folded.select(
+        "user_id",
+        "n_items",
+        *[F.col("cen")[i].alias(f"p{i}") for i in range(4)],
+    )

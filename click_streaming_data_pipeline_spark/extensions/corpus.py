@@ -683,3 +683,27 @@ def dataset_split_col(id_col: Column) -> Column:
         .when(b < VAL_MAX_HEX, F.lit("val"))
         .otherwise(F.lit("test"))
     )
+
+
+def leakage_pairs(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact-duplicate pairs straddling the train/eval boundary: rows
+    whose content hash matches a training row but whose own split is
+    val/test (see split_leakage_audit catalog query)."""
+    s = docs.select(
+        F.col(id_col),
+        F.md5(text_col).alias("h"),
+        dataset_split_col(F.col(id_col)).alias("split"),
+    )
+    train = s.filter(F.col("split") == "train").select(
+        F.col(id_col).alias("train_doc"), "h"
+    )
+    ev = s.filter(F.col("split") != "train").select(
+        F.col(id_col).alias("eval_doc"),
+        "h",
+        F.col("split").alias("eval_split"),
+    )
+    return train.join(ev, "h").select(
+        "train_doc", "eval_doc", "eval_split"
+    )

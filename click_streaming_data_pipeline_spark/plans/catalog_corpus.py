@@ -20,6 +20,7 @@ from ..extensions.corpus import (
     QUALITY_STOPWORDS,
     contamination_counts,
     dataset_split,
+    dataset_split_col,
     quality_heuristics,
     stratified_sample_summary,
 )
@@ -1181,3 +1182,43 @@ def group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+@query(
+    "split_leakage_audit",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id, md5(text) AS h,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                             < 'cd' THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                             < 'e6' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT a.doc_id AS train_doc, b.doc_id AS eval_doc,
+               b.split AS eval_split
+        FROM s a JOIN s b
+          ON a.h = b.h AND a.split = 'train' AND b.split <> 'train'
+    """,
+    doc=(
+        "extension (corpus curation): SPLIT-LEAKAGE audit - exact "
+        "duplicates that straddle the train/eval boundary (same "
+        "content hash, different split), i.e. evaluation rows the "
+        "model saw in training. The row-hash dataset_split makes "
+        "this leakage possible by construction whenever the corpus "
+        "has duplicates - this audit is the gate that catches it "
+        "(fix: dedup before splitting, or group_aware_split on a "
+        "content key). Hash-bucketed equi-join on md5(text), never "
+        "all-pairs; swap the hash for MinHash bands to extend the "
+        "audit to near-duplicates (the LSH machinery is already "
+        "here). The contamination_check's internal twin: that one "
+        "audits against external benchmarks, this one audits the "
+        "corpus against itself."
+    ),
+    tags=("corpus", "join", "dedup"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.corpus import leakage_pairs
+
+    return leakage_pairs(load_table(spark, sf_dir, "documents"))

@@ -653,3 +653,41 @@ def test_compression_ratio_separates_repetition_from_noise(spark):
     }
     assert r[1] > 10.0  # heavy repetition compresses away
     assert r[2] < 2.0  # high-entropy text barely compresses
+
+
+def test_split_leakage_audit_detects_planted_duplicates(spark):
+    """The audit must flag an exact duplicate whose copies land in
+    different splits, and stay silent on unique content."""
+    from pyspark.sql import functions as F
+
+    from click_streaming_data_pipeline_spark.extensions.corpus import (
+        dataset_split_col,
+        leakage_pairs,
+    )
+
+    # probe the deterministic split expr for one train id and one
+    # non-train id
+    ids = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        dataset_split_col(F.col("id")).alias("split"),
+    ).collect()
+    train_id = next(r["doc_id"] for r in ids if r["split"] == "train")
+    eval_id = next(r["doc_id"] for r in ids if r["split"] != "train")
+    other_train = next(
+        r["doc_id"]
+        for r in ids
+        if r["split"] == "train" and r["doc_id"] != train_id
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (train_id, "the shared duplicate body"),
+            (eval_id, "the shared duplicate body"),
+            (other_train, "a unique body"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = leakage_pairs(docs).collect()
+    assert len(rows) == 1
+    assert rows[0]["train_doc"] == train_id
+    assert rows[0]["eval_doc"] == eval_id

@@ -1089,3 +1089,78 @@ def bucketed_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "revenue"),
         )
     )
+
+
+@query(
+    "forget_users_streamed",
+    # same oracle as forget_users: the table after draining the
+    # deletion-request stream equals a logical bulk DELETE
+    oracle=f"""
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               {dsum_sql('value', 'total_value')}
+        FROM events
+        WHERE user_id % 97 <> 3
+        GROUP BY event_type
+    """,
+    doc=(
+        "scale pattern: STREAMED GDPR delete propagation - deletion "
+        "requests arrive as a stream and each micro-batch drives "
+        "forget_keys against the partitioned table (partition-pruned "
+        "rewrite of just that batch's users' active days). "
+        "forget_keys is a set-difference fixpoint, so at-least-once "
+        "replay of a request batch is a natural no-op - idempotence "
+        "without a commit log. The drained table must equal the bulk "
+        "logical DELETE exactly. This is the compliance pipeline "
+        "shape: requests queue continuously, rewrites stay "
+        "proportional to each batch's dirty partitions, the table "
+        "never goes offline."
+    ),
+    tags=("streaming", "scale", "maintenance"),
+)
+def forget_users_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..operators.maintenance import forget_keys
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="csdp_forgetstr_")
+    table_dir = os.path.join(work, "events_by_day")
+    req_dir = os.path.join(work, "requests")
+    (
+        events.withColumn("day", F.to_date(F.date_trunc("day", "ts")))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(table_dir)
+    )
+    requests = (
+        events.select("user_id")
+        .filter(F.col("user_id") % 97 == 3)
+        .distinct()
+    )
+    requests.repartition(3).write.mode("overwrite").parquet(req_dir)
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        forget_keys(
+            batch.sparkSession, table_dir, "day", "user_id", batch
+        )
+
+    q = (
+        spark.readStream.schema(requests.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(req_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    survivors = spark.read.parquet(table_dir)
+    return survivors.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )

@@ -1164,3 +1164,114 @@ def forget_users_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+_SYNC_ROW_SQL = """CAST(('0x' || substr(md5(concat_ws('|',
+    CAST(event_id AS VARCHAR), event_type,
+    CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR))), 1, 15))
+    AS BIGINT)"""
+
+
+@query(
+    "partition_sync_plan",
+    oracle=f"""
+        WITH src AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   {_SYNC_ROW_SQL} AS rh
+            FROM events
+        ),
+        dst AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(('0x' || substr(md5(concat_ws('|',
+                       CAST(event_id AS VARCHAR), event_type,
+                       CAST(CAST(CASE WHEN event_id % 1000 = 7
+                                      THEN value + 1 ELSE value END
+                            AS DECIMAL(18,2)) AS VARCHAR))), 1, 15))
+                       AS BIGINT) AS rh
+            FROM events
+            WHERE event_id % 997 <> 5
+        ),
+        sc AS (
+            SELECT day, count(*) AS n_src, bit_xor(rh) AS x_src,
+                   CAST(sum(rh % 2147483647) % 2147483647 AS BIGINT)
+                       AS s_src
+            FROM src GROUP BY day
+        ),
+        dc AS (
+            SELECT day, count(*) AS n_dst, bit_xor(rh) AS x_dst,
+                   CAST(sum(rh % 2147483647) % 2147483647 AS BIGINT)
+                       AS s_dst
+            FROM dst GROUP BY day
+        )
+        SELECT sc.day, n_src, coalesce(n_dst, 0) AS n_dst
+        FROM sc LEFT JOIN dc ON sc.day = dc.day
+        WHERE dc.day IS NULL OR n_src <> n_dst
+              OR x_src <> x_dst OR s_src <> s_dst
+    """,
+    doc=(
+        "scale pattern: INCREMENTAL SYNC PLANNING - per-partition "
+        "order-insensitive checksums (count + xor + modular sum of "
+        "row digests, the orders_table_checksum fold, keyed by day) "
+        "computed on source and replica; only days whose triples "
+        "differ need re-shipping. The rsync/anti-entropy primitive "
+        "for 100 TB replication: one map+partial-agg scan per side, "
+        "a days-sized exchange, and the backfill_partitions rewrite "
+        "list falls out. The replica here is the source with planted "
+        "drift (one value corrupted per ~1000 rows, one row in ~997 "
+        "missing) so the plan provably catches both corruption and "
+        "loss; clean days provably stay off the list."
+    ),
+    tags=("scale", "agg"),
+)
+def partition_sync_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+
+    def rowhash(value_col):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("event_id").cast("string"),
+                        F.col("event_type"),
+                        value_col.cast("decimal(18,2)").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    day = F.to_date(F.date_trunc("day", "ts")).alias("day")
+
+    def sums(df, rh):
+        return df.select(day, rh.alias("rh")).groupBy("day").agg(
+            F.count("*").alias("n"),
+            F.bit_xor("rh").alias("x"),
+            (F.sum(F.col("rh") % 2147483647) % 2147483647)
+            .cast("bigint")
+            .alias("s"),
+        )
+
+    src = sums(events, rowhash(F.col("value")))
+    drifted = F.when(
+        F.col("event_id") % 1000 == 7, F.col("value") + 1
+    ).otherwise(F.col("value"))
+    dst = sums(
+        events.filter(F.col("event_id") % 997 != 5), rowhash(drifted)
+    )
+    j = src.alias("s").join(
+        dst.alias("d"), F.col("s.day") == F.col("d.day"), "left"
+    )
+    return j.filter(
+        F.col("d.day").isNull()
+        | (F.col("s.n") != F.col("d.n"))
+        | (F.col("s.x") != F.col("d.x"))
+        | (F.col("s.s") != F.col("d.s"))
+    ).select(
+        F.col("s.day").alias("day"),
+        F.col("s.n").alias("n_src"),
+        F.coalesce(F.col("d.n"), F.lit(0)).alias("n_dst"),
+    )

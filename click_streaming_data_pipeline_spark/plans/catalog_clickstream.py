@@ -1894,3 +1894,164 @@ def markov_transitions_streamed(
         .groupBy("from_state", "to_state")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "rfm_features",
+    oracle="""
+        WITH mx AS (SELECT max(ts) AS now FROM events),
+        per_user AS (
+            SELECT user_id,
+                   CAST(date_diff('day', max(ts), (SELECT now FROM mx))
+                        AS BIGINT) AS recency_days,
+                   CAST(count(*) AS BIGINT) AS frequency,
+                   SUM(CAST(round(value * 100) AS BIGINT)) AS monetary_cents
+            FROM events
+            WHERE event_type = 'purchase'
+            GROUP BY user_id
+        )
+        SELECT user_id, recency_days, frequency, monetary_cents,
+               CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id)
+                    AS INT) AS r_score,
+               CAST(ntile(5) OVER (ORDER BY frequency ASC, user_id)
+                    AS INT) AS f_score,
+               CAST(ntile(5) OVER (ORDER BY monetary_cents ASC, user_id)
+                    AS INT) AS m_score
+        FROM per_user
+    """,
+    doc=(
+        "extension (clickstream/ML features): RFM - recency/"
+        "frequency/monetary per purchasing user plus 1-5 quintile "
+        "scores (higher = better: least-recent ranks first so "
+        "ntile 5 = freshest), the canonical churn/LTV feature "
+        "block and segmentation input. Exact integer days/counts/"
+        "cents; ntile over the aggregated USER frame with explicit "
+        "user_id tie-breaks so both engines bucket identically. "
+        "Scale: one filtered partial-agg pass over events; the "
+        "ntile windows run on the user dimension (range-partitioned "
+        "global sort of users, not events)."
+    ),
+    tags=("agg", "window"),
+)
+def rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    now = purchases.agg(F.max("ts").alias("now"))
+    per_user = (
+        purchases.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("frequency"),
+            F.sum(_cents()).alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(now))
+        .select(
+            "user_id",
+            F.datediff(F.to_date("now"), F.to_date("last_ts"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    return per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").desc(), F.col("user_id")))
+        .cast("int")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").asc(), F.col("user_id")))
+        .cast("int")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(
+            Window.orderBy(F.col("monetary_cents").asc(), F.col("user_id"))
+        )
+        .cast("int")
+        .alias("m_score"),
+    )
+
+
+@query(
+    "item_decay_popularity",
+    oracle="""
+        WITH mx AS (SELECT CAST(date_trunc('day', max(ts)) AS DATE)
+                        AS now FROM events),
+        k AS (
+            SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS item,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   date_diff('day', CAST(date_trunc('day', ts) AS DATE),
+                             (SELECT now FROM mx)) // 7 AS hl
+            FROM events WHERE event_type = 'purchase'
+        ),
+        b AS (SELECT max(hl) AS maxhl FROM k)
+        SELECT item,
+               CAST(SUM(cents * (1::BIGINT << (maxhl - hl))) AS BIGINT)
+                   AS weighted_num,
+               CAST((SELECT 1::BIGINT << maxhl FROM b) AS BIGINT)
+                   AS weight_den,
+               (CAST(SUM(cents * (1::BIGINT << (maxhl - hl))) AS DOUBLE)
+                / CAST((SELECT 1::BIGINT << maxhl FROM b) AS DOUBLE))
+                   AS decayed_cents
+        FROM k, b
+        GROUP BY item, maxhl
+    """,
+    doc=(
+        "extension (clickstream/recsys): TIME-DECAYED item "
+        "popularity - purchase revenue weighted by 2^-(age_weeks), "
+        "the freshness-aware ranking signal (recent demand beats "
+        "stale volume; exponential decay with a one-week half-life). "
+        "Exactness trick: the decay weights are dyadic rationals, so "
+        "scaling every term by 2^max_halflives turns the weighted "
+        "sum into EXACT bigint arithmetic (cents << k), with one "
+        "final IEEE division - no pow(), no libm, fully "
+        "hash-oracled. Scale: one filtered scan + one groupBy; the "
+        "max-halflife scalar broadcasts."
+    ),
+    tags=("agg",),
+)
+def item_decay_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase")
+    now = p.agg(
+        F.to_date(F.date_trunc("day", F.max("ts"))).alias("now")
+    )
+    k = p.crossJoin(F.broadcast(now)).select(
+        F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        _cents().alias("cents"),
+        (
+            F.datediff(
+                F.col("now"), F.to_date(F.date_trunc("day", "ts"))
+            )
+            / 7
+        )
+        .cast("long")
+        .alias("hl"),
+    )
+    b = k.agg(F.max("hl").alias("maxhl"))
+    return (
+        k.crossJoin(F.broadcast(b))
+        .groupBy("item", "maxhl")
+        .agg(
+            F.sum(
+                F.col("cents")
+                * F.expr("shiftleft(1L, CAST(maxhl - hl AS INT))")
+            ).alias("weighted_num")
+        )
+        .select(
+            "item",
+            "weighted_num",
+            F.expr("shiftleft(1L, CAST(maxhl AS INT))").alias(
+                "weight_den"
+            ),
+            F.expr(
+                "CAST(weighted_num AS DOUBLE)"
+                " / CAST(shiftleft(1L, CAST(maxhl AS INT)) AS DOUBLE)"
+            ).alias("decayed_cents"),
+        )
+    )

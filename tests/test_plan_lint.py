@@ -36,6 +36,8 @@ ALLPAIRS_ALLOWED = {
     "value_histogram",
     "dsir_weights",
     "search_eval_ndcg",
+    "rfm_features",
+    "item_decay_popularity",
     "embedding_quantize",
     "weekly_value_drift",
     "weekly_value_drift_streamed",

@@ -580,3 +580,47 @@ def data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(check("lineitem_quantity_positive", "lineitem", qty))
         .unionByName(check("events_type_accepted", "events", acc))
     )
+
+
+def _manifest_rows():
+    from .registry import QUERIES as _Q
+
+    return sorted(
+        (name, ",".join(sorted(q.tags)), q.oracle is not None)
+        for name, q in _Q.items()
+        if name != "catalog_manifest"
+    )
+
+
+def _manifest_oracle() -> str:
+    rows = ",\n            ".join(
+        "('{}', '{}', {})".format(n, t, "TRUE" if o else "FALSE")
+        for n, t, o in _manifest_rows()
+    )
+    return f"""
+        SELECT query_name, tags, has_oracle
+        FROM (VALUES
+            {rows}
+        ) AS t(query_name, tags, has_oracle)
+    """
+
+
+@query(
+    "catalog_manifest",
+    oracle=None,  # set after registration completes (late binding)
+    doc=(
+        "engine metadata: the catalog's information_schema - one row "
+        "per registered query with its tags and oracle status, "
+        "emitted BY a catalog query (self-describing, like "
+        "information_schema.tables). Both sides derive from the same "
+        "registry at import time, so the driver hash pins the "
+        "catalog inventory itself: a query that loses its oracle or "
+        "vanishes flips this manifest red. Driver-side constant "
+        "frame; no data scanned."
+    ),
+    tags=("scan",),
+)
+def catalog_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.createDataFrame(
+        _manifest_rows(), "query_name string, tags string, has_oracle boolean"
+    )

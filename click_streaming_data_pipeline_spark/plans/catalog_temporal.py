@@ -1488,3 +1488,59 @@ def page_reach_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited.select(F.col("node").cast("int"), F.col("distance").cast("int"))
+
+
+@query(
+    "repurchase_intervals",
+    oracle="""
+        WITH p AS (
+            SELECT user_id, ts, event_id,
+                   lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+            FROM events WHERE event_type = 'purchase'
+        ),
+        gaps AS (
+            SELECT date_diff('microsecond', prev, ts) AS gap_us
+            FROM p WHERE prev IS NOT NULL
+        )
+        SELECT count(*) AS n_gaps,
+               min(gap_us) AS min_us,
+               quantile_cont(gap_us, 0.5) AS p50_us,
+               quantile_cont(gap_us, 0.9) AS p90_us,
+               max(gap_us) AS max_us
+        FROM gaps
+    """,
+    doc=(
+        "beyond-reference (temporal KPI): REPURCHASE-INTERVAL "
+        "distribution - the gap between a user's consecutive "
+        "purchases (lag per user), summarized with exact "
+        "interpolated percentiles over integer microseconds (the "
+        "value_quantiles contract). The replenishment-cycle KPI "
+        "behind reorder reminders and churn windows (a user 2x past "
+        "their p90 interval is churning). One window pass on the "
+        "purchase subset; percentile input is one row per repeat "
+        "purchase."
+    ),
+    tags=("temporal", "window", "agg"),
+)
+def repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+            .alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return gaps.agg(
+        F.count("*").alias("n_gaps"),
+        F.min("gap_us").alias("min_us"),
+        F.percentile("gap_us", 0.5).alias("p50_us"),
+        F.percentile("gap_us", 0.9).alias("p90_us"),
+        F.max("gap_us").alias("max_us"),
+    )

@@ -2055,3 +2055,89 @@ def item_decay_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("decayed_cents"),
         )
     )
+
+
+@query(
+    "ltv_curve",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+            FROM events GROUP BY user_id
+        ),
+        cohort_size AS (
+            SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+            FROM first_seen GROUP BY cohort
+        ),
+        rev AS (
+            SELECT f.cohort,
+                   CAST(date_diff('week',
+                        f.cohort,
+                        CAST(date_trunc('week', e.ts) AS DATE))
+                        AS BIGINT) AS age_week,
+                   SUM(CAST(round(e.value * 100) AS BIGINT)) AS cents
+            FROM events e
+            JOIN first_seen f ON f.user_id = e.user_id
+            WHERE e.event_type = 'purchase'
+            GROUP BY 1, 2
+        )
+        SELECT r.cohort, r.age_week, cs.n_users,
+               SUM(r.cents) OVER (PARTITION BY r.cohort
+                                  ORDER BY r.age_week) AS cum_cents,
+               (CAST(SUM(r.cents) OVER (PARTITION BY r.cohort
+                                        ORDER BY r.age_week) AS DOUBLE)
+                / cs.n_users) AS ltv_cents_per_user
+        FROM rev r JOIN cohort_size cs ON cs.cohort = r.cohort
+    """,
+    doc=(
+        "extension (clickstream/KPI): LTV CURVE - cumulative "
+        "purchase revenue per user by cohort age (users grouped by "
+        "first-seen week; each cohort's running revenue divided by "
+        "its size), the payback-period readout every acquisition "
+        "budget is set against. Exact cent sums, one running-sum "
+        "window over the (cohort, age) frame (weeks x cohorts rows, "
+        "tiny), one IEEE division. Scale: the only corpus-scale "
+        "passes are the first-seen min and the revenue groupBy - "
+        "both partial-agg; the curve math runs on the aggregate."
+    ),
+    tags=("agg", "window"),
+)
+def ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    first_seen = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort"))
+    )
+    cohort_size = first_seen.groupBy("cohort").agg(
+        F.count("*").alias("n_users")
+    )
+    events = load_table(spark, sf_dir, "events")
+    rev = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .groupBy(
+            "cohort",
+            (
+                F.datediff(
+                    F.to_date(F.date_trunc("week", "ts")), F.col("cohort")
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("age_week"),
+        )
+        .agg(F.sum(_cents()).alias("cents"))
+    )
+    w = Window.partitionBy("cohort").orderBy("age_week")
+    return (
+        rev.join(F.broadcast(cohort_size), "cohort")
+        .select(
+            "cohort",
+            "age_week",
+            "n_users",
+            F.sum("cents").over(w).alias("cum_cents"),
+            (
+                F.sum("cents").over(w).cast("double") / F.col("n_users")
+            ).alias("ltv_cents_per_user"),
+        )
+    )

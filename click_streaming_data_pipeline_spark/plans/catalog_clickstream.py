@@ -2141,3 +2141,90 @@ def ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ltv_cents_per_user"),
         )
     )
+
+
+@query(
+    "association_rules",
+    oracle="""
+        WITH ui AS (
+            SELECT DISTINCT user_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS item
+            FROM events
+        ),
+        n_total AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+                        AS n FROM ui),
+        deg AS (
+            SELECT item, CAST(count(*) AS BIGINT) AS n_item
+            FROM ui GROUP BY item
+        ),
+        pair AS (
+            SELECT a.item AS antecedent, b.item AS consequent,
+                   CAST(count(*) AS BIGINT) AS n_both
+            FROM ui a
+            JOIN ui b ON a.user_id = b.user_id AND a.item <> b.item
+            GROUP BY 1, 2
+            HAVING count(*) >= 5
+        )
+        SELECT antecedent, consequent, n_both,
+               (CAST(n_both AS DOUBLE) / da.n_item) AS confidence,
+               ((CAST(n_both AS DOUBLE) / da.n_item)
+                / (CAST(db.n_item AS DOUBLE)
+                   / (SELECT n FROM n_total))) AS lift
+        FROM pair
+        JOIN deg da ON da.item = antecedent
+        JOIN deg db ON db.item = consequent
+    """,
+    doc=(
+        "extension (clickstream/recsys): ASSOCIATION RULES - "
+        "directional item->item rules with support (co-visit "
+        "count), confidence P(consequent|antecedent) and lift "
+        "(confidence over base rate), the Apriori/market-basket "
+        "readout (lift > 1 = genuinely associated, not just "
+        "popular). Integer counts, two IEEE divisions per rule; "
+        "min-support 5 prunes noise. Scale: same capped per-user "
+        "pair build as item_cooccurrence (directional, so both "
+        "orders emit); the degree/total frames broadcast."
+    ),
+    tags=("join", "agg"),
+)
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ui = events.select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+    ).distinct()
+    n_total = ui.agg(F.countDistinct("user_id").alias("n"))
+    deg = ui.groupBy("item").agg(F.count("*").alias("n_item"))
+    a = ui.select("user_id", F.col("item").alias("antecedent"))
+    b = ui.select("user_id", F.col("item").alias("consequent"))
+    pair = (
+        a.join(b, "user_id")
+        .filter(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 5)
+    )
+    da = deg.select(
+        F.col("item").alias("antecedent"), F.col("n_item").alias("n_a")
+    )
+    db = deg.select(
+        F.col("item").alias("consequent"), F.col("n_item").alias("n_c")
+    )
+    return (
+        pair.join(F.broadcast(da), "antecedent")
+        .join(F.broadcast(db), "consequent")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            (F.col("n_both").cast("double") / F.col("n_a")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("n_both").cast("double") / F.col("n_a"))
+                / (F.col("n_c").cast("double") / F.col("n"))
+            ).alias("lift"),
+        )
+    )

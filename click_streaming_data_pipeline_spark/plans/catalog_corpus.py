@@ -1222,3 +1222,61 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.corpus import leakage_pairs
 
     return leakage_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _split_sql(idc: str) -> str:
+    return (
+        f"CASE WHEN substr(md5(CAST({idc} AS VARCHAR)), 1, 2) < 'cd' "
+        f"THEN 'train' WHEN substr(md5(CAST({idc} AS VARCHAR)), 1, 2) "
+        f"< 'e6' THEN 'val' ELSE 'test' END"
+    )
+
+
+def _make_split_leakage_neardup():
+    from .catalog_extensions import _JACCARD_SQL
+
+    oracle = f"""
+        WITH pairs AS ({_JACCARD_SQL})
+        SELECT id_a, id_b, jaccard,
+               {_split_sql('id_a')} AS split_a,
+               {_split_sql('id_b')} AS split_b
+        FROM pairs
+        WHERE {_split_sql('id_a')} <> {_split_sql('id_b')}
+    """
+
+    @query(
+        "split_leakage_neardup",
+        oracle=oracle,
+        doc=(
+            "extension (corpus curation): NEAR-DUP split-leakage "
+            "audit - >= 0.8-Jaccard document pairs whose members "
+            "land in different splits (eval rows that are near-"
+            "copies of training rows: the leakage exact-hash audits "
+            "miss and the one that actually inflates benchmark "
+            "scores). Candidates come from the LOSSLESS prefix-"
+            "filter join (PPJoin) so the audit provably finds every "
+            "qualifying pair - no LSH recall caveat - and the exact "
+            "all-pairs Jaccard oracle hash-pins it. The fix the "
+            "audit motivates: dedup before splitting "
+            "(dedup_keep_best), or split on a content-cluster key."
+        ),
+        tags=("corpus", "dedup", "join"),
+    )
+    def split_leakage_neardup(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from ..extensions.dedup import doc_shingles, prefix_filter_pairs
+
+        docs = load_table(spark, sf_dir, "documents")
+        sh = doc_shingles(docs).localCheckpoint(eager=True)
+        pairs = prefix_filter_pairs(sh, threshold=0.8)
+        sa = dataset_split_col(F.col("id_a")).alias("split_a")
+        sb = dataset_split_col(F.col("id_b")).alias("split_b")
+        return pairs.select("id_a", "id_b", "jaccard", sa, sb).filter(
+            F.col("split_a") != F.col("split_b")
+        )
+
+    return split_leakage_neardup
+
+
+_make_split_leakage_neardup()

@@ -1707,3 +1707,71 @@ def sql_api_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_temp_views(spark, sf_dir)
     return spark.sql(_SQL_FUNNEL)
+
+
+@query(
+    "paginate_orders_keyset",
+    # the page is row 101-150 of the (o_orderdate DESC, o_orderkey
+    # ASC) order — same rows as paginate_orders, fetched by KEYSET
+    oracle="""
+        WITH last_key AS (
+            SELECT o_orderdate AS kd, o_orderkey AS kk
+            FROM orders
+            ORDER BY o_orderdate DESC, o_orderkey ASC
+            LIMIT 1 OFFSET 99
+        )
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders, last_key
+        WHERE o_orderdate < kd
+           OR (o_orderdate = kd AND o_orderkey > kk)
+        ORDER BY o_orderdate DESC, o_orderkey ASC
+        LIMIT 50
+    """,
+    doc=(
+        "D1 at scale: KEYSET pagination - the page after cursor "
+        "(last_date, last_key) is fetched with a composite-key "
+        "predicate + LIMIT, NOT OFFSET. Offset pagination reads and "
+        "discards every skipped row (page 10000 of a 100 TB listing "
+        "scans 10000 pages); the keyset predicate pushes into the "
+        "scan (min/max pruning on the date column skips whole files) "
+        "and every page costs one TakeOrderedAndProject of page-size "
+        "rows. Must return exactly paginate_orders' page-3 rows - "
+        "the oracle derives the cursor then applies the predicate, "
+        "pinning the equivalence."
+    ),
+    tags=("sort", "scan"),
+)
+def paginate_orders_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cursor = (
+        orders.orderBy(
+            F.col("o_orderdate").desc(), F.col("o_orderkey").asc()
+        )
+        .offset(99)
+        .limit(1)
+        .select(
+            F.col("o_orderdate").alias("kd"),
+            F.col("o_orderkey").alias("kk"),
+        )
+    )
+    return (
+        orders.crossJoin(F.broadcast(cursor))
+        .filter(
+            (F.col("o_orderdate") < F.col("kd"))
+            | (
+                (F.col("o_orderdate") == F.col("kd"))
+                & (F.col("o_orderkey") > F.col("kk"))
+            )
+        )
+        .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").asc())
+        .limit(50)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )

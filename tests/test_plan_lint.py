@@ -38,6 +38,8 @@ ALLPAIRS_ALLOWED = {
     "search_eval_ndcg",
     "rfm_features",
     "item_decay_popularity",
+    "association_rules",
+    "paginate_orders_keyset",
     "embedding_quantize",
     "weekly_value_drift",
     "weekly_value_drift_streamed",

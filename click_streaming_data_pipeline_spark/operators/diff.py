@@ -62,3 +62,65 @@ def snapshot_diff(
         )
         .filter(F.col("op").isNotNull())
     )
+
+
+def schema_drift_report(old: DataFrame, new: DataFrame) -> list[dict]:
+    """Structural diff between two table versions: added / removed /
+    type-changed columns, plus the null-rate shift on surviving
+    columns (the silent killer — a upstream change that starts
+    nulling a column breaks consumers without any schema change).
+
+    Returns a list of {"column", "change", "detail"} dicts,
+    driver-side (schema-sized, not data-sized; the null-rate pass is
+    ONE aggregate per side over the common columns). The governance
+    companion to snapshot_diff: that one diffs rows, this diffs
+    structure."""
+    from pyspark.sql import functions as F
+
+    old_types = {f.name: f.dataType.simpleString() for f in old.schema}
+    new_types = {f.name: f.dataType.simpleString() for f in new.schema}
+    report: list[dict] = []
+    for c in sorted(set(new_types) - set(old_types)):
+        report.append(
+            {"column": c, "change": "added", "detail": new_types[c]}
+        )
+    for c in sorted(set(old_types) - set(new_types)):
+        report.append(
+            {"column": c, "change": "removed", "detail": old_types[c]}
+        )
+    common = sorted(set(old_types) & set(new_types))
+    for c in common:
+        if old_types[c] != new_types[c]:
+            report.append(
+                {
+                    "column": c,
+                    "change": "type_changed",
+                    "detail": f"{old_types[c]} -> {new_types[c]}",
+                }
+            )
+
+    def null_rates(df):
+        if not common:
+            return {}
+        row = df.agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.count(F.when(F.col(c).isNull(), 1)).alias(c)
+                for c in common
+            ],
+        ).collect()[0]
+        n = row["__n"] or 1
+        return {c: row[c] / n for c in common}
+
+    old_nr, new_nr = null_rates(old), null_rates(new)
+    for c in common:
+        delta = new_nr[c] - old_nr[c]
+        if abs(delta) > 0.05:
+            report.append(
+                {
+                    "column": c,
+                    "change": "null_rate_shift",
+                    "detail": f"{old_nr[c]:.3f} -> {new_nr[c]:.3f}",
+                }
+            )
+    return report

@@ -592,3 +592,37 @@ def test_write_audit_publish_gates_bad_data(spark, tmp_path):
     import os
 
     assert os.path.isdir(table + ".quarantine")
+
+
+def test_schema_drift_report_flags_all_change_kinds(spark):
+    """Added/removed/type-changed columns and a >5% null-rate shift
+    are each reported; stable columns stay silent."""
+    from pyspark.sql import functions as F
+
+    from click_streaming_data_pipeline_spark.operators.diff import (
+        schema_drift_report,
+    )
+    from click_streaming_data_pipeline_spark.sources import load_table
+
+    from .conftest import SF_TEST
+
+    docs = load_table(spark, SF_TEST, "documents")
+    old = docs.select("doc_id", "text", "lang", "n_chars")
+    new = docs.select(
+        "doc_id",
+        # type change
+        F.col("text").cast("binary").alias("text"),
+        # null-rate shift on lang
+        F.when(F.col("doc_id") % 3 == 0, None)
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        # n_chars removed; source added
+        "source",
+    )
+    rep = {(r["column"], r["change"]) for r in schema_drift_report(old, new)}
+    assert ("source", "added") in rep
+    assert ("n_chars", "removed") in rep
+    assert ("text", "type_changed") in rep
+    assert ("lang", "null_rate_shift") in rep
+    assert ("doc_id", "null_rate_shift") not in rep
+    assert not any(col == "doc_id" for col, _ in rep)

@@ -1275,3 +1275,67 @@ def partition_sync_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.n").alias("n_src"),
         F.coalesce(F.col("d.n"), F.lit(0)).alias("n_dst"),
     )
+
+
+@query(
+    "consistent_sample",
+    oracle=f"""
+        WITH se AS (
+            SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS doc_key, value
+            FROM events
+            WHERE substr(md5(json_extract_string(props, '$.k')), 1, 2)
+                  < '1a'
+        ),
+        sd AS (
+            SELECT doc_id, n_chars FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_sampled_events,
+               (SELECT CAST(count(*) AS BIGINT) FROM sd)
+                   AS n_sampled_docs,
+               CAST(count(sd.doc_id) AS BIGINT) AS n_joined,
+               {dsum_sql('se.value', 'sampled_value')}
+        FROM se LEFT JOIN sd ON sd.doc_id = se.doc_key
+    """,
+    doc=(
+        "scale pattern: CORRELATED (join-consistent) sampling - "
+        "events and documents are sampled by the SAME hash predicate "
+        "on the JOIN KEY, so every sampled event's document is "
+        "guaranteed present in the sampled dimension (n_joined == "
+        "n_sampled_events here, because the key hash decides both "
+        "sides). Independent row sampling would break ~90% of the "
+        "joins; key-hash sampling gives a coherent 10% universe - "
+        "the only way debugging/dev copies of a 100 TB star schema "
+        "stay queryable. Deterministic, no RNG; predicate is "
+        "scan-pushable on both sides."
+    ),
+    tags=("scale", "scan", "join"),
+)
+def consistent_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.get_json_object("props", "$.k")
+    se = events.select(
+        key.cast("bigint").alias("doc_key"), "value"
+    ).filter(F.substring(F.md5(key), 1, 2) < "1a")
+    sd = docs.select("doc_id", "n_chars").filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a"
+    )
+    n_docs = sd.agg(F.count("*").alias("n_sampled_docs"))
+    return (
+        se.join(F.broadcast(sd), se.doc_key == sd.doc_id, "left")
+        .crossJoin(F.broadcast(n_docs))
+        .agg(
+            F.count("*").alias("n_sampled_events"),
+            F.max("n_sampled_docs").alias("n_sampled_docs"),
+            F.count("doc_id").alias("n_joined"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sampled_value"),
+        )
+        .select(
+            "n_sampled_events", "n_sampled_docs", "n_joined",
+            "sampled_value",
+        )
+    )

@@ -40,6 +40,7 @@ ALLPAIRS_ALLOWED = {
     "item_decay_popularity",
     "association_rules",
     "paginate_orders_keyset",
+    "consistent_sample",
     "embedding_quantize",
     "weekly_value_drift",
     "weekly_value_drift_streamed",

@@ -1280,3 +1280,59 @@ def _make_split_leakage_neardup():
 
 
 _make_split_leakage_neardup()
+
+
+def _make_quality_calibration():
+    qs = quality_oracle_exprs()["quality_score"]
+    oracle = f"""
+        WITH scored AS (
+            SELECT doc_id, source, ({qs}) AS quality_score
+            FROM documents
+        )
+        SELECT doc_id, source, quality_score,
+               percent_rank() OVER (
+                   PARTITION BY source
+                   ORDER BY quality_score, doc_id
+               ) AS calibrated_rank
+        FROM scored
+    """
+
+    @query(
+        "quality_score_calibration",
+        oracle=oracle,
+        doc=(
+            "extension (corpus curation): WITHIN-SOURCE quality "
+            "calibration - raw heuristic scores are not comparable "
+            "across sources (a mediocre academic page outscores a "
+            "great forum post), so mixture selection thresholds the "
+            "per-source PERCENT RANK instead of the raw score ('keep "
+            "each source's top 60%'), the standard cross-source "
+            "normalization in corpus pipelines. Deterministic "
+            "(score, doc_id) ordering; rank = (rows below)/(n-1) is "
+            "one exact division. Scale: one scorer pass in codegen + "
+            "one window per source partition."
+        ),
+        tags=("corpus", "window", "quality"),
+    )
+    def quality_score_calibration(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from pyspark.sql.window import Window as W
+
+        docs = load_table(spark, sf_dir, "documents")
+        q = quality_check_columns("text", "n_chars")
+        scored = docs.select(
+            "doc_id", "source", q["quality_score"].alias("quality_score")
+        )
+        w = W.partitionBy("source").orderBy("quality_score", "doc_id")
+        return scored.select(
+            "doc_id",
+            "source",
+            "quality_score",
+            F.percent_rank().over(w).alias("calibrated_rank"),
+        )
+
+    return quality_score_calibration
+
+
+_make_quality_calibration()

@@ -1339,3 +1339,50 @@ def consistent_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sampled_value",
         )
     )
+
+
+@query(
+    "capped_user_sample",
+    oracle="""
+        SELECT user_id, event_id, event_type
+        FROM (
+            SELECT user_id, event_id, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY md5(CAST(event_id AS VARCHAR)),
+                                event_id
+                   ) AS rn
+            FROM events
+        ) WHERE rn <= 20
+    """,
+    doc=(
+        "scale pattern: PER-KEY FAN-OUT CAP - each user keeps at "
+        "most 20 events, chosen by md5(event_id) rank (an unbiased, "
+        "deterministic, reshard-stable within-user sample - NOT "
+        "first-N, which biases toward early activity). The standing "
+        "defense against power-law keys: co-visitation, journey "
+        "regexes, per-user folds all go quadratic or unbounded on a "
+        "bot with 10M events; capping first bounds every downstream "
+        "per-key cost. Plans as WindowGroupLimit (partial top-k "
+        "below the shuffle), so the cap itself never materializes a "
+        "hot user's full history on one reducer."
+    ),
+    tags=("scale", "window"),
+)
+def capped_user_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 20)
+        .select("user_id", "event_id", "event_type")
+    )

@@ -1775,3 +1775,54 @@ def paginate_orders_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
         )
     )
+
+
+@query(
+    "utf8_semantics",
+    oracle="""
+        SELECT s,
+               CAST(length(s) AS INT) AS n_chars,
+               CAST(octet_length(encode(s)) AS INT) AS n_bytes,
+               substr(s, 2, 2) AS chars_2_3,
+               upper(s) AS uppered
+        FROM (VALUES
+            ('ascii only'),
+            ('héllo wörld'),
+            ('日本語テキスト'),
+            ('mixed 混合 text'),
+            ('emoji 🙂 here'),
+            ('Ångström Å')
+        ) AS t(s)
+    """,
+    doc=(
+        "G2 i18n semantics pinned: character length vs UTF-8 byte "
+        "length, character-addressed substring, and case mapping "
+        "over multibyte text (accents, CJK, astral-plane emoji) - "
+        "the content-size constraint in the reference is BYTES "
+        "(schemes.py:12-16 content <= 10MB utf-8) while display "
+        "truncation is CHARACTERS (G7), and conflating them corrupts "
+        "multibyte documents at the boundary. The corpus here is "
+        "ASCII, so this VALUES-based probe is what proves the "
+        "engine's string stack is char/byte-correct for real-world "
+        "text. (Note: 🙂 counts as ONE character in both engines - "
+        "codepoint semantics, not UTF-16 code units.)"
+    ),
+    tags=("scalar",),
+)
+def utf8_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [
+        ("ascii only",),
+        ("héllo wörld",),
+        ("日本語テキスト",),
+        ("mixed 混合 text",),
+        ("emoji 🙂 here",),
+        ("Ångström Å",),
+    ]
+    df = spark.createDataFrame(rows, "s string")
+    return df.select(
+        "s",
+        F.length("s").cast("int").alias("n_chars"),
+        F.octet_length("s").cast("int").alias("n_bytes"),
+        F.substring("s", 2, 2).alias("chars_2_3"),
+        F.upper("s").alias("uppered"),
+    )

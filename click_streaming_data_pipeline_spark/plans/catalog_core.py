@@ -1826,3 +1826,61 @@ def utf8_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("s", 2, 2).alias("chars_2_3"),
         F.upper("s").alias("uppered"),
     )
+
+
+@query(
+    "null_semantics",
+    oracle="""
+        WITH t(g, x) AS (VALUES
+            ('a', 1), ('a', NULL), ('a', 3),
+            ('b', NULL), ('b', NULL),
+            ('c', 7)
+        )
+        SELECT g,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(x) AS BIGINT) AS n_nonnull,
+               CAST(sum(x) AS BIGINT) AS sum_skips_nulls,
+               CAST(min(x) AS INT) AS min_skips_nulls,
+               CAST(sum(CASE WHEN x IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nulls,
+               (CAST(NULL AS INT) = CAST(NULL AS INT)) IS NULL
+                   AS null_eq_is_unknown,
+               CAST(coalesce(min(x), -1) AS INT) AS coalesced_min
+        FROM t
+        GROUP BY g
+    """,
+    doc=(
+        "ANSI NULL semantics pinned: count(*) vs count(col), "
+        "null-skipping aggregates (sum/min over all-NULL groups "
+        "yield NULL, not 0), NULL = NULL evaluating to UNKNOWN "
+        "rather than true, and coalesce defaulting - the SQL-92 "
+        "corners where home-grown engines silently diverge and "
+        "where the reference's defensive value.get(field, default) "
+        "pattern (B6, event main.py:45-60) lives. VALUES-based "
+        "probe: every behavior is driver-hash-pinned against "
+        "DuckDB's reading of the standard."
+    ),
+    tags=("scalar", "agg"),
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [
+        ("a", 1), ("a", None), ("a", 3),
+        ("b", None), ("b", None),
+        ("c", 7),
+    ]
+    t = spark.createDataFrame(rows, "g string, x int")
+    return t.groupBy("g").agg(
+        F.count("*").alias("n_rows"),
+        F.count("x").alias("n_nonnull"),
+        F.sum("x").cast("bigint").alias("sum_skips_nulls"),
+        F.min("x").cast("int").alias("min_skips_nulls"),
+        F.sum(F.when(F.col("x").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nulls"),
+        (
+            F.lit(None).cast("int") == F.lit(None).cast("int")
+        ).isNull().alias("null_eq_is_unknown"),
+        F.coalesce(F.min("x"), F.lit(-1)).cast("int").alias(
+            "coalesced_min"
+        ),
+    )

@@ -1884,3 +1884,70 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coalesced_min"
         ),
     )
+
+
+@query(
+    "date_arithmetic_semantics",
+    oracle="""
+        WITH t(d) AS (VALUES
+            (DATE '2024-01-31'),
+            (DATE '2024-02-29'),
+            (DATE '2023-02-28'),
+            (DATE '2024-12-31'),
+            (DATE '2024-03-15')
+        )
+        SELECT d,
+               (d + INTERVAL 1 MONTH)::DATE AS plus_month,
+               (d + INTERVAL 1 YEAR)::DATE AS plus_year,
+               (d - INTERVAL 90 DAY)::DATE AS minus_90d,
+               CAST(date_part('isodow', d) AS INT) AS iso_dow,
+               CAST(date_part('week', d) AS INT) AS iso_week,
+               CAST(last_day(d) AS DATE) AS month_end
+        FROM t
+    """,
+    doc=(
+        "calendar arithmetic pinned: month addition CLAMPS at "
+        "month-end (Jan 31 + 1 month = Feb 29 in a leap year, not "
+        "Mar 2), year addition from Feb 29 clamps to Feb 28, day "
+        "arithmetic is exact, ISO day-of-week/week numbering, and "
+        "last_day - the calendar corners every retention/billing "
+        "query silently depends on. Both engines implement the "
+        "clamping convention identically; the driver hash pins it "
+        "so a regression in either engine's calendar logic (or a "
+        "future port to another backend) surfaces as a red row "
+        "instead of drifted monthly cohorts."
+    ),
+    tags=("scalar", "temporal"),
+)
+def date_arithmetic_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+
+    rows = [
+        (_dt.date(2024, 1, 31),),
+        (_dt.date(2024, 2, 29),),
+        (_dt.date(2023, 2, 28),),
+        (_dt.date(2024, 12, 31),),
+        (_dt.date(2024, 3, 15),),
+    ]
+    t = spark.createDataFrame(rows, "d date")
+    return t.select(
+        "d",
+        F.add_months("d", 1).alias("plus_month"),
+        F.add_months("d", 12).alias("plus_year"),
+        F.date_sub("d", 90).alias("minus_90d"),
+        F.dayofweek("d").alias("__raw_dow"),
+        F.weekofyear("d").cast("int").alias("iso_week"),
+        F.last_day("d").alias("month_end"),
+    ).select(
+        "d",
+        "plus_month",
+        "plus_year",
+        "minus_90d",
+        # Spark dayofweek: 1=Sunday..7; ISO dow: 1=Monday..7
+        F.when(F.col("__raw_dow") == 1, 7)
+        .otherwise(F.col("__raw_dow") - 1)
+        .cast("int")
+        .alias("iso_dow"),
+        "iso_week",
+        "month_end",
+    )

@@ -1951,3 +1951,53 @@ def date_arithmetic_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "iso_week",
         "month_end",
     )
+
+
+@query(
+    "numeric_semantics",
+    oracle="""
+        WITH t(a, b) AS (VALUES
+            (-7, 2), (7, 2), (7, -2), (-7, -2), (0, 5)
+        )
+        SELECT a, b,
+               CAST(a // b AS INT) AS int_div,
+               CAST(a % b AS INT) AS int_mod,
+               CAST(floor(CAST(a AS DOUBLE) / b + 0.5) AS INT)
+                   AS rounded_ratio,
+               CAST(9223372036854775807 - 1 AS BIGINT) AS bigint_edge
+        FROM t
+    """,
+    doc=(
+        "integer/float semantics pinned: integer division truncates "
+        "toward zero and modulo takes the DIVIDEND's sign in both "
+        "engines (the C convention - a floor-division engine would "
+        "flip negative results and silently shift every modulo-"
+        "bucketed partition); rounding uses the repo's floor(x+0.5) "
+        "spec (engines disagree on round()'s half-handling, so the "
+        "catalog never calls it - this row documents the convention "
+        "under driver hash); and int64 boundary arithmetic. "
+        "Deliberately NOT probed: division by zero, where the "
+        "engines genuinely diverge (Spark 4 ANSI mode raises "
+        "DIVIDE_BY_ZERO; DuckDB returns IEEE infinity) - the "
+        "catalog guards every division's denominator instead of "
+        "relying on either behavior. The arithmetic contract every "
+        "hash-partitioner, bucketer and cent-space query in this "
+        "catalog stands on."
+    ),
+    tags=("scalar",),
+)
+def numeric_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [(-7, 2), (7, 2), (7, -2), (-7, -2), (0, 5)]
+    t = spark.createDataFrame(rows, "a int, b int")
+    return t.select(
+        "a",
+        "b",
+        F.expr("div(a, b)").cast("int").alias("int_div"),
+        (F.col("a") % F.col("b")).cast("int").alias("int_mod"),
+        F.floor(F.col("a").cast("double") / F.col("b") + 0.5)
+        .cast("int")
+        .alias("rounded_ratio"),
+        (F.lit(9223372036854775807).cast("long") - 1).alias(
+            "bigint_edge"
+        ),
+    )

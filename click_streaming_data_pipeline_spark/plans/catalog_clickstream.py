@@ -2228,3 +2228,172 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "landing_page_conversion",
+    oracle="""
+        WITH o AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS item,
+                   lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+            FROM events
+        ),
+        s AS (
+            SELECT *,
+                   SUM(CASE WHEN prev IS NULL
+                            OR ts - prev > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS sid
+            FROM o
+        ),
+        sessions AS (
+            SELECT user_id, sid,
+                   SUM(item * CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                       AS landing_item,
+                   max(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS converted
+            FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY user_id, sid
+                           ORDER BY ts, event_id) AS rn
+                FROM s
+            )
+            GROUP BY user_id, sid
+        )
+        SELECT landing_item,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(converted) AS BIGINT) AS n_converted,
+               (CAST(SUM(converted) AS DOUBLE) / count(*))
+                   AS conversion_rate
+        FROM sessions
+        GROUP BY landing_item
+    """,
+    doc=(
+        "extension (clickstream/attribution): LANDING-PAGE "
+        "conversion - sessions (30-min gaps-and-islands, the "
+        "session_funnel_stats sid) keyed by their FIRST item; "
+        "conversion = any purchase inside the session; rate per "
+        "landing item. The entry-point performance table behind "
+        "'which page starts journeys that buy'. Exact integers + "
+        "one division; the landing item rides the session aggregate "
+        "as sum(item*[rn=1]) so one grouped pass computes both "
+        "first-touch and outcome (no self-join). Scale: the "
+        "standard per-user window exchange, then session-count-"
+        "sized aggregates."
+    ),
+    tags=("window", "agg"),
+)
+def landing_page_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        F.lag("ts").over(w).alias("prev"),
+    )
+    gap = F.when(
+        F.col("prev").isNull()
+        | (
+            F.unix_micros("ts") - F.unix_micros("prev")
+            > 30 * 60 * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    s = o.select(
+        "*", F.sum(gap).over(w).alias("sid")
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    sessions = (
+        s.select("*", F.row_number().over(ws).alias("rn"))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.sum(
+                F.col("item")
+                * F.when(F.col("rn") == 1, 1).otherwise(0)
+            ).alias("landing_item"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+        )
+    )
+    return sessions.groupBy("landing_item").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("converted").alias("n_converted"),
+        (
+            F.sum("converted").cast("double") / F.count("*")
+        ).alias("conversion_rate"),
+    )
+
+
+@query(
+    "new_vs_returning",
+    oracle="""
+        WITH fs AS (
+            SELECT user_id,
+                   CAST(date_trunc('day', min(ts)) AS DATE) AS first_day
+            FROM events GROUP BY user_id
+        ),
+        d AS (
+            SELECT CAST(date_trunc('day', e.ts) AS DATE) AS day,
+                   e.user_id,
+                   (CAST(date_trunc('day', e.ts) AS DATE) = fs.first_day)
+                       AS is_new
+            FROM events e JOIN fs ON fs.user_id = e.user_id
+        )
+        SELECT day,
+               CAST(count(DISTINCT CASE WHEN is_new THEN user_id END)
+                    AS BIGINT) AS n_new_users,
+               CAST(count(DISTINCT CASE WHEN NOT is_new THEN user_id END)
+                    AS BIGINT) AS n_returning_users,
+               CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+                   AS events_from_new,
+               CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT)
+                   AS events_from_returning
+        FROM d
+        GROUP BY day
+    """,
+    doc=(
+        "extension (clickstream/KPI): NEW vs RETURNING split per day "
+        "- each day's active users partitioned by whether it is "
+        "their first-seen day, with event volumes for both groups; "
+        "the acquisition-vs-retention composition every growth "
+        "dashboard leads with. One first-seen aggregate (broadcast "
+        "back onto the stream - at 100 TB this is the incrementally-"
+        "maintained user dimension), one grouped conditional pass. "
+        "Exact integers throughout."
+    ),
+    tags=("agg", "join"),
+)
+def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    fs = events.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("first_day")
+    )
+    d = events.join(F.broadcast(fs), "user_id").select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "user_id",
+        (
+            F.to_date(F.date_trunc("day", "ts")) == F.col("first_day")
+        ).alias("is_new"),
+    )
+    return d.groupBy("day").agg(
+        F.countDistinct(
+            F.when(F.col("is_new"), F.col("user_id"))
+        ).alias("n_new_users"),
+        F.countDistinct(
+            F.when(~F.col("is_new"), F.col("user_id"))
+        ).alias("n_returning_users"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias(
+            "events_from_new"
+        ),
+        F.sum(F.when(F.col("is_new"), 0).otherwise(1)).alias(
+            "events_from_returning"
+        ),
+    )

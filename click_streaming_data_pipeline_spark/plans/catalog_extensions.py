@@ -1418,3 +1418,61 @@ def user_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_items",
         *[F.col("cen")[i].alias(f"p{i}") for i in range(4)],
     )
+
+
+@query(
+    "dedup_cluster_sizes",
+    oracle=f"""
+        WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach (id, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lbl
+            FROM reach r JOIN edges e ON e.src = r.id
+        ),
+        comp AS (
+            SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
+        ),
+        sizes AS (
+            SELECT cluster_id, count(*) AS cluster_size
+            FROM comp GROUP BY cluster_id
+        )
+        SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(count(*) * (cluster_size - 1) AS BIGINT)
+                   AS docs_removable
+        FROM sizes
+        GROUP BY cluster_size
+    """,
+    doc=(
+        "extension (dedup diagnostics): near-dup CLUSTER-SIZE "
+        "distribution - how many duplicate groups exist at each "
+        "size, and how many documents a keep-one-per-cluster pass "
+        "removes (size-1 per cluster). The dedup planning number: "
+        "expected corpus shrink BEFORE running the rewrite, and the "
+        "skew check (one giant cluster = boilerplate or a template, "
+        "not real duplication - investigate before deleting). Rides "
+        "the same LSH pipeline + min-label components as "
+        "dedup_clusters; the histogram adds two tiny aggregates."
+    ),
+    tags=("dedup", "agg"),
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup import neardup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = neardup_clusters(minhash_lsh_dedup(docs, threshold=0.8))
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.count("*") * (F.col("cluster_size") - 1)).alias(
+            "docs_removable"
+        ),
+    )

@@ -86,6 +86,7 @@ SKIP_NAMES = {
     "bpe_merge_ranks",
     "bpe_encode",
     "dedup_clusters",
+    "dedup_cluster_sizes",
     "dedup_keep_best",
     "knn_ivf_topk",
     "knn_ivfpq_topk",

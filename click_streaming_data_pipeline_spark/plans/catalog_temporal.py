@@ -1544,3 +1544,62 @@ def repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("gap_us", 0.9).alias("p90_us"),
         F.max("gap_us").alias("max_us"),
     )
+
+
+@query(
+    "peak_event_rate",
+    oracle="""
+        WITH b AS (
+            SELECT event_type,
+                   time_bucket(INTERVAL '15 minutes', ts) AS w,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT event_type, n AS peak_count,
+               CAST(w AS TIMESTAMP) AS peak_window
+        FROM (
+            SELECT event_type, n, w,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY n DESC, w ASC) AS rn
+            FROM b
+        ) WHERE rn = 1
+    """,
+    doc=(
+        "beyond-reference (temporal ops-KPI): PEAK RATE - each event "
+        "type's busiest 15-minute bucket and its count (earliest "
+        "window wins ties), the capacity-planning / burst-detection "
+        "number behind alert thresholds and autoscaler headroom. "
+        "Tumbling-bucket counts then a per-type argmax via "
+        "WindowGroupLimit (partial top-1 below the shuffle). At "
+        "100 TB the bucket table is minutes x types - the argmax "
+        "runs on thousands of rows."
+    ),
+    tags=("temporal", "window", "agg"),
+)
+def peak_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    b = events.groupBy(
+        "event_type",
+        F.window("ts", "15 minutes").alias("w"),
+    ).agg(F.count("*").alias("n"))
+    rw = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("w.start").asc()
+    )
+    return (
+        b.select(
+            "event_type",
+            "n",
+            F.col("w.start").alias("w_start"),
+            F.row_number().over(rw).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("peak_count"),
+            F.col("w_start").alias("peak_window"),
+        )
+    )

@@ -1268,7 +1268,27 @@ def markov_removal_effects(counts) -> list[tuple[str, float, float]]:
     channels = [c for c in channels if c not in ("start", "conv", "null")]
 
     def p_conv(removed: str | None) -> float:
-        states = ["start"] + [c for c in channels if c != removed]
+        # restrict the system to states REACHABLE from start: journey
+        # data always drains to conv/null, but arbitrary count
+        # matrices can contain closed cycles among unreachable
+        # states, which would make (I - Q) singular even though they
+        # cannot affect P(conv | start)
+        candidates = ["start"] + [c for c in channels if c != removed]
+        adj = {
+            f: [t for (ff, t), n in trans.items()
+                if ff == f and n > 0 and t in candidates]
+            for f in candidates
+        }
+        reach, frontier = {"start"}, ["start"]
+        while frontier:
+            nxt = []
+            for f in frontier:
+                for t in adj.get(f, []):
+                    if t not in reach:
+                        reach.add(t)
+                        nxt.append(t)
+            frontier = nxt
+        states = [s for s in candidates if s in reach]
         idx = {s: i for i, s in enumerate(states)}
         k = len(states)
         q = np.zeros((k, k))
@@ -1286,7 +1306,20 @@ def markov_removal_effects(counts) -> list[tuple[str, float, float]]:
                     pass  # removed channel/null absorb without converting
                 elif t in idx:
                     q[idx[s], idx[t]] += p
-        t_vec = np.linalg.solve(np.eye(k) - q, r)
+        a = np.eye(k) - q
+        try:
+            t_vec = np.linalg.solve(a, r)
+            if (t_vec < -1e-9).any() or (t_vec > 1 + 1e-9).any():
+                raise np.linalg.LinAlgError("out-of-range solution")
+        except np.linalg.LinAlgError:
+            # reachable closed cycle (impossible for journey-derived
+            # counts, possible for arbitrary input): the absorption
+            # probability is the MINIMAL non-negative fixpoint, which
+            # power iteration from zero converges to (trapped mass
+            # correctly contributes nothing); lstsq would not
+            t_vec = np.zeros(k)
+            for _ in range(2000):
+                t_vec = r + q @ t_vec
         return float(t_vec[idx["start"]])
 
     base = p_conv(None)

@@ -564,3 +564,70 @@ def test_substring_spans_match_python_reference(spark, docs, window):
         [toks if toks else [""] for toks in docs], window
     )
     assert got == ref
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["start", "view", "click", "signup", "error"]),
+            st.sampled_from(["view", "click", "signup", "error",
+                             "conv", "null"]),
+            st.integers(min_value=1, max_value=50),
+        ),
+        min_size=3,
+        max_size=25,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_markov_removal_effects_fuzz(edges):
+    """On random transition-count chains: the linear solve agrees
+    with long power iteration, effects stay in [0, 1], and shares
+    normalize (when any conversion path exists)."""
+    import numpy as np
+
+    from click_streaming_data_pipeline_spark.plans.catalog_clickstream import (
+        markov_removal_effects,
+    )
+
+    # ensure a converting path and a start edge exist so P(conv) > 0
+    counts = {}
+    for f, t, n in edges + [("start", "view", 5), ("view", "conv", 1)]:
+        if f == t:
+            continue
+        counts[(f, t)] = counts.get((f, t), 0) + n
+    rows = [(f, t, n) for (f, t), n in counts.items()]
+
+    effects = markov_removal_effects(rows)
+    channels = [c for c, _, _ in effects]
+    assert channels == sorted(channels)
+    for _, e, s in effects:
+        assert -1e-9 <= e <= 1.0 + 1e-9
+        assert -1e-9 <= s <= 1.0 + 1e-9
+    total_share = sum(s for _, _, s in effects)
+    assert abs(total_share - 1.0) < 1e-6 or total_share == 0.0
+
+    # independent check: power-iteration absorption for the full chain
+    def p_conv_power(removed):
+        states = ["start"] + [c for c in channels if c != removed]
+        idx = {s: i for i, s in enumerate(states)}
+        k = len(states)
+        q = np.zeros((k, k))
+        r = np.zeros(k)
+        for s in states:
+            out = {t: n for (f, t), n in counts.items() if f == s}
+            tot = sum(out.values())
+            for t, n in out.items():
+                p = n / tot
+                if t == "conv":
+                    r[idx[s]] += p
+                elif t in idx and t != removed:
+                    q[idx[s], idx[t]] += p
+        v = np.zeros(k)
+        for _ in range(600):
+            v = r + q @ v
+        return v[idx["start"]]
+
+    base = p_conv_power(None)
+    for c, e, _ in effects:
+        expected = 1.0 - p_conv_power(c) / base
+        assert abs(e - expected) < 1e-6, (c, e, expected)

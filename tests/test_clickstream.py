@@ -626,3 +626,43 @@ def test_schema_drift_report_flags_all_change_kinds(spark):
     assert ("lang", "null_rate_shift") in rep
     assert ("doc_id", "null_rate_shift") not in rep
     assert not any(col == "doc_id" for col, _ in rep)
+
+
+def test_forget_keys_edge_cases(spark, tmp_path):
+    """Empty deletion list is a no-op; deleting every key empties and
+    drops every partition without erroring."""
+    from pyspark.sql import functions as F
+
+    from click_streaming_data_pipeline_spark.operators.maintenance import (
+        forget_keys,
+    )
+    from click_streaming_data_pipeline_spark.sources import load_table
+
+    from .conftest import SF_TEST
+
+    table = str(tmp_path / "t")
+    ev = load_table(spark, SF_TEST, "events").limit(500).withColumn(
+        "day", F.to_date("ts")
+    )
+    ev.write.mode("overwrite").partitionBy("day").parquet(table)
+    n = spark.read.parquet(table).count()
+
+    empty = spark.createDataFrame([], "user_id bigint")
+    r = forget_keys(spark, table, "day", "user_id", empty)
+    assert r == {
+        "partitions_rewritten": 0,
+        "partitions_dropped": 0,
+        "rows_deleted": 0,
+    }
+    assert spark.read.parquet(table).count() == n
+
+    everyone = ev.select("user_id").distinct()
+    r2 = forget_keys(spark, table, "day", "user_id", everyone)
+    assert r2["rows_deleted"] == n
+    assert r2["partitions_rewritten"] == 0
+    assert r2["partitions_dropped"] > 0
+    import os
+
+    assert not any(
+        d.startswith("day=") for d in os.listdir(table)
+    )

@@ -1,0 +1,91 @@
+"""Edit-distance similarity join (record linkage / fuzzy matching).
+
+The missing join type in both the reference (ES ``fuzziness:"AUTO"``
+approximates it per-query, ``services/search/app/main.py:90-99``) and
+in the existing dedup toolkit (PPJoin/`dedup_prefix_filter` covers
+set-overlap Jaccard, not character-level edit distance). Finding all
+string pairs within Levenshtein distance tau is the core of entity
+resolution over names/addresses.
+
+Candidate generation is the DELETION NEIGHBORHOOD (FastSS; Bocek et
+al. 2007): for tau = 1, define D(s) = {s} union {s with one character
+deleted}. If ed(a, b) <= 1 then D(a) and D(b) intersect:
+
+- ed = 0: a itself is shared;
+- substitution at position i: deleting position i from both yields
+  the same string;
+- insertion (b = a + one char at i): a is in D(a), and deleting
+  position i from b yields a, so a is in D(b) too.
+
+So an equi-join on deletion keys finds EVERY candidate pair — no
+all-pairs join, no recall loss. Each row emits len(s)+1 keys (a
+linear, not quadratic, blow-up), buckets are equi-join-shuffled on
+the key, and the exact ``levenshtein`` verifier runs only on
+candidates. Bucket sizes are bounded by how many strings collapse to
+the same deletion key (near-identical strings), the same df profile
+as LSH bands — at 100 TB the join is shuffle-partitioned on the key
+and AQE splits skewed buckets.
+
+For tau > 1 the scheme generalizes to tau-deletion neighborhoods
+(product blow-up (len choose tau)); this module implements the
+tau = 1 workhorse used by the catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: deletion-neighborhood keys: the string itself plus every
+#: one-character deletion, deduplicated (repeated characters produce
+#: identical deletions). SQL-expression form — stays inside
+#: whole-stage codegen, no Python UDF.
+_DELETION_KEYS = (
+    "array_distinct(concat(array({s}), "
+    "transform(sequence(1, length({s})), "
+    "i -> concat(left({s}, i - 1), substring({s}, i + 1)))))"
+)
+
+
+def deletion_keys(df: DataFrame, s_col: str) -> DataFrame:
+    """Explode each row into its deletion-neighborhood keys (+1 col
+    ``_dkey``)."""
+    return df.withColumn(
+        "_dkey", F.explode(F.expr(_DELETION_KEYS.format(s=s_col)))
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame, id_col: str, s_col: str, max_dist: int = 1
+) -> DataFrame:
+    """All pairs (id_a < id_b) with levenshtein(s_a, s_b) <= max_dist.
+
+    Plan shape: explode keys -> equi-join on key -> distinct pair ->
+    levenshtein verify. Returns columns ``id_a, id_b, name_a, name_b,
+    dist`` (dist int).
+    """
+    if max_dist != 1:
+        raise ValueError(
+            "deletion-neighborhood blocking is built for max_dist=1; "
+            "use tau-deletion neighborhoods for larger radii"
+        )
+    keyed = deletion_keys(df.select(id_col, s_col), s_col)
+    a = keyed.select(
+        F.col(id_col).alias("id_a"),
+        F.col(s_col).alias("name_a"),
+        "_dkey",
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"),
+        F.col(s_col).alias("name_b"),
+        "_dkey",
+    )
+    cand = (
+        a.join(b, "_dkey")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "name_a", "name_b")
+        .distinct()
+    )
+    return cand.withColumn(
+        "dist", F.levenshtein("name_a", "name_b").cast("int")
+    ).filter(F.col("dist") <= max_dist)

@@ -61,12 +61,48 @@ def merge_states(
     return both.groupBy(*keys).agg(*aggs)
 
 
+def signed_state(
+    df: DataFrame, keys: list[str], sign: str, value: str
+) -> DataFrame:
+    """RETRACTABLE accumulator for a changelog (Flink-style retract
+    stream): each input row carries ``sign`` (+1 insert / -1 retract)
+    and the accumulator is (sum(sign), sum(sign*value)) — count and
+    sum under retraction. min/max/distinct are NOT retractable
+    (removing the current max needs the full history), which is
+    exactly why this state carries only the signed pair; decimal
+    accumulation keeps the fold bit-exact and order-insensitive."""
+    v = F.col(value).cast("decimal(28,6)")
+    return df.groupBy(*keys).agg(
+        F.sum(sign).alias("n"),
+        F.sum(F.col(sign) * v).alias("s"),
+    )
+
+
+def merge_signed(prev: DataFrame, delta: DataFrame, keys: list[str]) -> DataFrame:
+    """Signed states merge by plain addition (abelian group — the
+    property that makes deletes as cheap as inserts)."""
+    both = prev.unionByName(delta)
+    return both.groupBy(*keys).agg(
+        F.sum("n").alias("n"), F.sum("s").alias("s")
+    )
+
+
+def finalize_signed(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Live view: drop fully-retracted keys (net count 0)."""
+    return state.filter(F.col("n") != 0).select(
+        *keys,
+        F.col("n").cast("bigint").alias("n_live"),
+        F.col("s").cast("double").alias("sum_live"),
+    )
+
+
 def fold_state_dir(
     spark,
     state_dir: str,
     delta: DataFrame,
     batch_id: int,
     keys: list[str],
+    merge_fn=None,
 ) -> None:
     """Replay-safe streaming fold: merge ``delta`` into versioned
     state under ``state_dir``.
@@ -76,10 +112,15 @@ def fold_state_dir(
     micro-batch (foreachBatch is at-least-once) reproduces byte-
     identical state instead of double-merging its delta — the same
     commit-log discipline as the dedup bucket stores. Old versions
-    are pruned to keep the directory bounded.
+    are pruned to keep the directory bounded. ``merge_fn`` defaults
+    to the mergeable-aggregate ``merge_states``; pass ``merge_signed``
+    for retractable changelog state.
     """
     import os
     import shutil
+
+    if merge_fn is None:
+        merge_fn = merge_states
 
     def _versions() -> list[int]:
         if not os.path.isdir(state_dir):
@@ -95,7 +136,7 @@ def fold_state_dir(
         prev = spark.read.parquet(
             os.path.join(state_dir, f"v{prior[-1]}")
         )
-        merged = merge_states(prev, delta, keys)
+        merged = merge_fn(prev, delta, keys)
     else:
         merged = delta
     out = merged.localCheckpoint(eager=True)

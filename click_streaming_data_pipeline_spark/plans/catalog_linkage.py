@@ -1,0 +1,308 @@
+"""Catalog: record linkage, Pareto frontiers, and retractable
+(changelog) view maintenance.
+
+Three operator families the round-1 catalog lacked entirely:
+
+- **edit-distance similarity join** — the character-level fuzzy join
+  behind entity resolution; candidate generation by deletion
+  neighborhoods (``extensions/linkage.py``), never all-pairs. The
+  set-similarity siblings (PPJoin `dedup_prefix_filter`, MinHash LSH)
+  cover token overlap; this covers typo-distance.
+- **skyline / Pareto frontier** — multi-objective "best tradeoff"
+  rows, inexpressible in the reference's ES DSL
+  (``services/search/app/main.py:110-119`` sorts on one key only).
+  Two-phase distributed shape in ``operators/skyline.py``; the
+  streamed twin folds batch-local skylines associatively.
+- **retractable aggregate view** — Flink-style changelog (retract
+  stream) maintenance: deletes and updates maintain a live rollup as
+  signed deltas (abelian-group state), without re-reading history and
+  without per-row keyed state. The reference's CDC stream carries the
+  same ``op in {c,u,d}`` shape (``debezium/register-postgres.json``,
+  consumed at ``services/data-quality/app/main.py:85-99``) but its
+  consumers simply DROP deletes; this is what honoring them costs.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+# --------------------------------------------------------------- linkage
+
+
+@query(
+    "fuzzy_name_matches",
+    oracle="""
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               a.c_name AS name_a, b.c_name AS name_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        FROM customer a
+        JOIN customer b ON a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    doc=(
+        "beyond-reference linkage: EDIT-DISTANCE SIMILARITY SELF-JOIN "
+        "(ed <= 1) over customer names via deletion-neighborhood "
+        "blocking (FastSS) — each name emits len+1 deletion keys, "
+        "candidates come from one equi-join on the key (provably "
+        "complete for ed<=1: a substitution shares the both-deleted "
+        "form, an insert shares the shorter string), and levenshtein "
+        "verifies candidates only. The oracle is the O(N^2) DuckDB "
+        "all-pairs join — same rows, quadratic-free plan. ES "
+        "`fuzziness:AUTO` (search main.py:90-99) is the per-query "
+        "form of the same distance."
+    ),
+    tags=("join", "linkage", "scale"),
+)
+def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.linkage import edit_distance_pairs
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return edit_distance_pairs(cust, "c_custkey", "c_name", max_dist=1).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "name_a",
+        "name_b",
+        "dist",
+    )
+
+
+# --------------------------------------------------------------- skyline
+
+_SKYLINE_ORACLE = """
+    SELECT a.p_partkey, a.p_retailprice, a.p_size
+    FROM part a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE b.p_retailprice <= a.p_retailprice
+          AND b.p_size >= a.p_size
+          AND (b.p_retailprice < a.p_retailprice
+               OR b.p_size > a.p_size)
+    )
+"""
+
+
+@query(
+    "pareto_frontier",
+    oracle=_SKYLINE_ORACLE,
+    doc=(
+        "beyond-reference analytics: SKYLINE (Pareto frontier) — "
+        "parts not dominated on (minimize p_retailprice, maximize "
+        "p_size); rows tied on both axes all survive. Plan: "
+        "mapInPandas per-partition skyline prune (no shuffle, only "
+        "discards provably-dominated rows) -> groupBy the minimize "
+        "dimension -> one running-max sweep over the aggregated "
+        "frontier chain -> semi-join back. The oracle is the "
+        "quadratic NOT EXISTS dominance test; the plan is linear + "
+        "one small-dimension sort. Inexpressible in the reference's "
+        "single-key ES sort (search main.py:116-119)."
+    ),
+    tags=("agg", "window", "scale"),
+)
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skyline import skyline_2d
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    return skyline_2d(part, "p_retailprice", "p_size")
+
+
+@query(
+    "pareto_frontier_streamed",
+    oracle=_SKYLINE_ORACLE,
+    doc=(
+        "streamed skyline maintenance: skyline(A ∪ B) == "
+        "skyline(skyline(A) ∪ skyline(B)) (associative, monotone-"
+        "shrinking), so foreachBatch folds each micro-batch's local "
+        "skyline into a versioned frontier store (replay-idempotent "
+        "v{batch_id} dirs, same commit discipline as the dedup "
+        "stores). State size = frontier size, not corpus size; the "
+        "drained store equals the batch skyline exactly."
+    ),
+    tags=("streaming", "agg", "scale"),
+)
+def pareto_frontier_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import fold_state_dir, read_state_dir
+    from ..operators.skyline import skyline_2d
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    work = tempfile.mkdtemp(prefix="csdp_sky_")
+    src = os.path.join(work, "in")
+    state_dir = os.path.join(work, "state")
+    part.repartition(6).write.mode("overwrite").parquet(src)
+
+    def merge_frontiers(prev: DataFrame, delta: DataFrame, _keys) -> DataFrame:
+        return skyline_2d(
+            prev.unionByName(delta), "p_retailprice", "p_size", prune=False
+        )
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        local = skyline_2d(batch, "p_retailprice", "p_size")
+        fold_state_dir(
+            batch.sparkSession,
+            state_dir,
+            local,
+            batch_id,
+            [],
+            merge_fn=merge_frontiers,
+        )
+
+    q = (
+        spark.readStream.schema(part.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_state_dir(spark, state_dir)
+
+
+# ------------------------------------------------- retractable views
+
+#: deterministic changelog synthesized from `events` (every delete /
+#: update follows its insert, so replaying the log equals the signed
+#: net): event_id % 10 in 0..6 -> plain insert; 7 -> insert then
+#: update (+500 cents, as retract+insert); 8,9 -> insert then delete.
+_CHANGELOG_ORACLE = """
+    WITH base AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT event_type,
+           CAST(sum(CASE WHEN event_id % 10 <= 7 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_live,
+           CAST(sum(CASE WHEN event_id % 10 <= 6 THEN cents
+                         WHEN event_id % 10 = 7 THEN cents + 500
+                         ELSE 0 END) AS DOUBLE) AS sum_live
+    FROM base
+    GROUP BY event_type
+    HAVING sum(CASE WHEN event_id % 10 <= 7 THEN 1 ELSE 0 END) <> 0
+"""
+
+
+def _changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, sign, cents, ts) changelog rows; the retract+
+    insert encoding of updates is the Flink retract-stream wire
+    format, and the Debezium analogue is op=u carrying both `before`
+    and `after` (register-postgres.json REPLICA IDENTITY FULL)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    mod = F.col("event_id") % 10
+
+    def row(sign: int, cents: F.Column, seq: int):
+        return F.struct(
+            F.lit(sign).alias("sign"),
+            cents.alias("cents"),
+            F.lit(seq).alias("seq"),
+        )
+
+    ins = row(1, F.col("cents"), 0)
+    upd_retract = row(-1, F.col("cents"), 1)
+    upd_insert = row(1, F.col("cents") + 500, 1)
+    delete = row(-1, F.col("cents"), 1)
+    rows = (
+        F.when(mod == 7, F.array(ins, upd_retract, upd_insert))
+        .when(mod.isin(8, 9), F.array(ins, delete))
+        .otherwise(F.array(ins))
+    )
+    return ev.select(
+        "event_type", "ts", F.explode(rows).alias("r")
+    ).select("event_type", "ts", "r.sign", "r.cents", "r.seq")
+
+
+@query(
+    "changelog_aggregate",
+    oracle=_CHANGELOG_ORACLE,
+    doc=(
+        "beyond-reference streaming semantics: RETRACTABLE AGGREGATE "
+        "VIEW — a CDC changelog with inserts, updates (retract+"
+        "insert) and deletes maintains live per-type count/sum as "
+        "SIGNED deltas over abelian-group state "
+        "(operators/incremental.py::signed_state): deletes cost the "
+        "same one groupBy as inserts, no history re-read, no per-key "
+        "LWW state. Order-insensitive by construction (sums commute) "
+        "— the property the streamed twin relies on. The reference "
+        "drops deletes outright (event main.py:38-40); this is the "
+        "Flink-retract-mode answer Spark lacks natively."
+    ),
+    tags=("agg", "cdc", "scale"),
+)
+def changelog_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import finalize_signed, signed_state
+
+    log = _changelog(spark, sf_dir)
+    state = signed_state(log, ["event_type"], "sign", "cents")
+    return finalize_signed(state, ["event_type"])
+
+
+@query(
+    "changelog_aggregate_streamed",
+    oracle=_CHANGELOG_ORACLE,
+    doc=(
+        "streamed retractable view: the changelog (inserts, retract+"
+        "insert updates, deletes) arrives in micro-batches in "
+        "arbitrary order; foreachBatch folds each batch's signed "
+        "state into a versioned store by plain addition "
+        "(merge_signed). Because signed state is an abelian group, "
+        "batch boundaries and ordering are irrelevant — the drained "
+        "store equals the batch view bit-for-bit, replay-idempotent "
+        "via v{batch_id} commit dirs."
+    ),
+    tags=("streaming", "agg", "cdc", "scale"),
+)
+def changelog_aggregate_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.incremental import (
+        finalize_signed,
+        fold_state_dir,
+        merge_signed,
+        read_state_dir,
+        signed_state,
+    )
+
+    log = _changelog(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="csdp_chlog_")
+    src = os.path.join(work, "in")
+    state_dir = os.path.join(work, "state")
+    log.repartition(6).write.mode("overwrite").parquet(src)
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        delta = signed_state(batch, ["event_type"], "sign", "cents")
+        fold_state_dir(
+            batch.sparkSession,
+            state_dir,
+            delta,
+            batch_id,
+            ["event_type"],
+            merge_fn=merge_signed,
+        )
+
+    q = (
+        spark.readStream.schema(log.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return finalize_signed(read_state_dir(spark, state_dir), ["event_type"])

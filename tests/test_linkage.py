@@ -1,0 +1,147 @@
+"""Semantics tests for the linkage / skyline / retractable-view
+operators (plans/catalog_linkage.py): candidate-completeness of the
+deletion-neighborhood join, skyline dominance + tie handling, and
+abelian-group retraction folds with replay idempotence."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from click_streaming_data_pipeline_spark.extensions.linkage import (
+    edit_distance_pairs,
+)
+from click_streaming_data_pipeline_spark.operators.incremental import (
+    finalize_signed,
+    fold_state_dir,
+    merge_signed,
+    read_state_dir,
+    signed_state,
+)
+from click_streaming_data_pipeline_spark.operators.skyline import skyline_2d
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_pairs_complete_on_all_edit_kinds(spark):
+    # substitution, insertion, deletion, identical, far-apart — the
+    # blocking scheme must find every ed<=1 pair brute force finds
+    names = [
+        (1, "martha stuart"),
+        (2, "martha stuartt"),  # insertion vs 1
+        (3, "marta stuart"),  # deletion vs 1
+        (4, "marsha stuart"),  # substitution vs 1
+        (5, "martha stuart"),  # exact duplicate of 1 (dist 0)
+        (6, "completely other"),
+        (7, "x"),
+        (8, ""),  # empty string edge: D("") = {""}
+        (9, "y"),  # ed("x","y")=1 via substitution; ed("","x")=1
+    ]
+    df = spark.createDataFrame(names, ["id", "name"])
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_pairs(df, "id", "name").collect()
+    }
+    want = set()
+    for i, (ia, na) in enumerate(names):
+        for ib, nb in names[i + 1 :]:
+            d = _lev(na, nb)
+            if d <= 1:
+                want.add((min(ia, ib), max(ia, ib), d))
+    assert got == want
+    assert (1, 5, 0) in got and (1, 2, 1) in got and (1, 3, 1) in got
+
+
+def test_edit_distance_pairs_rejects_wide_radius(spark):
+    df = spark.createDataFrame([(1, "a")], ["id", "name"])
+    with pytest.raises(ValueError):
+        edit_distance_pairs(df, "id", "name", max_dist=2)
+
+
+def _brute_skyline(points):
+    out = []
+    for p in points:
+        dominated = any(
+            q[1] <= p[1]
+            and q[2] >= p[2]
+            and (q[1] < p[1] or q[2] > p[2])
+            for q in points
+        )
+        if not dominated:
+            out.append(p)
+    return sorted(out)
+
+
+def test_skyline_matches_brute_force_and_keeps_ties(spark):
+    rng = random.Random(7)
+    pts = [(i, rng.randrange(50), rng.randrange(50)) for i in range(300)]
+    # planted exact tie on both axes: both rows must survive if the
+    # point is on the frontier
+    pts += [(1000, -1, 999), (1001, -1, 999)]
+    df = spark.createDataFrame(pts, ["id", "lo", "hi"]).repartition(7)
+    got = sorted(tuple(r) for r in skyline_2d(df, "lo", "hi").collect())
+    assert got == _brute_skyline(pts)
+    assert (1000, -1, 999) in got and (1001, -1, 999) in got
+
+
+def test_skyline_prune_phase_is_semantics_free(spark):
+    rng = random.Random(11)
+    pts = [(i, rng.randrange(20), rng.randrange(20)) for i in range(200)]
+    df = spark.createDataFrame(pts, ["id", "lo", "hi"]).repartition(5)
+    with_prune = sorted(
+        tuple(r) for r in skyline_2d(df, "lo", "hi", prune=True).collect()
+    )
+    without = sorted(
+        tuple(r) for r in skyline_2d(df, "lo", "hi", prune=False).collect()
+    )
+    assert with_prune == without
+
+
+def test_signed_fold_retracts_and_replays(spark, tmp_path):
+    state_dir = str(tmp_path / "state")
+    log1 = spark.createDataFrame(
+        [("a", 1, 100), ("a", 1, 50), ("b", 1, 10)],
+        ["k", "sign", "cents"],
+    )
+    # batch 2 fully retracts key b and updates one a row (+25)
+    log2 = spark.createDataFrame(
+        [("b", -1, 10), ("a", -1, 50), ("a", 1, 75)],
+        ["k", "sign", "cents"],
+    )
+    for bid, log in [(0, log1), (1, log2)]:
+        delta = signed_state(log, ["k"], "sign", "cents")
+        fold_state_dir(
+            spark, state_dir, delta, bid, ["k"], merge_fn=merge_signed
+        )
+    live = {
+        (r.k, r.n_live, r.sum_live)
+        for r in finalize_signed(
+            read_state_dir(spark, state_dir), ["k"]
+        ).collect()
+    }
+    assert live == {("a", 2, 175.0)}  # b fully retracted, a updated
+
+    # at-least-once replay of batch 1: state must not double-retract
+    delta2 = signed_state(log2, ["k"], "sign", "cents")
+    fold_state_dir(
+        spark, state_dir, delta2, 1, ["k"], merge_fn=merge_signed
+    )
+    replayed = {
+        (r.k, r.n_live, r.sum_live)
+        for r in finalize_signed(
+            read_state_dir(spark, state_dir), ["k"]
+        ).collect()
+    }
+    assert replayed == live

@@ -13,6 +13,7 @@ from . import catalog_corpus  # noqa: F401
 from . import catalog_tpch  # noqa: F401
 from . import catalog_clickstream  # noqa: F401
 from . import catalog_linkage  # noqa: F401
+from . import catalog_robust  # noqa: F401
 
 # late-bind the self-describing manifest's oracle now that every
 # catalog module has registered (the VALUES list must cover the full

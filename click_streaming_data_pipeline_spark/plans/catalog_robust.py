@@ -1,0 +1,235 @@
+"""Catalog: robust statistics and weight-proportional sampling.
+
+Completes two analytics gaps: the z-score anomaly monitor
+(`value_anomalies`) breaks down when the contamination it is looking
+for inflates the variance — the robust (median/MAD) twin here does
+not; and the sampling family (uniform `consistent_sample`, quota
+`mixture_allocation_sample`, stratified, per-key-capped) lacked a
+weight-proportional member — systematic PPS sampling is how you pick
+k documents proportional to token mass for eval sets.
+
+Everything stays in exact integer/decimal space (cents, cumulative
+BIGINT weights, integer-division stride crossings) so both engines
+produce identical bits; the only floats are single exactly-rounded
+IEEE ops (one multiply, one divide) shared verbatim with the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+_CENTS_SQL = "CAST(round(value * 100) AS BIGINT)"
+
+
+def _cents() -> F.Column:
+    return F.round(F.col("value") * 100).cast("bigint")
+
+
+@query(
+    "value_anomalies_mad",
+    oracle=f"""
+        WITH e AS (
+            SELECT event_id, event_type, value, {_CENTS_SQL} AS cents
+            FROM events
+        ),
+        med AS (
+            SELECT event_type, quantile_cont(cents, 0.5) AS med
+            FROM e GROUP BY event_type
+        ),
+        dev AS (
+            SELECT e.*, m.med, abs(e.cents - m.med) AS adev
+            FROM e JOIN med m USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY event_type
+        ),
+        scored AS (
+            SELECT d.event_id, d.event_type, d.value,
+                   (d.cents - d.med)
+                       / (CAST(1.4826 AS DOUBLE) * s.mad) AS robust_z
+            FROM dev d JOIN mad s USING (event_type)
+            WHERE s.mad > 0
+        )
+        SELECT event_id, event_type, value, robust_z
+        FROM scored
+        WHERE robust_z > CAST(3.5 AS DOUBLE)
+           OR robust_z < CAST(-3.5 AS DOUBLE)
+    """,
+    doc=(
+        "beyond-reference robust statistics: MEDIAN/MAD anomaly "
+        "flagging — the outlier monitor value_anomalies' z-scores "
+        "cannot be: a burst of extreme values inflates mean AND "
+        "stddev (masking itself), while median and MAD have 50% "
+        "breakdown. Three-pass plan, every pass a per-type "
+        "aggregation of the type-bounded dimension broadcast back: "
+        "exact interpolated median of integer cents, MAD of the "
+        ".5-granular deviations (all exactly representable doubles), "
+        "then one shared-spelling multiply+divide so the robust z is "
+        "bit-identical cross-engine. Consistency factor 1.4826 "
+        "rescales MAD to sigma-equivalent units."
+    ),
+    tags=("agg", "robust"),
+)
+def value_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", _cents().alias("cents")
+    )
+    med = e.groupBy("event_type").agg(
+        F.percentile("cents", F.lit(0.5)).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    rz = (F.col("cents") - F.col("med")) / (
+        F.lit(1.4826).cast("double") * F.col("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") > 0)
+        .withColumn("robust_z", rz)
+        .filter(
+            (F.col("robust_z") > F.lit(3.5).cast("double"))
+            | (F.col("robust_z") < F.lit(-3.5).cast("double"))
+        )
+        .select("event_id", "event_type", "value", "robust_z")
+    )
+
+
+@query(
+    "value_equidepth_histogram",
+    oracle=f"""
+        WITH c AS (
+            SELECT {_CENTS_SQL} AS cents, count(*) AS cnt
+            FROM events GROUP BY 1
+        ),
+        cum AS (
+            SELECT cents, cnt,
+                   COALESCE(SUM(cnt) OVER (
+                       ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS cb,
+                   SUM(cnt) OVER () AS n
+            FROM c
+        )
+        SELECT cb * 8 // n AS bucket,
+               CAST(sum(cnt) AS BIGINT) AS n_rows,
+               min(cents) AS lo_cents,
+               max(cents) AS hi_cents
+        FROM cum
+        GROUP BY 1
+    """,
+    doc=(
+        "beyond-reference statistics: EQUI-DEPTH histogram (8 "
+        "equal-frequency buckets) — the selectivity-estimation "
+        "companion to value_histogram's equal-width view. Bucket "
+        "boundaries come from the CUMULATIVE DISTRIBUTION over the "
+        "AGGREGATED value dimension (distinct cents, orders of "
+        "magnitude smaller than the corpus): bucket(v) = "
+        "floor(cum_before(v) * B / N) in pure BIGINT arithmetic, so "
+        "equal values never split across buckets and both engines "
+        "agree bit-for-bit. The corpus-scale work is one groupBy; "
+        "the window sweeps only the value domain (at a truly "
+        "unbounded domain, range-partition the sweep or pre-bin)."
+    ),
+    tags=("agg", "window"),
+)
+def value_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "events")
+        .select(_cents().alias("cents"))
+        .groupBy("cents")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_before = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = c.select(
+        "cents",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_before), F.lit(0)).alias("cb"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    return (
+        cum.withColumn("bucket", F.expr("cb * 8 DIV n"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+    )
+
+
+@query(
+    "pps_systematic_sample",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, source, n_chars,
+                   md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, source, n_chars,
+                   SUM(n_chars) OVER (
+                       ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum,
+                   SUM(n_chars) OVER () AS w
+            FROM d
+        )
+        SELECT doc_id, source, n_chars
+        FROM c
+        WHERE (cum * 50) // w > ((cum - n_chars) * 50) // w
+    """,
+    doc=(
+        "beyond-reference sampling: SYSTEMATIC PPS (probability "
+        "proportional to size) — picks <= 50 documents with "
+        "inclusion probability proportional to n_chars (token mass), "
+        "the standard way to draw an eval set that represents the "
+        "corpus BY VOLUME, not by document count. Deterministic "
+        "integer spec: md5-shuffled order, BIGINT cumulative weights, "
+        "a document is selected iff its weight interval crosses a "
+        "stride boundary (floor(cum*k/W) increments) — no floats, no "
+        "ln/pow (Efraimidis-Spirakis keys are NOT bit-portable), "
+        "replicated verbatim by the oracle. Oversized units are "
+        "picked once (exactly the PPS-without-replacement clamp). At "
+        "100 TB: per-partition cumulative pass + partition-offset "
+        "join, same two-phase shape as revenue_concentration's "
+        "global rank."
+    ),
+    tags=("sampling", "window", "scale"),
+)
+def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w_cum = Window.orderBy("h", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("h", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.sum("n_chars").over(w_cum).alias("cum"),
+        F.sum("n_chars").over(w_all).alias("w"),
+    )
+    return c.filter(
+        F.expr("(cum * 50) DIV w > ((cum - n_chars) * 50) DIV w")
+    ).select("doc_id", "source", "n_chars")

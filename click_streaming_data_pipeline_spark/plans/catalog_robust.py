@@ -233,3 +233,127 @@ def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.filter(
         F.expr("(cum * 50) DIV w > ((cum - n_chars) * 50) DIV w")
     ).select("doc_id", "source", "n_chars")
+
+
+@query(
+    "revenue_trend_theilsen",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS d,
+                   CAST(SUM({_CENTS_SQL}) AS BIGINT) AS c
+            FROM events
+            WHERE event_type = 'purchase'
+            GROUP BY 1
+        ),
+        slopes AS (
+            SELECT CAST(b.c - a.c AS DOUBLE) / (b.d - a.d) AS slope
+            FROM daily a JOIN daily b ON a.d < b.d
+        ),
+        m AS (SELECT quantile_cont(slope, 0.5) AS slope FROM slopes)
+        SELECT m.slope AS slope_cents_per_day,
+               quantile_cont(daily.c - m.slope * daily.d, 0.5)
+                   AS intercept_cents,
+               (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days
+        FROM daily, m
+        GROUP BY m.slope
+    """,
+    doc=(
+        "beyond-reference robust statistics: THEIL-SEN trend "
+        "estimator over daily purchase revenue — the median of all "
+        "pairwise slopes, with 29% breakdown against outlier days "
+        "(a flash-sale spike shifts an OLS fit, not this). The "
+        "corpus-scale work is one groupBy day; the O(n^2) pair frame "
+        "lives on the AGGREGATED day dimension (30 days -> 435 "
+        "pairs), never the events. Exactness: integer cent sums and "
+        "epoch-day deltas, ONE IEEE division per slope and one "
+        "shared-spelling multiply for intercept residuals — "
+        "interpolated medians of identical doubles match bit-for-bit."
+    ),
+    tags=("agg", "robust", "temporal"),
+)
+def revenue_trend_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+            .alias("d")
+        )
+        .agg(F.sum(_cents()).alias("c"))
+    )
+    a = daily.select(F.col("d").alias("d1"), F.col("c").alias("c1"))
+    b = daily.select(F.col("d").alias("d2"), F.col("c").alias("c2"))
+    slopes = a.join(b, F.col("d1") < F.col("d2")).select(
+        (
+            (F.col("c2") - F.col("c1")).cast("double")
+            / (F.col("d2") - F.col("d1"))
+        ).alias("slope")
+    )
+    m = slopes.agg(F.percentile("slope", F.lit(0.5)).alias("slope"))
+    resid = daily.join(F.broadcast(m)).select(
+        "slope",
+        (F.col("c") - F.col("slope") * F.col("d")).alias("r"),
+    )
+    n_days = daily.agg(F.count("*").alias("n_days"))
+    return (
+        resid.groupBy("slope")
+        .agg(F.percentile("r", F.lit(0.5)).alias("intercept_cents"))
+        .select(F.col("slope").alias("slope_cents_per_day"), "intercept_cents")
+        .join(F.broadcast(n_days))
+    )
+
+
+@query(
+    "value_trimmed_mean",
+    oracle=f"""
+        WITH e AS (
+            SELECT event_type, {_CENTS_SQL} AS cents, event_id,
+                   value,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY {_CENTS_SQL}, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               (CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                    / COUNT(value)) AS trimmed_mean
+        FROM e
+        WHERE rn > n * 5 // 100 AND rn <= n - n * 5 // 100
+        GROUP BY event_type
+    """,
+    doc=(
+        "beyond-reference robust statistics: 5% TRIMMED MEAN per "
+        "event type — the middle ground between the mean (0% "
+        "breakdown) and the median; the trim spec is deterministic "
+        "integer rank arithmetic over the total order (cents, "
+        "event_id), so both engines drop the exact same rows, and "
+        "the surviving values aggregate through the decimal-exact "
+        "davg convention. Per-type window partitions — parallel at "
+        "scale, no global sort."
+    ),
+    tags=("agg", "robust", "window"),
+)
+def value_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import davg
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value", _cents().alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    kept = ranked.filter(
+        (F.col("rn") > F.expr("n * 5 DIV 100"))
+        & (F.col("rn") <= F.col("n") - F.expr("n * 5 DIV 100"))
+    )
+    return kept.groupBy("event_type").agg(
+        F.count("*").alias("n_kept"),
+        davg("value", "trimmed_mean"),
+    )

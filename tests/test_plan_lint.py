@@ -75,6 +75,10 @@ ALLPAIRS_ALLOWED = {
     "corpus_vocabulary",
     "bpe_merge_ranks",
     "bpe_encode",
+    # Theil-Sen: the O(n^2) slope pair join runs on the AGGREGATED
+    # day dimension (tens of rows), never the events; the 1-row
+    # median/n_days frames broadcast back
+    "revenue_trend_theilsen",
 }
 
 # streaming queries execute real streams in their builder; driver-loop

@@ -89,3 +89,94 @@ def edit_distance_pairs(
     return cand.withColumn(
         "dist", F.levenshtein("name_a", "name_b").cast("int")
     ).filter(F.col("dist") <= max_dist)
+
+
+# ----------------------------------------------------------- streaming
+
+def _batch_dir(store: str, batch_id: int) -> str:
+    import os
+
+    return os.path.join(store, f"b{batch_id}")
+
+
+def _read_prior(spark, store: str, batch_id: int):
+    """Accumulated key store excluding the current batch's own subdir
+    (at-least-once replay safety — same commit discipline as
+    dedup_streaming._read_prior)."""
+    import os
+
+    if not os.path.isdir(store):
+        return None
+    parts = [
+        os.path.join(store, d)
+        for d in os.listdir(store)
+        if d.startswith("b") and d != f"b{batch_id}"
+    ]
+    if not parts:
+        return None
+    return spark.read.parquet(*parts)
+
+
+def process_linkage_batch(
+    batch: DataFrame,
+    *,
+    batch_id: int,
+    id_col: str,
+    s_col: str,
+    key_store: str,
+    pairs_store: str,
+) -> None:
+    """Incremental entity-linkage step: the batch's records match
+    against everything seen so far (accumulated deletion-key store ∪
+    the batch itself), never the full corpus. Every ed<=1 pair is
+    examined exactly when its later record arrives, so the drained
+    pairs store equals the batch `edit_distance_pairs` output — the
+    driver oracle for `fuzzy_name_matches_streamed`."""
+    from ..operators.upsert import upsert_parquet
+
+    spark = batch.sparkSession
+    keyed_new = deletion_keys(batch.select(id_col, s_col), s_col).select(
+        F.col(id_col).alias("id"), F.col(s_col).alias("name"), "_dkey"
+    )
+    prior = _read_prior(spark, key_store, batch_id)
+    keyed_all = (
+        keyed_new if prior is None else prior.unionByName(keyed_new)
+    )
+    a = keyed_all.select(
+        F.col("id").alias("id_x"), F.col("name").alias("name_x"), "_dkey"
+    )
+    b = keyed_new.select(
+        F.col("id").alias("id_y"), F.col("name").alias("name_y"), "_dkey"
+    )
+    ordered = F.when(
+        F.col("id_x") < F.col("id_y"),
+        F.struct(
+            F.col("id_x").alias("id_a"),
+            F.col("id_y").alias("id_b"),
+            F.col("name_x").alias("name_a"),
+            F.col("name_y").alias("name_b"),
+        ),
+    ).otherwise(
+        F.struct(
+            F.col("id_y").alias("id_a"),
+            F.col("id_x").alias("id_b"),
+            F.col("name_y").alias("name_a"),
+            F.col("name_x").alias("name_b"),
+        )
+    )
+    cand = (
+        a.join(b, "_dkey")
+        .filter(F.col("id_x") != F.col("id_y"))
+        .select(ordered.alias("p"))
+        .select("p.*")
+        .distinct()
+    )
+    verified = cand.withColumn(
+        "dist", F.levenshtein("name_a", "name_b").cast("int")
+    ).filter(F.col("dist") <= 1)
+    upsert_parquet(
+        spark, pairs_store, verified, ["id_a", "id_b"], ["dist"]
+    )
+    keyed_new.write.mode("overwrite").parquet(
+        _batch_dir(key_store, batch_id)
+    )

@@ -75,6 +75,72 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "fuzzy_name_matches_streamed",
+    oracle="""
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               a.c_name AS name_a, b.c_name AS name_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        FROM customer a
+        JOIN customer b ON a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    doc=(
+        "streamed incremental entity linkage: records arrive in "
+        "micro-batches and each batch's deletion keys join the "
+        "ACCUMULATED key store (plus the batch itself), never the "
+        "full corpus — 'does this new record fuzzy-match anything "
+        "seen so far' at per-batch cost proportional to the batch's "
+        "bucket fan-in. Every ed<=1 pair is examined exactly when "
+        "its later record arrives, so the drained pairs store equals "
+        "the batch edit-distance join bit-for-bit (same oracle); "
+        "at-least-once replay is handled by per-batch key subdirs + "
+        "keyed pair upsert (the dedup_streaming commit discipline)."
+    ),
+    tags=("streaming", "join", "linkage", "scale"),
+)
+def fuzzy_name_matches_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..extensions.linkage import process_linkage_batch
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    work = tempfile.mkdtemp(prefix="csdp_link_")
+    src = os.path.join(work, "in")
+    key_store = os.path.join(work, "keys")
+    pairs_store = os.path.join(work, "pairs")
+    cust.repartition(6).write.mode("overwrite").parquet(src)
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        process_linkage_batch(
+            batch,
+            batch_id=batch_id,
+            id_col="c_custkey",
+            s_col="c_name",
+            key_store=key_store,
+            pairs_store=pairs_store,
+        )
+
+    q = (
+        spark.readStream.schema(cust.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(pairs_store).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "name_a",
+        "name_b",
+        "dist",
+    )
+
+
 # --------------------------------------------------------------- skyline
 
 _SKYLINE_ORACLE = """

@@ -145,3 +145,44 @@ def test_signed_fold_retracts_and_replays(spark, tmp_path):
         ).collect()
     }
     assert replayed == live
+
+
+def test_linkage_stream_replay_idempotent(spark, tmp_path):
+    from click_streaming_data_pipeline_spark.extensions.linkage import (
+        process_linkage_batch,
+    )
+
+    key_store = str(tmp_path / "keys")
+    pairs_store = str(tmp_path / "pairs")
+    b0 = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpho")], ["id", "name"]
+    )
+    b1 = spark.createDataFrame(
+        [(3, "alpha"), (4, "zeta")], ["id", "name"]
+    )
+
+    def fold(batch, bid):
+        process_linkage_batch(
+            batch,
+            batch_id=bid,
+            id_col="id",
+            s_col="name",
+            key_store=key_store,
+            pairs_store=pairs_store,
+        )
+
+    fold(b0, 0)
+    fold(b1, 1)
+    want = {
+        (r.id_a, r.id_b, r.dist)
+        for r in spark.read.parquet(pairs_store).collect()
+    }
+    # cross-batch pair (1,3) dist 0 and (2,3) dist 1 must be present
+    assert (1, 3, 0) in want and (2, 3, 1) in want and (1, 2, 1) in want
+
+    fold(b1, 1)  # at-least-once replay of the last batch
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in spark.read.parquet(pairs_store).collect()
+    }
+    assert got == want

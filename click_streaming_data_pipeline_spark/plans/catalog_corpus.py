@@ -1336,3 +1336,50 @@ def _make_quality_calibration():
 
 
 _make_quality_calibration()
+
+
+@query(
+    "l_diversity_audit",
+    oracle="""
+        SELECT source,
+               CAST(floor(n_chars / 100) * 100 AS BIGINT) AS size_bin,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT lang) AS BIGINT) AS lang_diversity,
+               (count(DISTINCT lang) < 2) AS at_risk
+        FROM documents
+        GROUP BY 1, 2
+    """,
+    doc=(
+        "governance extension: L-DIVERSITY audit — k-anonymity's "
+        "companion check (k_anonymity_audit): an equivalence class "
+        "can clear k members yet still leak if every member shares "
+        "the SAME sensitive value (here lang as the stand-in "
+        "sensitive attribute); l-diversity requires >= l distinct "
+        "sensitive values per quasi-identifier class (source, size "
+        "bin). One distinct-agg groupBy, class count bounded by the "
+        "QI domain; at 100 TB the distinct-agg partial-aggregates "
+        "per partition before the class shuffle."
+    ),
+    tags=("agg",),
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            "source",
+            (F.floor(F.col("n_chars") / 100) * 100)
+            .cast("long")
+            .alias("size_bin"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("lang_diversity"),
+        )
+        .select(
+            "source",
+            "size_bin",
+            "n_docs",
+            "lang_diversity",
+            (F.col("lang_diversity") < 2).alias("at_risk"),
+        )
+    )

@@ -357,3 +357,88 @@ def value_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_kept"),
         davg("value", "trimmed_mean"),
     )
+
+
+@query(
+    "float_semantics",
+    oracle="""
+        SELECT 'sum_repr' AS probe,
+               CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE) AS result_d,
+               CAST(NULL AS BOOLEAN) AS result_b,
+               CAST(NULL AS BIGINT) AS result_i
+        UNION ALL SELECT 'overflow_inf',
+               CAST(1e308 AS DOUBLE) * 10, NULL, NULL
+        UNION ALL SELECT 'inf_minus_inf',
+               CAST('Infinity' AS DOUBLE) - CAST('Infinity' AS DOUBLE),
+               NULL, NULL
+        UNION ALL SELECT 'subnormal_min',
+               CAST(5e-324 AS DOUBLE), NULL, NULL
+        UNION ALL SELECT 'assoc_breaks', NULL,
+               (CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE))
+                   + CAST(0.3 AS DOUBLE)
+               = CAST(0.1 AS DOUBLE)
+                   + (CAST(0.2 AS DOUBLE) + CAST(0.3 AS DOUBLE)),
+               NULL
+        UNION ALL SELECT 'nan_eq_self', NULL,
+               CAST('NaN' AS DOUBLE) = CAST('NaN' AS DOUBLE), NULL
+        UNION ALL SELECT 'neg_zero_eq', NULL,
+               CAST(-0.0 AS DOUBLE) = CAST(0.0 AS DOUBLE), NULL
+        UNION ALL SELECT 'neg_zero_ndv', NULL, NULL,
+               (SELECT count(DISTINCT v) FROM (VALUES
+                   (CAST(0.0 AS DOUBLE)),
+                   (CAST(-0.0 AS DOUBLE))) s(v))
+        UNION ALL SELECT 'nan_sorts_last', NULL, NULL,
+               (SELECT rn FROM (SELECT v, row_number() OVER
+                       (ORDER BY v) AS rn
+                   FROM (VALUES (CAST(1.0 AS DOUBLE)),
+                                (CAST('Infinity' AS DOUBLE)),
+                                (CAST('NaN' AS DOUBLE))) s(v))
+                WHERE isnan(v))
+    """,
+    doc=(
+        "engine-conformance probe: IEEE-754 DOUBLE semantics pinned "
+        "under driver hash, completing the UTF-8/NULL/calendar/"
+        "numeric probe family — literal round-trips (0.1+0.2 bits), "
+        "overflow to +inf, inf-inf = NaN, the minimum subnormal, "
+        "float addition non-associativity (why the catalog sums in "
+        "decimal), and the SQL-over-IEEE divergences both engines "
+        "share: NaN = NaN is TRUE, NaN sorts greatest, and -0.0 "
+        "equals +0.0 with ONE distinct grouping key (why -0.0 can "
+        "never split a groupBy partition). Each agreement here is a "
+        "precondition the exact-float conventions (functions/"
+        "exact.py) silently rely on."
+    ),
+    tags=("scalar",),
+)
+def float_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        """
+        SELECT 'sum_repr' AS probe,
+               double('0.1') + double('0.2') AS result_d,
+               CAST(NULL AS BOOLEAN) AS result_b,
+               CAST(NULL AS BIGINT) AS result_i
+        UNION ALL SELECT 'overflow_inf',
+               double('1e308') * 10, NULL, NULL
+        UNION ALL SELECT 'inf_minus_inf',
+               double('Infinity') - double('Infinity'), NULL, NULL
+        UNION ALL SELECT 'subnormal_min',
+               double('5e-324'), NULL, NULL
+        UNION ALL SELECT 'assoc_breaks', NULL,
+               (double('0.1') + double('0.2')) + double('0.3')
+               = double('0.1') + (double('0.2') + double('0.3')), NULL
+        UNION ALL SELECT 'nan_eq_self', NULL,
+               double('NaN') = double('NaN'), NULL
+        UNION ALL SELECT 'neg_zero_eq', NULL,
+               double('-0.0') = double('0.0'), NULL
+        UNION ALL SELECT 'neg_zero_ndv', NULL, NULL,
+               (SELECT count(DISTINCT v) FROM (VALUES
+                   (double('0.0')), (double('-0.0'))) s(v))
+        UNION ALL SELECT 'nan_sorts_last', NULL, NULL,
+               (SELECT rn FROM (SELECT v, row_number() OVER
+                       (ORDER BY v) AS rn
+                   FROM (VALUES (double('1.0')),
+                                (double('Infinity')),
+                                (double('NaN'))) s(v))
+                WHERE isnan(v))
+        """
+    )

@@ -339,3 +339,60 @@ def score_columns_bm25(
         sat = wtf * F.lit(k1 + 1.0) / (wtf + norm)
         score = score + F.lit(idf[t]) * sat
     return score
+
+
+def more_like_this(
+    docs: DataFrame,
+    source_id,
+    *,
+    id_col: str = "doc_id",
+    body_col: str = "text",
+    max_terms: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``more_like_this`` analogue (the similarity query the
+    reference's ES index supports but /search never exposes): select
+    the source document's most characteristic terms — top
+    ``max_terms`` by tf(source) x idf — then rank the rest of the
+    corpus by the summed idf-weight of matching term occurrences.
+
+    Exactness spec: idf is QUANTIZED to integer micro-units
+    (floor(bm25_idf * 1e6 + 0.5), the repo's floor(x+0.5) rounding
+    convention), so every score is a BIGINT sum — order-insensitive
+    and bit-identical cross-engine, unlike a float sum whose
+    association order differs between a Spark expression tree and a
+    SQL SUM. Driver-side steps are two bounded collects (the source
+    row + one df aggregation row — the ivf.py centroid pattern);
+    corpus scoring stays a single codegen'd scan.
+    """
+    src_tokens = (
+        docs.filter(F.col(id_col) == source_id)
+        .select(F.explode(tokenize(body_col)).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("tf"))
+        .collect()
+    )
+    tf_src = {r["tok"]: int(r["tf"]) for r in src_tokens}
+    n_docs, dfs = term_doc_frequencies(
+        docs, sorted(tf_src), body_col=body_col
+    )
+    qidf = {
+        t: int(math.floor(bm25_idf(n_docs, dfs[t]) * 1e6 + 0.5))
+        for t in tf_src
+    }
+    top = sorted(tf_src, key=lambda t: (-tf_src[t] * qidf[t], t))[:max_terms]
+    toks = tokenize(body_col)
+    score = sum(
+        (term_frequency(toks, t).cast("long") * F.lit(qidf[t])
+         for t in top),
+        F.lit(0).cast("long"),
+    )
+    return (
+        docs.filter(F.col(id_col) != source_id)
+        .withColumn("mlt_score", score)
+        .filter(F.col("mlt_score") > 0)
+        .orderBy(F.col("mlt_score").desc(), F.col(id_col))
+        .select(id_col, "mlt_score")
+        .limit(k)
+    )

@@ -372,3 +372,68 @@ def changelog_aggregate_streamed(
     )
     q.awaitTermination()
     return finalize_signed(read_state_dir(spark, state_dir), ["event_type"])
+
+
+_BITEMPORAL_ORACLE = """
+    SELECT 'before_updates' AS as_of, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE doc_id % 10 <= 7
+    GROUP BY 2
+    UNION ALL
+    SELECT 'after_updates', source,
+           CAST(count(*) AS BIGINT),
+           CAST(sum(n_chars + CASE WHEN doc_id % 10 IN (6, 7)
+                                   THEN 3 ELSE 0 END) AS BIGINT)
+    FROM documents WHERE doc_id % 10 <= 7
+    GROUP BY 2
+"""
+
+
+@query(
+    "bitemporal_as_of",
+    oracle=_BITEMPORAL_ORACLE,
+    doc=(
+        "beyond-reference temporal semantics: TRANSACTION-TIME "
+        "TRAVEL over the CDC changelog — reconstruct the table 'as "
+        "known at T' by replaying envelopes with ts_ms <= T through "
+        "last-write-wins and dropping keys whose latest op is "
+        "r(snapshot)/d(delete), then aggregating the live rows; two "
+        "snapshots (before/after the v2 updates) emitted side by "
+        "side. The lakehouse time-travel capability the reference's "
+        "Debezium stream (register-postgres.json ts_ms) carries the "
+        "data for but nothing consumes; SCD2 (user_status_scd2) is "
+        "the VALID-time axis, this is the transaction-time axis — "
+        "together they form the bitemporal pair. Plan per snapshot: "
+        "ts filter -> two-phase WindowGroupLimit LWW -> partial agg; "
+        "the oracle derives both states from the deterministic "
+        "envelope synthesis rule (sources/cdc.py doc_id % 10)."
+    ),
+    tags=("cdc", "temporal", "agg"),
+)
+def bitemporal_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.upsert import latest_rows
+    from ..sources.cdc import _TS_BASE_MS, parse_cdc, synth_cdc_envelopes
+
+    env = parse_cdc(synth_cdc_envelopes(spark, sf_dir)).withColumn(
+        "key_id",
+        F.coalesce(F.col("after.doc_id"), F.col("before.doc_id")),
+    )
+
+    def snapshot(t_ms: int, label: str) -> DataFrame:
+        upto = env.filter(F.col("ts_ms") <= t_ms)
+        latest = latest_rows(upto, ["key_id"], ["ts_ms"])
+        live = latest.filter(~F.col("op").isin("r", "d")).select(
+            F.col("after.source").alias("source"),
+            F.col("after.n_chars").alias("n_chars"),
+        )
+        return live.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        ).select(F.lit(label).alias("as_of"), "*")
+
+    t1 = _TS_BASE_MS + 500_000
+    t2 = _TS_BASE_MS + 2_000_000
+    return snapshot(t1, "before_updates").unionByName(
+        snapshot(t2, "after_updates")
+    )

@@ -747,3 +747,71 @@ def _make_search_eval():
 
 
 _make_search_eval()
+
+
+@query(
+    "search_more_like_this",
+    oracle="""
+        WITH src AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM (
+                SELECT unnest(string_split(lower(text), ' ')) AS tok
+                FROM documents WHERE doc_id = 1) u
+            WHERE tok <> ''
+            GROUP BY 1
+        ),
+        corpus AS (
+            SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents
+        ),
+        df AS (
+            SELECT s.tok, CAST(count(DISTINCT c.doc_id) AS BIGINT) AS df
+            FROM src s JOIN corpus c ON c.tok = s.tok
+            GROUP BY 1
+        ),
+        q AS (
+            SELECT s.tok, s.tf,
+                   CAST(floor(ln(1 + (
+                       (SELECT CAST(count(*) AS DOUBLE) FROM documents)
+                       - CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                       / (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                       * CAST(1000000.0 AS DOUBLE)
+                       + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qidf
+            FROM src s JOIN df d USING (tok)
+        ),
+        top5 AS (
+            SELECT tok, qidf FROM q
+            ORDER BY tf * qidf DESC, tok
+            LIMIT 5
+        ),
+        scored AS (
+            SELECT c.doc_id, CAST(SUM(t.qidf) AS BIGINT) AS mlt_score
+            FROM corpus c JOIN top5 t ON c.tok = t.tok
+            WHERE c.doc_id <> 1
+            GROUP BY 1
+        )
+        SELECT doc_id, mlt_score
+        FROM scored
+        WHERE mlt_score > 0
+        ORDER BY mlt_score DESC, doc_id
+        LIMIT 10
+    """,
+    doc=(
+        "ES-surface parity: MORE_LIKE_THIS — the reference's ES "
+        "index supports ES's more_like_this similarity query "
+        "(services/event/app/main.py:79-127 mapping) though /search "
+        "never exposes it; this is the engine form. Source doc 1's "
+        "top-5 terms by tf x idf seed a corpus scoring pass; idf is "
+        "quantized to integer micro-units (floor(idf*1e6+0.5)) so "
+        "ranking sums are BIGINTs — order-insensitive, bit-identical "
+        "cross-engine, immune to float-sum association. Two bounded "
+        "driver collects (source row, one df aggregation row — the "
+        "ivf.py pattern); scoring is one codegen'd corpus scan."
+    ),
+    tags=("search",),
+)
+def search_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.search import more_like_this
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return more_like_this(docs, 1, id_col="doc_id", body_col="text")

@@ -1,0 +1,101 @@
+"""Distributed global prefix sum (two-phase scan).
+
+A window like ``SUM(x) OVER (ORDER BY k)`` with no PARTITION BY plans
+an ``Exchange SinglePartition`` — every row funnels through one task,
+the classic scale cliff of global cumulative queries (PPS sampling,
+Gini curves, equi-depth boundaries). This operator computes the same
+prefix sums with NO single-partition stage:
+
+1. ``repartitionByRange(order)`` + ``sortWithinPartitions`` — rows
+   land range-ordered ACROSS partitions and sorted within;
+2. local prefix sums per partition — a zero-shuffle ``mapInPandas``
+   pass over the already-sorted partition (a window PARTITION BY
+   spark_partition_id() would plan an extra hash exchange because
+   Catalyst cannot see that rows are already co-located);
+3. per-partition totals (one tiny row per partition) get their own
+   prefix sum on the partition-id dimension and broadcast back as
+   offsets;
+4. global prefix = local prefix + partition offset.
+
+Correctness does not depend on where the range boundaries fall: with
+a TOTAL order (pass tie-break columns!), local prefix + offset equals
+the global prefix sum for every row regardless of partitioning, so
+the operator is deterministic even though range boundaries come from
+sampling. Cost: one range shuffle of the data + a partition-count
+sized side frame — the standard parallel-scan shape.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _with_local_prefix(
+    ranged: DataFrame, value_col: str, sum_type: T.DataType
+) -> DataFrame:
+    """Zero-shuffle per-partition pass adding ``__pid`` and the
+    partition-local inclusive prefix sum ``__local``."""
+    schema = T.StructType(
+        list(ranged.schema.fields)
+        + [
+            T.StructField("__pid", T.IntegerType()),
+            T.StructField("__local", sum_type),
+        ]
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        running = 0
+        for b in batches:
+            out = b.copy()
+            out["__pid"] = pid
+            out["__local"] = b[value_col].cumsum() + running
+            running = int(out["__local"].iloc[-1]) if len(out) else running
+            yield out
+
+    return ranged.mapInPandas(scan, schema)
+
+
+def partitioned_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Adds ``out_col`` = inclusive prefix sum of ``value_col`` in
+    ``order_cols`` order (must be a total order), plus nothing else —
+    input columns pass through. No single-partition exchange.
+
+    ``value_col`` must be integral (the running carry is exact BIGINT
+    arithmetic — the catalog's cents/chars convention)."""
+    n = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    ranged = df.repartitionByRange(
+        int(n), *[F.col(c) for c in order_cols]
+    ).sortWithinPartitions(*order_cols)
+    local = _with_local_prefix(ranged, value_col, T.LongType())
+
+    totals = local.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # the offsets frame is partition-count sized (tens of rows) — its
+    # own ordered window is trivially small, and it broadcasts back
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0))
+    ).select("__pid", "__off")
+
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__local") + F.col("__off")).cast("long"))
+        .drop("__pid", "__local")
+    )

@@ -203,36 +203,34 @@ def value_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stride boundary (floor(cum*k/W) increments) — no floats, no "
         "ln/pow (Efraimidis-Spirakis keys are NOT bit-portable), "
         "replicated verbatim by the oracle. Oversized units are "
-        "picked once (exactly the PPS-without-replacement clamp). At "
-        "100 TB: per-partition cumulative pass + partition-offset "
-        "join, same two-phase shape as revenue_concentration's "
-        "global rank."
+        "picked once (exactly the PPS-without-replacement clamp). "
+        "Scale shape: the cumulative weights come from the TWO-PHASE "
+        "distributed prefix sum (operators/prefix.py — range "
+        "repartition, zero-shuffle per-partition scan, partition-"
+        "count-sized offset frame broadcast back), NOT a global "
+        "window: the plan contains no Exchange SinglePartition "
+        "(asserted by pytest), so the operator parallelizes at any "
+        "corpus size. The grand total W rides the same offsets pass "
+        "as a 1-row broadcast."
     ),
     tags=("sampling", "window", "scale"),
 )
 def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import partitioned_prefix_sum
+
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
         "n_chars",
         F.md5(F.col("doc_id").cast("string")).alias("h"),
     )
-    w_cum = Window.orderBy("h", "doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    c = partitioned_prefix_sum(d, ["h", "doc_id"], "n_chars", "cum")
+    total = c.agg(F.sum("n_chars").alias("w"))
+    return (
+        c.join(F.broadcast(total))
+        .filter(F.expr("(cum * 50) DIV w > ((cum - n_chars) * 50) DIV w"))
+        .select("doc_id", "source", "n_chars")
     )
-    w_all = Window.orderBy("h", "doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    c = d.select(
-        "doc_id",
-        "source",
-        "n_chars",
-        F.sum("n_chars").over(w_cum).alias("cum"),
-        F.sum("n_chars").over(w_all).alias("w"),
-    )
-    return c.filter(
-        F.expr("(cum * 50) DIV w > ((cum - n_chars) * 50) DIV w")
-    ).select("doc_id", "source", "n_chars")
 
 
 @query(

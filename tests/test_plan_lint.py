@@ -79,6 +79,9 @@ ALLPAIRS_ALLOWED = {
     # day dimension (tens of rows), never the events; the 1-row
     # median/n_days frames broadcast back
     "revenue_trend_theilsen",
+    # 1-row grand-total frame broadcast onto the corpus (the
+    # value_histogram bounds pattern, not an N^2 pair join)
+    "pps_systematic_sample",
 }
 
 # streaming queries execute real streams in their builder; driver-loop

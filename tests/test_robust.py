@@ -98,3 +98,55 @@ def test_pps_picks_every_oversized_unit_and_at_most_k(spark):
         os.path.join(work2, "documents.parquet")
     )
     assert pps_systematic_sample(spark, work2).count() == 50
+
+
+def test_partitioned_prefix_sum_equals_global_window(spark):
+    from pyspark.sql import Window
+    from click_streaming_data_pipeline_spark.operators.prefix import (
+        partitioned_prefix_sum,
+    )
+
+    rng = random.Random(13)
+    rows = [(i, rng.randrange(-50, 500)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(11)
+    got = {
+        (r.k, r.cum)
+        for r in partitioned_prefix_sum(
+            df, ["k"], "v", "cum", num_partitions=7
+        ).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        (r.k, r.cum)
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_pps_plan_single_partition_only_on_tiny_frames(spark):
+    """The corpus path must be range-partitioned (two-phase scan);
+    any Exchange SinglePartition may only sit above an already-
+    aggregated frame (the partition-count-sized offsets window / the
+    1-row grand total), never above corpus rows."""
+    from click_streaming_data_pipeline_spark.plans.catalog_robust import (
+        pps_systematic_sample,
+    )
+    from .conftest import SF_TEST
+
+    plan = pps_systematic_sample(
+        spark, SF_TEST
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        # the subtree below must aggregate before funneling: the next
+        # few lines (children) must hit a HashAggregate before any
+        # parquet scan
+        tail = "\n".join(lines[i : i + 6])
+        agg_pos = tail.find("HashAggregate")
+        scan_pos = tail.find("Scan parquet")
+        assert agg_pos != -1 and (scan_pos == -1 or agg_pos < scan_pos), (
+            "corpus rows funnel through a single partition:\n" + tail
+        )

@@ -1652,31 +1652,34 @@ def user_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue (the Lorenz-curve 'whales' readout every "
         "monetization review asks for). Exactness: cent-space bigint "
         "sums, the rank-weighted sum SUM(i*cents) is exact integer "
-        "arithmetic via one ordered window, and only the final "
-        "gini/share divisions are IEEE - bit-identical cross-engine "
-        "with deterministic (cents, user_id) tie-break. Scale: one "
-        "groupBy + one global rank over the USER dimension (rows = "
-        "users, not events); at 100 TB the rank runs on the "
-        "aggregated frame, and rangepartitioned sort handles the "
-        "user count."
+        "arithmetic, and only the final gini/share divisions are "
+        "IEEE - bit-identical cross-engine with deterministic "
+        "(cents, user_id) tie-break. Scale: one groupBy, then the "
+        "global rank over the USER dimension comes from the "
+        "TWO-PHASE distributed prefix sum (operators/prefix.py: "
+        "range repartition + zero-shuffle local scan + partition-"
+        "count offset frame) — the user dimension is NOT bounded at "
+        "100 TB, so no ORDER-BY-only window / Exchange "
+        "SinglePartition touches it; n rides a 1-row broadcast."
     ),
     tags=("agg", "window"),
 )
 def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import partitioned_prefix_sum
+
     events = load_table(spark, sf_dir, "events")
     per_user = (
         events.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(F.sum(_cents()).alias("cents"))
     )
-    w = Window.orderBy(F.col("cents").asc(), F.col("user_id").asc())
-    ranked = per_user.select(
-        "cents",
-        F.row_number().over(w).cast("long").alias("i"),
-        F.count("*").over(
-            Window.partitionBy()
-        ).cast("long").alias("n"),
-    )
+    counted = per_user.agg(F.count("*").cast("long").alias("n"))
+    ranked = partitioned_prefix_sum(
+        per_user.withColumn("__one", F.lit(1).cast("long")),
+        ["cents", "user_id"],
+        "__one",
+        "i",
+    ).join(F.broadcast(counted)).select("cents", "i", "n")
     n = F.max("n")
     tot = F.sum("cents")
     iw = F.sum(F.col("i") * F.col("cents"))

@@ -835,21 +835,48 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "beyond-reference breadth: equal-population customer value "
         "deciles (ntile over lifetime spend, ties broken by custkey "
         "for determinism) with per-decile population and spend "
-        "bounds. Scale note: the global ntile window sorts ONE ROW "
-        "PER CUSTOMER (the dimension, after the fact table is "
-        "already aggregated), not the fact table; at warehouse scale "
-        "the same readout comes from percentile_approx boundaries + "
-        "a bucket join, trading exact equal population for a "
-        "sort-free plan."
+        "bounds. Scale: the customer dimension is unbounded at 100 "
+        "TB, so the ntile does NOT run as an ORDER-BY-only window "
+        "(Exchange SinglePartition); the rank comes from the "
+        "two-phase distributed prefix sum (operators/prefix.py) and "
+        "the SQL-standard ntile bucket formula is reproduced in "
+        "exact integer arithmetic from (rank, n) — bit-identical to "
+        "the oracle's ntile(10), fully parallel."
     ),
     tags=("agg", "window"),
 )
 def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import partitioned_prefix_sum
+
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(dsum("o_totalprice", "spend"))
-    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    counted = spend.agg(F.count("*").cast("long").alias("n"))
+    ranked = (
+        partitioned_prefix_sum(
+            spend.withColumn("__negspend", -F.col("spend")).withColumn(
+                "__one", F.lit(1).cast("long")
+            ),
+            ["__negspend", "o_custkey"],
+            "__one",
+            "r",
+        )
+        .join(F.broadcast(counted))
+        .select("spend", "r", "n")
+    )
+    # SQL-standard NTILE(10): the first n%10 buckets hold n/10+1 rows
+    decile = F.expr(
+        """
+        CASE WHEN n % 10 = 0 THEN (r - 1) DIV (n DIV 10) + 1
+             WHEN r <= (n % 10) * (n DIV 10 + 1)
+                 THEN (r - 1) DIV (n DIV 10 + 1) + 1
+             ELSE n % 10
+                  + (r - (n % 10) * (n DIV 10 + 1) - 1) DIV (n DIV 10)
+                  + 1
+        END
+        """
+    ).cast("int")
     return (
-        spend.withColumn("decile", F.ntile(10).over(w))
+        ranked.withColumn("decile", decile)
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_customers"),

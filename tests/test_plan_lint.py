@@ -82,6 +82,10 @@ ALLPAIRS_ALLOWED = {
     # 1-row grand-total frame broadcast onto the corpus (the
     # value_histogram bounds pattern, not an N^2 pair join)
     "pps_systematic_sample",
+    # 1-row count frames broadcast onto the ranked dimension (prefix
+    # -sum rank replaces the ORDER-BY-only window)
+    "revenue_concentration",
+    "customer_spend_deciles",
 }
 
 # streaming queries execute real streams in their builder; driver-loop

@@ -97,5 +97,26 @@ def partitioned_prefix_sum(
     return (
         local.join(F.broadcast(offsets), "__pid")
         .withColumn(out_col, (F.col("__local") + F.col("__off")).cast("long"))
-        .drop("__pid", "__local")
+        .drop("__pid", "__local", "__off")
     )
+
+
+def ntile_from_rank(r: str, n: str, k: int) -> F.Column:
+    """SQL-standard NTILE(k) reconstructed from a 1-based dense total
+    rank column ``r`` and total-count column ``n`` in exact integer
+    arithmetic: the first n%k buckets hold n/k+1 rows. Lets quantile
+    scoring run on distributed prefix-sum ranks instead of an
+    ORDER-BY-only window. (When n < k the second branch always takes,
+    so the n/k = 0 division is never evaluated.)"""
+    return F.expr(
+        f"""
+        CASE WHEN {n} % {k} = 0 THEN ({r} - 1) DIV ({n} DIV {k}) + 1
+             WHEN {r} <= ({n} % {k}) * ({n} DIV {k} + 1)
+                 THEN ({r} - 1) DIV ({n} DIV {k} + 1) + 1
+             ELSE {n} % {k}
+                  + ({r} - ({n} % {k}) * ({n} DIV {k} + 1) - 1)
+                      DIV ({n} DIV {k})
+                  + 1
+        END
+        """
+    ).cast("int")

@@ -1961,15 +1961,19 @@ def markov_transitions_streamed(
         "scores (higher = better: least-recent ranks first so "
         "ntile 5 = freshest), the canonical churn/LTV feature "
         "block and segmentation input. Exact integer days/counts/"
-        "cents; ntile over the aggregated USER frame with explicit "
-        "user_id tie-breaks so both engines bucket identically. "
-        "Scale: one filtered partial-agg pass over events; the "
-        "ntile windows run on the user dimension (range-partitioned "
-        "global sort of users, not events)."
+        "cents; quintile buckets use explicit user_id tie-breaks so "
+        "both engines bucket identically. Scale: one filtered "
+        "partial-agg pass over events; the user dimension is "
+        "unbounded at 100 TB, so each quintile score comes from a "
+        "TWO-PHASE distributed prefix-sum rank + the exact ntile "
+        "reconstruction (operators/prefix.py) — three parallel "
+        "range shuffles of the user frame, no ORDER-BY-only window."
     ),
     tags=("agg", "window"),
 )
 def rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import ntile_from_rank, partitioned_prefix_sum
+
     events = load_table(spark, sf_dir, "events")
     purchases = events.filter(F.col("event_type") == "purchase")
     now = purchases.agg(F.max("ts").alias("now"))
@@ -1990,25 +1994,32 @@ def rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents",
         )
     )
-    return per_user.select(
-        "user_id",
-        "recency_days",
-        "frequency",
-        "monetary_cents",
-        F.ntile(5)
-        .over(Window.orderBy(F.col("recency_days").desc(), F.col("user_id")))
-        .cast("int")
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("frequency").asc(), F.col("user_id")))
-        .cast("int")
-        .alias("f_score"),
-        F.ntile(5)
-        .over(
-            Window.orderBy(F.col("monetary_cents").asc(), F.col("user_id"))
+    counted = per_user.agg(F.count("*").cast("long").alias("n"))
+    # one prefix-sum rank per RFM axis (recency: least-recent first,
+    # so ntile 5 = freshest — the negated-days ascending order)
+    ranked = per_user.withColumn("__one", F.lit(1).cast("long"))
+    for key, rank_col in [
+        (-F.col("recency_days"), "__rr"),
+        (F.col("frequency"), "__rf"),
+        (F.col("monetary_cents"), "__rm"),
+    ]:
+        ranked = partitioned_prefix_sum(
+            ranked.withColumn("__key", key),
+            ["__key", "user_id"],
+            "__one",
+            rank_col,
+        ).drop("__key")
+    return (
+        ranked.join(F.broadcast(counted))
+        .select(
+            "user_id",
+            "recency_days",
+            "frequency",
+            "monetary_cents",
+            ntile_from_rank("__rr", "n", 5).alias("r_score"),
+            ntile_from_rank("__rf", "n", 5).alias("f_score"),
+            ntile_from_rank("__rm", "n", 5).alias("m_score"),
         )
-        .cast("int")
-        .alias("m_score"),
     )
 
 

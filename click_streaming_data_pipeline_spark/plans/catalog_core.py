@@ -863,20 +863,10 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(counted))
         .select("spend", "r", "n")
     )
-    # SQL-standard NTILE(10): the first n%10 buckets hold n/10+1 rows
-    decile = F.expr(
-        """
-        CASE WHEN n % 10 = 0 THEN (r - 1) DIV (n DIV 10) + 1
-             WHEN r <= (n % 10) * (n DIV 10 + 1)
-                 THEN (r - 1) DIV (n DIV 10 + 1) + 1
-             ELSE n % 10
-                  + (r - (n % 10) * (n DIV 10 + 1) - 1) DIV (n DIV 10)
-                  + 1
-        END
-        """
-    ).cast("int")
+    from ..operators.prefix import ntile_from_rank
+
     return (
-        ranked.withColumn("decile", decile)
+        ranked.withColumn("decile", ntile_from_rank("r", "n", 10))
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_customers"),

@@ -120,3 +120,77 @@ def ntile_from_rank(r: str, n: str, k: int) -> F.Column:
         END
         """
     ).cast("int")
+
+
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group inclusive prefix sum of ``value_col`` in
+    ``order_cols`` order — the scalable form of
+    ``SUM(x) OVER (PARTITION BY g ORDER BY k)`` when a single group
+    outgrows one task (the web-scale-segment case a partitioned
+    window cannot split). Range-partitions on (group, order) so a
+    giant group SPANS partitions, scans each partition once with a
+    per-group running carry, then aligns cross-partition offsets per
+    (group, partition) — the offsets frame holds one row per group
+    per partition it touches, and its window partitions by group
+    (parallel, tiny)."""
+    n = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    keys = group_cols + order_cols
+    ranged = df.repartitionByRange(
+        int(n), *[F.col(c) for c in keys]
+    ).sortWithinPartitions(*keys)
+
+    schema = T.StructType(
+        list(ranged.schema.fields)
+        + [
+            T.StructField("__pid", T.IntegerType()),
+            T.StructField("__local", T.LongType()),
+        ]
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        carry: dict[tuple, int] = {}
+        for b in batches:
+            out = b.copy()
+            out["__pid"] = pid
+            local = b.groupby(group_cols, sort=False)[value_col].cumsum()
+            offs = [
+                carry.get(k, 0)
+                for k in zip(*(b[c] for c in group_cols))
+            ]
+            out["__local"] = local + pd.Series(offs, index=b.index)
+            for k, g in b.groupby(group_cols, sort=False)[value_col]:
+                key = k if isinstance(k, tuple) else (k,)
+                carry[key] = carry.get(key, 0) + int(g.sum())
+            yield out
+
+    local = ranged.mapInPandas(scan, schema)
+
+    totals = local.groupBy("__pid", *group_cols).agg(
+        F.sum(value_col).alias("__tot")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0))
+    ).select("__pid", *group_cols, "__off")
+
+    return (
+        local.join(offsets, ["__pid"] + group_cols)
+        .withColumn(out_col, (F.col("__local") + F.col("__off")).cast("long"))
+        .drop("__pid", "__local", "__off")
+    )

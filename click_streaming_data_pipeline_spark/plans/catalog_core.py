@@ -1414,28 +1414,45 @@ def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=(
         "analytics breadth: distribution-rank window family — "
-        "ntile/percent_rank/cume_dist per market segment. "
-        "Partitioned windows (segment-local sorts), NOT a global "
-        "ORDER BY: each partition ranks independently, so the plan "
-        "scales with the largest segment, and the (acctbal, custkey) "
-        "order is total => every rank is deterministic. percent_rank "
-        "and cume_dist are single IEEE divisions of small integers — "
-        "bit-portable."
+        "ntile/percent_rank/cume_dist per market segment. Scale: a "
+        "PARTITION BY window caps parallelism at the number of "
+        "segments and dies when one segment outgrows a task, so the "
+        "per-segment rank comes from the GROUPED distributed prefix "
+        "sum (operators/prefix.py::grouped_prefix_sum — a giant "
+        "group spans range partitions; offsets align per (group, "
+        "partition)); ntile/percent_rank/cume_dist are then exact "
+        "integer reconstructions + single IEEE divisions of the "
+        "same small integers the window functions divide — "
+        "bit-identical to the oracle's window forms under the total "
+        "(acctbal, custkey) order."
     ),
     tags=("window",),
 )
 def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from ..operators.prefix import grouped_prefix_sum, ntile_from_rank
 
     cust = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    return cust.select(
+    seg_n = cust.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    ranked = grouped_prefix_sum(
+        cust.withColumn("__one", F.lit(1).cast("long")),
+        ["c_mktsegment"],
+        ["c_acctbal", "c_custkey"],
+        "__one",
+        "r",
+    ).join(F.broadcast(seg_n), "c_mktsegment")
+    return ranked.select(
         "c_custkey",
         "c_mktsegment",
         "c_acctbal",
-        F.ntile(10).over(w).alias("decile"),
-        F.percent_rank().over(w).cast("double").alias("pct_rank"),
-        F.cume_dist().over(w).cast("double").alias("cume"),
+        ntile_from_rank("r", "n", 10).alias("decile"),
+        (
+            (F.col("r") - 1).cast("double") / (F.col("n") - 1).cast("double")
+        ).alias("pct_rank"),
+        (F.col("r").cast("double") / F.col("n").cast("double")).alias(
+            "cume"
+        ),
     )
 
 

@@ -150,3 +150,36 @@ def test_pps_plan_single_partition_only_on_tiny_frames(spark):
         assert agg_pos != -1 and (scan_pos == -1 or agg_pos < scan_pos), (
             "corpus rows funnel through a single partition:\n" + tail
         )
+
+
+def test_grouped_prefix_sum_spans_partitions(spark):
+    from pyspark.sql import Window
+    from click_streaming_data_pipeline_spark.operators.prefix import (
+        grouped_prefix_sum,
+    )
+
+    rng = random.Random(17)
+    # 3 groups x 2000 rows, 16 range partitions => every group spans
+    # several partitions (the case PARTITION BY windows cannot split)
+    rows = [
+        (g, i, rng.randrange(-20, 100))
+        for g in ("a", "b", "c")
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "g string, k long, v long").repartition(9)
+    got = {
+        (r.g, r.k, r.cum)
+        for r in grouped_prefix_sum(
+            df, ["g"], ["k"], "v", "cum", num_partitions=16
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("g")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        (r.g, r.k, r.cum)
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want

@@ -1309,27 +1309,44 @@ def _make_quality_calibration():
             "each source's top 60%'), the standard cross-source "
             "normalization in corpus pipelines. Deterministic "
             "(score, doc_id) ordering; rank = (rows below)/(n-1) is "
-            "one exact division. Scale: one scorer pass in codegen + "
-            "one window per source partition."
+            "one exact division. Scale: a PARTITION BY source window "
+            "would put an entire source (most of the corpus, for a "
+            "Common-Crawl-sized one) in ONE task, so the per-source "
+            "rank comes from the grouped distributed prefix sum "
+            "(operators/prefix.py) — a giant source spans range "
+            "partitions — and percent_rank is the identical "
+            "(r-1)/(n-1) division of the same integers."
         ),
         tags=("corpus", "window", "quality"),
     )
     def quality_score_calibration(
         spark: SparkSession, sf_dir: str
     ) -> DataFrame:
-        from pyspark.sql.window import Window as W
+        from ..operators.prefix import grouped_prefix_sum
 
         docs = load_table(spark, sf_dir, "documents")
         q = quality_check_columns("text", "n_chars")
         scored = docs.select(
             "doc_id", "source", q["quality_score"].alias("quality_score")
         )
-        w = W.partitionBy("source").orderBy("quality_score", "doc_id")
-        return scored.select(
+        src_n = scored.groupBy("source").agg(
+            F.count("*").cast("long").alias("n")
+        )
+        ranked = grouped_prefix_sum(
+            scored.withColumn("__one", F.lit(1).cast("long")),
+            ["source"],
+            ["quality_score", "doc_id"],
+            "__one",
+            "r",
+        ).join(F.broadcast(src_n), "source")
+        return ranked.select(
             "doc_id",
             "source",
             "quality_score",
-            F.percent_rank().over(w).alias("calibrated_rank"),
+            (
+                (F.col("r") - 1).cast("double")
+                / (F.col("n") - 1).cast("double")
+            ).alias("calibrated_rank"),
         )
 
     return quality_score_calibration

@@ -80,15 +80,20 @@ def edit_distance_pairs(
         F.col(s_col).alias("name_b"),
         "_dkey",
     )
-    cand = (
-        a.join(b, "_dkey")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "name_a", "name_b")
+    # verify BEFORE deduplicating: a candidate pair reappears once per
+    # shared deletion key (a dist-0 pair shares all len+1 keys), but
+    # levenshtein in codegen on the joined stream is far cheaper than
+    # shuffling the full candidate multiset through a distinct — the
+    # distinct then only shuffles verified survivors
+    cand = a.join(b, "_dkey").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("int")
+        )
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "name_a", "name_b", "dist")
         .distinct()
     )
-    return cand.withColumn(
-        "dist", F.levenshtein("name_a", "name_b").cast("int")
-    ).filter(F.col("dist") <= max_dist)
 
 
 # ----------------------------------------------------------- streaming
@@ -167,13 +172,13 @@ def process_linkage_batch(
     cand = (
         a.join(b, "_dkey")
         .filter(F.col("id_x") != F.col("id_y"))
-        .select(ordered.alias("p"))
-        .select("p.*")
+        .withColumn("dist", F.levenshtein("name_x", "name_y").cast("int"))
+        .filter(F.col("dist") <= 1)  # verify-then-dedupe (see above)
+        .select(ordered.alias("p"), "dist")
+        .select("p.*", "dist")
         .distinct()
     )
-    verified = cand.withColumn(
-        "dist", F.levenshtein("name_a", "name_b").cast("int")
-    ).filter(F.col("dist") <= 1)
+    verified = cand
     upsert_parquet(
         spark, pairs_store, verified, ["id_a", "id_b"], ["dist"]
     )

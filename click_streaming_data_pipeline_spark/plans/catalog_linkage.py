@@ -58,13 +58,16 @@ from .registry import query
         "`fuzziness:AUTO` (search main.py:90-99) is the per-query "
         "form of the same distance."
     ),
-    tags=("join", "linkage", "scale"),
+    tags=("bench", "join", "linkage", "scale"),
 )
 def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.linkage import edit_distance_pairs
+    from ..sources.tables import scan_parallel
 
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name"
+    # the test parquet is one row group — spread the explode/join/
+    # verify chain across cores (no-op decision at warehouse scale)
+    cust = scan_parallel(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     )
     return edit_distance_pairs(cust, "c_custkey", "c_name", max_dist=1).select(
         F.col("id_a").cast("bigint").alias("id_a"),
@@ -171,7 +174,7 @@ _SKYLINE_ORACLE = """
         "one small-dimension sort. Inexpressible in the reference's "
         "single-key ES sort (search main.py:116-119)."
     ),
-    tags=("agg", "window", "scale"),
+    tags=("bench", "agg", "window", "scale"),
 )
 def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skyline import skyline_2d

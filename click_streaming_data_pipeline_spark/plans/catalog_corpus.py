@@ -1400,3 +1400,96 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lang_diversity") < 2).alias("at_risk"),
         )
     )
+
+
+@query(
+    "token_zipf_fit",
+    oracle="""
+        WITH vocab AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM (
+                SELECT unnest(string_split(lower(text), ' ')) AS tok
+                FROM documents) u
+            WHERE tok <> ''
+            GROUP BY 1
+        ),
+        top AS (
+            SELECT tf,
+                   CAST(row_number() OVER (ORDER BY tf DESC, tok)
+                        AS BIGINT) AS r
+            FROM vocab
+            ORDER BY tf DESC, tok
+            LIMIT 100
+        ),
+        pts AS (SELECT ln(CAST(r AS DOUBLE)) AS x,
+                       ln(CAST(tf AS DOUBLE)) AS y
+                FROM top),
+        slopes AS (
+            SELECT (b.y - a.y) / (b.x - a.x) AS slope
+            FROM pts a JOIN pts b ON a.x < b.x
+        ),
+        m AS (SELECT quantile_cont(slope, 0.5) AS slope FROM slopes)
+        SELECT m.slope AS zipf_slope,
+               quantile_cont(pts.y - m.slope * pts.x, 0.5)
+                   AS zipf_intercept,
+               (SELECT CAST(count(*) AS BIGINT) FROM vocab)
+                   AS vocab_size
+        FROM pts, m
+        GROUP BY m.slope
+    """,
+    doc=(
+        "extension (corpus statistics): ZIPF-LAW FIT — Theil-Sen "
+        "slope of ln(frequency) vs ln(rank) over the top-100 tokens; "
+        "natural text sits near -1, and a corpus whose slope drifts "
+        "(template spam flattens it, aggressive dedup steepens it) "
+        "fails the health check. The pair frame is 100 aggregated "
+        "rows (4950 slopes), never the corpus; ln is libm on both "
+        "engines (the search-idf precedent) and each slope is one "
+        "IEEE division, so the interpolated medians match "
+        "bit-for-bit. Corpus-scale work: one tokenize+groupBy pass."
+    ),
+    tags=("corpus", "robust"),
+)
+def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.search import tokenize
+    from ..sources.tables import scan_parallel
+
+    docs = scan_parallel(load_table(spark, sf_dir, "documents"))
+    vocab = (
+        docs.select(F.explode(tokenize("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    top = (
+        vocab.orderBy(F.col("tf").desc(), "tok")
+        .limit(100)
+        .select(
+            "tf",
+            F.row_number()
+            .over(Window.orderBy(F.col("tf").desc(), "tok"))
+            .cast("long")
+            .alias("r"),
+        )
+    )
+    pts = top.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("tf").cast("double")).alias("y"),
+    )
+    a = pts.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = pts.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = a.join(b, F.col("xa") < F.col("xb")).select(
+        ((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa"))).alias(
+            "slope"
+        )
+    )
+    m = slopes.agg(F.percentile("slope", F.lit(0.5)).alias("slope"))
+    vocab_n = vocab.agg(F.count("*").alias("vocab_size"))
+    resid = pts.join(F.broadcast(m)).select(
+        "slope", (F.col("y") - F.col("slope") * F.col("x")).alias("rr")
+    )
+    return (
+        resid.groupBy("slope")
+        .agg(F.percentile("rr", F.lit(0.5)).alias("zipf_intercept"))
+        .select(F.col("slope").alias("zipf_slope"), "zipf_intercept")
+        .join(F.broadcast(vocab_n))
+    )

@@ -440,3 +440,95 @@ def float_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHERE isnan(v))
         """
     )
+
+
+#: Benford expected first-digit shares, materialized driver-side as
+#: exact double literals (log10(1+1/d) evaluated ONCE in Python and
+#: embedded verbatim in both engines' expressions — no reliance on
+#: log10 bit-parity between JVM and DuckDB libm paths)
+_BENFORD_SHARES = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+_BENFORD_CASE_SQL = "CASE digit " + " ".join(
+    f"WHEN {d} THEN CAST({s!r} AS DOUBLE)" for d, s in _BENFORD_SHARES.items()
+) + " END"
+
+
+@query(
+    "benford_audit",
+    oracle=f"""
+        WITH pos AS (
+            SELECT CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+            WHERE CAST(round(value * 100) AS BIGINT) > 0
+        ),
+        d AS (
+            SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+                       AS digit,
+                   CAST(count(*) AS BIGINT) AS n_obs,
+                   CAST(SUM(count(*)) OVER () AS BIGINT) AS n_total
+            FROM pos
+            GROUP BY 1
+        )
+        SELECT digit, n_obs,
+               CAST(n_total AS DOUBLE) * ({_BENFORD_CASE_SQL})
+                   AS n_expected,
+               CAST(n_obs AS DOUBLE)
+                   / (CAST(n_total AS DOUBLE) * ({_BENFORD_CASE_SQL}))
+                   AS obs_over_expected
+        FROM d
+    """,
+    doc=(
+        "beyond-reference data-quality: BENFORD first-digit audit — "
+        "naturally-arising monetary amounts follow "
+        "P(d) = log10(1+1/d); fabricated or clipped data shows up as "
+        "obs/expected ratios far from 1 (the classic fraud / "
+        "synthetic-data forensic). One groupBy over the digit "
+        "domain; expected shares are Python-evaluated double "
+        "literals shared verbatim with the oracle, so the only "
+        "runtime float ops are one multiply and one divide — "
+        "bit-identical cross-engine. (The window total runs over "
+        "the 9-row digit frame.)"
+    ),
+    tags=("agg", "robust"),
+)
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pos = (
+        load_table(spark, sf_dir, "events")
+        .select(_cents().alias("cents"))
+        .filter(F.col("cents") > 0)
+    )
+    d = pos.groupBy(
+        F.substring(F.col("cents").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    ).agg(F.count("*").alias("n_obs"))
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    share = F.coalesce(
+        *[
+            F.when(F.col("digit") == dd, F.lit(ss).cast("double"))
+            for dd, ss in _BENFORD_SHARES.items()
+        ]
+    )
+    return d.withColumn(
+        "n_total", F.sum("n_obs").over(w_all)
+    ).select(
+        "digit",
+        "n_obs",
+        (F.col("n_total").cast("double") * share).alias("n_expected"),
+        (
+            F.col("n_obs").cast("double")
+            / (F.col("n_total").cast("double") * share)
+        ).alias("obs_over_expected"),
+    )

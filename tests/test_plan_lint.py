@@ -86,6 +86,9 @@ ALLPAIRS_ALLOWED = {
     # -sum rank replaces the ORDER-BY-only window)
     "revenue_concentration",
     "customer_spend_deciles",
+    # Theil-Sen pair frame over the top-100 aggregated token rows,
+    # plus 1-row median/vocab-size broadcasts
+    "token_zipf_fit",
 }
 
 # streaming queries execute real streams in their builder; driver-loop

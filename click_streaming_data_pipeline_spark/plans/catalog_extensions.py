@@ -1476,3 +1476,48 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "docs_removable"
         ),
     )
+
+
+@query(
+    "png_decode_stats",
+    oracle="""
+        SELECT doc_id AS asset_id,
+               TRUE AS decode_ok,
+               CAST(length(text) AS BIGINT) AS width,
+               CAST(2 AS BIGINT) AS height,
+               CAST(2 * list_aggregate(list_transform(
+                   generate_series(1, length(text)), j -> ord(text[j])),
+                   'sum') AS BIGINT) AS px_sum,
+               CAST(list_aggregate(list_transform(
+                   generate_series(1, length(text)), j -> ord(text[j])),
+                   'min') AS BIGINT) AS px_min,
+               CAST(list_aggregate(list_transform(
+                   generate_series(1, length(text)), j -> ord(text[j])),
+                   'max') AS BIGINT) AS px_max
+        FROM documents
+    """,
+    doc=(
+        "extension (multimodal, REAL COMPRESSED decode): each "
+        "document becomes a spec-conformant 8-bit grayscale PNG "
+        "(row 0 = ASCII bytes Sub-filtered, row 1 = reversed bytes "
+        "Up-filtered) and is decoded back by a pure-python/numpy PNG "
+        "implementation that does the actual codec work — chunk walk "
+        "with CRC32 verification, IDAT zlib inflate, and scanline "
+        "filter RECONSTRUCTION (all five PNG filter types "
+        "implemented; Sub and Up exercised per blob, Average/Paeth "
+        "pytest-gated) — unlike the uncompressed PGM/WAV/Y4M lanes, "
+        "this proves the mapInPandas slot carries a real "
+        "decompression stack (JPEG = swap in a DCT codec, same "
+        "schema). Pixel stats are exact integers, so the oracle "
+        "reproduces the decoded values from the source text; "
+        "corrupt blobs dead-letter (decode_ok=false) per I6. "
+        "Scale: scan-stage Arrow batches, zero shuffle."
+    ),
+    tags=("multimodal",),
+)
+def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.multimodal import decode_png, synth_png_assets
+    from ..sources.tables import scan_parallel
+
+    docs = scan_parallel(load_table(spark, sf_dir, "documents"))
+    return decode_png(synth_png_assets(docs))

@@ -922,3 +922,27 @@ def test_y4m_decode_real_parser(spark):
     # 34 chars -> 2 full 16-byte frames, tail dropped
     assert len(rows) == 2
     assert rows[0]["luma_sum"] == sum(ord(c) for c in "0123456789abcdef")
+
+
+def test_png_all_filters_roundtrip_and_deadletter(spark):
+    from click_streaming_data_pipeline_spark.extensions.multimodal import (
+        _parse_png,
+        decode_png,
+        encode_png_gray8,
+    )
+
+    rows = [bytes((i * 31 + r * 7) % 256 for i in range(40)) for r in range(5)]
+    blob = encode_png_gray8(rows, filters=[0, 1, 2, 3, 4])
+    w, h, px = _parse_png(blob)
+    assert (w, h) == (40, 5)
+    assert all(bytes(px[i]) == rows[i] for i in range(5))
+
+    corrupt = bytearray(blob)
+    corrupt[-5] ^= 0xFF  # break IEND CRC
+    truncated = blob[: len(blob) // 2]
+    assets = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, corrupt), (3, bytearray(truncated))],
+        "asset_id long, content binary",
+    )
+    got = {r.asset_id: r.decode_ok for r in decode_png(assets).collect()}
+    assert got == {1: True, 2: False, 3: False}

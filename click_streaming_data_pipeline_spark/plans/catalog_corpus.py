@@ -1493,3 +1493,130 @@ def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("slope").alias("zipf_slope"), "zipf_intercept")
         .join(F.broadcast(vocab_n))
     )
+
+
+_NORM_SQL = (
+    r"trim(regexp_replace(regexp_replace(text, '[\x00-\x1f\x7f]', ' ', "
+    r"'g'), ' {2,}', ' ', 'g'))"
+)
+
+
+def _make_corpus_build_pipeline():
+    from ..functions.quality import EMAIL_RE as _EM, PHONE_RE as _PH
+
+    oracle = f"""
+        WITH norm AS (
+            SELECT doc_id, lang, source, {_NORM_SQL} AS nt
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, lang, source, nt,
+                   string_split(lower(nt), ' ') AS t,
+                   CASE WHEN len(string_split(lower(nt), ' ')) >= 3
+                        THEN [string_split(lower(nt), ' ')[i] || ' ' ||
+                              string_split(lower(nt), ' ')[i+1] || ' ' ||
+                              string_split(lower(nt), ' ')[i+2]
+                              for i in generate_series(
+                                  1, len(string_split(lower(nt), ' '))-2)]
+                        ELSE CAST([] AS VARCHAR[]) END AS s
+            FROM norm
+        ),
+        m AS (
+            SELECT doc_id, lang, source, nt,
+                   len(t) AS n_tokens,
+                   CASE WHEN len(t) > 0
+                        THEN list_aggregate(
+                                 list_transform(t, x -> len(x)), 'sum')
+                             / len(t)
+                        ELSE CAST(0.0 AS DOUBLE) END AS mtl,
+                   CASE WHEN len(s) > 0
+                        THEN CAST(1.0 AS DOUBLE)
+                             - len(list_distinct(s)) / len(s)
+                        ELSE CAST(0.0 AS DOUBLE) END AS d3
+            FROM sh
+        ),
+        kept AS (
+            SELECT * FROM m
+            WHERE n_tokens >= 20 AND n_tokens <= 1000
+              AND mtl >= CAST(3.0 AS DOUBLE)
+              AND mtl <= CAST(10.0 AS DOUBLE)
+              AND d3 <= CAST(0.25 AS DOUBLE)
+        ),
+        uniq AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY md5(nt) ORDER BY doc_id) AS rn
+            FROM kept
+        )
+        SELECT doc_id, lang, source,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                        THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                        THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               regexp_replace(
+                   regexp_replace(nt, '{_EM}', '[EMAIL]', 'g'),
+                   '{_PH}', '[PHONE]', 'g') AS clean_text
+        FROM uniq WHERE rn = 1
+    """
+
+    @query(
+        "corpus_build_pipeline",
+        oracle=oracle,
+        doc=(
+            "FLAGSHIP COMPOSITION (corpus curation): the full "
+            "RefinedWeb-style corpus build as ONE declarative plan — "
+            "normalize (control chars/whitespace) -> C4/Gopher "
+            "quality gate -> exact dedup on the NORMALIZED hash "
+            "(keep lowest doc_id) -> PII redaction -> deterministic "
+            "train/val/test split -> token accounting. Every stage "
+            "is the already-oracled operator (normalize_text, "
+            "corpus_quality_heuristics, dedup_exact, pii_redaction, "
+            "dataset_split) composed in a single DataFrame chain; "
+            "Catalyst pipelines the scalar stages into one codegen "
+            "pass over the corpus, and the only shuffle is the dedup "
+            "hash partition. The oracle replays the identical chain "
+            "as one CTE stack — proving stage composition preserves "
+            "every stage's exact semantics."
+        ),
+        tags=("corpus", "quality", "dedup"),
+    )
+    def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..extensions.corpus import dataset_split_col, normalize_text
+
+        docs = load_table(spark, sf_dir, "documents")
+        norm = docs.select(
+            "doc_id", "lang", "source",
+            normalize_text("text").alias("norm_text"),
+        )
+        q = quality_heuristics(
+            norm,
+            text_col="norm_text",
+            carry_cols=("lang", "source", "norm_text"),
+        )
+        kept = q.filter(F.col("quality_ok")).select(
+            "doc_id", "lang", "source", "norm_text", "n_tokens"
+        )
+        w = Window.partitionBy(F.md5("norm_text")).orderBy("doc_id")
+        uniq = (
+            kept.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        clean = F.regexp_replace(
+            F.regexp_replace(F.col("norm_text"), EMAIL_RE, "[EMAIL]"),
+            PHONE_RE,
+            "[PHONE]",
+        )
+        return uniq.select(
+            "doc_id",
+            "lang",
+            "source",
+            dataset_split_col(F.col("doc_id")).alias("split"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            clean.alias("clean_text"),
+        )
+
+    return corpus_build_pipeline
+
+
+_make_corpus_build_pipeline()

@@ -1620,3 +1620,96 @@ def _make_corpus_build_pipeline():
 
 
 _make_corpus_build_pipeline()
+
+
+def _make_corpus_build_pipeline_streamed():
+    from ..functions.quality import EMAIL_RE as _EM, PHONE_RE as _PH
+
+    from .registry import QUERIES as _Q
+
+    oracle = _Q["corpus_build_pipeline"].oracle
+
+    @query(
+        "corpus_build_pipeline_streamed",
+        oracle=oracle,
+        doc=(
+            "streamed corpus build: the flagship curation chain run "
+            "incrementally — each micro-batch normalizes, quality-"
+            "gates and then UPSERTS into a hash-keyed dedup store "
+            "where the winner per normalized-text hash is the LOWEST "
+            "doc_id (min-wins MERGE via a negated order key), so the "
+            "drained store equals the batch pipeline REGARDLESS of "
+            "arrival order — first-seen-wins without any cross-batch "
+            "re-read; redaction/split are stateless projections on "
+            "the drained store. Same oracle as corpus_build_pipeline "
+            "bit-for-bit; replay-safe because the MERGE is "
+            "idempotent per key."
+        ),
+        tags=("corpus", "streaming", "dedup"),
+    )
+    def corpus_build_pipeline_streamed(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import os
+        import tempfile
+
+        from ..extensions.corpus import (
+            dataset_split_col,
+            normalize_text,
+            quality_heuristics,
+        )
+        from ..operators.upsert import upsert_parquet
+
+        docs = load_table(spark, sf_dir, "documents")
+        work = tempfile.mkdtemp(prefix="csdp_cbs_")
+        src = os.path.join(work, "in")
+        store = os.path.join(work, "store")
+        docs.repartition(6).write.mode("overwrite").parquet(src)
+
+        def fold_batch(batch: DataFrame, batch_id: int) -> None:
+            norm = batch.select(
+                "doc_id", "lang", "source",
+                normalize_text("text").alias("norm_text"),
+            )
+            q = quality_heuristics(
+                norm,
+                text_col="norm_text",
+                carry_cols=("lang", "source", "norm_text"),
+            )
+            kept = q.filter(F.col("quality_ok")).select(
+                "doc_id", "lang", "source", "norm_text", "n_tokens",
+                F.md5("norm_text").alias("h"),
+                (-F.col("doc_id")).alias("negdoc"),
+            )
+            upsert_parquet(
+                batch.sparkSession, store, kept, ["h"], ["negdoc"]
+            )
+
+        q_ = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+            .writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+        uniq = spark.read.parquet(store)
+        clean = F.regexp_replace(
+            F.regexp_replace(F.col("norm_text"), _EM, "[EMAIL]"),
+            _PH,
+            "[PHONE]",
+        )
+        return uniq.select(
+            "doc_id",
+            "lang",
+            "source",
+            dataset_split_col(F.col("doc_id")).alias("split"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            clean.alias("clean_text"),
+        )
+
+    return corpus_build_pipeline_streamed
+
+
+_make_corpus_build_pipeline_streamed()

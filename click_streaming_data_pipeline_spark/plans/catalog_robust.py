@@ -532,3 +532,89 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_total").cast("double") * share)
         ).alias("obs_over_expected"),
     )
+
+
+@query(
+    "value_quantiles_distributed",
+    oracle="""
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.9) AS p90,
+               quantile_cont(value, 0.99) AS p99
+        FROM events
+        GROUP BY event_type
+    """,
+    doc=(
+        "scale pattern: EXACT DISTRIBUTED QUANTILES — the same "
+        "interpolated percentiles as value_quantiles, computed "
+        "without the percentile aggregate's per-group value buffer "
+        "(which materializes the full multiset per group in one "
+        "task): a grouped distributed prefix-sum rank "
+        "(operators/prefix.py) locates the two boundary rows per "
+        "quantile, only those <=6 rows per group survive the "
+        "filter, and the final interpolation v_lo + (v_hi - v_lo) * "
+        "frac is the identical IEEE expression Spark's percentile "
+        "and DuckDB's quantile_cont evaluate (the lo*(1-f)+hi*f "
+        "spelling; its algebraic twin is an ulp off) — bit-equal to the "
+        "oracle. The selection scan is codegen'd; no task ever "
+        "holds a group's values in memory."
+    ),
+    tags=("agg", "window", "scale"),
+)
+def value_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import grouped_prefix_sum
+
+    qs = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    type_n = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    ranked = grouped_prefix_sum(
+        ev.withColumn("__one", F.lit(1).cast("long")),
+        ["event_type"],
+        ["value", "event_id"],
+        "__one",
+        "r",
+    ).join(F.broadcast(type_n), "event_type")
+
+    # 0-based continuous position per quantile: pos = q * (n - 1)
+    def pos(q: float) -> F.Column:
+        return F.lit(q).cast("double") * (F.col("n") - 1).cast("double")
+
+    keep = None
+    for q in qs.values():
+        c = (F.col("r") - 1 == F.floor(pos(q)).cast("long")) | (
+            F.col("r") - 1 == F.ceil(pos(q)).cast("long")
+        )
+        keep = c if keep is None else (keep | c)
+    boundary = ranked.filter(keep)
+
+    aggs = []
+    for name, q in qs.items():
+        lo_v = F.max(
+            F.when(
+                F.col("r") - 1 == F.floor(pos(q)).cast("long"),
+                F.col("value"),
+            )
+        )
+        hi_v = F.max(
+            F.when(
+                F.col("r") - 1 == F.ceil(pos(q)).cast("long"),
+                F.col("value"),
+            )
+        )
+        frac = pos(q) - F.floor(pos(q))
+        # the lo*(1-f) + hi*f spelling — the formula quantile_cont
+        # (and Spark's percentile) actually evaluates; the algebraic
+        # twin lo + (hi-lo)*f differs by an ulp on some inputs
+        aggs.append(
+            (lo_v * (F.lit(1.0) - frac) + hi_v * frac).alias(name)
+        )
+    # n is constant within a group; keep it in scope for pos()
+    return (
+        boundary.groupBy("event_type", "n")
+        .agg(*aggs)
+        .drop("n")
+    )

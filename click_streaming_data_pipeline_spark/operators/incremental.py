@@ -96,6 +96,104 @@ def finalize_signed(state: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+def zset_reduce(df: DataFrame, keys: list[str], sign: str = "sign") -> DataFrame:
+    """Collapse changelog rows into a Z-SET: one row per distinct
+    row-identity (``keys``) carrying its net multiplicity ``w``
+    (sum of +1/-1 signs). The z-set is the state representation that
+    makes JOINS incrementally maintainable: deletes are weight -1,
+    and a row retracted as often as inserted nets to w=0."""
+    return df.groupBy(*keys).agg(F.sum(sign).alias("w"))
+
+
+def merge_zset(prev: DataFrame, delta: DataFrame, keys: list[str]) -> DataFrame:
+    """Z-sets form an abelian group under row-wise weight addition —
+    merging a batch's delta costs one groupBy on the delta+state,
+    never a history re-read."""
+    return (
+        prev.unionByName(delta)
+        .groupBy(*keys)
+        .agg(F.sum("w").alias("w"))
+        .filter(F.col("w") != 0)
+    )
+
+
+def join_view_delta(
+    dA: DataFrame,
+    A_new: DataFrame,
+    B_prev: DataFrame,
+    dB: DataFrame,
+    on: str,
+) -> DataFrame:
+    """One batch's delta of the maintained join view V = A |x| B.
+
+    The join of z-sets is BILINEAR (weights multiply), so its delta
+    under simultaneous updates of both sides is the asymmetric rule
+
+        dV = dA |x| B_prev  +  A_new |x| dB        (A_new = A+dA)
+
+    which covers the cross-term dA |x| dB exactly once — the
+    DBSP/differential-dataflow incremental-join rule. Cost per batch
+    is |dA| x matched(B) + |A| x matched(dB): proportional to the
+    CHANGE, never |A| x |B|. Output rows carry the product weight
+    ``w``; payload columns from both sides are preserved (the caller
+    aggregates or finalizes). Column names of the two sides must be
+    disjoint apart from ``on``."""
+
+    def side_join(left: DataFrame, right: DataFrame) -> DataFrame:
+        lw = left.withColumnRenamed("w", "__wl")
+        rw = right.withColumnRenamed("w", "__wr")
+        return (
+            lw.join(rw, on)
+            .withColumn("w", F.col("__wl") * F.col("__wr"))
+            .drop("__wl", "__wr")
+        )
+
+    return side_join(dA, B_prev).unionByName(side_join(A_new, dB))
+
+
+def read_prior_zset(
+    spark, state_dir: str, batch_id: int, like: DataFrame
+) -> DataFrame:
+    """Latest committed version STRICTLY below ``batch_id`` (replay
+    discipline: a retried micro-batch re-derives byte-identical state
+    because it never reads its own or later versions); an empty
+    z-set with ``like``'s schema when no prior version exists."""
+    import os
+
+    if os.path.isdir(state_dir):
+        prior = sorted(
+            int(d[1:])
+            for d in os.listdir(state_dir)
+            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < batch_id
+        )
+        if prior:
+            return spark.read.parquet(
+                os.path.join(state_dir, f"v{prior[-1]}")
+            )
+    return spark.createDataFrame([], like.schema)
+
+
+def write_zset_version(df: DataFrame, state_dir: str, batch_id: int) -> DataFrame:
+    """Commit one state version (overwrite => replay-idempotent),
+    pruning all but the direct parent; returns the checkpointed frame
+    so callers can keep deriving from it without a re-read."""
+    import os
+    import shutil
+
+    out = df.localCheckpoint(eager=True)
+    out.write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"v{batch_id}")
+    )
+    versions = sorted(
+        int(d[1:])
+        for d in os.listdir(state_dir)
+        if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < batch_id
+    )
+    for v in versions[:-1]:
+        shutil.rmtree(os.path.join(state_dir, f"v{v}"), ignore_errors=True)
+    return out
+
+
 def fold_state_dir(
     spark,
     state_dir: str,

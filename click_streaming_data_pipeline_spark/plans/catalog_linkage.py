@@ -377,6 +377,283 @@ def changelog_aggregate_streamed(
     return finalize_signed(read_state_dir(spark, state_dir), ["event_type"])
 
 
+#: live-state oracle for the incrementally-maintained JOIN view: the
+#: changelogs encode customer c_custkey%10==7 as a segment upgrade
+#: (retract+insert 'UPGRADED'), %10 in (8,9) as deletes; orders
+#: o_orderkey%10==7 as a +500-cent reprice, (8,9) as cancellations.
+_JOIN_VIEW_ORACLE = """
+    WITH c AS (
+        SELECT c_custkey AS custkey,
+               CASE WHEN c_custkey % 10 = 7 THEN 'UPGRADED'
+                    ELSE c_mktsegment END AS segment
+        FROM customer WHERE c_custkey % 10 <= 7
+    ), o AS (
+        SELECT o_custkey AS custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 10 = 7 THEN 500 ELSE 0 END AS cents
+        FROM orders WHERE o_orderkey % 10 <= 7
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS DOUBLE) AS revenue_cents
+    FROM o JOIN c USING (custkey)
+    GROUP BY segment
+"""
+
+_A_KEYS = ["custkey", "o_orderkey", "cents"]
+_B_KEYS = ["custkey", "segment"]
+
+
+def _join_changelogs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Signed changelogs for BOTH sides of the maintained join, each
+    row tagged with a deterministic batch number. Batch assignment is
+    (key + seq) % 3 — deliberately NOT grouped per entity, so an
+    update's retract can arrive in an *earlier* batch than the insert
+    it retracts (weights go negative in between). Z-set bilinearity
+    makes the final view independent of any such arrival order."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("__c"),
+    )
+    omod = F.col("o_orderkey") % 10
+
+    def orow(sign: int, cents, seq: int):
+        return F.struct(
+            F.lit(sign).alias("sign"),
+            cents.cast("long").alias("cents"),
+            F.lit(seq).alias("seq"),
+        )
+
+    orows = (
+        F.when(
+            omod == 7,
+            F.array(
+                orow(1, F.col("__c"), 0),
+                orow(-1, F.col("__c"), 1),
+                orow(1, F.col("__c") + 500, 1),
+            ),
+        )
+        .when(
+            omod.isin(8, 9),
+            F.array(orow(1, F.col("__c"), 0), orow(-1, F.col("__c"), 1)),
+        )
+        .otherwise(F.array(orow(1, F.col("__c"), 0)))
+    )
+    log_a = (
+        o.select("custkey", "o_orderkey", F.explode(orows).alias("r"))
+        .select(
+            "custkey",
+            "o_orderkey",
+            F.col("r.cents").alias("cents"),
+            F.col("r.sign").alias("sign"),
+            ((F.col("o_orderkey") + F.col("r.seq")) % 3).alias("batch"),
+        )
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    cmod = F.col("custkey") % 10
+
+    def crow(sign: int, seg, seq: int):
+        return F.struct(
+            F.lit(sign).alias("sign"),
+            seg.alias("segment"),
+            F.lit(seq).alias("seq"),
+        )
+
+    crows = (
+        F.when(
+            cmod == 7,
+            F.array(
+                crow(1, F.col("c_mktsegment"), 0),
+                crow(-1, F.col("c_mktsegment"), 1),
+                crow(1, F.lit("UPGRADED"), 1),
+            ),
+        )
+        .when(
+            cmod.isin(8, 9),
+            F.array(
+                crow(1, F.col("c_mktsegment"), 0),
+                crow(-1, F.col("c_mktsegment"), 1),
+            ),
+        )
+        .otherwise(F.array(crow(1, F.col("c_mktsegment"), 0)))
+    )
+    log_b = (
+        c.select("custkey", F.explode(crows).alias("r"))
+        .select(
+            "custkey",
+            F.col("r.segment").alias("segment"),
+            F.col("r.sign").alias("sign"),
+            ((F.col("custkey") + F.col("r.seq")) % 3).alias("batch"),
+        )
+    )
+    return log_a, log_b
+
+
+def _join_view_dv_agg(dV: DataFrame) -> DataFrame:
+    """Aggregate a join-delta z-set into the signed per-segment
+    accumulator (decimal product sums keep folds bit-exact)."""
+    return dV.groupBy("segment").agg(
+        F.sum("w").alias("n"),
+        F.sum(F.col("w") * F.col("cents").cast("decimal(28,6)")).alias("s"),
+    )
+
+
+def _join_view_finalize(V: DataFrame) -> DataFrame:
+    return V.filter(F.col("n") != 0).select(
+        "segment",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.col("s").cast("double").alias("revenue_cents"),
+    )
+
+
+@query(
+    "incremental_join_view",
+    oracle=_JOIN_VIEW_ORACLE,
+    doc=(
+        "beyond-reference view maintenance: INCREMENTAL JOIN VIEW — "
+        "V = orders |x| customer (revenue per live segment) maintained "
+        "under changelogs on BOTH sides via the bilinear z-set delta "
+        "rule dV = dA|x|B + (A+dA)|x|dB (DBSP / differential-dataflow "
+        "incremental join; operators/incremental.py::join_view_delta). "
+        "Updates are retract+insert, deletes weight -1; per-batch cost "
+        "is proportional to the CHANGE joined against current state, "
+        "never a recompute of A|x|B. Complements changelog_aggregate, "
+        "which maintains aggregates only — joins need the product-"
+        "weight algebra. Oracle: plain SQL join of the live final "
+        "sides. The reference re-reads its Postgres row on every CDC "
+        "hop (data-quality main.py:85-99) — this is what join "
+        "maintenance costs done incrementally."
+    ),
+    tags=("cdc", "join", "scale"),
+)
+def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import (
+        join_view_delta,
+        merge_signed,
+        merge_zset,
+        zset_reduce,
+    )
+
+    log_a, log_b = _join_changelogs(spark, sf_dir)
+    A = zset_reduce(log_a.filter(F.lit(False)), _A_KEYS)
+    B = zset_reduce(log_b.filter(F.lit(False)), _B_KEYS)
+    V = _join_view_dv_agg(
+        join_view_delta(A, A, B, B, on="custkey")
+    )
+    for t in range(3):
+        dA = zset_reduce(log_a.filter(F.col("batch") == t), _A_KEYS)
+        dB = zset_reduce(log_b.filter(F.col("batch") == t), _B_KEYS)
+        A_new = merge_zset(A, dA, _A_KEYS).localCheckpoint(eager=True)
+        dV = join_view_delta(dA, A_new, B, dB, on="custkey")
+        V = merge_signed(
+            V, _join_view_dv_agg(dV), ["segment"]
+        ).localCheckpoint(eager=True)
+        B = merge_zset(B, dB, _B_KEYS).localCheckpoint(eager=True)
+        A = A_new
+    return _join_view_finalize(V)
+
+
+@query(
+    "incremental_join_view_streamed",
+    oracle=_JOIN_VIEW_ORACLE,
+    doc=(
+        "streamed twin of incremental_join_view: one muxed CDC stream "
+        "carries both tables' changelogs (side-tagged envelopes, the "
+        "single-topic-multiplexing shape of a real Debezium server); "
+        "foreachBatch splits each micro-batch by side, applies the "
+        "bilinear delta rule against versioned z-set state dirs, and "
+        "folds the view delta. All state reads are restricted to "
+        "versions strictly below batch_id, so an at-least-once replay "
+        "re-derives byte-identical state. Drained result == the batch "
+        "loop == the plain-SQL join of live sides, bit-for-bit."
+    ),
+    tags=("streaming", "cdc", "join", "scale"),
+)
+def incremental_join_view_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.incremental import (
+        join_view_delta,
+        merge_signed,
+        merge_zset,
+        read_prior_zset,
+        write_zset_version,
+        zset_reduce,
+    )
+
+    log_a, log_b = _join_changelogs(spark, sf_dir)
+    env = log_a.select(
+        F.lit("O").alias("side"),
+        "custkey",
+        "o_orderkey",
+        "cents",
+        F.lit(None).cast("string").alias("segment"),
+        "sign",
+    ).unionByName(
+        log_b.select(
+            F.lit("C").alias("side"),
+            "custkey",
+            F.lit(None).cast("long").alias("o_orderkey"),
+            F.lit(None).cast("long").alias("cents"),
+            "segment",
+            "sign",
+        )
+    )
+    work = tempfile.mkdtemp(prefix="csdp_ijv_")
+    src = os.path.join(work, "in")
+    dirs = {k: os.path.join(work, k) for k in ("A", "B", "V")}
+    env.repartition(6).write.mode("overwrite").parquet(src)
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        dA = zset_reduce(
+            batch.filter(F.col("side") == "O").select(
+                "custkey", "o_orderkey", "cents", "sign"
+            ),
+            _A_KEYS,
+        )
+        dB = zset_reduce(
+            batch.filter(F.col("side") == "C").select(
+                "custkey", "segment", "sign"
+            ),
+            _B_KEYS,
+        )
+        A_prev = read_prior_zset(sp, dirs["A"], batch_id, dA)
+        B_prev = read_prior_zset(sp, dirs["B"], batch_id, dB)
+        A_new = write_zset_version(
+            merge_zset(A_prev, dA, _A_KEYS), dirs["A"], batch_id
+        )
+        write_zset_version(
+            merge_zset(B_prev, dB, _B_KEYS), dirs["B"], batch_id
+        )
+        dV_agg = _join_view_dv_agg(
+            join_view_delta(dA, A_new, B_prev, dB, on="custkey")
+        )
+        V_prev = read_prior_zset(sp, dirs["V"], batch_id, dV_agg)
+        write_zset_version(
+            merge_signed(V_prev, dV_agg, ["segment"]), dirs["V"], batch_id
+        )
+
+    q = (
+        spark.readStream.schema(env.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from ..operators.incremental import read_state_dir
+
+    return _join_view_finalize(read_state_dir(spark, dirs["V"]))
+
+
 _BITEMPORAL_ORACLE = """
     SELECT 'before_updates' AS as_of, source,
            CAST(count(*) AS BIGINT) AS n_docs,

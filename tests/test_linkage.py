@@ -186,3 +186,99 @@ def test_linkage_stream_replay_idempotent(spark, tmp_path):
         for r in spark.read.parquet(pairs_store).collect()
     }
     assert got == want
+
+
+def test_join_view_delta_bilinear_telescoping(spark):
+    # V maintained batch-by-batch must equal the direct join of final
+    # z-sets for ANY batch assignment — including one where a retract
+    # arrives BEFORE the insert it cancels (negative transient weight)
+    from click_streaming_data_pipeline_spark.operators.incremental import (
+        join_view_delta,
+        merge_zset,
+        zset_reduce,
+    )
+
+    a_rows = [  # (custkey, orderkey, cents, sign, batch)
+        (1, 100, 500, 1, 0),
+        (1, 101, 700, 1, 1),
+        (1, 101, 700, -1, 2),  # cancelled later
+        (2, 200, 900, 1, 0),
+        (2, 200, 900, -1, 1),  # retract...
+        (2, 200, 1400, 1, 2),  # ...reprice
+        (3, 300, 100, -1, 0),  # retract arrives FIRST
+        (3, 300, 100, 1, 1),  # its insert arrives later -> nets 0... 
+        (3, 300, 100, 1, 2),  # ...then a true insert
+    ]
+    b_rows = [  # (custkey, segment, sign, batch)
+        (1, "S1", 1, 0),
+        (2, "S1", 1, 1),
+        (2, "S1", -1, 2),
+        (2, "S2", 1, 2),  # segment move
+        (3, "S3", 1, 2),
+    ]
+    A_log = spark.createDataFrame(
+        a_rows, "custkey long, o_orderkey long, cents long, sign int, batch int"
+    )
+    B_log = spark.createDataFrame(
+        b_rows, "custkey long, segment string, sign int, batch int"
+    )
+    ak = ["custkey", "o_orderkey", "cents"]
+    bk = ["custkey", "segment"]
+    A = zset_reduce(A_log.filter(F.lit(False)), ak)
+    B = zset_reduce(B_log.filter(F.lit(False)), bk)
+    V = []
+    for t in range(3):
+        dA = zset_reduce(A_log.filter(F.col("batch") == t), ak)
+        dB = zset_reduce(B_log.filter(F.col("batch") == t), bk)
+        A_new = merge_zset(A, dA, ak).localCheckpoint(eager=True)
+        V.append(join_view_delta(dA, A_new, B, dB, on="custkey"))
+        B = merge_zset(B, dB, bk).localCheckpoint(eager=True)
+        A = A_new
+    dV = V[0]
+    for piece in V[1:]:
+        dV = dV.unionByName(piece)
+    got = {
+        (r["custkey"], r["o_orderkey"], r["segment"]): r["w"]
+        for r in dV.groupBy("custkey", "o_orderkey", "cents", "segment")
+        .agg(F.sum("w").alias("w"))
+        .filter(F.col("w") != 0)
+        .collect()
+    }
+    # direct join of the final live sides
+    want = {(1, 100, "S1"): 1, (2, 200, "S2"): 1, (3, 300, "S3"): 1}
+    assert got == want
+
+
+def test_incremental_join_view_streamed_replay_idempotent(spark):
+    # re-running a committed batch fold must not change the state: the
+    # v{batch_id} discipline reads only versions < batch_id
+    import os
+
+    from click_streaming_data_pipeline_spark.operators.incremental import (
+        merge_zset,
+        read_prior_zset,
+        write_zset_version,
+        zset_reduce,
+    )
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="csdp_ijv_test_")
+    log = spark.createDataFrame(
+        [(1, "x", 1), (1, "x", 1), (2, "y", -1)],
+        "k long, v string, sign int",
+    )
+    dz = zset_reduce(log, ["k", "v"])
+    prev0 = read_prior_zset(spark, d, 0, dz)
+    assert prev0.count() == 0 and prev0.schema == dz.schema
+    write_zset_version(merge_zset(prev0, dz, ["k", "v"]), d, 0)
+    once = sorted(
+        map(tuple, spark.read.parquet(os.path.join(d, "v0")).collect())
+    )
+    # replay batch 0: must reproduce byte-identical state
+    prev0b = read_prior_zset(spark, d, 0, dz)
+    write_zset_version(merge_zset(prev0b, dz, ["k", "v"]), d, 0)
+    again = sorted(
+        map(tuple, spark.read.parquet(os.path.join(d, "v0")).collect())
+    )
+    assert once == again == [(1, "x", 2), (2, "y", -1)]

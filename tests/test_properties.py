@@ -623,8 +623,16 @@ def test_markov_removal_effects_fuzz(edges):
                 elif t in idx and t != removed:
                     q[idx[s], idx[t]] += p
         v = np.zeros(k)
-        for _ in range(600):
-            v = r + q @ v
+        # iterate to a fixpoint, not a fixed count: near-cyclic chains
+        # (e.g. view<->click with p~0.98 each way) contract so slowly
+        # that 600 steps leave a ~1e-6 residual and the EXACT linear
+        # solve under test gets blamed for the reference's error
+        for _ in range(200_000):
+            nxt = r + q @ v
+            if np.max(np.abs(nxt - v)) < 1e-13:
+                v = nxt
+                break
+            v = nxt
         return v[idx["start"]]
 
     base = p_conv_power(None)

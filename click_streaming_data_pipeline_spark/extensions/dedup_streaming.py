@@ -122,6 +122,7 @@ def process_batch(
     )
     post_new.write.mode("overwrite").parquet(_batch_dir(postings_store, batch_id))
     sh_new.write.mode("overwrite").parquet(_batch_dir(shingle_store, batch_id))
+    return verified
 
 
 def run_streaming_neardup(
@@ -172,6 +173,117 @@ def run_streaming_neardup(
     )
     q.awaitTermination()
     return spark.read.parquet(pairs_store)
+
+
+# ---------------------------------------------------------------------------
+# incremental connected components (near-dup clusters over a stream)
+
+
+def fold_cluster_state(
+    spark: SparkSession,
+    cluster_store: str,
+    new_pairs: DataFrame,
+    batch_id: int,
+) -> None:
+    """Incremental CONNECTED COMPONENTS: maintain near-dup clusters as
+    edges stream in, without ever re-running propagation over the
+    accumulated pair set.
+
+    State = the label map (doc_id, cluster_id), which doubles as a
+    STAR FOREST: each component contracted to edges (member -> root).
+    A batch's propagation graph is (new verified pairs) UNION (prior
+    stars) — size bounded by nodes-seen + batch edges, never the
+    accumulated edge count, and prior components enter at diameter 2
+    so min-label propagation converges in O(length of the chain the
+    NEW edges create), not O(component diameter from scratch).
+    Versioned v{batch_id} commits (reads strictly below batch_id)
+    make an at-least-once replay re-derive identical state."""
+    import shutil
+
+    from .dedup import neardup_clusters
+
+    edges = new_pairs.select("id_a", "id_b")
+    prior_versions = []
+    if os.path.isdir(cluster_store):
+        prior_versions = sorted(
+            int(d[1:])
+            for d in os.listdir(cluster_store)
+            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < batch_id
+        )
+    if prior_versions:
+        prior = spark.read.parquet(
+            os.path.join(cluster_store, f"v{prior_versions[-1]}")
+        )
+        stars = prior.filter(F.col("doc_id") != F.col("cluster_id")).select(
+            F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("id_b")
+        )
+        edges = edges.unionByName(stars)
+    state = neardup_clusters(edges).localCheckpoint(eager=True)
+    state.write.mode("overwrite").parquet(
+        os.path.join(cluster_store, f"v{batch_id}")
+    )
+    for v in prior_versions[:-1]:
+        shutil.rmtree(
+            os.path.join(cluster_store, f"v{v}"), ignore_errors=True
+        )
+
+
+def run_streaming_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    threshold: float = 0.8,
+    files_per_trigger: int = 2,
+    n_files: int = 6,
+) -> DataFrame:
+    """Incremental near-dup clustering: the streaming LSH dedup
+    produces each batch's newly-verified pairs, and the cluster state
+    folds them into the maintained component labels — so cluster ids
+    are current after every micro-batch, not just at drain time."""
+    from ..sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="csdp_ndcl_")
+    src = os.path.join(work, "in")
+    stores = {
+        k: os.path.join(work, k)
+        for k in ("shingles", "postings", "pairs", "clusters")
+    }
+    ckpt = os.path.join(work, "ckpt")
+    docs.repartition(n_files).write.mode("overwrite").parquet(src)
+
+    def on_batch(batch_docs: DataFrame, batch_id: int) -> None:
+        verified = process_batch(
+            batch_docs,
+            batch_id=batch_id,
+            shingle_store=stores["shingles"],
+            postings_store=stores["postings"],
+            pairs_store=stores["pairs"],
+            threshold=threshold,
+        ).localCheckpoint(eager=True)
+        fold_cluster_state(
+            batch_docs.sparkSession, stores["clusters"], verified, batch_id
+        )
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(src)
+        .writeStream.queryName(f"ndcl_{uuid.uuid4().hex[:8]}")
+        .foreachBatch(on_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    latest = max(
+        int(d[1:])
+        for d in os.listdir(stores["clusters"])
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    return spark.read.parquet(
+        os.path.join(stores["clusters"], f"v{latest}")
+    )
 
 
 # ---------------------------------------------------------------------------

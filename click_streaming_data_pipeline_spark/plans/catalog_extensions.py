@@ -842,6 +842,47 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_clusters_streamed",
+    # same transitive-closure oracle as the batch form: incremental
+    # maintenance must converge to identical component labels
+    oracle=f"""
+        WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach (id, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lbl
+            FROM reach r JOIN edges e ON e.src = r.id
+        )
+        SELECT id AS doc_id, min(lbl) AS cluster_id
+        FROM reach
+        GROUP BY id
+    """,
+    doc=(
+        "extension: INCREMENTAL near-dup clustering — connected "
+        "components maintained as the near-dup edges stream in. "
+        "Cluster state is a star forest (member -> component root), "
+        "so each micro-batch propagates labels over (new pairs UNION "
+        "prior stars): cost tracks nodes-seen + batch edges, never "
+        "the accumulated pair set, and prior components re-enter at "
+        "diameter 2. Edges come from the incremental LSH dedup "
+        "(extensions/dedup_streaming.py), labels fold per batch with "
+        "v{batch_id} replay discipline. Drained state == batch "
+        "dedup_clusters == the DuckDB recursive-CTE closure."
+    ),
+    tags=("streaming", "dedup"),
+)
+def dedup_clusters_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup_streaming import run_streaming_clusters
+
+    return run_streaming_clusters(spark, sf_dir)
+
+
+@query(
     "audio_energy_windows",
     # exact oracle on the stub decode: overlapping byte windows of the
     # ASCII corpus; energy = sum of squared char codes mod 9973 (same

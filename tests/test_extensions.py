@@ -946,3 +946,46 @@ def test_png_all_filters_roundtrip_and_deadletter(spark):
     )
     got = {r.asset_id: r.decode_ok for r in decode_png(assets).collect()}
     assert got == {1: True, 2: False, 3: False}
+
+
+def test_incremental_cluster_fold_merges_components_across_batches(
+    spark, tmp_path
+):
+    # batches 1 and 2 build two separate components; batch 3's single
+    # bridging edge must merge them into one — via the star-forest
+    # state, never re-reading the earlier edges
+    from click_streaming_data_pipeline_spark.extensions.dedup_streaming import (
+        fold_cluster_state,
+    )
+
+    store = str(tmp_path / "clusters")
+
+    def pairs(rows):
+        return spark.createDataFrame(rows, "id_a long, id_b long")
+
+    fold_cluster_state(spark, store, pairs([(1, 2), (2, 3)]), 0)
+    fold_cluster_state(spark, store, pairs([(10, 11)]), 1)
+    mid = {
+        (r["doc_id"], r["cluster_id"])
+        for r in spark.read.parquet(f"{store}/v1").collect()
+    }
+    assert mid == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    fold_cluster_state(spark, store, pairs([(3, 10)]), 2)
+    end = {
+        (r["doc_id"], r["cluster_id"])
+        for r in spark.read.parquet(f"{store}/v2").collect()
+    }
+    assert end == {(1, 1), (2, 1), (3, 1), (10, 1), (11, 1)}
+    # replay of batch 2 (at-least-once) re-derives identical state
+    fold_cluster_state(spark, store, pairs([(3, 10)]), 2)
+    again = {
+        (r["doc_id"], r["cluster_id"])
+        for r in spark.read.parquet(f"{store}/v2").collect()
+    }
+    assert again == end
+    # an empty batch must carry the state forward unchanged
+    fold_cluster_state(spark, store, pairs([]), 3)
+    assert {
+        (r["doc_id"], r["cluster_id"])
+        for r in spark.read.parquet(f"{store}/v3").collect()
+    } == end

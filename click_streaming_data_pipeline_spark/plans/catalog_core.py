@@ -2035,3 +2035,182 @@ def numeric_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bigint_edge"
         ),
     )
+
+
+@query(
+    "window_frame_semantics",
+    oracle="""
+        WITH t(id, g, k, v) AS (VALUES
+            (1, 'a', 10, 100), (2, 'a', 10, 200), (3, 'a', 11, 300),
+            (4, 'a', 13, 400), (5, 'b', 5, 10), (6, 'b', 5, 20),
+            (7, 'b', 9, 30)
+        )
+        SELECT id,
+               CAST(sum(v) OVER (PARTITION BY g ORDER BY k)
+                    AS BIGINT) AS run_sum_peers,
+               CAST(sum(v) OVER (PARTITION BY g ORDER BY id
+                    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+                    AS BIGINT) AS rows_sum,
+               CAST(sum(v) OVER (PARTITION BY g ORDER BY k
+                    RANGE BETWEEN 1 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS range_sum,
+               CAST(lead(v, 1, -1) OVER (PARTITION BY g ORDER BY id)
+                    AS INT) AS lead_v,
+               CAST(lag(v, 2, -99) OVER (PARTITION BY g ORDER BY id)
+                    AS INT) AS lag_v,
+               CAST(last_value(v) OVER (PARTITION BY g ORDER BY id)
+                    AS INT) AS last_default_frame,
+               CAST(last_value(v) OVER (PARTITION BY g ORDER BY id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING) AS INT) AS last_full,
+               CAST(nth_value(v, 2) OVER (PARTITION BY g ORDER BY id)
+                    AS INT) AS nth2_default_frame
+        FROM t
+    """,
+    doc=(
+        "window FRAME semantics pinned: the default frame with ORDER "
+        "BY is RANGE UNBOUNDED PRECEDING..CURRENT ROW, so a running "
+        "sum over duplicate sort keys includes ALL PEERS (ids 1,2 "
+        "both see 300 - the corner that silently inflates running "
+        "totals, and why every catalog running-sum orders by a "
+        "unique key); ROWS frames address physical neighbors; RANGE "
+        "frames with numeric offsets address VALUES (k=11 reaches "
+        "back to k=10's two rows; k=13 reaches nothing); last_value "
+        "under the default frame returns the CURRENT row's value "
+        "(the classic gotcha - the full-frame variant returns the "
+        "partition max id's), and nth_value is NULL until the frame "
+        "holds n rows. lead/lag defaults fire at partition edges. "
+        "Driver-hash-pinned against DuckDB's reading of SQL:2003."
+    ),
+    tags=("window", "scalar"),
+)
+def window_frame_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    rows = [
+        (1, "a", 10, 100), (2, "a", 10, 200), (3, "a", 11, 300),
+        (4, "a", 13, 400), (5, "b", 5, 10), (6, "b", 5, 20),
+        (7, "b", 9, 30),
+    ]
+    t = spark.createDataFrame(rows, "id int, g string, k int, v int")
+    by_k = W.partitionBy("g").orderBy("k")
+    by_id = W.partitionBy("g").orderBy("id")
+    return t.select(
+        "id",
+        F.sum("v").over(by_k).cast("bigint").alias("run_sum_peers"),
+        F.sum("v")
+        .over(by_id.rowsBetween(-1, 1))
+        .cast("bigint")
+        .alias("rows_sum"),
+        F.sum("v")
+        .over(by_k.rangeBetween(-1, 0))
+        .cast("bigint")
+        .alias("range_sum"),
+        F.lead("v", 1, -1).over(by_id).cast("int").alias("lead_v"),
+        F.lag("v", 2, -99).over(by_id).cast("int").alias("lag_v"),
+        F.last("v").over(by_id).cast("int").alias("last_default_frame"),
+        F.last("v")
+        .over(by_id.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .cast("int")
+        .alias("last_full"),
+        F.nth_value("v", 2)
+        .over(by_id)
+        .cast("int")
+        .alias("nth2_default_frame"),
+    )
+
+
+@query(
+    "array_higher_order_semantics",
+    oracle="""
+        WITH t(id, a) AS (VALUES
+            (1, [3, 1, 2]),
+            (2, [5]),
+            (3, [2, 2, 4, 6]),
+            (4, CAST([] AS INTEGER[]))
+        )
+        SELECT id,
+               CAST(len(a) AS INT) AS n,
+               CAST(list_sum(list_transform(a, x -> x * x))
+                    AS BIGINT) AS sum_squares,
+               CAST(len(list_filter(a, x -> x % 2 = 0)) AS INT)
+                   AS n_even,
+               CAST(len(list_filter(a, x -> x > 1)) = len(a)
+                    AS BOOLEAN) AS all_gt1,
+               CAST(len(list_filter(a, x -> x > 3)) > 0 AS BOOLEAN)
+                   AS any_gt3,
+               CAST(a[1] AS INT) AS first_el,
+               CAST(a[-1] AS INT) AS last_el,
+               coalesce(array_to_string(list_sort(a), ','), '')
+                   AS sorted_a,
+               coalesce(array_to_string(list_slice(a, 2, 3), ','), '')
+                   AS middle,
+               CAST(list_contains(a, 2) AS BOOLEAN) AS has_two,
+               coalesce(array_to_string(list_transform(list_sort(a),
+                   x -> CAST(x AS VARCHAR)), '-'), '') AS joined,
+               CAST(list_sum(generate_series(1, 4)) AS BIGINT)
+                   AS seq_sum
+        FROM t
+    """,
+    doc=(
+        "higher-order array semantics pinned: lambda transform/"
+        "filter composition (sum of squares via fold - empty arrays "
+        "yield NULL sum in BOTH engines, not 0), exists/forall "
+        "spelled as filter-length so both engines agree on the "
+        "empty-array edge (forall over [] is TRUE, vacuous truth; "
+        "exists is FALSE), 1-based indexing with negative-index "
+        "tail addressing, list_sort default ascending, slice "
+        "(aligned: Spark slice(a,2,2) == DuckDB list_slice(a,2,3) - "
+        "START+LENGTH vs START..END is a real porting trap), "
+        "membership, sorted string join, and inclusive integer "
+        "sequence generation. One genuine divergence found and "
+        "worked around: joining an EMPTY array yields '' in Spark "
+        "(concat_ws) but NULL in DuckDB (array_to_string) - the "
+        "oracle coalesces, and catalog code must never rely on the "
+        "empty-join result. The semantic floor under every "
+        "shingle/embedding/token pipeline in this catalog."
+    ),
+    tags=("scalar",),
+)
+def array_higher_order_semantics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    rows = [
+        (1, [3, 1, 2]),
+        (2, [5]),
+        (3, [2, 2, 4, 6]),
+        (4, []),
+    ]
+    t = spark.createDataFrame(rows, "id int, a array<int>")
+    a = F.col("a")
+    return t.select(
+        "id",
+        F.size(a).cast("int").alias("n"),
+        F.aggregate(
+            F.transform(a, lambda x: (x * x).cast("bigint")),
+            F.lit(None).cast("bigint"),
+            lambda acc, x: F.coalesce(acc + x, x),
+        ).alias("sum_squares"),
+        F.size(F.filter(a, lambda x: x % 2 == 0)).cast("int").alias(
+            "n_even"
+        ),
+        F.forall(a, lambda x: x > 1).alias("all_gt1"),
+        F.exists(a, lambda x: x > 3).alias("any_gt3"),
+        F.try_element_at(a, F.lit(1)).cast("int").alias("first_el"),
+        F.try_element_at(a, F.lit(-1)).cast("int").alias("last_el"),
+        F.concat_ws(
+            ",", F.transform(F.sort_array(a), lambda x: x.cast("string"))
+        ).alias("sorted_a"),
+        F.concat_ws(
+            ",", F.transform(F.slice(a, 2, 2), lambda x: x.cast("string"))
+        ).alias("middle"),
+        F.array_contains(a, 2).alias("has_two"),
+        F.concat_ws(
+            "-", F.transform(F.sort_array(a), lambda x: x.cast("string"))
+        ).alias("joined"),
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(4)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("seq_sum"),
+    )

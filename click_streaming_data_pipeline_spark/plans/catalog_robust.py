@@ -618,3 +618,137 @@ def value_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(*aggs)
         .drop("n")
     )
+
+
+# ------------------------------------------- mergeable quantile sketch
+
+#: sample size per group: quantile error of a k-subsample is
+#: O(sqrt(q(1-q)/k)) — ~2.2 points at the median for k=512 — and the
+#: state per (group, sketch) is bounded at k rows regardless of input
+#: size, which is the property that makes the sketch streamable.
+QSKETCH_K = 512
+
+_QSKETCH_SAMPLE_SQL = f"""
+        SELECT event_type, value
+        FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY event_type
+            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+        ) <= {QSKETCH_K}
+"""
+
+_QSKETCH_ORACLE = f"""
+        WITH s AS ({_QSKETCH_SAMPLE_SQL})
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.9) AS p90
+        FROM s
+        GROUP BY event_type
+"""
+
+
+def _qsketch_sample(df: DataFrame, k: int = QSKETCH_K) -> DataFrame:
+    """Bottom-k rows per group by md5 of the row identity — a
+    DETERMINISTIC uniform subsample (the hash is a fixed uniform rank,
+    so 'k smallest hashes' is a simple random sample any engine can
+    reproduce bit-for-bit, the KMV trick applied to values)."""
+    h = F.md5(F.col("event_id").cast("string"))
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(h, "event_id")
+    )
+    return (
+        df.select("event_type", "event_id", "value")
+        .withColumn("__rn", rn)
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def _qsketch_estimate(sample: DataFrame) -> DataFrame:
+    return sample.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+    )
+
+
+@query(
+    "value_quantiles_sketch",
+    oracle=_QSKETCH_ORACLE,
+    doc=(
+        "beyond-reference sketching: MERGEABLE quantile sketch with "
+        "an EXACT oracle — a bottom-k-by-hash (KMV-style) uniform "
+        "subsample per group, quantiles interpolated over the "
+        "sample. Unlike percentile_approx (value_quantiles_approx, "
+        "rows-only by necessity: GK internals are engine-specific), "
+        "the deterministic hash sample lets DuckDB reproduce the "
+        "ESTIMATOR bit-for-bit, so the sketch itself sits under the "
+        "driver hash; closeness to the true quantiles is a separate "
+        "error-bound pytest. min-k sets are associative/commutative "
+        "under union — the property the streamed twin folds on — and "
+        "state is bounded at k rows per group at any corpus size. "
+        "Plan: one WindowGroupLimit pass (partial top-k before the "
+        "shuffle), never a global sort."
+    ),
+    tags=("agg", "scale"),
+)
+def value_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return _qsketch_estimate(_qsketch_sample(events))
+
+
+@query(
+    "value_quantiles_sketch_streamed",
+    oracle=_QSKETCH_ORACLE,
+    doc=(
+        "streamed twin of value_quantiles_sketch: each micro-batch "
+        "computes its per-group bottom-k-by-hash sample, and the fold "
+        "re-selects the k smallest hashes of (state UNION batch) — "
+        "min-k is an idempotent commutative monoid, so the drained "
+        "state equals the batch sample regardless of arrival order "
+        "or batch boundaries, and the final quantile readout matches "
+        "the batch query and its DuckDB oracle bit-for-bit. State is "
+        "versioned per batch_id (at-least-once replay safe), bounded "
+        "at k rows per group."
+    ),
+    tags=("streaming", "agg", "scale"),
+)
+def value_quantiles_sketch_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..operators.incremental import read_prior_zset, write_zset_version
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="csdp_qsk_")
+    src = os.path.join(work, "in")
+    state_dir = os.path.join(work, "state")
+    events.select("event_type", "event_id", "value").repartition(
+        6
+    ).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        delta = _qsketch_sample(batch)
+        prev = read_prior_zset(sp, state_dir, batch_id, delta)
+        write_zset_version(
+            _qsketch_sample(prev.unionByName(delta)), state_dir, batch_id
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    latest = max(
+        int(d[1:]) for d in os.listdir(state_dir) if d.startswith("v")
+    )
+    return _qsketch_estimate(
+        spark.read.parquet(os.path.join(state_dir, f"v{latest}"))
+    )

@@ -183,3 +183,51 @@ def test_grouped_prefix_sum_spans_partitions(spark):
         for r in df.withColumn("cum", F.sum("v").over(w)).collect()
     }
     assert got == want
+
+
+def test_quantile_sketch_error_bound_and_merge_invariance(spark):
+    # the bottom-k-by-hash sample's quantiles must approximate the
+    # exact ones (k=512 -> ~2-3pt rank error), and folding the sample
+    # in two halves must equal one global pass (min-k monoid)
+    import pyspark.sql.functions as F
+
+    from click_streaming_data_pipeline_spark.plans.catalog_robust import (
+        _qsketch_estimate,
+        _qsketch_sample,
+    )
+    from click_streaming_data_pipeline_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.01"
+    events = load_table(spark, sf, "events")
+    est = {
+        r["event_type"]: (r["p50"], r["p90"])
+        for r in _qsketch_estimate(_qsketch_sample(events)).collect()
+    }
+    # exact rank envelope: sketch p50 must sit between true p40/p60,
+    # sketch p90 between true p85/p95
+    env = {
+        r["event_type"]: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.40).alias("lo50"),
+            F.percentile("value", 0.60).alias("hi50"),
+            F.percentile("value", 0.85).alias("lo90"),
+            F.percentile("value", 0.95).alias("hi90"),
+        )
+        .collect()
+    }
+    assert est and set(est) == set(env)
+    for t, (p50, p90) in est.items():
+        assert env[t]["lo50"] <= p50 <= env[t]["hi50"], (t, p50)
+        assert env[t]["lo90"] <= p90 <= env[t]["hi90"], (t, p90)
+
+    # merge invariance: sample(sample(half1) U sample(half2)) ==
+    # sample(all)
+    h1 = _qsketch_sample(events.filter(F.col("event_id") % 2 == 0))
+    h2 = _qsketch_sample(events.filter(F.col("event_id") % 2 == 1))
+    merged = _qsketch_sample(h1.unionByName(h2))
+    direct = _qsketch_sample(events)
+    assert (
+        merged.exceptAll(direct).count() == 0
+        and direct.exceptAll(merged).count() == 0
+    )

@@ -163,6 +163,103 @@ def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_attribution_streamed",
+    oracle="""
+        SELECT p.user_id, p.ts, p.event_id,
+               c.ts AS asof_ts,
+               c.event_id AS asof_event_id
+        FROM (SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
+                        WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+    doc=(
+        "streamed AS-OF join (Flink temporal/versioned-join "
+        "analogue): clicks and purchases arrive interleaved and out "
+        "of order on one stream; each micro-batch re-derives matches "
+        "ONLY for users the batch touched (left-semi restriction "
+        "against the accumulated stores) and upserts them keyed by "
+        "purchase id — so a click arriving AFTER the purchase it "
+        "attributes emits a correction row, later batches win, and "
+        "per-batch cost tracks affected users, never the corpus. "
+        "Stores are versioned per batch_id and the upsert is "
+        "last-writer-wins, so at-least-once replays converge to the "
+        "same table. Drained result == the batch asof_attribution == "
+        "DuckDB's native ASOF JOIN, bit-for-bit."
+    ),
+    tags=("streaming", "join", "temporal"),
+)
+def asof_attribution_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..operators.upsert import upsert_parquet
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    work = tempfile.mkdtemp(prefix="csdp_asof_")
+    src = os.path.join(work, "in")
+    stores = {k: os.path.join(work, k) for k in ("clicks", "purchases")}
+    out = os.path.join(work, "out")
+    events.repartition(6).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def read_prior(sp, store: str, batch_id: int):
+        """All batch subdirs EXCEPT the current id — the replay-safe
+        accumulated-store read (same discipline as the streaming
+        dedup stores)."""
+        if not os.path.isdir(store):
+            return None
+        parts = [
+            os.path.join(store, d)
+            for d in os.listdir(store)
+            if d.startswith("b") and d != f"b{batch_id}"
+        ]
+        return sp.read.parquet(*parts) if parts else None
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        c_new = batch.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        )
+        p_new = batch.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id"
+        )
+        c_prev = read_prior(sp, stores["clicks"], batch_id)
+        p_prev = read_prior(sp, stores["purchases"], batch_id)
+        c_all = c_prev.unionByName(c_new) if c_prev is not None else c_new
+        p_all = p_prev.unionByName(p_new) if p_prev is not None else p_new
+        touched = batch.select("user_id").distinct()
+        res = asof_join(
+            c_all.join(touched, "user_id", "left_semi"),
+            p_all.join(touched, "user_id", "left_semi"),
+            left_val_cols=["event_id"],
+        ).withColumn("__bid", F.lit(batch_id))
+        upsert_parquet(sp, out, res, ["event_id"], ["__bid"])
+        c_new.write.mode("overwrite").parquet(
+            os.path.join(stores["clicks"], f"b{batch_id}")
+        )
+        p_new.write.mode("overwrite").parquet(
+            os.path.join(stores["purchases"], f"b{batch_id}")
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream.foreachBatch(on_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).drop("__bid")
+
+
+@query(
     "funnel_steps",
     oracle="""
         WITH v AS (

@@ -666,3 +666,49 @@ def test_forget_keys_edge_cases(spark, tmp_path):
     assert not any(
         d.startswith("day=") for d in os.listdir(table)
     )
+
+
+def test_streamed_asof_corrects_on_late_click(spark, tmp_path):
+    # a click that ARRIVES after the purchase it should attribute must
+    # overwrite the earlier (worse or null) match via the keyed upsert
+    import datetime as dt
+    import os
+
+    import pyspark.sql.functions as F
+
+    from click_streaming_data_pipeline_spark.operators.asof import asof_join
+    from click_streaming_data_pipeline_spark.operators.upsert import (
+        upsert_parquet,
+    )
+
+    out = str(tmp_path / "out")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long"
+        )
+
+    # batch 0: purchase at 12:10, only an old click at 11:00 known
+    c_all = df([(1, t0.replace(hour=11), 100)])
+    p_all = df([(1, t0.replace(minute=10), 500)])
+    r0 = asof_join(c_all, p_all, left_val_cols=["event_id"]).withColumn(
+        "__bid", F.lit(0)
+    )
+    upsert_parquet(spark, out, r0, ["event_id"], ["__bid"])
+    first = spark.read.parquet(out).collect()[0]
+    assert first["asof_event_id"] == 100
+
+    # batch 1: a BETTER click (12:05, event 200) arrives late — the
+    # recompute for the touched user must correct the stored match
+    c_all = c_all.unionByName(df([(1, t0.replace(minute=5), 200)]))
+    r1 = asof_join(c_all, p_all, left_val_cols=["event_id"]).withColumn(
+        "__bid", F.lit(1)
+    )
+    upsert_parquet(spark, out, r1, ["event_id"], ["__bid"])
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1 and rows[0]["asof_event_id"] == 200
+    # replaying batch 1 (at-least-once) leaves the table unchanged
+    upsert_parquet(spark, out, r1, ["event_id"], ["__bid"])
+    rows2 = spark.read.parquet(out).collect()
+    assert len(rows2) == 1 and rows2[0]["asof_event_id"] == 200

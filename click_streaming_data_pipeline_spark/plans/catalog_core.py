@@ -2214,3 +2214,64 @@ def array_higher_order_semantics(
             lambda acc, x: acc + x,
         ).alias("seq_sum"),
     )
+
+
+@query(
+    "regexp_semantics",
+    oracle=r"""
+        WITH t(id, s) AS (VALUES
+            (1, 'order #123 shipped to ZIP 94107'),
+            (2, 'no digits here'),
+            (3, 'a1b22c333 mixed'),
+            (4, 'Click CLICK click'),
+            (5, 'path/to/file.tar.gz')
+        )
+        SELECT id,
+               regexp_matches(s, '\d+') AS has_number,
+               regexp_extract(s, '#(\d+)', 1) AS order_no,
+               regexp_replace(s, '\d', '#', 'g') AS digits_masked,
+               regexp_matches(s, '(?i)\bclick\b') AS has_click_ci,
+               regexp_extract(s, '^(.*?)\.', 1) AS lazy_head,
+               CAST(len(regexp_split_to_array(s, '\s+')) AS INT)
+                   AS n_tokens,
+               regexp_extract(s, '([a-c])(\d+)', 2) AS second_group
+        FROM t
+    """,
+    doc=(
+        "regular-expression semantics pinned across Java regex "
+        "(Spark) and RE2 (DuckDB) on the portable core the catalog "
+        "actually uses (the CEP funnel matches journey strings with "
+        "regexp_extract_all; PII redaction and text normalization "
+        "use regexp_replace): unanchored contains-matching, numbered "
+        "capture groups with '' (not NULL) on no-match, GLOBAL "
+        "replace (divergence worked around: Spark regexp_replace is "
+        "global by default, DuckDB replaces the first match unless "
+        "given the 'g' flag - the oracle passes it explicitly), "
+        "inline (?i) case folding with word boundaries, lazy "
+        "quantifiers, and regex split. Deliberately NOT probed: "
+        "backreferences and lookaround, which Java has and RE2 "
+        "rejects by design - catalog code must never use them, and "
+        "this probe's doc is where that rule is recorded."
+    ),
+    tags=("scalar",),
+)
+def regexp_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [
+        (1, "order #123 shipped to ZIP 94107"),
+        (2, "no digits here"),
+        (3, "a1b22c333 mixed"),
+        (4, "Click CLICK click"),
+        (5, "path/to/file.tar.gz"),
+    ]
+    t = spark.createDataFrame(rows, "id int, s string")
+    s = F.col("s")
+    return t.select(
+        "id",
+        s.rlike(r"\d+").alias("has_number"),
+        F.regexp_extract(s, r"#(\d+)", 1).alias("order_no"),
+        F.regexp_replace(s, r"\d", "#").alias("digits_masked"),
+        s.rlike(r"(?i)\bclick\b").alias("has_click_ci"),
+        F.regexp_extract(s, r"^(.*?)\.", 1).alias("lazy_head"),
+        F.size(F.split(s, r"\s+")).cast("int").alias("n_tokens"),
+        F.regexp_extract(s, r"([a-c])(\d+)", 2).alias("second_group"),
+    )

@@ -773,3 +773,66 @@ def duplicate_substring_spans(
             (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
         )
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = SUBSTRING_WINDOW,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The FIX half of exact-substring dedup (Lee et al. 2022): cut
+    the cross-document duplicate spans out of every document and
+    re-emit the cleaned (lowercased) token stream.
+
+    One non-shuffling pass after the span find: spans fold to a
+    per-doc array (bounded by doc length), join back on the doc id,
+    and a single indexed higher-order filter drops token positions
+    covered by any span — no explode of the token stream, no second
+    corpus shuffle. Docs with no spans pass through via the null
+    coalesce. Policy note: this removes EVERY occurrence of a
+    duplicated span; keeping one canonical copy is a deployment
+    choice layered on top (pick min doc_id per whash before the
+    island merge)."""
+    spans = duplicate_substring_spans(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        window=window,
+        min_docs=min_docs,
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("__spans")
+    )
+    tok = docs.select(
+        F.col(id_col),
+        F.split(F.lower(F.col(text_col)), " ").alias("__t"),
+    )
+    joined = tok.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        "__t",
+        F.coalesce(
+            "__spans", F.expr("CAST(array() AS array<struct<s:bigint,e:bigint>>)")
+        ).alias("__sp"),
+    )
+    # indexed (element, index) lambda: position i is 0-based, spans
+    # are 1-based start / exclusive end
+    kept = F.filter(
+        F.col("__t"),
+        lambda x, i: ~F.exists(
+            F.col("__sp"),
+            lambda s: (i + 1 >= s["s"]) & (i + 1 < s["e"]),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("__t").cast("int").alias("n_tokens_before"),
+        F.size(kept).cast("int").alias("n_tokens_after"),
+        F.concat_ws(" ", kept).alias("cleaned_text"),
+    )

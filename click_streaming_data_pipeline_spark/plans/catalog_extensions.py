@@ -247,10 +247,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, max_hamming=4)
 
 
-@query(
-    "dedup_substring_spans",
-    oracle="""
-        WITH tok AS (
+#: shared CTE chain deriving the duplicate-substring spans — used by
+#: the span finder's oracle AND the span remover's (find -> fix)
+_SPANS_CTE = """tok AS (
             SELECT doc_id, string_split(lower(text), ' ') AS t
             FROM documents
         ),
@@ -284,12 +283,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                    SUM(stp) OVER (
                        PARTITION BY doc_id ORDER BY pos) AS isl_id
             FROM stepped
-        )
-        SELECT doc_id,
-               min(pos) AS span_start,
-               max(pos) + 12 AS span_end,
-               max(pos) + 12 - min(pos) AS span_tokens
-        FROM grp GROUP BY doc_id, isl_id
+        ),
+        spans AS (
+            SELECT doc_id,
+                   min(pos) AS span_start,
+                   max(pos) + 12 AS span_end,
+                   max(pos) + 12 - min(pos) AS span_tokens
+            FROM grp GROUP BY doc_id, isl_id
+        )"""
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+        WITH {_SPANS_CTE}
+        SELECT doc_id, span_start, span_end, span_tokens FROM spans
     """,
     doc=(
         "extension: exact-substring dedup (Lee et al. 2022) — maximal "
@@ -303,6 +311,54 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return duplicate_substring_spans(docs, window=12, min_docs=2)
+
+
+@query(
+    "dedup_substring_removed",
+    oracle=f"""
+        WITH {_SPANS_CTE},
+        pos AS (
+            SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p
+            FROM tok
+        ),
+        keep AS (
+            SELECT doc_id, p, t[p] AS w
+            FROM pos x
+            WHERE NOT EXISTS (
+                SELECT 1 FROM spans s
+                WHERE s.doc_id = x.doc_id
+                  AND x.p >= s.span_start AND x.p < s.span_end
+            )
+        )
+        SELECT tok.doc_id,
+               CAST(len(tok.t) AS INT) AS n_tokens_before,
+               CAST((SELECT count(*) FROM keep k
+                     WHERE k.doc_id = tok.doc_id) AS INT)
+                   AS n_tokens_after,
+               coalesce((SELECT string_agg(k.w, ' ' ORDER BY k.p)
+                         FROM keep k WHERE k.doc_id = tok.doc_id), '')
+                   AS cleaned_text
+        FROM tok
+    """,
+    doc=(
+        "extension: the FIX half of exact-substring dedup (Lee et "
+        "al. 2022) - dedup_substring_spans finds the cross-document "
+        "verbatim spans; this query CUTS them and re-emits the "
+        "cleaned token stream plus before/after token accounting. "
+        "Spark side is one indexed higher-order filter over the "
+        "token array against the per-doc span list (no token-stream "
+        "explode, no second corpus shuffle); the oracle re-derives "
+        "the same spans and removes by position. Every occurrence "
+        "is removed; keep-one-copy is a policy layer "
+        "(extensions/dedup.py::remove_duplicate_spans docstring)."
+    ),
+    tags=("dedup", "corpus"),
+)
+def dedup_substring_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup import remove_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, window=12, min_docs=2)
 
 
 @query(

@@ -703,8 +703,15 @@ def duplicate_substring_spans(
     text_col: str = "text",
     window: int = SUBSTRING_WINDOW,
     min_docs: int = 2,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Maximal cross-document verbatim token spans per document.
+
+    ``keep_first=True`` applies the keep-one-copy policy at the
+    window level: the canonical document (min id) for each duplicated
+    window hash is EXEMPT from that window's mark, so a later removal
+    pass preserves exactly one copy of every duplicated passage
+    (Lee et al.'s actual dedup rule, vs. remove-everywhere).
 
     The suffix-array pass of Lee et al. re-expressed as dataflow:
     tokenize -> posexplode every ``window``-token sliding window ->
@@ -749,11 +756,20 @@ def duplicate_substring_spans(
     )
     dup = (
         win.groupBy("whash")
-        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.min(id_col).alias("__canon"),
+        )
         .filter(F.col("n_docs") >= min_docs)
-        .select("whash")
     )
-    marked = win.join(dup, "whash", "left_semi")
+    if keep_first:
+        marked = (
+            win.join(dup.select("whash", "__canon"), "whash")
+            .filter(F.col(id_col) != F.col("__canon"))
+            .select(id_col, "pos")
+        )
+    else:
+        marked = win.join(dup.select("whash"), "whash", "left_semi")
     w = Window.partitionBy(id_col).orderBy("pos")
     stepped = marked.withColumn(
         "__step",
@@ -782,6 +798,7 @@ def remove_duplicate_spans(
     text_col: str = "text",
     window: int = SUBSTRING_WINDOW,
     min_docs: int = 2,
+    keep_first: bool = False,
 ) -> DataFrame:
     """The FIX half of exact-substring dedup (Lee et al. 2022): cut
     the cross-document duplicate spans out of every document and
@@ -792,16 +809,17 @@ def remove_duplicate_spans(
     and a single indexed higher-order filter drops token positions
     covered by any span — no explode of the token stream, no second
     corpus shuffle. Docs with no spans pass through via the null
-    coalesce. Policy note: this removes EVERY occurrence of a
-    duplicated span; keeping one canonical copy is a deployment
-    choice layered on top (pick min doc_id per whash before the
-    island merge)."""
+    coalesce. Policy: default removes EVERY occurrence of a
+    duplicated span; ``keep_first=True`` exempts the canonical
+    (min-id) document per duplicated window, preserving exactly one
+    copy of each passage (Lee et al.'s actual dedup rule)."""
     spans = duplicate_substring_spans(
         docs,
         id_col=id_col,
         text_col=text_col,
         window=window,
         min_docs=min_docs,
+        keep_first=keep_first,
     )
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(

@@ -361,6 +361,99 @@ def dedup_substring_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(docs, window=12, min_docs=2)
 
 
+#: keep-one-copy variant of the span CTE: the canonical (min-id) doc
+#: per duplicated window hash is exempt from the mark
+_SPANS_KEEP1_CTE = """tok AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents
+        ),
+        win AS (
+            SELECT doc_id,
+                   unnest(generate_series(1, len(t) - 11)) AS pos, t
+            FROM tok WHERE len(t) >= 12
+        ),
+        h AS (
+            SELECT doc_id, pos,
+                   md5(array_to_string(t[pos:pos+11], ' ')) AS whash
+            FROM win
+        ),
+        dup AS (
+            SELECT whash, min(doc_id) AS canon FROM h
+            GROUP BY whash HAVING count(DISTINCT doc_id) >= 2
+        ),
+        m AS (
+            SELECT h.doc_id, h.pos FROM h
+            JOIN dup ON h.whash = dup.whash
+            WHERE h.doc_id <> dup.canon
+        ),
+        stepped AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos > lag(pos) OVER (
+                            PARTITION BY doc_id ORDER BY pos) + 12
+                        THEN 1 ELSE 0 END AS stp
+            FROM m
+        ),
+        grp AS (
+            SELECT doc_id, pos,
+                   SUM(stp) OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS isl_id
+            FROM stepped
+        ),
+        spans AS (
+            SELECT doc_id,
+                   min(pos) AS span_start,
+                   max(pos) + 12 AS span_end,
+                   max(pos) + 12 - min(pos) AS span_tokens
+            FROM grp GROUP BY doc_id, isl_id
+        )"""
+
+
+@query(
+    "dedup_substring_keep_one",
+    oracle=f"""
+        WITH {_SPANS_KEEP1_CTE},
+        pos AS (
+            SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p
+            FROM tok
+        ),
+        keep AS (
+            SELECT doc_id, p, t[p] AS w
+            FROM pos x
+            WHERE NOT EXISTS (
+                SELECT 1 FROM spans s
+                WHERE s.doc_id = x.doc_id
+                  AND x.p >= s.span_start AND x.p < s.span_end
+            )
+        )
+        SELECT tok.doc_id,
+               CAST(len(tok.t) AS INT) AS n_tokens_before,
+               CAST((SELECT count(*) FROM keep k
+                     WHERE k.doc_id = tok.doc_id) AS INT)
+                   AS n_tokens_after,
+               coalesce((SELECT string_agg(k.w, ' ' ORDER BY k.p)
+                         FROM keep k WHERE k.doc_id = tok.doc_id), '')
+                   AS cleaned_text
+        FROM tok
+    """,
+    doc=(
+        "extension: exact-substring dedup with the KEEP-ONE-COPY "
+        "policy (Lee et al.'s actual rule) - the canonical (min-id) "
+        "document for each duplicated window hash keeps its text; "
+        "every other occurrence is cut. Same single-pass removal "
+        "machinery as dedup_substring_removed with the exemption "
+        "applied at window-mark time, before the island merge, so a "
+        "span in a non-canonical doc can shrink or vanish exactly "
+        "where its windows overlap the canonical doc's."
+    ),
+    tags=("dedup", "corpus"),
+)
+def dedup_substring_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup import remove_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, window=12, min_docs=2, keep_first=True)
+
+
 @query(
     "embedding_neardup",
     oracle=f"""

@@ -989,3 +989,41 @@ def test_incremental_cluster_fold_merges_components_across_batches(
         (r["doc_id"], r["cluster_id"])
         for r in spark.read.parquet(f"{store}/v3").collect()
     } == end
+
+
+def test_substring_keep_one_preserves_canonical_copy(spark):
+    from click_streaming_data_pipeline_spark.extensions.dedup import (
+        remove_duplicate_spans,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(12))  # one full window
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} tail one"),
+            (2, f"head two {shared}"),
+            (3, f"{shared} tail three"),
+            (4, "completely unrelated text with no duplicate window"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(
+            docs, window=12, min_docs=2, keep_first=True
+        ).collect()
+    }
+    # canonical doc 1 keeps everything; 2 and 3 lose the shared window
+    assert out[1]["cleaned_text"] == f"{shared} tail one"
+    assert out[2]["cleaned_text"] == "head two"
+    # doc 3 also shares the "...w11 tail" window with doc 1, so the
+    # merged span swallows "tail" too
+    assert out[3]["cleaned_text"] == "three"
+    assert out[4]["n_tokens_after"] == out[4]["n_tokens_before"]
+    # remove-everywhere policy cuts it from doc 1 as well
+    all_cut = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in remove_duplicate_spans(
+            docs, window=12, min_docs=2, keep_first=False
+        ).collect()
+    }
+    assert all_cut[1] == "one"

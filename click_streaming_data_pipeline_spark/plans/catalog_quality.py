@@ -173,24 +173,73 @@ def quality_events_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ISSUE_JSON_ELS = ",\n              ".join(
+    f"""CASE WHEN ({_Q[name]}) < 50 THEN
+                   '{{"type":"{name}","severity":"' ||
+                   CASE WHEN ({_Q[name]}) < 25
+                        THEN 'high' ELSE 'medium' END ||
+                   '","description":"low {name} score","field":"content"}}'
+              END"""
+    for name in (
+        "completeness",
+        "consistency",
+        "pii_detection",
+        "language_quality",
+    )
+)
+
+
 @query(
     "quality_events_full",
-    oracle=None,  # nested payload: schema + values pytest-gated
+    # full value oracle: the issues array serializes to a JSON string
+    # whose every byte is deterministic (fixed literal strings + a
+    # score-banded severity), so DuckDB rebuilds it by concatenation;
+    # the quality_checks struct flattens to four double columns (JSON
+    # double FORMATTING is the one non-portable piece, so doubles are
+    # compared as doubles, not as strings)
+    oracle=f"""
+        SELECT CAST(doc_id AS VARCHAR) AS id,
+               substr(text, 1, 64) AS title,
+               CAST(octet_length(encode(text)) AS INT) AS content_size,
+{_QUALITY_COLS_SQL},
+               '[' || concat_ws(',',
+              {_ISSUE_JSON_ELS}) || ']' AS quality_issues,
+               'heuristic' AS quality_provider,
+               'rules-v1' AS quality_model,
+               '2024-01-01T00:00:00Z' AS quality_checked_at
+        FROM documents
+    """,
     doc=(
         "H2/H3 full enriched-event contract (data-quality "
         "main.py:127-161; FIXTURES.md section 5): flattened doc fields "
-        "+ nested quality_checks struct + quality_issues array<struct> "
-        "+ provider/model metadata — the quality.checks topic payload. "
-        "The catalog projection serializes the issues ARRAY to JSON "
-        "because the driver harness canonicalizes every output with "
-        "pandas, where array cells are unhashable (the r1 "
-        "multimodal_features failure mode); the nested form stays in "
-        "``quality_events_nested`` under the contract pytest."
+        "+ quality sub-scores + quality_issues array<struct> "
+        "serialized to JSON + provider/model metadata — the "
+        "quality.checks topic payload. FULL value oracle: every byte "
+        "of the issues JSON is deterministic (literal strings, "
+        "score-banded severity), so DuckDB reconstructs Spark's "
+        "to_json output by concatenation; sub-scores are flat double "
+        "columns because cross-engine JSON *double formatting* is the "
+        "one non-portable piece of the payload. The nested "
+        "struct/array form stays in ``quality_events_nested`` under "
+        "the contract pytest."
     ),
     tags=("quality", "streaming"),
 )
 def quality_events_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested = quality_events_nested(spark, sf_dir)
-    return nested.withColumn(
-        "quality_issues", F.to_json("quality_issues")
+    return nested.select(
+        "id",
+        "title",
+        "content_size",
+        F.col("quality_checks.completeness").alias("completeness"),
+        F.col("quality_checks.consistency").alias("consistency"),
+        F.col("quality_checks.pii_detection").alias("pii_detection"),
+        F.col("quality_checks.language_quality").alias("language_quality"),
+        "quality_score",
+        "quality_is_valid",
+        "has_pii",
+        F.to_json("quality_issues").alias("quality_issues"),
+        "quality_provider",
+        "quality_model",
+        "quality_checked_at",
     )

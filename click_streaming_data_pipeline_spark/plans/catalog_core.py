@@ -2275,3 +2275,68 @@ def regexp_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(s, r"\s+")).cast("int").alias("n_tokens"),
         F.regexp_extract(s, r"([a-c])(\d+)", 2).alias("second_group"),
     )
+
+
+@query(
+    "cast_semantics",
+    oracle="""
+        WITH t(id, s, d) AS (VALUES
+            (1, '12', CAST(12.7 AS DOUBLE)),
+            (2, 'abc', CAST(-12.7 AS DOUBLE)),
+            (3, '', CAST(2.5 AS DOUBLE)),
+            (4, '  42  ', CAST(-0.9 AS DOUBLE)),
+            (5, 'true', CAST(0.0 AS DOUBLE))
+        )
+        SELECT id,
+               TRY_CAST(s AS INTEGER) AS str_to_int,
+               TRY_CAST(s AS BOOLEAN) AS str_to_bool,
+               CAST(TRY_CAST(s AS BOOLEAN) AS INTEGER) AS bool_to_int,
+               CAST(trunc(d) AS INTEGER) AS dbl_trunc,
+               CAST(floor(d) AS INTEGER) AS dbl_floor,
+               CAST(floor(d + 0.5) AS INTEGER) AS dbl_half_up,
+               CAST(TRY_CAST(s AS INTEGER) AS VARCHAR) AS int_to_str
+        FROM t
+    """,
+    doc=(
+        "cast/coercion semantics: the PORTABLE core pinned, the "
+        "non-portable core documented. Pinned: strict string->int "
+        "(non-numeric and empty -> NULL via try_cast, surrounding "
+        "whitespace tolerated), string->boolean ('true'/'1' forms), "
+        "boolean->int, int->string round-trip, and the three "
+        "explicit-narrowing spellings trunc/floor/floor(x+0.5) that "
+        "agree bit-for-bit. DOCUMENTED DIVERGENCE (probed once, "
+        "excluded from the oracle): a bare CAST(double AS INT) "
+        "TRUNCATES in Spark (ANSI, 12.7 -> 12) but ROUNDS in DuckDB "
+        "(12.7 -> 13, 2.5 -> 3) — and DuckDB's TRY_CAST('12.7' AS "
+        "INT) even parses-then-rounds where Spark yields NULL. Rule "
+        "this probe enforces on the catalog: never narrow a double "
+        "with a bare cast IN SQL MEANT FOR BOTH ENGINES; spell the "
+        "intent — Spark's bare cast/DuckDB trunc() for truncation, "
+        "floor(), or floor(x+0.5) (the numeric_semantics probe pins "
+        "the latter as the repo's round spec)."
+    ),
+    tags=("scalar",),
+)
+def cast_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [
+        (1, "12", 12.7),
+        (2, "abc", -12.7),
+        (3, "", 2.5),
+        (4, "  42  ", -0.9),
+        (5, "true", 0.0),
+    ]
+    t = spark.createDataFrame(rows, "id int, s string, d double")
+    b = F.expr("try_cast(s AS boolean)")
+    return t.select(
+        "id",
+        F.expr("try_cast(s AS int)").alias("str_to_int"),
+        b.alias("str_to_bool"),
+        b.cast("int").alias("bool_to_int"),
+        # Spark's bare numeric cast IS truncate-toward-zero, which is
+        # what DuckDB spells trunc(); the bare DuckDB cast (rounding)
+        # is the divergent form the doc bans
+        F.col("d").cast("int").alias("dbl_trunc"),
+        F.floor("d").cast("int").alias("dbl_floor"),
+        F.floor(F.col("d") + 0.5).cast("int").alias("dbl_half_up"),
+        F.expr("try_cast(s AS int)").cast("string").alias("int_to_str"),
+    )

@@ -2340,3 +2340,73 @@ def cast_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("d") + 0.5).cast("int").alias("dbl_half_up"),
         F.expr("try_cast(s AS int)").cast("string").alias("int_to_str"),
     )
+
+
+@query(
+    "string_function_semantics",
+    oracle="""
+        WITH t(id, s) AS (VALUES
+            (1, 'hello world'),
+            (2, 'a,b,c'),
+            (3, 'kitten'),
+            (4, ''),
+            (5, 'MiXeD CaSe')
+        )
+        SELECT id,
+               lpad(s, 8, '*') AS padded,
+               lpad(s, 3, '*') AS pad_truncates,
+               translate(s, 'aeiou', 'AEIOU') AS vowels_up,
+               CAST(levenshtein(s, 'sitting') AS INT) AS lev_sitting,
+               CAST(strpos(s, 'l') AS INT) AS first_l,
+               repeat(s, 2) AS doubled,
+               reverse(s) AS reversed,
+               split_part(s, ',', 2) AS second_field,
+               split_part(s, ',', 9) AS missing_field,
+               replace(s, 'l', 'LL') AS grown,
+               left(s, 3) AS head3,
+               right(s, 3) AS tail3,
+               lower(s) AS lowered
+        FROM t
+    """,
+    doc=(
+        "string-function semantics pinned on the portable core: "
+        "lpad both pads AND TRUNCATES to the target length (the "
+        "fixed-width-formatting gotcha), translate's positional "
+        "char mapping, levenshtein (the edit-distance join and the "
+        "search suggester stand on it agreeing), 1-based strpos with "
+        "0 for no-match, repeat/reverse/replace growth, split_part "
+        "returning '' (not NULL, not an error) for an out-of-range "
+        "field index, and left/right head/tail addressing. All "
+        "behaviors identical on the empty string. Not probed: "
+        "initcap (absent from DuckDB), soundex (absent from DuckDB) "
+        "- word-capitalization and phonetic logic must be spelled "
+        "from these primitives if an oracle needs them."
+    ),
+    tags=("scalar",),
+)
+def string_function_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [
+        (1, "hello world"),
+        (2, "a,b,c"),
+        (3, "kitten"),
+        (4, ""),
+        (5, "MiXeD CaSe"),
+    ]
+    t = spark.createDataFrame(rows, "id int, s string")
+    s = F.col("s")
+    return t.select(
+        "id",
+        F.lpad(s, 8, "*").alias("padded"),
+        F.lpad(s, 3, "*").alias("pad_truncates"),
+        F.translate(s, "aeiou", "AEIOU").alias("vowels_up"),
+        F.levenshtein(s, F.lit("sitting")).cast("int").alias("lev_sitting"),
+        F.instr(s, "l").cast("int").alias("first_l"),
+        F.repeat(s, 2).alias("doubled"),
+        F.reverse(s).alias("reversed"),
+        F.split_part(s, F.lit(","), F.lit(2)).alias("second_field"),
+        F.split_part(s, F.lit(","), F.lit(9)).alias("missing_field"),
+        F.replace(s, F.lit("l"), F.lit("LL")).alias("grown"),
+        F.substring(s, 1, 3).alias("head3"),
+        F.expr("right(s, 3)").alias("tail3"),
+        F.lower(s).alias("lowered"),
+    )

@@ -2410,3 +2410,139 @@ def string_function_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("right(s, 3)").alias("tail3"),
         F.lower(s).alias("lowered"),
     )
+
+
+@query(
+    "set_operation_semantics",
+    oracle="""
+        WITH a(x) AS (VALUES (1), (1), (2), (3), (NULL)),
+             b(x) AS (VALUES (1), (3), (3), (NULL))
+        SELECT 'union' AS op, CAST(x AS INT) AS x,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT x FROM a UNION SELECT x FROM b) GROUP BY 2
+        UNION ALL
+        SELECT 'union_all', CAST(x AS INT), CAST(count(*) AS BIGINT)
+        FROM (SELECT x FROM a UNION ALL SELECT x FROM b) GROUP BY 2
+        UNION ALL
+        SELECT 'intersect', CAST(x AS INT), CAST(count(*) AS BIGINT)
+        FROM (SELECT x FROM a INTERSECT SELECT x FROM b) GROUP BY 2
+        UNION ALL
+        SELECT 'intersect_all', CAST(x AS INT), CAST(count(*) AS BIGINT)
+        FROM (SELECT x FROM a INTERSECT ALL SELECT x FROM b) GROUP BY 2
+        UNION ALL
+        SELECT 'except', CAST(x AS INT), CAST(count(*) AS BIGINT)
+        FROM (SELECT x FROM a EXCEPT SELECT x FROM b) GROUP BY 2
+        UNION ALL
+        SELECT 'except_all', CAST(x AS INT), CAST(count(*) AS BIGINT)
+        FROM (SELECT x FROM a EXCEPT ALL SELECT x FROM b) GROUP BY 2
+    """,
+    doc=(
+        "set-operation semantics pinned: UNION dedups (and treats "
+        "NULL as equal to NULL - group semantics, not comparison "
+        "semantics), INTERSECT/EXCEPT are DISTINCT operations, the "
+        "ALL variants are multiset arithmetic (intersect_all keeps "
+        "min(multiplicity): 3 appears once though b has it twice; "
+        "except_all subtracts: two 1s minus one 1 leaves one 1), and "
+        "NULL rows participate in all of them as ordinary values. "
+        "The dedup/exceptAll idioms the test suite itself leans on "
+        "(merge-invariance checks compare frames with exceptAll), "
+        "driver-hash-pinned."
+    ),
+    tags=("scalar", "agg"),
+)
+def set_operation_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = spark.createDataFrame([(1,), (1,), (2,), (3,), (None,)], "x int")
+    b = spark.createDataFrame([(1,), (3,), (3,), (None,)], "x int")
+
+    def counted(op: str, df: DataFrame) -> DataFrame:
+        return df.groupBy("x").agg(F.count("*").alias("n")).select(
+            F.lit(op).alias("op"), F.col("x").cast("int").alias("x"), "n"
+        )
+
+    return (
+        counted("union", a.union(b).distinct())
+        .unionByName(counted("union_all", a.union(b)))
+        .unionByName(counted("intersect", a.intersect(b)))
+        .unionByName(counted("intersect_all", a.intersectAll(b)))
+        .unionByName(counted("except", a.subtract(b)))
+        .unionByName(counted("except_all", a.exceptAll(b)))
+    )
+
+
+@query(
+    "subquery_null_semantics",
+    oracle="""
+        WITH t(id, x) AS (VALUES (1, 10), (2, 20), (3, 30)),
+             s_clean(y) AS (VALUES (10), (30)),
+             s_null(y) AS (VALUES (10), (NULL))
+        SELECT 'in_clean' AS pred, CAST(count(*) AS BIGINT) AS n_rows
+        FROM t WHERE x IN (SELECT y FROM s_clean)
+        UNION ALL
+        SELECT 'not_in_clean', CAST(count(*) AS BIGINT)
+        FROM t WHERE x NOT IN (SELECT y FROM s_clean)
+        UNION ALL
+        SELECT 'in_nullset', CAST(count(*) AS BIGINT)
+        FROM t WHERE x IN (SELECT y FROM s_null)
+        UNION ALL
+        SELECT 'not_in_nullset', CAST(count(*) AS BIGINT)
+        FROM t WHERE x NOT IN (SELECT y FROM s_null)
+        UNION ALL
+        SELECT 'exists_match', CAST(count(*) AS BIGINT)
+        FROM t WHERE EXISTS (SELECT 1 FROM s_null s WHERE s.y = t.x)
+        UNION ALL
+        SELECT 'not_exists_match', CAST(count(*) AS BIGINT)
+        FROM t WHERE NOT EXISTS (SELECT 1 FROM s_null s WHERE s.y = t.x)
+    """,
+    doc=(
+        "subquery NULL semantics pinned in WHERE position - the most "
+        "famous silent-wrong-answer trap in SQL: NOT IN against a "
+        "set CONTAINING NULL filters to ZERO rows (every comparison "
+        "is at best UNKNOWN), while NOT EXISTS with an equality "
+        "correlate - the null-safe spelling - returns the 2 expected "
+        "rows; IN matches members regardless. This is exactly why "
+        "every anti-join in this catalog (orphan_antijoin, "
+        "dead-letter lanes, vacuum candidates) is written as "
+        "EXISTS/anti-join form, never NOT IN. DOCUMENTED DIVERGENCE "
+        "(found while building this probe, excluded from the "
+        "oracle): in a PROJECTED select-list context Spark renders "
+        "the untestable IN/NOT IN comparisons as FALSE (its "
+        "ExistenceJoin is two-valued) where DuckDB follows the "
+        "standard and yields NULL - so subquery predicates in this "
+        "catalog appear only in WHERE/filter position, where the "
+        "engines agree."
+    ),
+    tags=("scalar", "join"),
+)
+def subquery_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "id int, x int"
+    ).createOrReplaceTempView("__sq_t")
+    spark.createDataFrame([(10,), (30,)], "y int").createOrReplaceTempView(
+        "__sq_clean"
+    )
+    spark.createDataFrame([(10,), (None,)], "y int").createOrReplaceTempView(
+        "__sq_null"
+    )
+    return spark.sql(
+        """
+        SELECT 'in_clean' AS pred, CAST(count(*) AS BIGINT) AS n_rows
+        FROM __sq_t WHERE x IN (SELECT y FROM __sq_clean)
+        UNION ALL
+        SELECT 'not_in_clean', CAST(count(*) AS BIGINT)
+        FROM __sq_t WHERE x NOT IN (SELECT y FROM __sq_clean)
+        UNION ALL
+        SELECT 'in_nullset', CAST(count(*) AS BIGINT)
+        FROM __sq_t WHERE x IN (SELECT y FROM __sq_null)
+        UNION ALL
+        SELECT 'not_in_nullset', CAST(count(*) AS BIGINT)
+        FROM __sq_t WHERE x NOT IN (SELECT y FROM __sq_null)
+        UNION ALL
+        SELECT 'exists_match', CAST(count(*) AS BIGINT)
+        FROM __sq_t t WHERE EXISTS
+            (SELECT 1 FROM __sq_null s WHERE s.y = t.x)
+        UNION ALL
+        SELECT 'not_exists_match', CAST(count(*) AS BIGINT)
+        FROM __sq_t t WHERE NOT EXISTS
+            (SELECT 1 FROM __sq_null s WHERE s.y = t.x)
+        """
+    )

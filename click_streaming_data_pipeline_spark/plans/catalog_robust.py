@@ -752,3 +752,124 @@ def value_quantiles_sketch_streamed(
     return _qsketch_estimate(
         spark.read.parquet(os.path.join(state_dir, f"v{latest}"))
     )
+
+
+# ------------------------------------------- bootstrap confidence bands
+
+#: resample count: B=100 bootstrap replicates gives a stable 5th/95th
+#: band over the replicate means while keeping the generated pick
+#: table at B x n rows — embarrassingly parallel and per-group bounded.
+BOOTSTRAP_B = 100
+
+
+@query(
+    "value_mean_bootstrap_ci",
+    oracle=f"""
+        WITH e AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY event_id) - 1 AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        ),
+        picks AS (
+            SELECT e.event_type, bs.b,
+                   CAST(('0x' || substr(md5(e.event_type || ':' ||
+                        bs.b || ':' || e.rn), 1, 15)) AS BIGINT)
+                       % e.n AS idx
+            FROM e, (SELECT unnest(generate_series(0,
+                        {BOOTSTRAP_B - 1})) AS b) bs
+        ),
+        res AS (
+            SELECT p.event_type, p.b,
+                   CAST(sum(v.cents) AS DOUBLE) / count(*) AS m
+            FROM picks p
+            JOIN e v ON v.event_type = p.event_type AND v.rn = p.idx
+            GROUP BY 1, 2
+        )
+        SELECT e.event_type,
+               CAST(sum(e.cents) AS DOUBLE) / count(*) AS mean_cents,
+               (SELECT quantile_cont(m, 0.05) FROM res r
+                WHERE r.event_type = e.event_type) AS ci_lo,
+               (SELECT quantile_cont(m, 0.95) FROM res r
+                WHERE r.event_type = e.event_type) AS ci_hi
+        FROM e
+        GROUP BY e.event_type
+    """,
+    doc=(
+        "beyond-reference statistics: BOOTSTRAP CONFIDENCE INTERVAL "
+        "on the per-type mean — B=100 deterministic resamples (pick "
+        "index = md5(type:b:rn) mod n, the repo's hash-randomness "
+        "convention, so both engines draw byte-identical resamples), "
+        "replicate means in exact integer space with one IEEE "
+        "division each, and the 5th/95th replicate percentiles via "
+        "the shared interpolation spelling. The estimator is fully "
+        "oracle-pinned — no RNG, no seed-management divergence. "
+        "Scale: the pick table is B x n rows, generated by explode "
+        "and joined back on (type, rn) — per-group bounded, "
+        "embarrassingly parallel, one shuffle; at 100 TB you "
+        "bootstrap a per-group SAMPLE (value_quantiles_sketch's "
+        "bottom-k trick) rather than the raw rows."
+    ),
+    tags=("agg", "scale"),
+)
+def value_mean_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    e = events.select(
+        "event_type",
+        _cents().alias("cents"),
+        (
+            F.row_number().over(w.orderBy("event_id")) - 1
+        ).alias("rn"),
+        F.count("*").over(w).alias("n"),
+    ).localCheckpoint(eager=True)
+    picks = e.select(
+        "event_type",
+        "rn",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOTSTRAP_B - 1))).alias("b"),
+    ).select(
+        "event_type",
+        "b",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("event_type"),
+                            F.col("b").cast("string"),
+                            F.col("rn").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.col("n")
+        ).alias("idx"),
+    )
+    res = (
+        picks.join(
+            e.select("event_type", F.col("rn").alias("idx"), "cents"),
+            ["event_type", "idx"],
+        )
+        .groupBy("event_type", "b")
+        .agg(
+            (F.sum("cents").cast("double") / F.count("*")).alias("m")
+        )
+    )
+    base = e.groupBy("event_type").agg(
+        (F.sum("cents").cast("double") / F.count("*")).alias("mean_cents")
+    )
+    ci = res.groupBy("event_type").agg(
+        F.percentile("m", 0.05).alias("ci_lo"),
+        F.percentile("m", 0.95).alias("ci_hi"),
+    )
+    return base.join(ci, "event_type").select(
+        "event_type", "mean_cents", "ci_lo", "ci_hi"
+    )

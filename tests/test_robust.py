@@ -231,3 +231,20 @@ def test_quantile_sketch_error_bound_and_merge_invariance(spark):
         merged.exceptAll(direct).count() == 0
         and direct.exceptAll(merged).count() == 0
     )
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from click_streaming_data_pipeline_spark.plans import QUERIES
+
+    q = QUERIES["value_mean_bootstrap_ci"].fn
+    rows = {r["event_type"]: r for r in q(spark, "/root/testdata/sf0.01").collect()}
+    assert len(rows) == 5
+    for t, r in rows.items():
+        assert r["ci_lo"] < r["ci_hi"], t
+        assert r["ci_lo"] <= r["mean_cents"] <= r["ci_hi"], t
+        # band should be tight around the mean at n~2000 (SE ~ s/sqrt(n))
+        assert (r["ci_hi"] - r["ci_lo"]) < 0.2 * r["mean_cents"], t
+    again = {r["event_type"]: r for r in q(spark, "/root/testdata/sf0.01").collect()}
+    assert {t: (r["ci_lo"], r["ci_hi"]) for t, r in rows.items()} == {
+        t: (r["ci_lo"], r["ci_hi"]) for t, r in again.items()
+    }

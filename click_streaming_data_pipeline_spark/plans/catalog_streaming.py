@@ -840,3 +840,92 @@ def window_sliding_append_streamed(
     return spark.table(name).select(
         F.col("w.start").alias("window_start"), "n_events"
     )
+
+
+_SESSIONS_CTE = """o AS (
+            SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+            FROM events
+        ),
+        marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN prev IS NULL
+                             OR ts - prev >= INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_s
+            FROM o
+        ),
+        numbered AS (
+            SELECT user_id, ts,
+                   sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS sid
+            FROM marked
+        ),
+        sess AS (
+            SELECT user_id,
+                   min(ts) AS s_start,
+                   max(ts) + INTERVAL '30 minutes' AS s_end
+            FROM numbered
+            GROUP BY user_id, sid
+        )"""
+
+
+@query(
+    "session_peak_concurrency",
+    oracle=f"""
+        WITH {_SESSIONS_CTE},
+        b AS (
+            SELECT user_id, s_start AS ts, 1 AS delta FROM sess
+            UNION ALL
+            SELECT user_id, s_end AS ts, -1 AS delta FROM sess
+        ),
+        r AS (
+            SELECT ts, delta,
+                   sum(delta) OVER (
+                       ORDER BY ts, delta, user_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS conc
+            FROM b
+        )
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(max(conc) AS BIGINT) AS peak_concurrent
+        FROM r
+        GROUP BY 1
+    """,
+    doc=(
+        "beyond-reference interval algebra: PEAK CONCURRENT SESSIONS "
+        "per day - the sweep-line over session intervals ([start, "
+        "start_of_silence+30min), end-exclusive so a session ending "
+        "exactly when another starts never double-counts: -1 sorts "
+        "before +1 at a shared instant). The running concurrency is "
+        "the distributed prefix sum operator (operators/prefix.py) - "
+        "NO single-partition ORDER BY window, full parallelism on the "
+        "global sweep - and the per-day max is invariant to ordering "
+        "among equal-delta ties, which is what makes the output "
+        "deterministic without a unique boundary key. The capacity-"
+        "planning readout every session store needs."
+    ),
+    tags=("window", "scale", "agg"),
+)
+def session_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.prefix import partitioned_prefix_sum
+
+    sess = session_windows(load_table(spark, sf_dir, "events"), "30 minutes")
+    b = sess.select(
+        "user_id", F.col("session_start").alias("ts"), F.lit(1).alias("delta")
+    ).unionByName(
+        sess.select(
+            "user_id",
+            F.col("session_end").alias("ts"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    r = partitioned_prefix_sum(
+        b, ["ts", "delta", "user_id"], "delta", "conc"
+    )
+    return r.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.max("conc").cast("bigint").alias("peak_concurrent")
+    )

@@ -873,3 +873,111 @@ def value_mean_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(ci, "event_type").select(
         "event_type", "mean_cents", "ci_lo", "ci_hi"
     )
+
+
+@query(
+    "value_weighted_median",
+    oracle="""
+        WITH l AS (
+            SELECT l_returnflag,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                   CAST(l_quantity AS BIGINT) AS w
+            FROM lineitem
+        ),
+        agg AS (
+            SELECT l_returnflag, cents, sum(w) AS w
+            FROM l GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT l_returnflag, cents,
+                   sum(w) OVER (PARTITION BY l_returnflag
+                                ORDER BY cents
+                                ROWS UNBOUNDED PRECEDING) AS cw,
+                   sum(w) OVER (PARTITION BY l_returnflag) AS tw
+            FROM agg
+        )
+        SELECT l_returnflag,
+               min(cents) AS weighted_median_cents
+        FROM cum
+        WHERE 2 * cw >= tw
+        GROUP BY l_returnflag
+    """,
+    doc=(
+        "beyond-reference statistics: WEIGHTED MEDIAN (lower) - the "
+        "smallest price whose cumulative quantity weight reaches "
+        "half the group's total, in pure BIGINT space (2*cum >= "
+        "total avoids any fraction). percentile/quantile_cont are "
+        "row-weighted only; revenue- or volume-weighted centers "
+        "need the cumulative-crossing form. Plan: pre-aggregate to "
+        "the distinct value dimension (the agg CTE - cardinality "
+        "bounded by distinct prices, not rows), then one partitioned "
+        "cumulative pass; at scale the cumulative pass is the "
+        "grouped distributed prefix sum (operators/prefix.py), same "
+        "as the decile/Gini family."
+    ),
+    tags=("agg", "scale"),
+)
+def value_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    agg = li.groupBy("l_returnflag", "cents").agg(F.sum("w").alias("w"))
+    wspec = Window.partitionBy("l_returnflag").orderBy("cents")
+    cum = agg.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w")
+        .over(wspec.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cw"),
+        F.sum("w").over(Window.partitionBy("l_returnflag")).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(F.min("cents").alias("weighted_median_cents"))
+    )
+
+
+@query(
+    "event_type_mode_value",
+    oracle="""
+        WITH c AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, cents AS mode_cents, CAST(n AS BIGINT) AS n
+        FROM c
+        QUALIFY row_number() OVER (
+            PARTITION BY event_type ORDER BY n DESC, cents
+        ) = 1
+    """,
+    doc=(
+        "beyond-reference statistics: MODE per group with a "
+        "DETERMINISTIC tie-break (highest count, then smallest "
+        "value) - engines' built-in mode()/any_value tie behavior "
+        "is unspecified, so the catalog spells the argmax as "
+        "count-groupBy + WindowGroupLimit, the same two-phase "
+        "top-1-per-key plan as latest_event_per_user (partial "
+        "group-limit before the shuffle; never a global sort)."
+    ),
+    tags=("agg",),
+)
+def event_type_mode_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", _cents().alias("cents")
+    )
+    c = ev.groupBy("event_type", "cents").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("cents")
+    )
+    return (
+        c.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("event_type", F.col("cents").alias("mode_cents"), "n")
+    )

@@ -981,3 +981,165 @@ def event_type_mode_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("event_type", F.col("cents").alias("mode_cents"), "n")
     )
+
+
+def _fold_value_weights(
+    spark: SparkSession,
+    src_df: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Shared streamed-fold harness for value-distribution state: each
+    micro-batch reduces to (keys -> weight) and merges by addition
+    into versioned z-set state (replay-safe); returns drained state.
+    Any readout computable from the value-weight map (weighted
+    median, mode, histograms, entropy) gets its streamed twin for
+    free from this one fold."""
+    import os
+    import tempfile
+
+    from ..operators.incremental import (
+        merge_zset,
+        read_prior_zset,
+        write_zset_version,
+    )
+
+    work = tempfile.mkdtemp(prefix="csdp_vw_")
+    src = os.path.join(work, "in")
+    state_dir = os.path.join(work, "state")
+    src_df.repartition(6).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        delta = batch.groupBy(*keys).agg(F.sum("w").alias("w"))
+        prev = read_prior_zset(sp, state_dir, batch_id, delta)
+        write_zset_version(
+            merge_zset(prev, delta, keys), state_dir, batch_id
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    latest = max(
+        int(d[1:]) for d in os.listdir(state_dir) if d.startswith("v")
+    )
+    return spark.read.parquet(os.path.join(state_dir, f"v{latest}"))
+
+
+@query(
+    "value_weighted_median_streamed",
+    oracle="""
+        WITH l AS (
+            SELECT l_returnflag,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                   CAST(l_quantity AS BIGINT) AS w
+            FROM lineitem
+        ),
+        agg AS (
+            SELECT l_returnflag, cents, sum(w) AS w
+            FROM l GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT l_returnflag, cents,
+                   sum(w) OVER (PARTITION BY l_returnflag
+                                ORDER BY cents
+                                ROWS UNBOUNDED PRECEDING) AS cw,
+                   sum(w) OVER (PARTITION BY l_returnflag) AS tw
+            FROM agg
+        )
+        SELECT l_returnflag,
+               min(cents) AS weighted_median_cents
+        FROM cum
+        WHERE 2 * cw >= tw
+        GROUP BY l_returnflag
+    """,
+    doc=(
+        "streamed twin of value_weighted_median: the value-weight "
+        "map (flag, cents) -> quantity is an abelian monoid under "
+        "addition, so micro-batches fold into versioned state by one "
+        "groupBy each (replay-safe v{batch_id} commits) and the "
+        "cumulative-crossing readout runs once at drain. State is "
+        "bounded by DISTINCT prices per group - the pre-aggregated "
+        "dimension, not the row stream. Drained answer == batch == "
+        "oracle bit-for-bit, arrival-order independent."
+    ),
+    tags=("streaming", "agg", "scale"),
+)
+def value_weighted_median_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    state = _fold_value_weights(spark, li, ["l_returnflag", "cents"])
+    wspec = Window.partitionBy("l_returnflag").orderBy("cents")
+    cum = state.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w")
+        .over(wspec.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cw"),
+        F.sum("w").over(Window.partitionBy("l_returnflag")).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(F.min("cents").alias("weighted_median_cents"))
+    )
+
+
+@query(
+    "event_type_mode_value_streamed",
+    oracle="""
+        WITH c AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, cents AS mode_cents, CAST(n AS BIGINT) AS n
+        FROM c
+        QUALIFY row_number() OVER (
+            PARTITION BY event_type ORDER BY n DESC, cents
+        ) = 1
+    """,
+    doc=(
+        "streamed twin of event_type_mode_value on the SAME "
+        "value-weight fold as the weighted median (each row weight "
+        "1): counts merge by addition into versioned state, argmax "
+        "with the deterministic tie-break runs at drain. One fold "
+        "harness, a family of order-statistics readouts - the reason "
+        "the state is the value->weight map rather than any single "
+        "statistic."
+    ),
+    tags=("streaming", "agg"),
+)
+def event_type_mode_value_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", _cents().alias("cents"), F.lit(1).alias("w")
+    )
+    state = _fold_value_weights(spark, ev, ["event_type", "cents"])
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("w").desc(), F.col("cents")
+    )
+    return (
+        state.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "event_type",
+            F.col("cents").alias("mode_cents"),
+            F.col("w").cast("bigint").alias("n"),
+        )
+    )

@@ -2546,3 +2546,63 @@ def subquery_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             (SELECT 1 FROM __sq_null s WHERE s.y = t.x)
         """
     )
+
+
+@query(
+    "scalar_subquery_semantics",
+    oracle="""
+        WITH t(id, x) AS (VALUES (1, 10), (2, 20), (3, 3)),
+             s(y) AS (VALUES (5), (15))
+        SELECT id,
+               (SELECT y FROM s WHERE y > 100) AS empty_scalar,
+               (SELECT max(y) FROM s WHERE y > 100) AS empty_agg,
+               CAST((SELECT count(*) FROM s WHERE y > 100) AS BIGINT)
+                   AS empty_count,
+               (SELECT max(y) FROM s WHERE s.y < t.x) AS corr_agg,
+               CAST((SELECT count(*) FROM s
+                     WHERE s.y < t.x AND s.y > 100) AS BIGINT)
+                   AS corr_empty_count,
+               (SELECT CAST(sum(y) AS BIGINT) FROM s
+                WHERE s.y < t.x AND s.y > 100) AS corr_empty_sum
+        FROM t
+    """,
+    doc=(
+        "scalar-subquery semantics pinned: an empty scalar subquery "
+        "yields NULL (both bare and through null-skipping "
+        "aggregates), but COUNT over the empty set is 0 - INCLUDING "
+        "the correlated form, which is the classic decorrelation "
+        "pitfall: a naive outer-join rewrite turns the count's "
+        "unmatched rows into NULL instead of 0, and both engines "
+        "prove they patch it (Spark wraps the count in a "
+        "null-to-zero coalesce during decorrelation). Correlated "
+        "aggregates vary per outer row; the TPC-H Q17 shape "
+        "(important_part_values) decorrelates this same pattern "
+        "explicitly - this probe pins the semantics the rewrite "
+        "must preserve."
+    ),
+    tags=("scalar", "join"),
+)
+def scalar_subquery_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 3)], "id int, x int"
+    ).createOrReplaceTempView("__ss_t")
+    spark.createDataFrame([(5,), (15,)], "y int").createOrReplaceTempView(
+        "__ss_s"
+    )
+    return spark.sql(
+        """
+        SELECT id,
+               (SELECT y FROM __ss_s WHERE y > 100) AS empty_scalar,
+               (SELECT max(y) FROM __ss_s WHERE y > 100) AS empty_agg,
+               CAST((SELECT count(*) FROM __ss_s WHERE y > 100)
+                    AS BIGINT) AS empty_count,
+               (SELECT max(y) FROM __ss_s s WHERE s.y < t.x)
+                   AS corr_agg,
+               CAST((SELECT count(*) FROM __ss_s s
+                     WHERE s.y < t.x AND s.y > 100) AS BIGINT)
+                   AS corr_empty_count,
+               (SELECT CAST(sum(y) AS BIGINT) FROM __ss_s s
+                WHERE s.y < t.x AND s.y > 100) AS corr_empty_sum
+        FROM __ss_t t
+        """
+    )

@@ -2606,3 +2606,93 @@ def scalar_subquery_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __ss_t t
         """
     )
+
+
+@query(
+    "lateral_topk_per_nation",
+    oracle="""
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation n,
+             LATERAL (SELECT c_custkey, c_acctbal
+                      FROM customer c
+                      WHERE c.c_nationkey = n.n_nationkey
+                      ORDER BY c_acctbal DESC, c_custkey
+                      LIMIT 2) t
+    """,
+    doc=(
+        "LATERAL correlated subquery surface (SQL:1999): top-2 "
+        "customers per nation spelled as a per-outer-row dependent "
+        "subquery with ORDER BY + LIMIT — the third spelling of "
+        "top-k-per-group next to the WindowGroupLimit window "
+        "(top_events_per_type) and the self-join max-recovery "
+        "(cheapest_supplier); all three must agree, and Catalyst "
+        "plans the lateral form as a rewritten join rather than a "
+        "per-row re-execution. Deterministic via the unique "
+        "c_custkey tie-break."
+    ),
+    tags=("join", "sort"),
+)
+def lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("__lat_n")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "__lat_c"
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM __lat_n n,
+             LATERAL (SELECT c_custkey, c_acctbal
+                      FROM __lat_c c
+                      WHERE c.c_nationkey = n.n_nationkey
+                      ORDER BY c_acctbal DESC, c_custkey
+                      LIMIT 2) t
+        """
+    )
+
+
+@query(
+    "event_id_gaps",
+    oracle="""
+        WITH present AS (
+            SELECT event_id FROM events WHERE event_id % 7 <> 0
+        ),
+        nxt AS (
+            SELECT event_id,
+                   lead(event_id) OVER (ORDER BY event_id) AS next_id
+            FROM present
+        )
+        SELECT event_id + 1 AS gap_start,
+               next_id - 1 AS gap_end,
+               next_id - event_id - 1 AS n_missing
+        FROM nxt
+        WHERE next_id > event_id + 1
+    """,
+    doc=(
+        "beyond-reference data-quality: SEQUENCE GAP DETECTION - "
+        "contiguous missing id ranges in an ordered key (the "
+        "CDC-completeness / lost-message audit; deliberate holes "
+        "synthesized by dropping multiples of 7). One lead() pass "
+        "over the ordered ids, no self-join and no id-domain "
+        "explode; at scale the single ORDER BY window becomes the "
+        "range-partitioned boundary exchange (each partition needs "
+        "only its successor's first id - the partition_sync_plan "
+        "checksum pattern)."
+    ),
+    tags=("window", "scale"),
+)
+def event_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    present = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 7 != 0)
+        .select("event_id")
+    )
+    nxt = present.withColumn(
+        "next_id", F.lead("event_id").over(W.orderBy("event_id"))
+    )
+    return nxt.filter(F.col("next_id") > F.col("event_id") + 1).select(
+        (F.col("event_id") + 1).alias("gap_start"),
+        (F.col("next_id") - 1).alias("gap_end"),
+        (F.col("next_id") - F.col("event_id") - 1).alias("n_missing"),
+    )

@@ -929,3 +929,97 @@ def session_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.max("conc").cast("bigint").alias("peak_concurrent")
     )
+
+
+@query(
+    "user_balance_clamped",
+    oracle="""
+        WITH RECURSIVE e AS (
+            SELECT user_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn,
+                   CASE WHEN event_type = 'purchase'
+                            THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE -CAST(round(value * 100) AS BIGINT)
+                   END AS d
+            FROM events
+            WHERE event_type IN ('purchase', 'view')
+        ),
+        bal(user_id, rn, b, clamps) AS (
+            SELECT user_id, rn, greatest(0, d),
+                   CASE WHEN d < 0 THEN 1 ELSE 0 END
+            FROM e WHERE rn = 1
+            UNION ALL
+            SELECT e.user_id, e.rn, greatest(0, bal.b + e.d),
+                   bal.clamps + CASE WHEN bal.b + e.d < 0
+                                     THEN 1 ELSE 0 END
+            FROM bal JOIN e
+              ON e.user_id = bal.user_id AND e.rn = bal.rn + 1
+        )
+        SELECT user_id,
+               CAST(max(rn) AS BIGINT) AS n_moves,
+               CAST(arg_max(b, rn) AS BIGINT) AS final_balance_cents,
+               CAST(arg_max(clamps, rn) AS BIGINT) AS n_clamps
+        FROM bal
+        GROUP BY user_id
+    """,
+    doc=(
+        "beyond-reference stateful operator class: INHERENTLY "
+        "SEQUENTIAL per-key fold — a running balance clamped at zero "
+        "(credits = purchases, debits = views, floor like a wallet/"
+        "inventory that cannot go negative). greatest(0, b+d) is NOT "
+        "associative, so no prefix-sum, window, or mergeable-state "
+        "trick applies — this is the operator family that genuinely "
+        "requires ordered per-key iteration, implemented as an "
+        "Arrow-batched applyInPandas fold (cost bounded by one key's "
+        "history; keys parallelize). Oracle: DuckDB linear recursive "
+        "CTE stepping rn -> rn+1. The contrast with changelog_"
+        "aggregate (abelian) and the prefix-sum family (associative) "
+        "documents exactly WHEN each state representation applies."
+    ),
+    tags=("agg", "scale"),
+)
+def user_balance_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            )
+            .otherwise(-F.round(F.col("value") * 100).cast("long"))
+            .alias("d"),
+        )
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        b = 0
+        clamps = 0
+        for d in pdf["d"]:
+            nb = b + int(d)
+            if nb < 0:
+                clamps += 1
+                nb = 0
+            b = nb
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_moves": [len(pdf)],
+                "final_balance_cents": [b],
+                "n_clamps": [clamps],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        fold,
+        "user_id long, n_moves long, final_balance_cents long, "
+        "n_clamps long",
+    )

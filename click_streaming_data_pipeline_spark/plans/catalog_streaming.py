@@ -1023,3 +1023,166 @@ def user_balance_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id long, n_moves long, final_balance_cents long, "
         "n_clamps long",
     )
+
+
+@query(
+    "user_balance_clamped_streamed",
+    oracle="""
+        WITH RECURSIVE e AS (
+            SELECT user_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn,
+                   CASE WHEN event_type = 'purchase'
+                            THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE -CAST(round(value * 100) AS BIGINT)
+                   END AS d
+            FROM events
+            WHERE event_type IN ('purchase', 'view')
+        ),
+        bal(user_id, rn, b, clamps) AS (
+            SELECT user_id, rn, greatest(0, d),
+                   CASE WHEN d < 0 THEN 1 ELSE 0 END
+            FROM e WHERE rn = 1
+            UNION ALL
+            SELECT e.user_id, e.rn, greatest(0, bal.b + e.d),
+                   bal.clamps + CASE WHEN bal.b + e.d < 0
+                                     THEN 1 ELSE 0 END
+            FROM bal JOIN e
+              ON e.user_id = bal.user_id AND e.rn = bal.rn + 1
+        )
+        SELECT user_id,
+               CAST(max(rn) AS BIGINT) AS n_moves,
+               CAST(arg_max(b, rn) AS BIGINT) AS final_balance_cents,
+               CAST(arg_max(clamps, rn) AS BIGINT) AS n_clamps
+        FROM bal
+        GROUP BY user_id
+    """,
+    doc=(
+        "streamed twin of user_balance_clamped: a non-associative "
+        "fold can only stream if the source preserves per-key event "
+        "order, so the envelope is written as TIME-ORDERED log "
+        "segments with ascending modification times (FileStreamSource "
+        "schedules files by mtime, measured - the shape an archived "
+        "Kafka log has in object storage, giving the per-key ordering "
+        "a Kafka partition guarantees) and each micro-batch resumes every "
+        "user's (balance, clamps, n) from versioned state, folding "
+        "only the batch's rows. Replay-safe via v{batch_id} commits; "
+        "drained state == the batch applyInPandas fold == the "
+        "recursive-CTE oracle. The representation-selection rule in "
+        "one pair: abelian state folds in any order, sequential "
+        "state demands an ordered log."
+    ),
+    tags=("streaming", "agg", "scale"),
+)
+def user_balance_clamped_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..operators.incremental import (
+        read_prior_zset,
+        write_zset_version,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            )
+            .otherwise(-F.round(F.col("value") * 100).cast("long"))
+            .alias("d"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="csdp_bal_")
+    src = os.path.join(work, "in")
+    state_dir = os.path.join(work, "state")
+    # time-ordered log SEGMENTS: FileStreamSource orders files by
+    # MODIFICATION TIME (not name - measured: same-mtime files arrive
+    # in arbitrary order), so each time-range segment is written
+    # separately and given an explicitly ascending mtime, the shape
+    # an archived Kafka log has in object storage. Six segments by
+    # ts-rank sextile; within a segment rows are sorted.
+    import glob
+    import shutil as _sh
+
+    from pyspark.sql.window import Window as W
+
+    seg = ev.withColumn(
+        "__seg",
+        F.ntile(6).over(W.orderBy("ts", "event_id")) - 1,
+    )
+    os.makedirs(src, exist_ok=True)
+    base = 1_700_000_000
+    for k in range(6):
+        tmp = os.path.join(work, f"seg{k}")
+        seg.filter(F.col("__seg") == k).drop("__seg").sort(
+            "ts", "event_id"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"seg{k:02d}.parquet")
+        _sh.move(part, dst)
+        os.utime(dst, (base + k, base + k))
+    schema = spark.read.parquet(src).schema
+
+    state_schema = (
+        "user_id long, n_moves long, final_balance_cents long, "
+        "n_clamps long"
+    )
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        empty_state = sp.createDataFrame([], state_schema)
+        prev = read_prior_zset(sp, state_dir, batch_id, empty_state)
+        joined = batch.join(prev, "user_id", "full_outer")
+
+        def resume(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = pdf[pdf["ts"].notna()].sort_values(["ts", "event_id"])
+            carried = pdf["final_balance_cents"].dropna()
+            b = int(carried.iloc[0]) if len(carried) else 0
+            nm = pdf["n_moves"].dropna()
+            n = int(nm.iloc[0]) if len(nm) else 0
+            cl = pdf["n_clamps"].dropna()
+            clamps = int(cl.iloc[0]) if len(cl) else 0
+            for d in rows["d"]:
+                nb = b + int(d)
+                if nb < 0:
+                    clamps += 1
+                    nb = 0
+                b = nb
+            return pd.DataFrame(
+                {
+                    "user_id": [pdf["user_id"].iloc[0]],
+                    "n_moves": [n + len(rows)],
+                    "final_balance_cents": [b],
+                    "n_clamps": [clamps],
+                }
+            )
+
+        new_state = joined.groupBy("user_id").applyInPandas(
+            resume, state_schema
+        )
+        write_zset_version(new_state, state_dir, batch_id)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    latest = max(
+        int(d[1:]) for d in os.listdir(state_dir) if d.startswith("v")
+    )
+    return spark.read.parquet(os.path.join(state_dir, f"v{latest}"))

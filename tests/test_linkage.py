@@ -282,3 +282,81 @@ def test_incremental_join_view_streamed_replay_idempotent(spark):
         map(tuple, spark.read.parquet(os.path.join(d, "v0")).collect())
     )
     assert once == again == [(1, "x", 2), (2, "y", -1)]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5, 6, 7])
+def test_join_view_delta_fuzz_equals_direct_join(spark, seed):
+    # random two-sided changelogs with arbitrary batch assignment,
+    # retracts that may precede inserts, and keys that fully net out:
+    # the maintained view must equal the direct join of net z-sets
+    import random
+
+    from click_streaming_data_pipeline_spark.operators.incremental import (
+        join_view_delta,
+        merge_zset,
+        zset_reduce,
+    )
+
+    rng = random.Random(seed)
+    a_rows = [
+        (
+            rng.randint(1, 4),          # custkey
+            rng.randint(100, 104),      # orderkey
+            rng.choice([500, 700]),     # cents
+            rng.choice([1, 1, -1]),     # sign (insert-biased)
+            rng.randint(0, 2),          # batch
+        )
+        for _ in range(rng.randint(4, 14))
+    ]
+    b_rows = [
+        (
+            rng.randint(1, 4),
+            rng.choice(["S1", "S2"]),
+            rng.choice([1, 1, -1]),
+            rng.randint(0, 2),
+        )
+        for _ in range(rng.randint(3, 10))
+    ]
+    A_log = spark.createDataFrame(
+        a_rows, "custkey long, o_orderkey long, cents long, sign int, batch int"
+    )
+    B_log = spark.createDataFrame(
+        b_rows, "custkey long, segment string, sign int, batch int"
+    )
+    ak = ["custkey", "o_orderkey", "cents"]
+    bk = ["custkey", "segment"]
+    A = zset_reduce(A_log.filter(F.lit(False)), ak)
+    B = zset_reduce(B_log.filter(F.lit(False)), bk)
+    pieces = []
+    for t in range(3):
+        dA = zset_reduce(A_log.filter(F.col("batch") == t), ak)
+        dB = zset_reduce(B_log.filter(F.col("batch") == t), bk)
+        A_new = merge_zset(A, dA, ak).localCheckpoint(eager=True)
+        pieces.append(join_view_delta(dA, A_new, B, dB, on="custkey"))
+        B = merge_zset(B, dB, bk).localCheckpoint(eager=True)
+        A = A_new
+    dV = pieces[0]
+    for p in pieces[1:]:
+        dV = dV.unionByName(p)
+    keys = ["custkey", "o_orderkey", "cents", "segment"]
+    got = {
+        tuple(r[k] for k in keys): r["w"]
+        for r in dV.groupBy(*keys)
+        .agg(F.sum("w").alias("w"))
+        .filter(F.col("w") != 0)
+        .collect()
+    }
+    # direct join of final net z-sets (weights multiply)
+    want = {}
+    a_net, b_net = {}, {}
+    for ck, ok, c, s, _ in a_rows:
+        a_net[(ck, ok, c)] = a_net.get((ck, ok, c), 0) + s
+    for ck, seg, s, _ in b_rows:
+        b_net[(ck, seg)] = b_net.get((ck, seg), 0) + s
+    for (ck, ok, c), wa in a_net.items():
+        if wa == 0:
+            continue
+        for (ck2, seg), wb in b_net.items():
+            if ck2 == ck and wb != 0 and wa * wb != 0:
+                want[(ck, ok, c, seg)] = wa * wb
+    assert got == want, (seed, got, want)

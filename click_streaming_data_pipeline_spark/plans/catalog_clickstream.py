@@ -2444,3 +2444,113 @@ def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "events_from_returning"
         ),
     )
+
+
+@query(
+    "clickstream_mart_pipeline",
+    oracle=f"""
+        WITH o AS (
+            SELECT user_id, ts, event_type, {_CENTS_SQL} AS cents,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       AS prev
+            FROM events
+        ),
+        marked AS (
+            SELECT user_id, ts, event_type, cents,
+                   CASE WHEN prev IS NULL
+                             OR ts - prev >= INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_s
+            FROM o
+        ),
+        numbered AS (
+            SELECT user_id, ts, event_type, cents,
+                   sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS sid
+            FROM marked
+        ),
+        sess AS (
+            SELECT user_id, sid,
+                   min(ts) AS s_start,
+                   count(*) AS n_events,
+                   sum(CASE WHEN event_type = 'purchase'
+                            THEN cents ELSE 0 END) AS revenue_cents,
+                   max(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS converted
+            FROM numbered
+            GROUP BY 1, 2
+        )
+        SELECT CAST(date_trunc('day', s_start) AS TIMESTAMP) AS day,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(converted) AS BIGINT) AS n_converted,
+               CAST(sum(revenue_cents) AS BIGINT) AS revenue_cents,
+               CAST(sum(converted) AS DOUBLE) / count(*)
+                   AS conversion_rate,
+               CAST(sum(n_events) AS BIGINT) AS n_events
+        FROM sess
+        GROUP BY 1
+    """,
+    doc=(
+        "FLAGSHIP composition, clickstream side (the corpus_build_"
+        "pipeline's sibling for the reference's actual domain): raw "
+        "events -> gaps-and-islands sessionization -> per-session "
+        "stats (events, purchase revenue in cents, converted flag) "
+        "-> daily mart (sessions, conversions, revenue, exact-"
+        "division conversion rate) as ONE declarative plan - the "
+        "per-user session window and the two aggregations fuse into "
+        "a single DAG Catalyst pipelines with no intermediate "
+        "materialization. Oracle replays the identical CTE stack. "
+        "Scale: one shuffle to (user) for sessionization, one to "
+        "(user, sid), one to (day) - each strictly coarser, and the "
+        "session count per user is bounded, so no stage re-reads "
+        "the corpus."
+    ),
+    tags=("window", "agg", "scale"),
+)
+def clickstream_mart_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", _cents().alias("cents")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    marked = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            # exact microsecond gap compare (cast-to-long would
+            # truncate to seconds and disagree with the oracle's
+            # INTERVAL arithmetic inside the boundary second)
+            | (
+                F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.lag("ts").over(w))
+                >= 1800 * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    numbered = marked.withColumn(
+        "sid",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sess = numbered.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s_start"),
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("cents"))
+            .otherwise(0)
+        ).alias("revenue_cents"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    return sess.groupBy(
+        F.date_trunc("day", "s_start").alias("day")
+    ).agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.sum("revenue_cents").cast("bigint").alias("revenue_cents"),
+        (F.sum("converted").cast("double") / F.count("*")).alias(
+            "conversion_rate"
+        ),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+    )

@@ -79,6 +79,10 @@ ALLPAIRS_ALLOWED = {
     # day dimension (tens of rows), never the events; the 1-row
     # median/n_days frames broadcast back
     "revenue_trend_theilsen",
+    # conformance probe over VALUES literals (3x2 rows): the
+    # correlated `<` scalar subquery decorrelates to a non-equi
+    # join by definition — constant-size, never touches a table
+    "scalar_subquery_semantics",
     # 1-row grand-total frame broadcast onto the corpus (the
     # value_histogram bounds pattern, not an N^2 pair join)
     "pps_systematic_sample",

@@ -2696,3 +2696,55 @@ def event_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("next_id") - 1).alias("gap_end"),
         (F.col("next_id") - F.col("event_id") - 1).alias("n_missing"),
     )
+
+
+@query(
+    "ordering_semantics",
+    oracle="""
+        WITH t(s) AS (VALUES
+            ('a'), ('B'), ('b'), ('A'), (NULL), ('Z'), ('~'), ('0')
+        )
+        SELECT s,
+               CAST(row_number() OVER (ORDER BY s ASC NULLS LAST)
+                    AS INT) AS rank_asc_nl,
+               CAST(row_number() OVER (ORDER BY s DESC NULLS FIRST)
+                    AS INT) AS rank_desc_nf,
+               (s < 'a') AS lt_lower_a,
+               (upper(s) < 'a') AS upper_lt_lower_a
+        FROM t
+    """,
+    doc=(
+        "ORDER BY semantics pinned: string comparison is BINARY "
+        "(codepoint) collation in both engines - digits before "
+        "uppercase before lowercase before high-ASCII ('0'<'A'<'Z'<"
+        "'a'<'~'), no case folding, so every string tie-break in the "
+        "catalog is engine-stable - and NULL placement under "
+        "EXPLICIT NULLS FIRST/LAST. DOCUMENTED DIVERGENCE (excluded "
+        "from the oracle): the DEFAULTS differ - Spark ascending "
+        "puts NULLS FIRST (standard-style direction-coupled), "
+        "DuckDB puts NULLS LAST in both directions - so any ORDER "
+        "BY over a nullable sort key in cross-engine SQL must spell "
+        "the placement explicitly, which the catalog's LIMIT/"
+        "pagination queries do by sorting non-nullable keys."
+    ),
+    tags=("scalar", "sort"),
+)
+def ordering_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    rows = [("a",), ("B",), ("b",), ("A",), (None,), ("Z",), ("~",), ("0",)]
+    t = spark.createDataFrame(rows, "s string")
+    s = F.col("s")
+    return t.select(
+        "s",
+        F.row_number()
+        .over(W.orderBy(s.asc_nulls_last()))
+        .cast("int")
+        .alias("rank_asc_nl"),
+        F.row_number()
+        .over(W.orderBy(s.desc_nulls_first()))
+        .cast("int")
+        .alias("rank_desc_nf"),
+        (s < "a").alias("lt_lower_a"),
+        (F.upper(s) < "a").alias("upper_lt_lower_a"),
+    )

@@ -1143,3 +1143,112 @@ def event_type_mode_value_streamed(
             F.col("w").cast("bigint").alias("n"),
         )
     )
+
+
+@query(
+    "event_mix_drift_chi2",
+    oracle="""
+        WITH c AS (
+            SELECT CASE WHEN ts < TIMESTAMP '2024-01-16'
+                        THEN 'w1' ELSE 'w2' END AS period,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS o
+            FROM events
+            GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT c.*,
+                   sum(o) OVER (PARTITION BY period) AS row_tot,
+                   sum(o) OVER (PARTITION BY event_type) AS col_tot,
+                   sum(o) OVER () AS grand_tot
+            FROM c
+        ),
+        cells AS (
+            SELECT period, event_type, o,
+                   CAST(row_tot * col_tot AS DOUBLE) / grand_tot AS e
+            FROM tot
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_cells,
+               CAST((count(DISTINCT period) - 1)
+                    * (count(DISTINCT event_type) - 1) AS BIGINT)
+                   AS dof,
+               sum((o - e) * (o - e) / e) AS chi2,
+               sqrt(sum((o - e) * (o - e) / e)
+                    / ((SELECT max(grand_tot) FROM tot)
+                       * least(count(DISTINCT period) - 1,
+                               count(DISTINCT event_type) - 1)))
+                   AS cramers_v
+        FROM cells
+    """,
+    doc=(
+        "beyond-reference data-quality statistics: CHI-SQUARE "
+        "homogeneity test for event-mix drift between two periods "
+        "(the distribution-shift monitor a training-data pipeline "
+        "runs before mixing sources) plus Cramer's V effect size. "
+        "Chosen over KL/JS divergence deliberately: entropy needs "
+        "ln(), which is not bit-portable across engines (the same "
+        "reason BM25 idf enters plans as a driver-computed literal), "
+        "while chi-square is exact integer contingency counts, one "
+        "division per cell, squared differences, and a correctly-"
+        "rounded IEEE sqrt - every op identical in both engines. "
+        "Plan: one groupBy for the contingency table, window totals "
+        "over the CELL table (periods x types rows, never the "
+        "corpus), one-row readout."
+    ),
+    tags=("agg", "scale"),
+)
+def event_mix_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.select(
+            F.when(
+                F.col("ts") < F.lit(_dt.datetime(2024, 1, 16)), "w1"
+            )
+            .otherwise("w2")
+            .alias("period"),
+            "event_type",
+        )
+        .groupBy("period", "event_type")
+        .agg(F.count("*").alias("o"))
+    )
+    tot = c.select(
+        "*",
+        F.sum("o").over(Window.partitionBy("period")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("event_type")).alias("col_tot"),
+        F.sum("o").over(
+            Window.partitionBy()
+        ).alias("grand_tot"),
+    )
+    cells = tot.select(
+        "period",
+        "event_type",
+        "o",
+        "grand_tot",
+        (
+            (F.col("row_tot") * F.col("col_tot")).cast("double")
+            / F.col("grand_tot")
+        ).alias("e"),
+    )
+    chi2 = F.sum(
+        (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    )
+    return cells.agg(
+        F.count("*").alias("n_cells"),
+        (
+            (F.countDistinct("period") - 1)
+            * (F.countDistinct("event_type") - 1)
+        ).alias("dof"),
+        chi2.alias("chi2"),
+        F.sqrt(
+            chi2
+            / (
+                F.max("grand_tot")
+                * F.least(
+                    F.countDistinct("period") - 1,
+                    F.countDistinct("event_type") - 1,
+                )
+            )
+        ).alias("cramers_v"),
+    )

@@ -1252,3 +1252,100 @@ def event_mix_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cramers_v"),
     )
+
+
+@query(
+    "price_quantity_spearman",
+    oracle="""
+        WITH d AS (
+            SELECT l_returnflag,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+                   CAST(l_quantity AS BIGINT) AS q
+            FROM lineitem
+        ),
+        r AS (
+            SELECT l_returnflag,
+                   2 * rank() OVER (PARTITION BY l_returnflag
+                                    ORDER BY p)
+                   + count(*) OVER (PARTITION BY l_returnflag, p)
+                   - 1 AS rp,
+                   2 * rank() OVER (PARTITION BY l_returnflag
+                                    ORDER BY q)
+                   + count(*) OVER (PARTITION BY l_returnflag, q)
+                   - 1 AS rq
+            FROM d
+        )
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(floor(
+                   (CAST(count(*) AS DOUBLE)
+                        * CAST(sum(CAST(rp * rq AS DECIMAL(28,6)))
+                               AS DOUBLE)
+                    - CAST(sum(CAST(rp AS DECIMAL(28,6))) AS DOUBLE)
+                      * CAST(sum(CAST(rq AS DECIMAL(28,6))) AS DOUBLE))
+                   / (sqrt(CAST(count(*) AS DOUBLE)
+                               * CAST(sum(CAST(rp * rp
+                                       AS DECIMAL(28,6))) AS DOUBLE)
+                           - CAST(sum(CAST(rp AS DECIMAL(28,6)))
+                                  AS DOUBLE)
+                             * CAST(sum(CAST(rp AS DECIMAL(28,6)))
+                                    AS DOUBLE))
+                      * sqrt(CAST(count(*) AS DOUBLE)
+                                 * CAST(sum(CAST(rq * rq
+                                         AS DECIMAL(28,6))) AS DOUBLE)
+                             - CAST(sum(CAST(rq AS DECIMAL(28,6)))
+                                    AS DOUBLE)
+                               * CAST(sum(CAST(rq AS DECIMAL(28,6)))
+                                      AS DOUBLE)))
+                   * CAST(1000000000.0 AS DOUBLE)
+                   + CAST(0.5 AS DOUBLE)
+               ) AS BIGINT) AS spearman_nano
+        FROM r
+        GROUP BY l_returnflag
+    """,
+    doc=(
+        "beyond-reference statistics: SPEARMAN RANK CORRELATION - "
+        "the monotonic-association monitor that survives outliers "
+        "and nonlinearity where Pearson (price_quantity_correlation) "
+        "does not. Tie-averaged ranks are kept EXACT by storing "
+        "2*avg_rank = 2*min_rank + tie_count - 1 (always an "
+        "integer; correlation is affine-invariant so the doubling "
+        "cancels), co-moments accumulate in decimal, and the ratio "
+        "quantizes at 1e-9 like the Pearson twin (sums exceed 2^53 "
+        "where int128->double vs BigDecimal rounding diverges by a "
+        "half-ulp). Scale: the per-group rank windows are the "
+        "grouped-prefix-sum family's territory when a group outgrows "
+        "a task (customer_value_deciles pattern)."
+    ),
+    tags=("agg", "scale"),
+)
+def price_quantity_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("p"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+
+    def rank2(col: str) -> F.Column:
+        return (
+            2 * F.rank().over(Window.partitionBy("l_returnflag").orderBy(col))
+            + F.count("*").over(Window.partitionBy("l_returnflag", col))
+            - 1
+        )
+
+    r = li.select(
+        "l_returnflag", rank2("p").alias("rp"), rank2("q").alias("rq")
+    )
+    dsum = lambda c: F.sum(c.cast("decimal(28,6)")).cast("double")  # noqa: E731
+    n = F.count("*").cast("double")
+    sx, sy = dsum(F.col("rp")), dsum(F.col("rq"))
+    sxy = dsum(F.col("rp") * F.col("rq"))
+    sxx = dsum(F.col("rp") * F.col("rp"))
+    syy = dsum(F.col("rq") * F.col("rq"))
+    rho = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    nano = F.floor(rho * F.lit(1_000_000_000.0) + F.lit(0.5)).cast("long")
+    return r.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), nano.alias("spearman_nano")
+    )

@@ -1349,3 +1349,103 @@ def price_quantity_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.groupBy("l_returnflag").agg(
         F.count("*").alias("n"), nano.alias("spearman_nano")
     )
+
+
+@query(
+    "value_drift_ks",
+    oracle="""
+        WITH d AS (
+            SELECT CASE WHEN ts < TIMESTAMP '2024-01-16'
+                        THEN 1 ELSE 2 END AS grp,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+        ),
+        n AS (
+            SELECT sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n1,
+                   sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS n2
+            FROM d
+        ),
+        steps AS (
+            SELECT cents,
+                   sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c1,
+                   sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS c2
+            FROM d GROUP BY cents
+        ),
+        cum AS (
+            SELECT cents,
+                   sum(c1) OVER (ORDER BY cents
+                                 ROWS UNBOUNDED PRECEDING) AS f1,
+                   sum(c2) OVER (ORDER BY cents
+                                 ROWS UNBOUNDED PRECEDING) AS f2
+            FROM steps
+        )
+        SELECT CAST(n.n1 AS BIGINT) AS n1,
+               CAST(n.n2 AS BIGINT) AS n2,
+               CAST(max(abs(f1 * n.n2 - f2 * n.n1)) AS BIGINT)
+                   AS ks_numer,
+               CAST(max(abs(f1 * n.n2 - f2 * n.n1)) AS DOUBLE)
+                   / (n.n1 * n.n2) AS ks_stat
+        FROM cum, n
+        GROUP BY n.n1, n.n2
+    """,
+    doc=(
+        "beyond-reference data-quality statistics: two-sample "
+        "KOLMOGOROV-SMIRNOV drift test on purchase values between "
+        "two periods - the whole-distribution shift monitor that "
+        "catches what the chi-square mix test (categorical) and mean "
+        "CI (location-only) cannot. Fully EXACT: D's numerator "
+        "max|F1*n2 - F2*n1| is pure BIGINT arithmetic over the "
+        "merged step function (empirical CDFs compared at every "
+        "jump), and the statistic itself is that integer over n1*n2 "
+        "- one IEEE division, no quantization needed. Plan: groupBy "
+        "to the distinct-value dimension, one cumulative pass over "
+        "it (grouped-prefix-sum territory at scale), one-row "
+        "readout."
+    ),
+    tags=("agg", "scale"),
+)
+def value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+
+    d = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("ts") < F.lit(_dt.datetime(2024, 1, 16)), 1
+            )
+            .otherwise(2)
+            .alias("grp"),
+            _cents().alias("cents"),
+        )
+    )
+    steps = d.groupBy("cents").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("c2"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = steps.select(
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+    )
+    return _ks_readout(cum)
+
+
+def _ks_readout(cum: DataFrame) -> DataFrame:
+    totals = cum.agg(
+        F.max("f1").alias("n1"), F.max("f2").alias("n2")
+    )
+    joined = cum.crossJoin(F.broadcast(totals))
+    return joined.groupBy("n1", "n2").agg(
+        F.max(
+            F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+        ).alias("ks_numer"),
+        (
+            F.max(
+                F.abs(
+                    F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")
+                )
+            ).cast("double")
+            / (F.col("n1") * F.col("n2"))
+        ).alias("ks_stat"),
+    )

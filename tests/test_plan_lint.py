@@ -79,6 +79,9 @@ ALLPAIRS_ALLOWED = {
     # day dimension (tens of rows), never the events; the 1-row
     # median/n_days frames broadcast back
     "revenue_trend_theilsen",
+    # 1-row (n1, n2) totals frame broadcast onto the CDF step table
+    # (distinct-value dimension, not the corpus)
+    "value_drift_ks",
     # conformance probe over VALUES literals (3x2 rows): the
     # correlated `<` scalar subquery decorrelates to a non-equi
     # join by definition — constant-size, never touches a table

@@ -1449,3 +1449,85 @@ def _ks_readout(cum: DataFrame) -> DataFrame:
             / (F.col("n1") * F.col("n2"))
         ).alias("ks_stat"),
     )
+
+
+@query(
+    "value_shift_mannwhitney",
+    oracle="""
+        WITH d AS (
+            SELECT CASE WHEN ts < TIMESTAMP '2024-01-16'
+                        THEN 1 ELSE 2 END AS grp,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+        ),
+        r AS (
+            SELECT grp,
+                   2 * rank() OVER (ORDER BY cents)
+                   + count(*) OVER (PARTITION BY cents) - 1 AS r2
+            FROM d
+        )
+        SELECT CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN grp = 1 THEN r2 ELSE 0 END)
+                    - sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+                      * (sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) + 1)
+                    AS BIGINT) AS u1_x2,
+               CAST(sum(CASE WHEN grp = 1 THEN r2 ELSE 0 END)
+                    - sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+                      * (sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) + 1)
+                    AS DOUBLE)
+               / (2 * sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+                    * sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END))
+                   AS auc
+        FROM r
+    """,
+    doc=(
+        "beyond-reference statistics: MANN-WHITNEY U location-shift "
+        "test between two periods - the rank-based sibling "
+        "completing the drift trio (chi-square: categorical mix; "
+        "KS: whole distribution; U: stochastic dominance). "
+        "Tie-averaged combined ranks stay exact via the doubled-rank "
+        "trick (2*avg_rank is integer), so 2*U1 = sum(r2 | grp1) - "
+        "n1(n1+1) is pure BIGINT, and U1/(n1*n2) - one IEEE "
+        "division - is exactly the AUC / P(X1 > X2) effect size "
+        "(0.5 = no shift). Plan: one global rank window over the "
+        "filtered slice (grouped-prefix territory at scale), "
+        "one-row readout, no joins at all."
+    ),
+    tags=("agg", "scale"),
+)
+def value_shift_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+
+    d = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("ts") < F.lit(_dt.datetime(2024, 1, 16)), 1
+            )
+            .otherwise(2)
+            .alias("grp"),
+            _cents().alias("cents"),
+        )
+    )
+    r = d.select(
+        "grp",
+        (
+            2 * F.rank().over(Window.orderBy("cents"))
+            + F.count("*").over(Window.partitionBy("cents"))
+            - 1
+        ).alias("r2"),
+    )
+    n1 = F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+    n2 = F.sum(F.when(F.col("grp") == 2, 1).otherwise(0))
+    r1 = F.sum(F.when(F.col("grp") == 1, F.col("r2")).otherwise(0))
+    u1x2 = r1 - n1 * (n1 + 1)
+    return r.agg(
+        n1.cast("bigint").alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        u1x2.cast("bigint").alias("u1_x2"),
+        (u1x2.cast("double") / (2 * n1 * n2)).alias("auc"),
+    )

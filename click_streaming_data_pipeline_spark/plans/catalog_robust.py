@@ -1531,3 +1531,87 @@ def value_shift_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         u1x2.cast("bigint").alias("u1_x2"),
         (u1x2.cast("double") / (2 * n1 * n2)).alias("auc"),
     )
+
+
+@query(
+    "value_drift_ks_streamed",
+    oracle="""
+        WITH d AS (
+            SELECT CASE WHEN ts < TIMESTAMP '2024-01-16'
+                        THEN 1 ELSE 2 END AS grp,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+        ),
+        n AS (
+            SELECT sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n1,
+                   sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS n2
+            FROM d
+        ),
+        steps AS (
+            SELECT cents,
+                   sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c1,
+                   sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS c2
+            FROM d GROUP BY cents
+        ),
+        cum AS (
+            SELECT cents,
+                   sum(c1) OVER (ORDER BY cents
+                                 ROWS UNBOUNDED PRECEDING) AS f1,
+                   sum(c2) OVER (ORDER BY cents
+                                 ROWS UNBOUNDED PRECEDING) AS f2
+            FROM steps
+        )
+        SELECT CAST(n.n1 AS BIGINT) AS n1,
+               CAST(n.n2 AS BIGINT) AS n2,
+               CAST(max(abs(f1 * n.n2 - f2 * n.n1)) AS BIGINT)
+                   AS ks_numer,
+               CAST(max(abs(f1 * n.n2 - f2 * n.n1)) AS DOUBLE)
+                   / (n.n1 * n.n2) AS ks_stat
+        FROM cum, n
+        GROUP BY n.n1, n.n2
+    """,
+    doc=(
+        "STREAMING drift detection: the two-sample KS monitor "
+        "maintained as events arrive. The sufficient state is the "
+        "(group, value) -> count map - mergeable by addition, the "
+        "same value-weight monoid fold as the streamed weighted "
+        "median/mode - so each micro-batch costs one groupBy into "
+        "versioned replay-safe state bounded by the distinct-value "
+        "domain, and the exact-integer KS readout runs at drain "
+        "(in production: after every batch, giving a live drift "
+        "series). Drained statistic == the batch value_drift_ks == "
+        "the oracle, bit-for-bit."
+    ),
+    tags=("streaming", "agg", "scale"),
+)
+def value_drift_ks_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+
+    d = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("ts") < F.lit(_dt.datetime(2024, 1, 16)), 1
+            )
+            .otherwise(2)
+            .alias("grp"),
+            _cents().alias("cents"),
+            F.lit(1).alias("w"),
+        )
+    )
+    state = _fold_value_weights(spark, d, ["grp", "cents"])
+    steps = state.groupBy("cents").agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("w")).otherwise(0)).alias(
+            "c1"
+        ),
+        F.sum(F.when(F.col("grp") == 2, F.col("w")).otherwise(0)).alias(
+            "c2"
+        ),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = steps.select(
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+    )
+    return _ks_readout(cum)

@@ -1615,3 +1615,89 @@ def value_drift_ks_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c2").over(w).alias("f2"),
     )
     return _ks_readout(cum)
+
+
+@query(
+    "event_value_trend_ols",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_diff('day', TIMESTAMP '2024-01-01',
+                                  date_trunc('day', ts)) + 1
+                        AS BIGINT) AS x,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS y
+            FROM events
+            GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM daily GROUP BY 1
+        )
+        SELECT event_type, n,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (n * sxx - sx * sx) AS slope_cents_per_day,
+               (CAST(sy AS DOUBLE)
+                - CAST(n * sxy - sx * sy AS DOUBLE)
+                      / (n * sxx - sx * sx) * sx)
+               / n AS intercept_cents
+        FROM m
+    """,
+    doc=(
+        "beyond-reference statistics: per-group OLS LINEAR TREND of "
+        "daily revenue - the least-squares sibling of the robust "
+        "Theil-Sen slope (revenue_trend_theilsen); together they "
+        "bracket trend estimation (efficient vs 29%-breakdown). "
+        "Fully exact WITHOUT quantization: x is the integer day "
+        "index and y integer cents, so all five co-moment sums are "
+        "BIGINT and the slope is one IEEE division of exact "
+        "integers (unlike the Pearson/Spearman co-moments, nothing "
+        "here exceeds 2^53); the intercept reuses the slope with a "
+        "shared-spelling multiply-subtract-divide chain. Plan: "
+        "groupBy to (type, day) then (type) - two partial-agg "
+        "shuffles over the day dimension, never a window."
+    ),
+    tags=("agg",),
+)
+def event_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            (
+                F.datediff(
+                    F.date_trunc("day", "ts"),
+                    F.lit(_dt.date(2024, 1, 1)),
+                )
+                + 1
+            )
+            .cast("bigint")
+            .alias("x"),
+            _cents().alias("cents"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.sum("cents").alias("y"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx")
+    ) / F.col("n")
+    return m.select(
+        "event_type",
+        "n",
+        slope.alias("slope_cents_per_day"),
+        intercept.alias("intercept_cents"),
+    )

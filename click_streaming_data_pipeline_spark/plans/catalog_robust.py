@@ -1701,3 +1701,103 @@ def event_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope_cents_per_day"),
         intercept.alias("intercept_cents"),
     )
+
+
+@query(
+    "event_mix_drift_chi2_streamed",
+    oracle="""
+        WITH c AS (
+            SELECT CASE WHEN ts < TIMESTAMP '2024-01-16'
+                        THEN 'w1' ELSE 'w2' END AS period,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS o
+            FROM events
+            GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT c.*,
+                   sum(o) OVER (PARTITION BY period) AS row_tot,
+                   sum(o) OVER (PARTITION BY event_type) AS col_tot,
+                   sum(o) OVER () AS grand_tot
+            FROM c
+        ),
+        cells AS (
+            SELECT period, event_type, o,
+                   CAST(row_tot * col_tot AS DOUBLE) / grand_tot AS e
+            FROM tot
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_cells,
+               CAST((count(DISTINCT period) - 1)
+                    * (count(DISTINCT event_type) - 1) AS BIGINT)
+                   AS dof,
+               sum((o - e) * (o - e) / e) AS chi2,
+               sqrt(sum((o - e) * (o - e) / e)
+                    / ((SELECT max(grand_tot) FROM tot)
+                       * least(count(DISTINCT period) - 1,
+                               count(DISTINCT event_type) - 1)))
+                   AS cramers_v
+        FROM cells
+    """,
+    doc=(
+        "streamed twin of the chi-square mix-drift monitor, closing "
+        "the live drift pair with value_drift_ks_streamed: the "
+        "contingency table (period, type) -> count is the same "
+        "additive value-weight monoid, so micro-batches fold into "
+        "versioned replay-safe state (cells x 1 rows, trivially "
+        "bounded) and the chi2/Cramer's V readout runs at drain - "
+        "or after every batch for a live drift series. Matches the "
+        "batch statistic and oracle bit-for-bit."
+    ),
+    tags=("streaming", "agg"),
+)
+def event_mix_drift_chi2_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import datetime as _dt
+
+    src = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("ts") < F.lit(_dt.datetime(2024, 1, 16)), "w1")
+        .otherwise("w2")
+        .alias("period"),
+        "event_type",
+        F.lit(1).alias("w"),
+    )
+    state = _fold_value_weights(spark, src, ["period", "event_type"])
+    c = state.select("period", "event_type", F.col("w").alias("o"))
+    tot = c.select(
+        "*",
+        F.sum("o").over(Window.partitionBy("period")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("event_type")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("grand_tot"),
+    )
+    cells = tot.select(
+        "period",
+        "event_type",
+        "o",
+        "grand_tot",
+        (
+            (F.col("row_tot") * F.col("col_tot")).cast("double")
+            / F.col("grand_tot")
+        ).alias("e"),
+    )
+    chi2 = F.sum(
+        (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    )
+    return cells.agg(
+        F.count("*").alias("n_cells"),
+        (
+            (F.countDistinct("period") - 1)
+            * (F.countDistinct("event_type") - 1)
+        ).alias("dof"),
+        chi2.alias("chi2"),
+        F.sqrt(
+            chi2
+            / (
+                F.max("grand_tot")
+                * F.least(
+                    F.countDistinct("period") - 1,
+                    F.countDistinct("event_type") - 1,
+                )
+            )
+        ).alias("cramers_v"),
+    )

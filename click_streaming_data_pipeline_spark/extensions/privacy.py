@@ -1,0 +1,186 @@
+"""Differentially-private release operators (beyond-reference
+extension, privacy family next to the k-anonymity / l-diversity audits
+and ``forget_users``): contribution-bounded counts and sums with
+seeded Laplace noise.
+
+A corpus release at 100 TB pairs the *audit* queries (k-anonymity,
+l-diversity) with *mechanisms* that make the released statistics safe:
+the classic Laplace mechanism over user-level-bounded aggregates
+(Dwork et al. 2006). Two properties matter for a distributed engine:
+
+- **Contribution bounding is a pre-aggregation**, not a row filter:
+  user-level sensitivity requires capping what any one user adds
+  BEFORE the global aggregate, i.e. a per-(user, key) partial
+  aggregate, a clamp, then the key-level aggregate. Both stages are
+  partial-agg shuffles on their keys — the plan a 1000-executor
+  cluster wants (no window over the full corpus, no collect).
+- **The noise must be deterministic for the correctness gate** but
+  keep the Laplace shape: it is seeded from md5 of the group key
+  (engine-portable, reshard-stable — adding executors cannot change
+  a released number), folded to a 32-bit integer, mapped through the
+  exact inverse CDF. A production deployment swaps the seed column
+  for a secure RNG; the dataflow is unchanged.
+
+IEEE notes (the oracle is bit-exact): the hex fold and the uniform
+``(v + 0.5) / 2^32`` are exact in binary64 (power-of-two divisor);
+``u - 0.5`` and ``1 - 2|u - 0.5|`` are exact by construction (the
+numerators stay below 2^33); ``ln`` is libm on both engines (the
+search-idf precedent) and the result is rounded to 9 dp on both sides
+so a last-ulp libm divergence cannot reach the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_DIGITS = "0123456789abcdef"
+
+#: decimal places the noise is rounded to on both engines (belt over
+#: the ln libm parity; 1e-9 is far below any analytic use of the noise)
+NOISE_DECIMALS = 9
+
+
+def hex_uniform(key: Column, label: str) -> Column:
+    """Deterministic uniform in (0,1): fold the first 8 md5 hex chars
+    of ``label || key`` to a 32-bit integer v, return (v + 0.5)/2^32.
+
+    The +0.5 keeps the value strictly inside (0,1) so the Laplace
+    inverse CDF below never hits ln(0). Exact in binary64.
+    """
+    v = F.conv(
+        F.substring(F.md5(F.concat(F.lit(label), key)), 1, 8), 16, 10
+    ).cast("long")
+    return (v.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+
+
+def hex_uniform_sql(key_sql: str, label: str) -> str:
+    """DuckDB twin of :func:`hex_uniform` (DuckDB has no hex->int
+    cast, so the 8 hex digits are folded positionally)."""
+    h = f"md5('{label}' || {key_sql})"
+    fold = " + ".join(
+        f"(strpos('{_HEX_DIGITS}', substr({h}, {i}, 1)) - 1) "
+        f"* {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    return f"((CAST({fold} AS BIGINT) + 0.5) / 4294967296.0)"
+
+
+def laplace_noise(key: Column, label: str, scale: float) -> Column:
+    """Seeded Laplace(0, scale) noise via the inverse CDF
+    ``-scale * sign(u - 1/2) * ln(1 - 2|u - 1/2|)``, rounded to
+    :data:`NOISE_DECIMALS` dp."""
+    w = hex_uniform(key, label) - F.lit(0.5)
+    raw = (
+        F.lit(-float(scale))
+        * F.signum(w)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(w))
+    )
+    return F.round(raw, NOISE_DECIMALS)
+
+
+def laplace_noise_sql(key_sql: str, label: str, scale: float) -> str:
+    """DuckDB twin of :func:`laplace_noise`."""
+    u = hex_uniform_sql(key_sql, label)
+    w = f"({u} - 0.5)"
+    return (
+        f"round({-float(scale)!r} * sign({w}) "
+        f"* ln(1.0 - 2.0 * abs({w})), {NOISE_DECIMALS})"
+    )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    *,
+    key_col: str,
+    user_col: str,
+    epsilon: float = 1.0,
+    max_per_user: int = 8,
+    label: str = "dp-count",
+) -> DataFrame:
+    """User-level (ε, 0)-DP histogram of ``key_col``.
+
+    Stage 1 caps each user's contribution to each key at
+    ``max_per_user`` (user-level sensitivity = max_per_user per key);
+    stage 2 sums the clamped contributions per key and adds
+    Laplace(max_per_user/ε). Output: (key, true_count, clamped_count,
+    noisy_count) — true_count rides along so the released error is
+    auditable in tests; a production release would drop it.
+
+    100 TB: two partial-agg shuffles, first on (user, key) then on
+    key; output cardinality = |key domain|. No windows, no collect.
+    """
+    scale = max_per_user / float(epsilon)
+    per_user = df.groupBy(user_col, key_col).agg(
+        F.count("*").alias("__n")
+    )
+    return (
+        per_user.groupBy(key_col)
+        .agg(
+            F.sum("__n").cast("long").alias("true_count"),
+            F.sum(F.least(F.col("__n"), F.lit(max_per_user)))
+            .cast("long")
+            .alias("clamped_count"),
+        )
+        .select(
+            F.col(key_col),
+            "true_count",
+            "clamped_count",
+            (
+                F.col("clamped_count").cast("double")
+                + laplace_noise(F.col(key_col), label, scale)
+            ).alias("noisy_count"),
+        )
+    )
+
+
+def dp_noisy_sum(
+    df: DataFrame,
+    *,
+    key_col: str,
+    user_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    epsilon: float = 1.0,
+    label: str = "dp-sum",
+) -> DataFrame:
+    """User-level (ε, 0)-DP sum of ``value_col`` per key.
+
+    Each user's total contribution to a key is clamped into
+    [lo, hi] (so user-level sensitivity = max(|lo|, hi)), then the
+    key-level sum of clamped totals gets Laplace(sensitivity/ε).
+    Clamping sums (not rows) is the user-level bound: a user with
+    many small rows is capped the same as one large row.
+
+    The clamped per-user totals accumulate in decimal(28,6) so both
+    engines sum bit-identically (the catalog's dsum rule); the noise
+    addition happens in double at the very end.
+    """
+    sensitivity = max(abs(float(lo)), abs(float(hi)))
+    scale = sensitivity / float(epsilon)
+    per_user = df.groupBy(user_col, key_col).agg(
+        F.sum(F.col(value_col).cast("decimal(28,6)")).alias("__s")
+    )
+    # bounds pinned to the accumulator's own type, decimal(38,6):
+    # DuckDB's least/greatest promote MIXED decimal widths to DOUBLE
+    # (measured), which would leak float rounding into the clamp
+    clamped = per_user.select(
+        F.col(key_col),
+        F.least(
+            F.greatest(F.col("__s"), F.lit(lo).cast("decimal(38,6)")),
+            F.lit(hi).cast("decimal(38,6)"),
+        ).alias("__c"),
+    )
+    return (
+        clamped.groupBy(key_col)
+        .agg(F.sum("__c").cast("double").alias("clamped_sum"))
+        .select(
+            F.col(key_col),
+            "clamped_sum",
+            (
+                F.col("clamped_sum")
+                + laplace_noise(F.col(key_col), label, scale)
+            ).alias("noisy_sum"),
+        )
+    )

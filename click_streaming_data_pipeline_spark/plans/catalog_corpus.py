@@ -1713,3 +1713,109 @@ def _make_corpus_build_pipeline_streamed():
 
 
 _make_corpus_build_pipeline_streamed()
+
+
+# ---------------------------------------------------------------------------
+# differential privacy: contribution-bounded Laplace releases
+# (privacy family: the mechanism companion to k_anonymity_audit /
+# l_diversity_audit, which only AUDIT; reference governance surface is
+# pii handling, services/data-quality — the DP release is the
+# beyond-reference extension a corpus publisher needs)
+
+from ..extensions.privacy import (  # noqa: E402
+    dp_noisy_counts,
+    dp_noisy_sum,
+    laplace_noise_sql,
+)
+
+
+@query(
+    "dp_event_counts",
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id, event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type,
+               CAST(sum(n) AS BIGINT) AS true_count,
+               CAST(sum(least(n, 8)) AS BIGINT) AS clamped_count,
+               CAST(sum(least(n, 8)) AS DOUBLE)
+                   + {laplace_noise_sql('event_type', 'dp-count', 8.0)}
+                   AS noisy_count
+        FROM per_user GROUP BY 1
+    """,
+    doc=(
+        "governance extension: DIFFERENTIALLY-PRIVATE event histogram "
+        "(Laplace mechanism, Dwork et al. 2006) with user-level "
+        "contribution bounding - stage 1 caps each user at 8 events "
+        "per type (a per-(user,type) partial agg), stage 2 sums the "
+        "clamped contributions and adds Laplace(8/eps), eps=1, seeded "
+        "from md5(event_type) so the release is deterministic and "
+        "reshard-stable (extensions/privacy.py docstring covers the "
+        "IEEE-exactness argument). Two partial-agg shuffles, output "
+        "bounded by the key domain - the released number a 100 TB "
+        "corpus publisher can hand out without the audit queries "
+        "(k_anonymity_audit) flagging it."
+    ),
+    tags=("corpus", "agg"),
+)
+def dp_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return dp_noisy_counts(
+        events,
+        key_col="event_type",
+        user_col="user_id",
+        epsilon=1.0,
+        max_per_user=8,
+        label="dp-count",
+    )
+
+
+@query(
+    "dp_value_sums",
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id, event_type,
+                   sum(CAST(value AS DECIMAL(28,6))) AS s
+            FROM events GROUP BY 1, 2
+        ),
+        clamped AS (
+            SELECT event_type,
+                   CASE WHEN s < CAST(0.0 AS DECIMAL(38,6))
+                             THEN CAST(0.0 AS DECIMAL(38,6))
+                        WHEN s > CAST(1000.0 AS DECIMAL(38,6))
+                             THEN CAST(1000.0 AS DECIMAL(38,6))
+                        ELSE s END AS c
+            FROM per_user
+        )
+        SELECT event_type,
+               CAST(sum(c) AS DOUBLE) AS clamped_sum,
+               CAST(sum(c) AS DOUBLE)
+                   + {laplace_noise_sql('event_type', 'dp-sum', 1000.0)}
+                   AS noisy_sum
+        FROM clamped GROUP BY 1
+    """,
+    doc=(
+        "governance extension: DIFFERENTIALLY-PRIVATE value totals - "
+        "each user's per-type value TOTAL is clamped into [0, 1000] "
+        "(sum-level clamping is the user-level bound: many small rows "
+        "cap the same as one big row), then the key-level sum of "
+        "clamped totals gets Laplace(1000/eps), eps=1. Clamped totals "
+        "accumulate in decimal(28,6) (the catalog dsum rule) so both "
+        "engines agree bit-for-bit before the noise add. Same "
+        "two-shuffle plan shape as dp_event_counts."
+    ),
+    tags=("corpus", "agg"),
+)
+def dp_value_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return dp_noisy_sum(
+        events,
+        key_col="event_type",
+        user_col="user_id",
+        value_col="value",
+        lo=0.0,
+        hi=1000.0,
+        epsilon=1.0,
+        label="dp-sum",
+    )

@@ -691,3 +691,51 @@ def test_split_leakage_audit_detects_planted_duplicates(spark):
     assert len(rows) == 1
     assert rows[0]["train_doc"] == train_id
     assert rows[0]["eval_doc"] == eval_id
+
+
+def test_dp_laplace_noise_properties(spark):
+    """DP release semantics the oracle can't express: clamping binds,
+    the noise is Laplace-shaped (zero-median, scale-bounded tails),
+    and the release is deterministic + reshard-stable."""
+    from click_streaming_data_pipeline_spark.extensions.privacy import (
+        dp_noisy_counts,
+        laplace_noise,
+    )
+
+    events = load_table(spark, SF_TEST, "events")
+    rel = dp_noisy_counts(
+        events, key_col="event_type", user_col="user_id",
+        epsilon=1.0, max_per_user=8,
+    ).collect()
+    assert len(rel) > 0
+    for r in rel:
+        # clamping must bind on the test data (users have >8 events
+        # of some type) and never exceed the true count
+        assert r["clamped_count"] <= r["true_count"]
+        # the realized noise is exactly noisy - clamped, and a single
+        # Laplace(8) draw is within 8 * ln(2^31) < 180 of zero by
+        # construction of the 32-bit inverse-CDF seed
+        noise = r["noisy_count"] - float(r["clamped_count"])
+        assert abs(noise) < 180.0
+    assert any(r["clamped_count"] < r["true_count"] for r in rel)
+
+    # reshard-stable: the same release from a repartitioned input
+    again = dp_noisy_counts(
+        events.repartition(7), key_col="event_type", user_col="user_id",
+        epsilon=1.0, max_per_user=8,
+    ).collect()
+    assert sorted(map(tuple, rel)) == sorted(map(tuple, again))
+
+    # noise column: median ~ 0, symmetric-ish over many keys
+    keys = spark.range(4000).select(F.col("id").cast("string").alias("k"))
+    draws = [
+        r["x"]
+        for r in keys.select(
+            laplace_noise(F.col("k"), "t", 1.0).alias("x")
+        ).collect()
+    ]
+    draws.sort()
+    med = draws[len(draws) // 2]
+    assert abs(med) < 0.1  # Laplace(1) median ~ 0
+    neg = sum(1 for d in draws if d < 0)
+    assert 0.45 < neg / len(draws) < 0.55

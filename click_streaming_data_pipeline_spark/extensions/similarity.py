@@ -521,3 +521,111 @@ def hard_negative_pairs(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    query_ids: list[int],
+    *,
+    n_candidates: int = 20,
+    k: int = 8,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance re-rank (Carbonell & Goldstein 1998)
+    of the brute-force top-``n_candidates`` down to a diversified
+    top-``k``: greedily pick argmax ``lam*rel(c) - mu*max_sim(c, S)``,
+    ties to the smaller id.
+
+    The RAG retrieval pattern: ANN recalls candidates, MMR removes the
+    near-duplicate hits an LLM context window shouldn't waste tokens
+    on. The selection loop is inherently sequential *per query* but
+    embarrassingly parallel *across* queries, so the dataflow shape is
+    a cogrouped ``applyInPandas`` over ``query_id`` — relevance and
+    candidate-pair similarity both arrive pre-computed by the exact
+    fold-cosine expressions (JVM-side, oracle-portable); Python only
+    compares and multiplies, so every score is bit-reproducible (lam
+    and mu are passed as the same decimal literals the DuckDB oracle
+    casts to DOUBLE — never derived as ``1 - lam``, which rounds
+    differently than the literal).
+
+    100 TB: candidates per query are bounded (n_candidates from the
+    ANN stage), so group state is O(n_candidates^2) and the job is one
+    shuffle of the candidate table by query_id; the corpus itself is
+    touched only by the upstream candidate generator.
+    """
+    import pandas as pd
+
+    cands = brute_force_topk(
+        emb, query_ids, k=n_candidates, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id", F.col("cos").alias("rel"))
+    vecs = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("v"))
+    cv = cands.join(vecs, F.col("neighbor_id") == F.col("nid")).select(
+        "query_id", "neighbor_id", "v"
+    )
+    ca, cb = cv.alias("ca"), cv.alias("cb")
+    pairs = ca.join(
+        cb,
+        (F.col("ca.query_id") == F.col("cb.query_id"))
+        & (F.col("ca.neighbor_id") < F.col("cb.neighbor_id")),
+    ).select(
+        F.col("ca.query_id").alias("query_id"),
+        F.col("ca.neighbor_id").alias("a"),
+        F.col("cb.neighbor_id").alias("b"),
+        cosine(F.col("ca.v"), F.col("cb.v")).alias("sim"),
+    )
+
+    lam_f, mu_f, k_f = float(lam), float(mu), int(k)
+
+    def _mmr(cdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
+        if cdf.empty:
+            return pd.DataFrame(
+                columns=["query_id", "rnk", "vec_id", "mmr_score"]
+            )
+        qid = int(cdf["query_id"].iloc[0])
+        rel = {
+            int(n): float(r)
+            for n, r in zip(cdf["neighbor_id"], cdf["rel"])
+        }
+        sim = {
+            (int(x), int(y)): float(s)
+            for x, y, s in zip(pdf["a"], pdf["b"], pdf["sim"])
+        }
+
+        def pair(x: int, y: int) -> float:
+            return sim[(x, y)] if x < y else sim[(y, x)]
+
+        picked: list[int] = []
+        remaining = sorted(rel)
+        out = []
+        while remaining and len(picked) < k_f:
+            best_id, best_score = None, None
+            for cid in remaining:  # ascending id => ties keep min id
+                if picked:
+                    ms = max(pair(cid, p) for p in picked)
+                    score = lam_f * rel[cid] - mu_f * ms
+                else:
+                    score = rel[cid]
+                if best_score is None or score > best_score:
+                    best_id, best_score = cid, score
+            picked.append(best_id)
+            remaining.remove(best_id)
+            out.append((qid, len(picked), best_id, best_score))
+        return pd.DataFrame(
+            out, columns=["query_id", "rnk", "vec_id", "mmr_score"]
+        )
+
+    return (
+        cands.groupBy("query_id")
+        .cogroup(pairs.groupBy("query_id"))
+        .applyInPandas(
+            lambda l, r: _mmr(l, r),
+            "query_id bigint, rnk bigint, vec_id bigint, mmr_score double",
+        )
+    )

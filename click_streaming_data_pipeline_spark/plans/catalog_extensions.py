@@ -1711,3 +1711,94 @@ def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = scan_parallel(load_table(spark, sf_dir, "documents"))
     return decode_png(synth_png_assets(docs))
+
+
+@query(
+    "rag_mmr_rerank",
+    oracle=f"""
+        WITH RECURSIVE e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id AS query_id, v AS qv FROM e
+            WHERE vec_id IN (0, 1, 2)
+        ),
+        scored AS (
+            SELECT query_id, e.vec_id AS nid,
+                   {_cos_sql('qv', 'e.v')} AS rel
+            FROM q JOIN e ON e.vec_id <> query_id
+        ),
+        cand AS (
+            SELECT query_id, nid, rel FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY rel DESC, nid ASC
+                ) AS rn FROM scored
+            ) WHERE rn <= 20
+        ),
+        psim AS (
+            SELECT c1.query_id, c1.nid AS a, c2.nid AS b,
+                   {_cos_sql('e1.v', 'e2.v')} AS s
+            FROM cand c1
+            JOIN cand c2 ON c1.query_id = c2.query_id AND c1.nid < c2.nid
+            JOIN e e1 ON e1.vec_id = c1.nid
+            JOIN e e2 ON e2.vec_id = c2.nid
+        ),
+        mmr AS (
+            SELECT query_id, [nid] AS picked, nid AS vec_id,
+                   rel AS mmr_score, CAST(1 AS BIGINT) AS rnk
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY rel DESC, nid ASC
+                ) AS rn FROM cand
+            ) WHERE rn = 1
+          UNION ALL
+            SELECT query_id, list_append(picked, nid) AS picked,
+                   nid AS vec_id, score AS mmr_score,
+                   rnk + 1 AS rnk
+            FROM (
+                SELECT m.query_id, m.picked, c.nid, m.rnk,
+                       CAST(0.7 AS DOUBLE) * c.rel
+                           - CAST(0.3 AS DOUBLE) * max(s.s) AS score,
+                       row_number() OVER (
+                           PARTITION BY m.query_id
+                           ORDER BY CAST(0.7 AS DOUBLE) * c.rel
+                                    - CAST(0.3 AS DOUBLE) * max(s.s)
+                                    DESC,
+                                    c.nid ASC
+                       ) AS rn
+                FROM mmr m
+                JOIN cand c ON c.query_id = m.query_id
+                 AND NOT list_contains(m.picked, c.nid)
+                JOIN psim s ON s.query_id = m.query_id
+                 AND ((s.a = c.nid AND list_contains(m.picked, s.b))
+                   OR (s.b = c.nid AND list_contains(m.picked, s.a)))
+                WHERE m.rnk < 8
+                GROUP BY m.query_id, m.picked, c.nid, c.rel, m.rnk
+            ) WHERE rn = 1
+        )
+        SELECT query_id, rnk, vec_id, mmr_score FROM mmr
+    """,
+    doc=(
+        "extension (RAG retrieval): MMR DIVERSIFIED RE-RANK "
+        "(Carbonell-Goldstein maximal marginal relevance) - the "
+        "brute-force top-20 per query is greedily re-ranked to a "
+        "top-8 by lam*rel - mu*max-sim-to-selected (lam=0.7), the "
+        "standard redundancy filter between ANN recall and an LLM "
+        "context window. Selection is sequential per query but "
+        "parallel across queries: cogrouped applyInPandas over "
+        "query_id, with relevance and pair similarities precomputed "
+        "by the exact fold-cosine (Python only compares/multiplies, "
+        "so scores stay bit-identical). Oracle: the full greedy loop "
+        "as a DuckDB RECURSIVE CTE over the same candidates - the "
+        "iterative selection IS SQL-expressible, so this 'custom "
+        "stateful' operator gets a value hash, not a rows-only row. "
+        "100 TB: group state is O(candidates^2), corpus touched only "
+        "by the upstream ANN stage."
+    ),
+    tags=("similarity",),
+)
+def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_rerank(emb, [0, 1, 2], n_candidates=20, k=8)

@@ -1027,3 +1027,42 @@ def test_substring_keep_one_preserves_canonical_copy(spark):
         ).collect()
     }
     assert all_cut[1] == "one"
+
+
+def test_mmr_rerank_diversifies(spark):
+    """MMR semantics the value oracle can't show: a redundant
+    candidate that plain top-k would keep is displaced by a more
+    diverse one, the first pick is the relevance argmax, and no
+    pick repeats."""
+    from click_streaming_data_pipeline_spark.extensions.similarity import (
+        mmr_rerank,
+    )
+
+    # query 0 on the x axis; candidates 1/2 are near-identical twins
+    # (sim ~ 0.99997, both rel ~ 0.98), 3 is a different direction
+    # with decent relevance, 4 trails
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.98, 0.20, 0.0]),
+        (2, [0.98, 0.21, 0.0]),
+        (3, [0.70, -0.70, 0.15]),
+        (4, [0.40, 0.10, 0.90]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # lam=0.5 weighs redundancy heavily enough that the twin of the
+    # first pick scores NEGATIVE (0.5*0.978 - 0.5*0.99997 < 0)
+    out = mmr_rerank(emb, [0], n_candidates=4, k=3, lam=0.5, mu=0.5).collect()
+    by_rank = {r["rnk"]: r for r in sorted(out, key=lambda r: r["rnk"])}
+    assert len(by_rank) == 3
+    # rank 1 = pure relevance argmax = candidate 1
+    assert by_rank[1]["vec_id"] == 1
+    # pure top-k would put the twin (2) second; MMR displaces it with
+    # the diverse candidate 3
+    assert by_rank[2]["vec_id"] == 3
+    picked = [r["vec_id"] for r in out]
+    assert len(picked) == len(set(picked))
+    # deterministic under resharding
+    again = mmr_rerank(
+        emb.repartition(5), [0], n_candidates=4, k=3, lam=0.5, mu=0.5
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

@@ -1801,3 +1801,87 @@ def event_mix_drift_chi2_streamed(
             )
         ).alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# priority sampling (Duffield-Lund-Thorup)
+
+from ..extensions.privacy import hex_uniform, hex_uniform_sql  # noqa: E402
+
+
+@query(
+    "priority_sample_dlt",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, source, n_chars,
+                   CAST(n_chars AS DOUBLE)
+                       / {hex_uniform_sql('CAST(doc_id AS VARCHAR)', 'dlt')}
+                       AS priority
+            FROM documents
+        ),
+        t AS (
+            SELECT *, row_number() OVER (
+                ORDER BY priority DESC, doc_id ASC) AS rn
+            FROM d
+        ),
+        tau AS (SELECT priority AS tau FROM t WHERE rn = 51)
+        SELECT doc_id, source, n_chars, priority,
+               CASE WHEN CAST(n_chars AS DOUBLE) > tau.tau
+                    THEN CAST(n_chars AS DOUBLE) ELSE tau.tau
+               END AS est_weight
+        FROM t, tau WHERE rn <= 50
+    """,
+    doc=(
+        "beyond-reference sampling: PRIORITY SAMPLING (Duffield-"
+        "Lund-Thorup 2005) - weighted-without-replacement k=50 by "
+        "priority = w/u with u a seeded md5 uniform, plus the "
+        "tau-threshold estimator (est_weight = max(w, tau), tau = "
+        "the (k+1)-th priority) whose subset-sum estimates are "
+        "unbiased with near-optimal variance. The bit-portable "
+        "sibling of pps_systematic_sample: Efraimidis-Spirakis keys "
+        "need ln/pow (not bit-portable across engines, per that "
+        "query's doc), but w/u is ONE correctly-rounded IEEE "
+        "division of exactly-representable operands, so priorities "
+        "hash identically. Scale shape: top-(k+1) is "
+        "TakeOrderedAndProject (per-partition heads, driver merge of "
+        "51 rows) - no prefix sum, no global sort, no single-"
+        "partition window over the corpus; the (k+1)-row frame then "
+        "broadcasts."
+    ),
+    tags=("sampling", "scale"),
+)
+def priority_sample_dlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (
+            F.col("n_chars").cast("double")
+            / hex_uniform(F.col("doc_id").cast("string"), "dlt")
+        ).alias("priority"),
+    )
+    # top-(k+1) never global-sorts: orderBy().limit() plans
+    # TakeOrderedAndProject; the 51-row result is the only thing the
+    # single-partition window below ever sees
+    top = d.orderBy(F.col("priority").desc(), F.col("doc_id").asc()).limit(51)
+    w = Window.orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+    ranked = top.select("*", F.row_number().over(w).alias("rn"))
+    tau = ranked.filter(F.col("rn") == 51).select(
+        F.col("priority").alias("tau")
+    )
+    return (
+        ranked.filter(F.col("rn") <= 50)
+        .join(F.broadcast(tau))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            "priority",
+            F.when(
+                F.col("n_chars").cast("double") > F.col("tau"),
+                F.col("n_chars").cast("double"),
+            )
+            .otherwise(F.col("tau"))
+            .alias("est_weight"),
+        )
+    )

@@ -739,3 +739,25 @@ def test_dp_laplace_noise_properties(spark):
     assert abs(med) < 0.1  # Laplace(1) median ~ 0
     neg = sum(1 for d in draws if d < 0)
     assert 0.45 < neg / len(draws) < 0.55
+
+
+def test_priority_sample_estimator(spark):
+    """DLT subset-sum property: the tau-threshold estimator applied
+    to the WHOLE corpus weight recovers the true total within the
+    scheme's variance band, and selection is reshard-stable."""
+    from click_streaming_data_pipeline_spark.plans import QUERIES
+
+    sample = QUERIES["priority_sample_dlt"].fn(spark, SF_TEST).collect()
+    assert len(sample) == 50
+    docs = load_table(spark, SF_TEST, "documents")
+    total = docs.agg(F.sum("n_chars")).collect()[0][0]
+    est_total = sum(r["est_weight"] for r in sample)
+    # unbiased estimator, k=50 -> relative RMSE ~ 1/sqrt(k-1) ~ 14%;
+    # one deterministic draw stays within a generous 4-sigma band
+    assert abs(est_total - total) / total < 0.6
+    # every selected doc's estimate >= its own weight (max(w, tau))
+    assert all(r["est_weight"] >= r["n_chars"] for r in sample)
+    again = (
+        QUERIES["priority_sample_dlt"].fn(spark, SF_TEST).collect()
+    )
+    assert sorted(map(tuple, sample)) == sorted(map(tuple, again))

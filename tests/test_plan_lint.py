@@ -22,6 +22,13 @@ from .conftest import SF_TEST
 ALLPAIRS_ALLOWED = {
     # exact ANN baseline: tiny broadcast query side x one corpus scan
     "knn_topk",
+    # reuses the knn_topk candidate generator (broadcast query side x
+    # one corpus scan); everything downstream is bounded by the
+    # 20-candidate frame
+    "rag_mmr_rerank",
+    # 1-row tau-threshold frame broadcast onto the 50-row selected
+    # set (the value_histogram bounds pattern)
+    "priority_sample_dlt",
     # same shape as knn_topk: broadcast bounded anchor batch x one
     # corpus scan (at corpus-scale anchors the IVF/LSH probes feed it)
     "hard_negative_pairs",

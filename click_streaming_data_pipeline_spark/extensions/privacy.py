@@ -110,15 +110,39 @@ def dp_noisy_counts(
     100 TB: two partial-agg shuffles, first on (user, key) then on
     key; output cardinality = |key domain|. No windows, no collect.
     """
-    scale = max_per_user / float(epsilon)
     per_user = df.groupBy(user_col, key_col).agg(
         F.count("*").alias("__n")
     )
+    return release_noisy_counts(
+        per_user,
+        key_col=key_col,
+        count_col="__n",
+        epsilon=epsilon,
+        max_per_user=max_per_user,
+        label=label,
+    )
+
+
+def release_noisy_counts(
+    per_user: DataFrame,
+    *,
+    key_col: str,
+    count_col: str = "__n",
+    epsilon: float = 1.0,
+    max_per_user: int = 8,
+    label: str = "dp-count",
+) -> DataFrame:
+    """Release stage of :func:`dp_noisy_counts`, split out so the
+    streaming twin can fold the per-(user, key) counts incrementally
+    (a mergeable sum — state is bounded by the user x key domain,
+    which user-level DP needs to track by definition) and run the
+    clamp + noise only at release time."""
+    scale = max_per_user / float(epsilon)
     return (
         per_user.groupBy(key_col)
         .agg(
-            F.sum("__n").cast("long").alias("true_count"),
-            F.sum(F.least(F.col("__n"), F.lit(max_per_user)))
+            F.sum(count_col).cast("long").alias("true_count"),
+            F.sum(F.least(F.col(count_col), F.lit(max_per_user)))
             .cast("long")
             .alias("clamped_count"),
         )

@@ -1819,3 +1819,101 @@ def dp_value_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
         epsilon=1.0,
         label="dp-sum",
     )
+
+
+@query(
+    "dp_event_counts_streamed",
+    # oracle = the batch DP release over ALL events: per-(user,type)
+    # count folding must converge to exactly the from-scratch counts,
+    # so clamp + seeded noise at drain time reproduce the batch
+    # release bit-for-bit
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id, event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type,
+               CAST(sum(n) AS BIGINT) AS true_count,
+               CAST(sum(least(n, 8)) AS BIGINT) AS clamped_count,
+               CAST(sum(least(n, 8)) AS DOUBLE)
+                   + {laplace_noise_sql('event_type', 'dp-count', 8.0)}
+                   AS noisy_count
+        FROM per_user GROUP BY 1
+    """,
+    doc=(
+        "governance extension: STREAMING DP release - per-(user,type) "
+        "counts fold incrementally into versioned state (a mergeable "
+        "sum; state is bounded by the user x type domain, which "
+        "user-level DP must track by definition - clamping early "
+        "would double-count a user who spans micro-batches), and the "
+        "clamp + seeded Laplace noise run once at release. Versions "
+        "derive only from strictly-older versions, so at-least-once "
+        "replays are byte-identical; the drained release must equal "
+        "the batch dp_event_counts exactly."
+    ),
+    tags=("corpus", "streaming", "agg"),
+)
+def dp_event_counts_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..extensions.privacy import release_noisy_counts
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="csdp_dp_")
+    src = os.path.join(work, "in")
+    state_dir = os.path.join(work, "state")
+    os.makedirs(state_dir)
+    events.repartition(6).write.mode("overwrite").parquet(src)
+
+    def _versions() -> list[int]:
+        return sorted(
+            int(d[1:])
+            for d in os.listdir(state_dir)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+
+    def fold_counts(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        delta = batch.groupBy("user_id", "event_type").agg(
+            F.count("*").cast("long").alias("n")
+        )
+        prior_vs = [v for v in _versions() if v < batch_id]
+        if prior_vs:
+            prior = sp.read.parquet(
+                os.path.join(state_dir, f"v{prior_vs[-1]}")
+            )
+            delta = (
+                prior.unionByName(delta)
+                .groupBy("user_id", "event_type")
+                .agg(F.sum("n").cast("long").alias("n"))
+            )
+        out = os.path.join(state_dir, f"v{batch_id}")
+        tmp = out + ".tmp"
+        delta.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        os.rename(tmp, out)
+        for v in prior_vs[:-1]:
+            shutil.rmtree(os.path.join(state_dir, f"v{v}"), True)
+
+    q_ = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream.foreachBatch(fold_counts)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    latest = _versions()[-1]
+    state = spark.read.parquet(os.path.join(state_dir, f"v{latest}"))
+    return release_noisy_counts(
+        state,
+        key_col="event_type",
+        count_col="n",
+        epsilon=1.0,
+        max_per_user=8,
+        label="dp-count",
+    )

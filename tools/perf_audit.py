@@ -45,11 +45,14 @@ def _collect(log_dir: str) -> dict[str, dict[str, float]]:
             },
         )
 
-    for fn in sorted(os.listdir(log_dir)):
-        path = os.path.join(log_dir, fn)
-        if not os.path.isfile(path):
-            continue
-        with open(path, encoding="utf-8") as fh:
+    # Spark 4 rolling event log v2: one DIRECTORY per app containing
+    # events_* part files; walk everything that parses as JSON lines
+    paths = []
+    for root, _dirs, files in os.walk(log_dir):
+        for fn in files:
+            paths.append(os.path.join(root, fn))
+    for path in sorted(paths):
+        with open(path, encoding="utf-8", errors="ignore") as fh:
             for line in fh:
                 try:
                     ev = json.loads(line)
@@ -129,6 +132,10 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", log_dir)
+        # Spark 4 zstd-compresses event logs by default; keep them
+        # plain JSON lines for the parser
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)

@@ -562,12 +562,23 @@ def mmr_rerank(
     """
     import pandas as pd
 
-    cands = brute_force_topk(
-        emb, query_ids, k=n_candidates, id_col=id_col, vec_col=vec_col
-    ).select("query_id", "neighbor_id", F.col("cos").alias("rel"))
+    # the candidate frame feeds three consumers (both sides of the
+    # pair self-join and the cogroup); materialize it once so the
+    # corpus is scanned only by the top-k generator, not re-derived
+    # per consumer (the single-materialization rule the LSH dedup
+    # uses for its shingle table) — it is Q x n_candidates rows
+    cands = (
+        brute_force_topk(
+            emb, query_ids, k=n_candidates, id_col=id_col, vec_col=vec_col
+        )
+        .select("query_id", "neighbor_id", F.col("cos").alias("rel"))
+        .localCheckpoint(eager=True)
+    )
     vecs = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("v"))
-    cv = cands.join(vecs, F.col("neighbor_id") == F.col("nid")).select(
-        "query_id", "neighbor_id", "v"
+    cv = (
+        cands.join(vecs, F.col("neighbor_id") == F.col("nid"))
+        .select("query_id", "neighbor_id", "v")
+        .localCheckpoint(eager=True)
     )
     ca, cb = cv.alias("ca"), cv.alias("cb")
     pairs = ca.join(

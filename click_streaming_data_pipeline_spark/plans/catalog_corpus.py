@@ -1757,7 +1757,7 @@ from ..extensions.privacy import (  # noqa: E402
         "corpus publisher can hand out without the audit queries "
         "(k_anonymity_audit) flagging it."
     ),
-    tags=("corpus", "agg"),
+    tags=("corpus", "agg", "bench"),
 )
 def dp_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")

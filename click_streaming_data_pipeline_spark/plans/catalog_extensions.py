@@ -1795,7 +1795,7 @@ def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "100 TB: group state is O(candidates^2), corpus touched only "
         "by the upstream ANN stage."
     ),
-    tags=("similarity",),
+    tags=("similarity", "bench"),
 )
 def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.similarity import mmr_rerank

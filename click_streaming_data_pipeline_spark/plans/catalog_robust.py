@@ -1848,7 +1848,7 @@ from ..extensions.privacy import hex_uniform, hex_uniform_sql  # noqa: E402
         "partition window over the corpus; the (k+1)-row frame then "
         "broadcasts."
     ),
-    tags=("sampling", "scale"),
+    tags=("sampling", "scale", "bench"),
 )
 def priority_sample_dlt(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(

@@ -761,3 +761,35 @@ def test_priority_sample_estimator(spark):
         QUERIES["priority_sample_dlt"].fn(spark, SF_TEST).collect()
     )
     assert sorted(map(tuple, sample)) == sorted(map(tuple, again))
+
+
+def test_dp_release_sensitivity_bound(spark):
+    """The invariant the Laplace scale is calibrated to: ADDING ONE
+    USER (however many rows they contribute) moves each key's clamped
+    count by at most max_per_user, and never touches the noise (which
+    is seeded from the key alone). This is the neighboring-datasets
+    sensitivity bound of user-level DP."""
+    from click_streaming_data_pipeline_spark.extensions.privacy import (
+        dp_noisy_counts,
+    )
+
+    base_rows = [(u, "click") for u in range(20) for _ in range(3)]
+    # the new user contributes 1000 click rows - far above the cap
+    loud = [(999, "click")] * 1000
+    schema = "user_id long, event_type string"
+    d1 = spark.createDataFrame(base_rows, schema)
+    d2 = spark.createDataFrame(base_rows + loud, schema)
+    kw = dict(
+        key_col="event_type", user_col="user_id",
+        epsilon=1.0, max_per_user=8,
+    )
+    r1 = {r["event_type"]: r for r in dp_noisy_counts(d1, **kw).collect()}
+    r2 = {r["event_type"]: r for r in dp_noisy_counts(d2, **kw).collect()}
+    for k in r1:
+        dc = abs(r2[k]["clamped_count"] - r1[k]["clamped_count"])
+        assert dc <= 8  # sensitivity bound holds despite 1000 rows
+        # noise depends only on the key seed (reconstructed noise
+        # picks up one addition rounding, hence the 1-ulp tolerance)
+        n1 = r1[k]["noisy_count"] - r1[k]["clamped_count"]
+        n2 = r2[k]["noisy_count"] - r2[k]["clamped_count"]
+        assert abs(n1 - n2) < 1e-9

@@ -208,3 +208,116 @@ def dp_noisy_sum(
             ).alias("noisy_sum"),
         )
     )
+
+
+def gumbel_noise(key: Column, label: str) -> Column:
+    """Seeded standard Gumbel noise ``-ln(-ln(u))``, rounded to
+    :data:`NOISE_DECIMALS` dp. Gumbel-max over utility scores IS the
+    exponential mechanism: argmax(score/b + Gumbel) samples
+    P(i) ∝ exp(score_i / b)."""
+    u = hex_uniform(key, label)
+    return F.round(-F.log(-F.log(u)), NOISE_DECIMALS)
+
+
+def gumbel_noise_sql(key_sql: str, label: str) -> str:
+    """DuckDB twin of :func:`gumbel_noise`."""
+    u = hex_uniform_sql(key_sql, label)
+    return f"round(-ln(-ln({u})), {NOISE_DECIMALS})"
+
+
+def dp_median_bin(
+    df: DataFrame,
+    *,
+    value_col: str,
+    bin_width: float,
+    n_bins: int,
+    epsilon: float = 1.0,
+    label: str = "dp-median",
+) -> DataFrame:
+    """(ε, 0)-DP median via the EXPONENTIAL MECHANISM (McSherry &
+    Talwar 2007) over a fixed bin domain — the second mechanism
+    family next to the Laplace releases: selection queries (which
+    bin holds the median?) get utility scoring + Gumbel-max sampling
+    instead of additive noise.
+
+    Utility u(b) = -|2·cum_le(b) - n| (twice the rank distance of
+    bin b's upper edge from the median rank; integer-exact). One
+    event moves cum_le by ≤1 and n by 1, so Δu ≤ 3 (event-level DP;
+    a user-level variant would pre-aggregate per user like
+    :func:`dp_noisy_counts`). The mechanism samples
+    P(b) ∝ exp(ε·u(b)/(2Δu)); deterministically seeded Gumbel-max
+    realizes the draw: argmax(ε·u/(2Δu) + Gumbel_b), ties to the
+    lower bin.
+
+    Plan: one partial-agg groupBy(bin) reduces the corpus to ≤n_bins
+    rows; the bin spine (range join), cumulative sum, and argmax all
+    run on that bounded frame — at 100 TB the corpus contributes one
+    aggregation pass, everything after is O(n_bins).
+
+    Output (1 row): n, dp_bin, dp_lo, dp_mid, true_bin — the true
+    median bin rides along for error audits exactly like
+    ``true_count`` in the count release.
+    """
+    from pyspark.sql.window import Window
+
+    scale = float(epsilon) / 6.0  # eps / (2 * delta_u), delta_u = 3
+    spark = df.sparkSession
+    b = F.least(
+        F.floor(F.col(value_col) / F.lit(float(bin_width))),
+        F.lit(n_bins - 1),
+    ).cast("long")
+    counts = df.select(b.alias("bin")).groupBy("bin").agg(
+        F.count("*").alias("cnt")
+    )
+    spine = spark.range(n_bins).select(F.col("id").alias("bin"))
+    binned = spine.join(counts, "bin", "left").select(
+        "bin", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    scored = binned.select(
+        "bin",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    ).select(
+        "bin",
+        "cum",
+        "n",
+        (
+            (-F.abs(F.lit(2) * F.col("cum") - F.col("n"))).cast("double")
+            * F.lit(scale)
+            + gumbel_noise(F.col("bin").cast("string"), label)
+        ).alias("phi"),
+    )
+    sel = Window.orderBy(F.col("phi").desc(), F.col("bin").asc())
+    return (
+        scored.select(
+            "bin",
+            "cum",
+            "n",
+            "phi",
+            F.row_number().over(sel).alias("__rn"),
+            F.min(
+                F.when(
+                    F.lit(2) * F.col("cum") >= F.col("n"), F.col("bin")
+                )
+            )
+            .over(wall)
+            .alias("true_bin"),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("n"),
+            F.col("bin").alias("dp_bin"),
+            (F.col("bin").cast("double") * F.lit(float(bin_width))).alias(
+                "dp_lo"
+            ),
+            (
+                F.col("bin").cast("double") * F.lit(float(bin_width))
+                + F.lit(float(bin_width) / 2.0)
+            ).alias("dp_mid"),
+            F.col("true_bin"),
+        )
+    )

@@ -1917,3 +1917,77 @@ def dp_event_counts_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_per_user=8,
         label="dp-count",
     )
+
+
+from ..extensions.privacy import gumbel_noise_sql  # noqa: E402
+
+
+@query(
+    "dp_value_median",
+    oracle=f"""
+        WITH counts AS (
+            SELECT least(CAST(floor(value / 25.0) AS BIGINT),
+                         CAST(19 AS BIGINT)) AS bin,
+                   count(*) AS cnt
+            FROM events GROUP BY 1
+        ),
+        spine AS (SELECT CAST(x AS BIGINT) AS bin FROM range(20) t(x)),
+        binned AS (
+            SELECT s.bin, COALESCE(c.cnt, 0) AS cnt
+            FROM spine s LEFT JOIN counts c ON c.bin = s.bin
+        ),
+        scored AS (
+            SELECT bin,
+                   SUM(cnt) OVER (ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum,
+                   SUM(cnt) OVER () AS n
+            FROM binned
+        ),
+        phi AS (
+            SELECT bin, cum, n,
+                   CAST(-abs(2 * cum - n) AS DOUBLE)
+                       * (CAST(1.0 AS DOUBLE) / CAST(6.0 AS DOUBLE))
+                       + {gumbel_noise_sql('CAST(bin AS VARCHAR)', 'dp-median')}
+                       AS phi
+            FROM scored
+        ),
+        sel AS (
+            SELECT *,
+                   row_number() OVER (ORDER BY phi DESC, bin ASC) AS rn,
+                   (SELECT min(bin) FROM phi p2
+                    WHERE 2 * p2.cum >= p2.n) AS true_bin
+            FROM phi
+        )
+        SELECT CAST(n AS BIGINT) AS n, bin AS dp_bin,
+               CAST(bin AS DOUBLE) * 25.0 AS dp_lo,
+               CAST(bin AS DOUBLE) * 25.0 + 12.5 AS dp_mid,
+               true_bin
+        FROM sel WHERE rn = 1
+    """,
+    doc=(
+        "governance extension: DP MEDIAN via the EXPONENTIAL "
+        "MECHANISM (McSherry-Talwar 2007) - the selection-query "
+        "mechanism family next to the additive-noise Laplace "
+        "releases: utility u(bin) = -|2 cum - n| (integer rank "
+        "distance from the median), seeded Gumbel-max realizes "
+        "P(bin) proportional to exp(eps*u/(2*delta_u)) "
+        "deterministically. One partial-agg groupBy(bin) reduces the "
+        "corpus to <= 20 rows; spine join, cumulative sum, and "
+        "argmax all run on that bounded frame. true_bin rides along "
+        "for error audits like true_count in dp_event_counts."
+    ),
+    tags=("corpus", "agg"),
+)
+def dp_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.privacy import dp_median_bin
+
+    events = load_table(spark, sf_dir, "events")
+    return dp_median_bin(
+        events,
+        value_col="value",
+        bin_width=25.0,
+        n_bins=20,
+        epsilon=1.0,
+        label="dp-median",
+    )

@@ -793,3 +793,31 @@ def test_dp_release_sensitivity_bound(spark):
         n1 = r1[k]["noisy_count"] - r1[k]["clamped_count"]
         n2 = r2[k]["noisy_count"] - r2[k]["clamped_count"]
         assert abs(n1 - n2) < 1e-9
+
+
+def test_dp_median_exponential_mechanism(spark):
+    """Mechanism semantics: with a large epsilon the utility term
+    dominates the (bounded) seeded Gumbel noise, so the released bin
+    IS the true median bin; the release is reshard-stable; and the
+    true_bin audit column matches a direct computation."""
+    from click_streaming_data_pipeline_spark.extensions.privacy import (
+        dp_median_bin,
+    )
+
+    events = load_table(spark, SF_TEST, "events")
+    kw = dict(value_col="value", bin_width=25.0, n_bins=20)
+    # 32-bit seeded Gumbel is bounded by |ln(-ln(u))| < 23; with
+    # eps=600 the per-rank-unit utility step is 600/6 = 100 > 2*23,
+    # so no noise realization can flip the argmax off the true bin
+    exact = dp_median_bin(events, epsilon=600.0, **kw).collect()[0]
+    assert exact["dp_bin"] == exact["true_bin"]
+    # true_bin == smallest bin whose cumulative count reaches n/2
+    vals = sorted(r["value"] for r in events.select("value").collect())
+    med = vals[(len(vals) - 1) // 2]
+    assert exact["true_bin"] == min(int(med // 25), 19)
+    # eps=1 release is deterministic under resharding
+    r1 = dp_median_bin(events, epsilon=1.0, **kw).collect()[0]
+    r2 = dp_median_bin(
+        events.repartition(7), epsilon=1.0, **kw
+    ).collect()[0]
+    assert tuple(r1) == tuple(r2)

@@ -258,17 +258,54 @@ def dp_median_bin(
     median bin rides along for error audits exactly like
     ``true_count`` in the count release.
     """
-    from pyspark.sql.window import Window
+    counts = bin_counts(
+        df, value_col=value_col, bin_width=bin_width, n_bins=n_bins
+    )
+    return release_median_bin(
+        counts,
+        bin_width=bin_width,
+        n_bins=n_bins,
+        epsilon=epsilon,
+        label=label,
+    )
 
-    scale = float(epsilon) / 6.0  # eps / (2 * delta_u), delta_u = 3
-    spark = df.sparkSession
+
+def bin_counts(
+    df: DataFrame,
+    *,
+    value_col: str,
+    bin_width: float,
+    n_bins: int,
+) -> DataFrame:
+    """The corpus-touching stage of :func:`dp_median_bin`: one
+    partial-agg histogram over the fixed bin domain. Mergeable (sum
+    per bin), so the streaming twin folds it incrementally."""
     b = F.least(
         F.floor(F.col(value_col) / F.lit(float(bin_width))),
         F.lit(n_bins - 1),
     ).cast("long")
-    counts = df.select(b.alias("bin")).groupBy("bin").agg(
-        F.count("*").alias("cnt")
+    return (
+        df.select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("cnt"))
     )
+
+
+def release_median_bin(
+    counts: DataFrame,
+    *,
+    bin_width: float,
+    n_bins: int,
+    epsilon: float = 1.0,
+    label: str = "dp-median",
+) -> DataFrame:
+    """Release stage of :func:`dp_median_bin` over a (bin, cnt)
+    frame: spine join, cumulative rank utility, seeded Gumbel-max —
+    everything O(n_bins)."""
+    from pyspark.sql.window import Window
+
+    scale = float(epsilon) / 6.0  # eps / (2 * delta_u), delta_u = 3
+    spark = counts.sparkSession
     spine = spark.range(n_bins).select(F.col("id").alias("bin"))
     binned = spine.join(counts, "bin", "left").select(
         "bin", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")

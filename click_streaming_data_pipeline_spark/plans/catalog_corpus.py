@@ -1991,3 +1991,122 @@ def dp_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         epsilon=1.0,
         label="dp-median",
     )
+
+
+@query(
+    "dp_value_median_streamed",
+    # oracle = the batch exponential-mechanism release over ALL
+    # events: bin-count folding must converge to the from-scratch
+    # histogram, so the drain-time utility + seeded Gumbel selection
+    # reproduces the batch release bit-for-bit
+    oracle=f"""
+        WITH counts AS (
+            SELECT least(CAST(floor(value / 25.0) AS BIGINT),
+                         CAST(19 AS BIGINT)) AS bin,
+                   count(*) AS cnt
+            FROM events GROUP BY 1
+        ),
+        spine AS (SELECT CAST(x AS BIGINT) AS bin FROM range(20) t(x)),
+        binned AS (
+            SELECT s.bin, COALESCE(c.cnt, 0) AS cnt
+            FROM spine s LEFT JOIN counts c ON c.bin = s.bin
+        ),
+        scored AS (
+            SELECT bin,
+                   SUM(cnt) OVER (ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum,
+                   SUM(cnt) OVER () AS n
+            FROM binned
+        ),
+        phi AS (
+            SELECT bin, cum, n,
+                   CAST(-abs(2 * cum - n) AS DOUBLE)
+                       * (CAST(1.0 AS DOUBLE) / CAST(6.0 AS DOUBLE))
+                       + {gumbel_noise_sql('CAST(bin AS VARCHAR)', 'dp-median')}
+                       AS phi
+            FROM scored
+        ),
+        sel AS (
+            SELECT *,
+                   row_number() OVER (ORDER BY phi DESC, bin ASC) AS rn,
+                   (SELECT min(bin) FROM phi p2
+                    WHERE 2 * p2.cum >= p2.n) AS true_bin
+            FROM phi
+        )
+        SELECT CAST(n AS BIGINT) AS n, bin AS dp_bin,
+               CAST(bin AS DOUBLE) * 25.0 AS dp_lo,
+               CAST(bin AS DOUBLE) * 25.0 + 12.5 AS dp_mid,
+               true_bin
+        FROM sel WHERE rn = 1
+    """,
+    doc=(
+        "governance extension: STREAMING exponential-mechanism DP "
+        "median - the fixed-domain bin histogram is the mergeable "
+        "state (<= 20 rows FOREVER, independent of stream length; "
+        "contrast the per-user state the count release needs), "
+        "folded per micro-batch into replay-idempotent versions; "
+        "utility + seeded Gumbel selection run once at drain and "
+        "must equal the batch dp_value_median exactly."
+    ),
+    tags=("corpus", "streaming", "agg"),
+)
+def dp_value_median_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..extensions.privacy import bin_counts, release_median_bin
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="csdp_dpm_")
+    src = os.path.join(work, "in")
+    state_dir = os.path.join(work, "state")
+    os.makedirs(state_dir)
+    events.repartition(6).write.mode("overwrite").parquet(src)
+
+    def _versions() -> list[int]:
+        return sorted(
+            int(d[1:])
+            for d in os.listdir(state_dir)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+
+    def fold_bins(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        delta = bin_counts(
+            batch, value_col="value", bin_width=25.0, n_bins=20
+        )
+        prior_vs = [v for v in _versions() if v < batch_id]
+        if prior_vs:
+            prior = sp.read.parquet(
+                os.path.join(state_dir, f"v{prior_vs[-1]}")
+            )
+            delta = (
+                prior.unionByName(delta)
+                .groupBy("bin")
+                .agg(F.sum("cnt").cast("long").alias("cnt"))
+            )
+        out = os.path.join(state_dir, f"v{batch_id}")
+        tmp = out + ".tmp"
+        delta.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        os.rename(tmp, out)
+        for v in prior_vs[:-1]:
+            shutil.rmtree(os.path.join(state_dir, f"v{v}"), True)
+
+    q_ = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream.foreachBatch(fold_bins)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    latest = _versions()[-1]
+    state = spark.read.parquet(os.path.join(state_dir, f"v{latest}"))
+    return release_median_bin(
+        state, bin_width=25.0, n_bins=20, epsilon=1.0, label="dp-median"
+    )

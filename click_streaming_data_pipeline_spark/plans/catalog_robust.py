@@ -1885,3 +1885,126 @@ def priority_sample_dlt(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est_weight"),
         )
     )
+
+
+@query(
+    "priority_sample_dlt_streamed",
+    # oracle = the batch priority sample: top-(k+1)-by-priority is a
+    # max-like fold, so the drained reservoir equals the from-scratch
+    # draw exactly
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, source, n_chars,
+                   CAST(n_chars AS DOUBLE)
+                       / {hex_uniform_sql('CAST(doc_id AS VARCHAR)', 'dlt')}
+                       AS priority
+            FROM documents
+        ),
+        t AS (
+            SELECT *, row_number() OVER (
+                ORDER BY priority DESC, doc_id ASC) AS rn
+            FROM d
+        ),
+        tau AS (SELECT priority AS tau FROM t WHERE rn = 51)
+        SELECT doc_id, source, n_chars, priority,
+               CASE WHEN CAST(n_chars AS DOUBLE) > tau.tau
+                    THEN CAST(n_chars AS DOUBLE) ELSE tau.tau
+               END AS est_weight
+        FROM t, tau WHERE rn <= 50
+    """,
+    doc=(
+        "beyond-reference sampling: STREAMING priority sampling - the "
+        "distributed weighted reservoir: state is the top-(k+1) rows "
+        "by priority (k+1 rows FOREVER, the textbook bounded-state "
+        "stream sample), folded per micro-batch by union + re-top "
+        "(a max-like idempotent merge, so at-least-once replays "
+        "cannot change the draw); tau and the estimator come from "
+        "the drained reservoir and must equal the batch "
+        "priority_sample_dlt exactly."
+    ),
+    tags=("sampling", "streaming", "scale"),
+)
+def priority_sample_dlt_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..extensions.privacy import hex_uniform
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="csdp_dlt_")
+    src = os.path.join(work, "in")
+    state_dir = os.path.join(work, "state")
+    os.makedirs(state_dir)
+    docs.repartition(6).write.mode("overwrite").parquet(src)
+
+    def _versions() -> list[int]:
+        return sorted(
+            int(d[1:])
+            for d in os.listdir(state_dir)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+
+    def fold_topk(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        delta = batch.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (
+                F.col("n_chars").cast("double")
+                / hex_uniform(F.col("doc_id").cast("string"), "dlt")
+            ).alias("priority"),
+        )
+        prior_vs = [v for v in _versions() if v < batch_id]
+        if prior_vs:
+            prior = sp.read.parquet(
+                os.path.join(state_dir, f"v{prior_vs[-1]}")
+            )
+            delta = prior.unionByName(delta).dropDuplicates(["doc_id"])
+        merged = delta.orderBy(
+            F.col("priority").desc(), F.col("doc_id").asc()
+        ).limit(51)
+        out = os.path.join(state_dir, f"v{batch_id}")
+        tmp = out + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        os.rename(tmp, out)
+        for v in prior_vs[:-1]:
+            shutil.rmtree(os.path.join(state_dir, f"v{v}"), True)
+
+    q_ = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream.foreachBatch(fold_topk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    latest = _versions()[-1]
+    state = spark.read.parquet(os.path.join(state_dir, f"v{latest}"))
+    w = Window.orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+    ranked = state.select("*", F.row_number().over(w).alias("rn"))
+    tau = ranked.filter(F.col("rn") == 51).select(
+        F.col("priority").alias("tau")
+    )
+    return (
+        ranked.filter(F.col("rn") <= 50)
+        .join(F.broadcast(tau))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            "priority",
+            F.when(
+                F.col("n_chars").cast("double") > F.col("tau"),
+                F.col("n_chars").cast("double"),
+            )
+            .otherwise(F.col("tau"))
+            .alias("est_weight"),
+        )
+    )

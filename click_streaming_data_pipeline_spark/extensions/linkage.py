@@ -86,11 +86,16 @@ def edit_distance_pairs(
     # shuffling the full candidate multiset through a distinct — the
     # distinct then only shuffles verified survivors
     cand = a.join(b, "_dkey").filter(F.col("id_a") < F.col("id_b"))
+    # thresholded levenshtein computes the banded DP (O(n*k) per pair
+    # instead of O(n^2)) and returns -1 beyond the band — exact
+    # distances for every surviving pair, ~len/k less work per
+    # candidate on the hot verify path
     return (
         cand.withColumn(
-            "dist", F.levenshtein("name_a", "name_b").cast("int")
+            "dist",
+            F.levenshtein("name_a", "name_b", max_dist).cast("int"),
         )
-        .filter(F.col("dist") <= max_dist)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select("id_a", "id_b", "name_a", "name_b", "dist")
         .distinct()
     )

@@ -181,18 +181,43 @@ def dp_noisy_sum(
     engines sum bit-identically (the catalog's dsum rule); the noise
     addition happens in double at the very end.
     """
-    sensitivity = max(abs(float(lo)), abs(float(hi)))
-    scale = sensitivity / float(epsilon)
     per_user = df.groupBy(user_col, key_col).agg(
         F.sum(F.col(value_col).cast("decimal(28,6)")).alias("__s")
     )
+    return release_noisy_sums(
+        per_user,
+        key_col=key_col,
+        sum_col="__s",
+        lo=lo,
+        hi=hi,
+        epsilon=epsilon,
+        label=label,
+    )
+
+
+def release_noisy_sums(
+    per_user: DataFrame,
+    *,
+    key_col: str,
+    sum_col: str = "__s",
+    lo: float,
+    hi: float,
+    epsilon: float = 1.0,
+    label: str = "dp-sum",
+) -> DataFrame:
+    """Release stage of :func:`dp_noisy_sum` over a per-(user, key)
+    decimal-sum frame — split out so the streaming twin can fold the
+    per-user totals incrementally (decimal sums merge exactly) and
+    clamp + noise only at release."""
+    sensitivity = max(abs(float(lo)), abs(float(hi)))
+    scale = sensitivity / float(epsilon)
     # bounds pinned to the accumulator's own type, decimal(38,6):
     # DuckDB's least/greatest promote MIXED decimal widths to DOUBLE
     # (measured), which would leak float rounding into the clamp
     clamped = per_user.select(
         F.col(key_col),
         F.least(
-            F.greatest(F.col("__s"), F.lit(lo).cast("decimal(38,6)")),
+            F.greatest(F.col(sum_col), F.lit(lo).cast("decimal(38,6)")),
             F.lit(hi).cast("decimal(38,6)"),
         ).alias("__c"),
     )

@@ -2110,3 +2110,110 @@ def dp_value_median_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return release_median_bin(
         state, bin_width=25.0, n_bins=20, epsilon=1.0, label="dp-median"
     )
+
+
+@query(
+    "dp_value_sums_streamed",
+    # oracle = the batch DP sum release over ALL events: per-user
+    # decimal totals merge exactly across micro-batches, so the
+    # drain-time clamp + seeded noise reproduce the batch release
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id, event_type,
+                   sum(CAST(value AS DECIMAL(28,6))) AS s
+            FROM events GROUP BY 1, 2
+        ),
+        clamped AS (
+            SELECT event_type,
+                   CASE WHEN s < CAST(0.0 AS DECIMAL(38,6))
+                             THEN CAST(0.0 AS DECIMAL(38,6))
+                        WHEN s > CAST(1000.0 AS DECIMAL(38,6))
+                             THEN CAST(1000.0 AS DECIMAL(38,6))
+                        ELSE s END AS c
+            FROM per_user
+        )
+        SELECT event_type,
+               CAST(sum(c) AS DOUBLE) AS clamped_sum,
+               CAST(sum(c) AS DOUBLE)
+                   + {laplace_noise_sql('event_type', 'dp-sum', 1000.0)}
+                   AS noisy_sum
+        FROM clamped GROUP BY 1
+    """,
+    doc=(
+        "governance extension: STREAMING DP sum release - per-"
+        "(user,type) DECIMAL(28,6) value totals fold incrementally "
+        "(decimal sums merge exactly, so cross-engine bit parity "
+        "survives any micro-batch split); the [0,1000] clamp and the "
+        "seeded Laplace(1000/eps) run once at drain. Clamping early "
+        "would break the user-level bound for users spanning "
+        "batches, exactly as in dp_event_counts_streamed."
+    ),
+    tags=("corpus", "streaming", "agg"),
+)
+def dp_value_sums_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..extensions.privacy import release_noisy_sums
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="csdp_dps_")
+    src = os.path.join(work, "in")
+    state_dir = os.path.join(work, "state")
+    os.makedirs(state_dir)
+    events.repartition(6).write.mode("overwrite").parquet(src)
+
+    def _versions() -> list[int]:
+        return sorted(
+            int(d[1:])
+            for d in os.listdir(state_dir)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+
+    def fold_sums(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        delta = batch.groupBy("user_id", "event_type").agg(
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("decimal(38,6)")
+            .alias("s")
+        )
+        prior_vs = [v for v in _versions() if v < batch_id]
+        if prior_vs:
+            prior = sp.read.parquet(
+                os.path.join(state_dir, f"v{prior_vs[-1]}")
+            )
+            delta = (
+                prior.unionByName(delta)
+                .groupBy("user_id", "event_type")
+                .agg(F.sum("s").cast("decimal(38,6)").alias("s"))
+            )
+        out = os.path.join(state_dir, f"v{batch_id}")
+        tmp = out + ".tmp"
+        delta.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        os.rename(tmp, out)
+        for v in prior_vs[:-1]:
+            shutil.rmtree(os.path.join(state_dir, f"v{v}"), True)
+
+    q_ = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream.foreachBatch(fold_sums)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    latest = _versions()[-1]
+    state = spark.read.parquet(os.path.join(state_dir, f"v{latest}"))
+    return release_noisy_sums(
+        state,
+        key_col="event_type",
+        sum_col="s",
+        lo=0.0,
+        hi=1000.0,
+        epsilon=1.0,
+        label="dp-sum",
+    )

@@ -2008,3 +2008,114 @@ def priority_sample_dlt_streamed(
             .alias("est_weight"),
         )
     )
+
+
+@query(
+    "value_cusum_changepoint",
+    oracle="""
+        WITH RECURSIVE daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS x
+            FROM events
+            GROUP BY 1, 2
+        ),
+        ref AS (
+            SELECT event_type,
+                   SUM(x) // COUNT(*) AS k,
+                   COUNT(*) AS n_days
+            FROM daily GROUP BY 1
+        ),
+        e AS (
+            SELECT d.event_type, d.day, d.x, r.k, r.n_days,
+                   row_number() OVER (PARTITION BY d.event_type
+                                      ORDER BY d.day) AS rn
+            FROM daily d JOIN ref r ON r.event_type = d.event_type
+        ),
+        cu(event_type, rn, s, n_alarms, first_alarm) AS (
+            SELECT event_type, rn, greatest(0, x - k),
+                   CASE WHEN greatest(0, x - k) > k THEN 1 ELSE 0 END,
+                   CASE WHEN greatest(0, x - k) > k THEN day END
+            FROM e WHERE rn = 1
+          UNION ALL
+            SELECT e.event_type, e.rn,
+                   greatest(0, cu.s + e.x - e.k),
+                   cu.n_alarms
+                     + CASE WHEN greatest(0, cu.s + e.x - e.k) > e.k
+                            THEN 1 ELSE 0 END,
+                   COALESCE(cu.first_alarm,
+                     CASE WHEN greatest(0, cu.s + e.x - e.k) > e.k
+                          THEN e.day END)
+            FROM cu JOIN e
+              ON e.event_type = cu.event_type AND e.rn = cu.rn + 1
+        )
+        SELECT r.event_type,
+               CAST(r.n_days AS BIGINT) AS n_days,
+               CAST(r.k AS BIGINT) AS ref_cents,
+               CAST(max(cu.s) AS BIGINT) AS max_cusum,
+               CAST(arg_max(cu.n_alarms, cu.rn) AS BIGINT) AS n_alarms,
+               arg_max(cu.first_alarm, cu.rn) AS first_alarm_day
+        FROM cu JOIN ref r ON r.event_type = cu.event_type
+        GROUP BY 1, 2, 3
+    """,
+    doc=(
+        "beyond-reference drift family: CUSUM CHANGEPOINT detection "
+        "(Page 1954) - the SEQUENTIAL drift monitor next to the "
+        "two-sample tests (value_drift_ks / event_mix_drift_chi2 / "
+        "value_shift_mannwhitney compare two windows; CUSUM walks "
+        "the series and accumulates one-sided excess over a "
+        "reference, alarming when S_t = max(0, S_(t-1) + x_t - k) "
+        "crosses h = k). Pure-integer spec: daily cents totals, "
+        "integer-DIV reference, so the fold is exact on both "
+        "engines. max(0, .) is not associative - same inherently "
+        "sequential class as user_balance_clamped: Arrow applyInPandas "
+        "fold per key (cost bounded by one key's day count, keys "
+        "parallelize), DuckDB linear recursive CTE as oracle. At "
+        "100 TB the corpus contributes one (type, day) partial agg; "
+        "the fold runs on the tiny day-series frame."
+    ),
+    tags=("agg", "temporal", "scale"),
+)
+def value_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(_cents()).cast("long").alias("x"))
+    ref = daily.groupBy("event_type").agg(
+        F.expr("SUM(x) DIV COUNT(*)").alias("k"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    joined = daily.join(ref, "event_type")
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        k = int(pdf["k"].iloc[0])
+        s = 0
+        max_s = 0
+        n_alarms = 0
+        first_alarm = None
+        for day, x in zip(pdf["day"], pdf["x"]):
+            s = max(0, s + int(x) - k)
+            max_s = max(max_s, s)
+            if s > k:
+                n_alarms += 1
+                if first_alarm is None:
+                    first_alarm = day
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [len(pdf)],
+                "ref_cents": [k],
+                "max_cusum": [max_s],
+                "n_alarms": [n_alarms],
+                "first_alarm_day": [first_alarm],
+            }
+        )
+
+    return joined.groupBy("event_type").applyInPandas(
+        fold,
+        "event_type string, n_days long, ref_cents long, "
+        "max_cusum long, n_alarms long, first_alarm_day date",
+    )

@@ -248,3 +248,47 @@ def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
     assert {t: (r["ci_lo"], r["ci_hi"]) for t, r in rows.items()} == {
         t: (r["ci_lo"], r["ci_hi"]) for t, r in again.items()
     }
+
+
+def test_cusum_catches_planted_shift(spark):
+    """Plant a level shift on day 11 of a 20-day series: CUSUM must
+    stay quiet through the in-control prefix and alarm shortly after
+    the shift; a flat control series must never alarm."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from click_streaming_data_pipeline_spark.plans import QUERIES
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for d in range(20):
+        # 'shift': 100/day then 300/day from day 11; 'flat': 100/day
+        v = 300.0 if d >= 10 else 100.0
+        rows.append((1000 + d, base + dt.timedelta(days=d), 1, "shift", v))
+        rows.append((2000 + d, base + dt.timedelta(days=d), 2, "flat", 100.0))
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    import os
+    import tempfile
+
+    sf = tempfile.mkdtemp(prefix="csdp_cusum_")
+    events.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    out = {
+        r["event_type"]: r
+        for r in QUERIES["value_cusum_changepoint"].fn(spark, sf).collect()
+    }
+    # flat series: x - k == 0 every day -> S stays 0, no alarms
+    assert out["flat"]["max_cusum"] == 0
+    assert out["flat"]["n_alarms"] == 0
+    assert out["flat"]["first_alarm_day"] is None
+    # shifted series: k = mean = 20000 cents; post-shift excess
+    # 10000/day crosses h = k on day 13 (S = 2*10000 + slack)
+    s = out["shift"]
+    assert s["n_alarms"] > 0
+    assert s["first_alarm_day"] >= dt.date(2024, 1, 11)
+    assert s["first_alarm_day"] <= dt.date(2024, 1, 15)
+    assert s["max_cusum"] > s["ref_cents"]

@@ -1066,3 +1066,44 @@ def test_mmr_rerank_diversifies(spark):
         emb.repartition(5), [0], n_candidates=4, k=3, lam=0.5, mu=0.5
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("seed", [7, 23, 91])
+def test_mmr_oracle_fuzz_random_corpora(spark, seed, tmp_path):
+    """Fuzz the recursive-CTE MMR oracle: on random corpora the
+    greedy loop's every pick must still match DuckDB bit-for-bit
+    (the driver only exercises one corpus; near-ties in the
+    marginal-score argmax are where an oracle bug would hide)."""
+    import random
+
+    import duckdb
+
+    from click_streaming_data_pipeline_spark.plans import QUERIES
+
+    rng = random.Random(seed)
+    rows = [
+        (i, [rng.uniform(-1.0, 1.0) for _ in range(8)], i % 3)
+        for i in range(15)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    emb.write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+
+    q = QUERIES["rag_mmr_rerank"]
+    df = q.fn(spark, sf)
+    con = duckdb.connect()
+    # Spark writes a parquet DIRECTORY; glob the part files for DuckDB
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{sf}/embeddings.parquet/*.parquet'"
+    )
+    from .conftest import assert_df_matches_oracle
+
+    assert_df_matches_oracle(df, con, q.oracle)
+    con.close()

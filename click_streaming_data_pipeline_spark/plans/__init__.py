@@ -46,8 +46,8 @@ _SHOWCASE_FIRST = [
     "signature_exists_semijoin",
     "orphan_antijoin",
     "constraint_deadletter",
-    "quality_gate",
-    "projection_defaults",
+    "value_cusum_changepoint",
+    "dp_value_median",
     "paginate_orders",
     "top_orders",
     "nation_revenue",

@@ -1802,3 +1802,59 @@ def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return mmr_rerank(emb, [0, 1, 2], n_candidates=20, k=8)
+
+
+@query(
+    "image_resize_stats",
+    oracle="""
+        SELECT doc_id AS asset_id,
+               TRUE AS decode_ok,
+               CAST((length(text) + 1) // 2 AS BIGINT) AS width,
+               CAST(1 AS BIGINT) AS height,
+               CAST(list_aggregate(list_transform(
+                   generate_series(1, (length(text) + 1) // 2),
+                   j -> ord(text[
+                       CAST((j - 1) * length(text)
+                            // ((length(text) + 1) // 2) AS BIGINT) + 1
+                   ])), 'sum') AS BIGINT) AS px_sum,
+               CAST(list_aggregate(list_transform(
+                   generate_series(1, (length(text) + 1) // 2),
+                   j -> ord(text[
+                       CAST((j - 1) * length(text)
+                            // ((length(text) + 1) // 2) AS BIGINT) + 1
+                   ])), 'min') AS BIGINT) AS px_min,
+               CAST(list_aggregate(list_transform(
+                   generate_series(1, (length(text) + 1) // 2),
+                   j -> ord(text[
+                       CAST((j - 1) * length(text)
+                            // ((length(text) + 1) // 2) AS BIGINT) + 1
+                   ])), 'max') AS BIGINT) AS px_max
+        FROM documents
+    """,
+    doc=(
+        "extension (multimodal, REAL RESIZE): the fourth lane of the "
+        "decode/feature/resize/frame-sample quartet - each synthetic "
+        "2-row PNG is decoded, NEAREST-NEIGHBOR downsampled to "
+        "1 x ceil(w/2) via the pure-integer index map "
+        "src = (dst*in)//out (no float kernels, so results are "
+        "bit-portable), re-ENCODED as a spec-conformant PNG, and "
+        "decoded AGAIN for the stats - the full "
+        "codec->resample->codec round trip a thumbnailing pipeline "
+        "runs. The selected row-0 pixels are text bytes at known "
+        "integer positions, so the oracle reproduces every stat "
+        "from the source text. Scale: two scan-stage Arrow batch "
+        "passes, zero shuffle."
+    ),
+    tags=("multimodal",),
+)
+def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.multimodal import (
+        decode_png,
+        resize_png_gray8,
+        synth_png_assets,
+    )
+    from ..sources.tables import scan_parallel
+
+    docs = scan_parallel(load_table(spark, sf_dir, "documents"))
+    resized = resize_png_gray8(synth_png_assets(docs), out_h=1)
+    return decode_png(resized)

@@ -1107,3 +1107,41 @@ def test_mmr_oracle_fuzz_random_corpora(spark, seed, tmp_path):
 
     assert_df_matches_oracle(df, con, q.oracle)
     con.close()
+
+
+def test_resize_png_nearest_neighbor_semantics(spark):
+    """Pin the integer NN map on a known 4x4 image -> 2x2 picks rows
+    {0,2} x cols {0,2}; corrupt blobs dead-letter with the original
+    bytes; the resized blob is itself a decodable spec PNG."""
+    from click_streaming_data_pipeline_spark.extensions.multimodal import (
+        _parse_png,
+        decode_png,
+        encode_png_gray8,
+        resize_png_gray8,
+    )
+
+    img = [bytes([r * 16 + c for c in range(4)]) for r in range(4)]
+    good = encode_png_gray8(img)
+    assets = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"not a png"))],
+        "asset_id long, content binary",
+    )
+    out = {
+        r["asset_id"]: r
+        for r in resize_png_gray8(assets, out_h=2, out_w=2).collect()
+    }
+    assert out[1]["resize_ok"] and out[1]["out_w"] == 2
+    assert not out[2]["resize_ok"]
+    assert bytes(out[2]["content"]) == b"not a png"  # dead-letter
+    w, h, px = _parse_png(bytes(out[1]["content"]))
+    assert (w, h) == (2, 2)
+    # src = (dst * 4) // 2 -> rows/cols {0, 2}
+    assert [list(r) for r in px] == [[0x00, 0x02], [0x20, 0x22]]
+    # and the resized asset flows through the decode lane
+    dec = decode_png(
+        spark.createDataFrame(
+            [(1, bytearray(bytes(out[1]["content"])))],
+            "asset_id long, content binary",
+        )
+    ).collect()[0]
+    assert dec["decode_ok"] and dec["px_sum"] == 0x00 + 0x02 + 0x20 + 0x22

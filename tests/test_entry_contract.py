@@ -38,6 +38,9 @@ def test_oracle_sql_mentions_only_registered_tables():
         for m in re.finditer(r"\bFROM\s+([a-z_][a-z0-9_]*)\b", sql,
                              re.IGNORECASE):
             t = m.group(1).lower()
+            # table functions (FROM range(20) t(x)) are not relations
+            if sql[m.end():m.end() + 1] == "(":
+                continue
             # CTE names and subqueries are fine; real tables must be
             # in the registered set or defined as a CTE in this sql
             if t in registered:

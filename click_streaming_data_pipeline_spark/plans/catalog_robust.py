@@ -2119,3 +2119,127 @@ def value_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, n_days long, ref_cents long, "
         "max_cusum long, n_alarms long, first_alarm_day date",
     )
+
+
+def _make_value_cusum_streamed() -> None:
+    batch = QUERIES["value_cusum_changepoint"]
+
+    @query(
+        "value_cusum_changepoint_streamed",
+        # oracle = the batch CUSUM verbatim: (type, day) cents totals
+        # merge exactly across micro-batches, so the drain-time
+        # sequential fold walks the identical day series
+        oracle=batch.oracle,
+        doc=(
+            "beyond-reference drift family: STREAMING CUSUM - the "
+            "(event_type, day) cents-total table is the mergeable "
+            "state (bounded by types x calendar days, not stream "
+            "length), folded per micro-batch into replay-idempotent "
+            "versions; the non-associative max(0,.) walk runs once "
+            "at drain over the drained day series and must equal "
+            "the batch value_cusum_changepoint exactly. The "
+            "sequential-fold member of the streamed-monitor set "
+            "(KS/chi2 drift twins fold distribution state the same "
+            "way)."
+        ),
+        tags=("agg", "temporal", "streaming", "scale"),
+    )
+    def value_cusum_changepoint_streamed(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import os
+        import shutil
+        import tempfile
+
+        import pandas as pd
+
+        events = load_table(spark, sf_dir, "events")
+        work = tempfile.mkdtemp(prefix="csdp_cus_")
+        src = os.path.join(work, "in")
+        state_dir = os.path.join(work, "state")
+        os.makedirs(state_dir)
+        events.repartition(6).write.mode("overwrite").parquet(src)
+
+        def _versions() -> list[int]:
+            return sorted(
+                int(d[1:])
+                for d in os.listdir(state_dir)
+                if d.startswith("v") and d[1:].isdigit()
+            )
+
+        def fold_daily(batch_df: DataFrame, batch_id: int) -> None:
+            sp = batch_df.sparkSession
+            delta = batch_df.groupBy(
+                "event_type", F.col("ts").cast("date").alias("day")
+            ).agg(F.sum(_cents()).cast("long").alias("x"))
+            prior_vs = [v for v in _versions() if v < batch_id]
+            if prior_vs:
+                prior = sp.read.parquet(
+                    os.path.join(state_dir, f"v{prior_vs[-1]}")
+                )
+                delta = (
+                    prior.unionByName(delta)
+                    .groupBy("event_type", "day")
+                    .agg(F.sum("x").cast("long").alias("x"))
+                )
+            out = os.path.join(state_dir, f"v{batch_id}")
+            tmp = out + ".tmp"
+            delta.write.mode("overwrite").parquet(tmp)
+            if os.path.exists(out):
+                shutil.rmtree(out)
+            os.rename(tmp, out)
+            for v in prior_vs[:-1]:
+                shutil.rmtree(os.path.join(state_dir, f"v{v}"), True)
+
+        q_ = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+            .writeStream.foreachBatch(fold_daily)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+        latest = _versions()[-1]
+        daily = spark.read.parquet(os.path.join(state_dir, f"v{latest}"))
+        ref = daily.groupBy("event_type").agg(
+            F.expr("SUM(x) DIV COUNT(*)").alias("k"),
+            F.count("*").cast("long").alias("n_days"),
+        )
+        joined = daily.join(ref, "event_type")
+
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("day")
+            k = int(pdf["k"].iloc[0])
+            s = 0
+            max_s = 0
+            n_alarms = 0
+            first_alarm = None
+            for day, x in zip(pdf["day"], pdf["x"]):
+                s = max(0, s + int(x) - k)
+                max_s = max(max_s, s)
+                if s > k:
+                    n_alarms += 1
+                    if first_alarm is None:
+                        first_alarm = day
+            return pd.DataFrame(
+                {
+                    "event_type": [pdf["event_type"].iloc[0]],
+                    "n_days": [len(pdf)],
+                    "ref_cents": [k],
+                    "max_cusum": [max_s],
+                    "n_alarms": [n_alarms],
+                    "first_alarm_day": [first_alarm],
+                }
+            )
+
+        return joined.groupBy("event_type").applyInPandas(
+            fold,
+            "event_type string, n_days long, ref_cents long, "
+            "max_cusum long, n_alarms long, first_alarm_day date",
+        )
+
+
+from .registry import QUERIES  # noqa: E402
+
+_make_value_cusum_streamed()

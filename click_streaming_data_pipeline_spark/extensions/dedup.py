@@ -261,19 +261,13 @@ def minhash_signatures_from_docs(
     return hashed
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame,
-    *,
-    id_col: str = "doc_id",
-    n_hashes: int = N_HASHES,
-    n_bands: int = N_BANDS,
+def pairs_from_postings(
+    banded: DataFrame, *, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Band the signature and bucket-join: docs sharing any band's
-    concatenated minhashes become candidates. This replaces the
-    quadratic all-pairs join with (band_key -> ids) groupBys."""
-    banded = band_postings(
-        signatures, id_col=id_col, n_hashes=n_hashes, n_bands=n_bands
-    )
+    """Self-join a (id, band, band_key) postings table into distinct
+    candidate (id_a, id_b) pairs. Split out so callers that already
+    hold a materialized postings table (``minhash_lsh_dedup``) join it
+    twice instead of re-deriving it per side."""
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -289,6 +283,22 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Band the signature and bucket-join: docs sharing any band's
+    concatenated minhashes become candidates. This replaces the
+    quadratic all-pairs join with (band_key -> ids) groupBys."""
+    banded = band_postings(
+        signatures, id_col=id_col, n_hashes=n_hashes, n_bands=n_bands
+    )
+    return pairs_from_postings(banded, id_col=id_col)
 
 
 def jaccard_for_pairs(
@@ -309,10 +319,27 @@ def jaccard_for_pairs(
     removes the widest shuffle of the verify stage — the join keys
     are doc ids, never the shingle strings. Pairs with zero overlap
     emit jaccard 0.0 (callers threshold-filter)."""
-    sets = shingle_df.groupBy(id_col).agg(
+    sets = shingle_sets(shingle_df, id_col=id_col)
+    return jaccard_from_sets(sets, pairs, id_col=id_col)
+
+
+def shingle_sets(
+    shingle_df: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fold (id, shingle) postings into one (id, __set, __n) row per
+    doc — the unit the pairwise-Jaccard join consumes."""
+    return shingle_df.groupBy(id_col).agg(
         F.collect_set("shingle").alias("__set"),
         F.count("*").alias("__n"),
     )
+
+
+def jaccard_from_sets(
+    sets: DataFrame, pairs: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard for (id_a, id_b) pairs from a prebuilt
+    ``shingle_sets`` table; callers that materialize the sets join
+    them twice instead of re-aggregating per side."""
     a = sets.select(
         F.col(id_col).alias("id_a"),
         F.col("__set").alias("__set_a"),
@@ -357,13 +384,29 @@ def minhash_lsh_dedup(
     when the DataFrame is garbage-collected, unlike a leaked
     ``.persist()`` that would squat in the cache for the session. At
     warehouse scale the equivalent is writing the shingle table to
-    storage between stages."""
+    storage between stages.
+
+    Even with the shingle table pinned, the lazy composition walks it
+    FOUR times — the band self-join recomputes the 16-way minhash
+    aggregation for each side, and the verify stage recomputes the
+    collect_set aggregation for each side (measured: the two duplicate
+    SortAggregate/ObjectHashAggregate branches dominate task CPU).
+    ``materialize`` therefore also pins the two derived tables each
+    self-join consumes — band postings (4 rows/doc, tiny) and per-doc
+    shingle sets (one row/doc, bounded by document length) — so every
+    aggregation over the shingle table runs exactly once."""
     sh = doc_shingles(docs, id_col=id_col, text_col=text_col)
     if materialize:
         sh = sh.localCheckpoint(eager=True)
-    sigs = minhash_signatures(sh, id_col=id_col)
-    cand = lsh_candidate_pairs(sigs, id_col=id_col)
-    return jaccard_for_pairs(sh, cand, id_col=id_col).filter(
+    banded = band_postings(
+        minhash_signatures(sh, id_col=id_col), id_col=id_col
+    )
+    sets = shingle_sets(sh, id_col=id_col)
+    if materialize:
+        banded = banded.localCheckpoint(eager=True)
+        sets = sets.localCheckpoint(eager=True)
+    cand = pairs_from_postings(banded, id_col=id_col)
+    return jaccard_from_sets(sets, cand, id_col=id_col).filter(
         F.col("jaccard") >= threshold
     )
 

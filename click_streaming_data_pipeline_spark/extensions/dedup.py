@@ -758,12 +758,16 @@ def duplicate_substring_spans(
 
     The suffix-array pass of Lee et al. re-expressed as dataflow:
     tokenize -> posexplode every ``window``-token sliding window ->
-    16-byte md5 window hash -> ONE groupBy(hash) marks hashes seen in
-    >= ``min_docs`` distinct docs -> semi-join the marks back onto the
-    positions -> per-doc gaps-and-islands merge of overlapping windows
-    into maximal spans. Output: (id, span_start, span_end, span_tokens)
-    with 1-based token indices and exclusive end — exactly the spans a
-    remover would cut.
+    two seeded xxhash64 window hashes (128 effective bits, so window
+    equality is collision-safe at corpus scale like Lee et al.'s
+    md5-truncated keys, but the group/join keys are two LONGS: the
+    hash itself is ~5x cheaper than md5 and the shuffle rows carry 16
+    bytes instead of a 32-char string) -> ONE groupBy(hash) marks
+    hashes seen in >= ``min_docs`` distinct docs -> semi-join the
+    marks back onto the positions -> per-doc gaps-and-islands merge
+    of overlapping windows into maximal spans. Output:
+    (id, span_start, span_end, span_tokens) with 1-based token
+    indices and exclusive end — exactly the spans a remover would cut.
 
     100 TB: the window table is ~|tokens| rows of (id, pos, hash);
     both the duplicate-marking aggregate and the semi-join shuffle on
@@ -789,7 +793,8 @@ def duplicate_substring_spans(
         .select(
             F.col(id_col),
             (F.col("pos0") + 1).cast("bigint").alias("pos"),
-            F.md5("wtext").alias("whash"),
+            F.xxhash64("wtext").alias("wh1"),
+            F.xxhash64("wtext", F.lit(1)).alias("wh2"),
         )
         # the window table feeds BOTH the duplicate-marking aggregate
         # and the semi-join back; materialize it once so the corpus is
@@ -798,7 +803,7 @@ def duplicate_substring_spans(
         .localCheckpoint(eager=True)
     )
     dup = (
-        win.groupBy("whash")
+        win.groupBy("wh1", "wh2")
         .agg(
             F.countDistinct(id_col).alias("n_docs"),
             F.min(id_col).alias("__canon"),
@@ -807,12 +812,14 @@ def duplicate_substring_spans(
     )
     if keep_first:
         marked = (
-            win.join(dup.select("whash", "__canon"), "whash")
+            win.join(dup.select("wh1", "wh2", "__canon"), ["wh1", "wh2"])
             .filter(F.col(id_col) != F.col("__canon"))
             .select(id_col, "pos")
         )
     else:
-        marked = win.join(dup.select("whash"), "whash", "left_semi")
+        marked = win.join(
+            dup.select("wh1", "wh2"), ["wh1", "wh2"], "left_semi"
+        )
     w = Window.partitionBy(id_col).orderBy("pos")
     stepped = marked.withColumn(
         "__step",

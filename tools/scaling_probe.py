@@ -58,6 +58,8 @@ PROBE_QUERIES = [
     "dp_event_counts",
     "knn_topk",
     "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_substring_spans",
 ]
 
 
@@ -82,6 +84,18 @@ def build_replicated(spark) -> None:
             c = base
             for col, step in offs.items():
                 c = c.withColumn(col, F.col(col) + F.lit(i * step))
+            if table == "documents":
+                # verbatim replicas would make every doc a j=1.0
+                # near-dup of its 7 clones — quadratic OUTPUT by
+                # construction of the copy, not the plan. Inserting a
+                # per-replica token between every word collapses
+                # cross-replica shingle/window overlap while the
+                # within-replica duplicate structure (both members of
+                # a pair mutate identically) is preserved, so dedup
+                # output scales ~linearly like the corpus does.
+                c = c.withColumn(
+                    "text", F.regexp_replace("text", " ", f" rep{i} ")
+                )
             copies.append(c)
         out = copies[0]
         for c in copies[1:]:

@@ -182,6 +182,37 @@ def minhash_signatures(
     return shingle_df.groupBy(id_col).agg(*aggs)
 
 
+def minhash_signatures_fast(
+    shingle_df: DataFrame, *, id_col: str = "doc_id", n_hashes: int = N_HASHES
+) -> DataFrame:
+    """Numeric MinHash for the LSH hot path: two xxhash64 bases per
+    shingle, mixed into ``n_hashes`` seed hashes by XOR/bit-rotation
+    (the Kirsch-Mitzenmacher two-hash scheme, expressed with
+    overflow-free bit ops so ANSI mode cannot throw). Two wins over
+    the md5 form: the hash work per shingle drops from 16 md5s to 2
+    xxhash64s + bit mixing, and min over LONGS keeps the aggregation
+    in fixed-width HashAggregate where 16 string buffers fall back to
+    sort-based aggregation.
+
+    NOT oracle-portable (DuckDB has no xxhash64): the md5 form
+    (``minhash_signatures``) remains the cross-engine-oracled catalog
+    surface; this family's banding recall is gated by the recall
+    tests in tests/test_extensions.py and the downstream exact-Jaccard
+    verify makes candidate-set differences invisible in output."""
+    h1 = F.xxhash64(F.col("shingle"))
+    h2 = F.xxhash64(F.col("shingle"), F.lit(1))
+
+    def g(s: int) -> Column:
+        rot = F.shiftleft(h2, s).bitwiseOR(
+            F.shiftrightunsigned(h2, 64 - s)
+        )
+        return h1.bitwiseXOR(rot)
+
+    return shingle_df.groupBy(id_col).agg(
+        *[F.min(g(s)).alias(f"mh_{s}") for s in range(n_hashes)]
+    )
+
+
 def band_postings(
     signatures: DataFrame,
     *,
@@ -199,14 +230,17 @@ def band_postings(
                 *[
                     F.struct(
                         F.lit(band).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col(f"mh_{band * rows_per_band + r}")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
+                        # band key = one xxhash64 over the band's
+                        # minhash columns (works for the md5-string
+                        # and numeric signature forms alike); a LONG
+                        # join key, and a rare 64-bit bucket collision
+                        # only ADDS a candidate the exact-Jaccard
+                        # verify then discards
+                        F.xxhash64(
+                            *[
+                                F.col(f"mh_{band * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
                         ).alias("band_key"),
                     )
                     for band in range(n_bands)
@@ -399,12 +433,21 @@ def minhash_lsh_dedup(
     if materialize:
         sh = sh.localCheckpoint(eager=True)
     banded = band_postings(
-        minhash_signatures(sh, id_col=id_col), id_col=id_col
+        minhash_signatures_fast(sh, id_col=id_col), id_col=id_col
     )
     sets = shingle_sets(sh, id_col=id_col)
     if materialize:
-        banded = banded.localCheckpoint(eager=True)
-        sets = sets.localCheckpoint(eager=True)
+        # the two derived tables are independent jobs over the pinned
+        # shingles; submitted from one thread they run back-to-back,
+        # so overlap them — neither aggregation saturates the cluster
+        # (the minhash agg is bounded by the shingle partition count)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_banded = pool.submit(banded.localCheckpoint, eager=True)
+            f_sets = pool.submit(sets.localCheckpoint, eager=True)
+            banded = f_banded.result()
+            sets = f_sets.result()
     cand = pairs_from_postings(banded, id_col=id_col)
     return jaccard_from_sets(sets, cand, id_col=id_col).filter(
         F.col("jaccard") >= threshold

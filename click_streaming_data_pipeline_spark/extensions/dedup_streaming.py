@@ -42,7 +42,7 @@ from .dedup import (
     band_postings,
     doc_shingles,
     jaccard_for_pairs,
-    minhash_signatures,
+    minhash_signatures_fast,
 )
 
 
@@ -84,7 +84,7 @@ def process_batch(
     """One incremental step; see module docstring."""
     spark = batch_docs.sparkSession
     sh_new = doc_shingles(batch_docs)
-    post_new = band_postings(minhash_signatures(sh_new))
+    post_new = band_postings(minhash_signatures_fast(sh_new))
 
     post_prev = _read_prior(spark, postings_store, batch_id)
     if post_prev is not None:

@@ -61,14 +61,51 @@ def doc_shingles(
 ) -> DataFrame:
     """Distinct (id, shingle) pairs — the set representation used by
     Jaccard and MinHash. Tokenizes through a projection boundary so the
-    split evaluates once per row, not once per shingle."""
+    split evaluates once per row, not once per shingle.
+
+    Distinctness is PER DOCUMENT (id is in the pair), so it's enforced
+    with ``array_distinct`` inside the row before the explode — a
+    table-level ``.distinct()`` would add a full shuffle of the
+    exploded postings to deduplicate what each row can deduplicate
+    locally. At 100 TB that's an entire corpus-sized shuffle saved."""
     tok = scan_parallel(docs).select(
         F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("__t")
     )
     return tok.select(
         F.col(id_col),
-        F.explode(_shingles_from_tokens(F.col("__t"), n)).alias("shingle"),
-    ).distinct()
+        F.explode(
+            F.array_distinct(_shingles_from_tokens(F.col("__t"), n))
+        ).alias("shingle"),
+    )
+
+
+def doc_shingle_hashes(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Distinct (id, h1, h2) shingle-hash postings — the all-numeric
+    shingle table for the LSH hot path. ``h1``/``h2`` are the two
+    seeded xxhash64s ``minhash_signatures_fast`` mixes into seed
+    hashes; ``h1`` doubles as the set-membership key the exact-Jaccard
+    verify intersects. Dropping the shingle STRING at the source means
+    the materialized table, both groupBy shuffles, and the verify
+    arrays all carry fixed-width longs (8 B vs ~25 B-string elements,
+    and long equality instead of string compare in array_intersect).
+
+    A 64-bit collision between two distinct shingles of the same doc
+    pair would perturb the Jaccard estimate; at corpus scale the
+    expected collision count is ~|pairs|·|set|²/2⁶⁴ — negligible, and
+    the md5-string path (``doc_shingles`` + ``shingle_sets``) remains
+    the engine-portable exact form."""
+    sh = doc_shingles(docs, id_col=id_col, text_col=text_col, n=n)
+    return sh.select(
+        F.col(id_col),
+        F.xxhash64("shingle").alias("h1"),
+        F.xxhash64("shingle", F.lit(1)).alias("h2"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -198,9 +235,17 @@ def minhash_signatures_fast(
     (``minhash_signatures``) remains the cross-engine-oracled catalog
     surface; this family's banding recall is gated by the recall
     tests in tests/test_extensions.py and the downstream exact-Jaccard
-    verify makes candidate-set differences invisible in output."""
-    h1 = F.xxhash64(F.col("shingle"))
-    h2 = F.xxhash64(F.col("shingle"), F.lit(1))
+    verify makes candidate-set differences invisible in output.
+
+    Accepts either shingle-table form: the string table
+    (``doc_shingles``: hashes computed here) or the pre-hashed numeric
+    table (``doc_shingle_hashes``: ``h1``/``h2`` reused directly, so
+    the strings never exist downstream of the tokenizer)."""
+    if "h1" in shingle_df.columns and "h2" in shingle_df.columns:
+        h1, h2 = F.col("h1"), F.col("h2")
+    else:
+        h1 = F.xxhash64(F.col("shingle"))
+        h2 = F.xxhash64(F.col("shingle"), F.lit(1))
 
     def g(s: int) -> Column:
         rot = F.shiftleft(h2, s).bitwiseOR(
@@ -361,9 +406,12 @@ def shingle_sets(
     shingle_df: DataFrame, *, id_col: str = "doc_id"
 ) -> DataFrame:
     """Fold (id, shingle) postings into one (id, __set, __n) row per
-    doc — the unit the pairwise-Jaccard join consumes."""
+    doc — the unit the pairwise-Jaccard join consumes. Works for the
+    string table and the hashed table alike (set elements are whatever
+    the postings carry: shingle strings, or ``h1`` longs)."""
+    set_col = "h1" if "h1" in shingle_df.columns else "shingle"
     return shingle_df.groupBy(id_col).agg(
-        F.collect_set("shingle").alias("__set"),
+        F.collect_set(set_col).alias("__set"),
         F.count("*").alias("__n"),
     )
 
@@ -428,8 +476,13 @@ def minhash_lsh_dedup(
     ``materialize`` therefore also pins the two derived tables each
     self-join consumes — band postings (4 rows/doc, tiny) and per-doc
     shingle sets (one row/doc, bounded by document length) — so every
-    aggregation over the shingle table runs exactly once."""
-    sh = doc_shingles(docs, id_col=id_col, text_col=text_col)
+    aggregation over the shingle table runs exactly once.
+
+    The shingle table here is the ALL-NUMERIC form
+    (``doc_shingle_hashes``): shingle strings die at the tokenizer, so
+    the pinned table, both aggregations, and the verify-side
+    array_intersect all move fixed-width longs."""
+    sh = doc_shingle_hashes(docs, id_col=id_col, text_col=text_col)
     if materialize:
         sh = sh.localCheckpoint(eager=True)
     banded = band_postings(

@@ -33,13 +33,14 @@ def main() -> None:
         q.fn(spark, warm_sf).write.format("noop").mode("overwrite").save()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    # best-of-2 per query: the machine is shared and noisy (±20%
-    # run-to-run, SCALE.md); min-of-N is the standard estimator for
-    # the query's actual cost under interference
+    # best-of-3 per query: the machine is shared and noisy (±20%
+    # run-to-run, SCALE.md; whole sessions have been observed +40%);
+    # min-of-N is the standard estimator for the query's actual cost
+    # under interference
     timings: dict[str, float] = {}
     for name, q in sorted(bench.items()):
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

@@ -60,6 +60,12 @@ PROBE_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_substring_spans",
+    "fuzzy_name_matches",
+    "lm_quality_score",
+    "embedding_quantize",
+    "rag_mmr_rerank",
+    "cep_funnel_regex",
+    "pareto_frontier",
 ]
 
 
@@ -95,6 +101,16 @@ def build_replicated(spark) -> None:
                 # output scales ~linearly like the corpus does.
                 c = c.withColumn(
                     "text", F.regexp_replace("text", " ", f" rep{i} ")
+                )
+            if table == "customer":
+                # same reasoning for the edit-distance lane: verbatim
+                # name clones would be ed=0 matches of their 7 copies
+                # (quadratic OUTPUT by construction). A per-replica
+                # 2-char-distinct suffix pushes every cross-replica
+                # pair to ed>=2 (> max_dist=1) while a shared suffix
+                # within a replica preserves within-replica distances.
+                c = c.withColumn(
+                    "c_name", F.concat(F.col("c_name"), F.lit(f"#{i}{i}"))
                 )
             copies.append(c)
         out = copies[0]

@@ -853,8 +853,15 @@ def value_mean_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             % F.col("n")
         ).alias("idx"),
     )
+    # BOTH sides of the resample join scale with the corpus (picks is
+    # B x n rows; e is n rows) — pin a SORT-MERGE join. Left to the
+    # optimizer, the explode's size estimate makes the 10M-row picks
+    # side look broadcastable and a plain SparkSession's 1g driver
+    # OOMs building the broadcast (observed at sf0.1); shuffle_hash
+    # likewise OOMs building per-partition hash maps in a default-
+    # memory session. Sort-merge spills gracefully at any scale.
     res = (
-        picks.join(
+        picks.hint("merge").join(
             e.select("event_type", F.col("rn").alias("idx"), "cents"),
             ["event_type", "idx"],
         )

@@ -1152,9 +1152,9 @@ def event_type_mode_value_streamed(
     )
 
 
-@query(
-    "event_mix_drift_chi2",
-    oracle="""
+#: shared contingency CTE (both chi2 twins): exact integer counts and
+#: one exactly-rounded division per cell.
+_CHI2_CELLS_CTE = """
         WITH c AS (
             SELECT CASE WHEN ts < TIMESTAMP '2024-01-16'
                         THEN 'w1' ELSE 'w2' END AS period,
@@ -1171,22 +1171,79 @@ def event_type_mode_value_streamed(
             FROM c
         ),
         cells AS (
-            SELECT period, event_type, o,
+            SELECT period, event_type, o, grand_tot,
                    CAST(row_tot * col_tot AS DOUBLE) / grand_tot AS e
             FROM tot
-        )
+        )"""
+
+#: shared readout: per-cell terms are bit-identical across engines, so
+#: the only divergence left is SUMMATION ORDER — sf0.01 happened to
+#: agree, sf0.1 differed in the last bits. Both engines therefore fold
+#: the (tiny: periods x types) term list in explicit
+#: (period, event_type) order: list() ORDER BY + list_reduce here,
+#: array_sort(collect_list(struct)) + F.aggregate on the Spark side.
+_CHI2_READOUT_SQL = """
         SELECT CAST(count(*) AS BIGINT) AS n_cells,
                CAST((count(DISTINCT period) - 1)
                     * (count(DISTINCT event_type) - 1) AS BIGINT)
                    AS dof,
-               sum((o - e) * (o - e) / e) AS chi2,
-               sqrt(sum((o - e) * (o - e) / e)
-                    / ((SELECT max(grand_tot) FROM tot)
+               list_reduce(
+                   list((o - e) * (o - e) / e
+                        ORDER BY period, event_type),
+                   (a, b) -> a + b) AS chi2,
+               sqrt(list_reduce(
+                        list((o - e) * (o - e) / e
+                             ORDER BY period, event_type),
+                        (a, b) -> a + b)
+                    / (max(grand_tot)
                        * least(count(DISTINCT period) - 1,
                                count(DISTINCT event_type) - 1)))
                    AS cramers_v
         FROM cells
-    """,
+    """
+
+_CHI2_ORACLE = _CHI2_CELLS_CTE + _CHI2_READOUT_SQL
+
+
+def _chi2_readout(cells: DataFrame) -> DataFrame:
+    """Order-deterministic chi2 / Cramer's V readout from a cell table
+    (period, event_type, o, e, grand_tot) — see _CHI2_READOUT_SQL."""
+    term = (
+        (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    )
+    g = cells.agg(
+        F.count("*").alias("n_cells"),
+        (
+            (F.countDistinct("period") - 1)
+            * (F.countDistinct("event_type") - 1)
+        ).alias("dof"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("period"), F.col("event_type"), term.alias("t")
+                )
+            )
+        ).alias("__terms"),
+        F.max("grand_tot").alias("__gt"),
+        F.least(
+            F.countDistinct("period") - 1,
+            F.countDistinct("event_type") - 1,
+        ).alias("__k"),
+    )
+    chi2 = F.aggregate(
+        "__terms", F.lit(0.0), lambda acc, x: acc + x["t"]
+    )
+    return g.select(
+        "n_cells",
+        "dof",
+        chi2.alias("chi2"),
+        F.sqrt(chi2 / (F.col("__gt") * F.col("__k"))).alias("cramers_v"),
+    )
+
+
+@query(
+    "event_mix_drift_chi2",
+    oracle=_CHI2_ORACLE,
     doc=(
         "beyond-reference data-quality statistics: CHI-SQUARE "
         "homogeneity test for event-mix drift between two periods "
@@ -1238,27 +1295,7 @@ def event_mix_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("grand_tot")
         ).alias("e"),
     )
-    chi2 = F.sum(
-        (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
-    )
-    return cells.agg(
-        F.count("*").alias("n_cells"),
-        (
-            (F.countDistinct("period") - 1)
-            * (F.countDistinct("event_type") - 1)
-        ).alias("dof"),
-        chi2.alias("chi2"),
-        F.sqrt(
-            chi2
-            / (
-                F.max("grand_tot")
-                * F.least(
-                    F.countDistinct("period") - 1,
-                    F.countDistinct("event_type") - 1,
-                )
-            )
-        ).alias("cramers_v"),
-    )
+    return _chi2_readout(cells)
 
 
 @query(
@@ -1712,39 +1749,7 @@ def event_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "event_mix_drift_chi2_streamed",
-    oracle="""
-        WITH c AS (
-            SELECT CASE WHEN ts < TIMESTAMP '2024-01-16'
-                        THEN 'w1' ELSE 'w2' END AS period,
-                   event_type,
-                   CAST(count(*) AS BIGINT) AS o
-            FROM events
-            GROUP BY 1, 2
-        ),
-        tot AS (
-            SELECT c.*,
-                   sum(o) OVER (PARTITION BY period) AS row_tot,
-                   sum(o) OVER (PARTITION BY event_type) AS col_tot,
-                   sum(o) OVER () AS grand_tot
-            FROM c
-        ),
-        cells AS (
-            SELECT period, event_type, o,
-                   CAST(row_tot * col_tot AS DOUBLE) / grand_tot AS e
-            FROM tot
-        )
-        SELECT CAST(count(*) AS BIGINT) AS n_cells,
-               CAST((count(DISTINCT period) - 1)
-                    * (count(DISTINCT event_type) - 1) AS BIGINT)
-                   AS dof,
-               sum((o - e) * (o - e) / e) AS chi2,
-               sqrt(sum((o - e) * (o - e) / e)
-                    / ((SELECT max(grand_tot) FROM tot)
-                       * least(count(DISTINCT period) - 1,
-                               count(DISTINCT event_type) - 1)))
-                   AS cramers_v
-        FROM cells
-    """,
+    oracle=_CHI2_ORACLE,
     doc=(
         "streamed twin of the chi-square mix-drift monitor, closing "
         "the live drift pair with value_drift_ks_streamed: the "
@@ -1787,27 +1792,7 @@ def event_mix_drift_chi2_streamed(
             / F.col("grand_tot")
         ).alias("e"),
     )
-    chi2 = F.sum(
-        (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
-    )
-    return cells.agg(
-        F.count("*").alias("n_cells"),
-        (
-            (F.countDistinct("period") - 1)
-            * (F.countDistinct("event_type") - 1)
-        ).alias("dof"),
-        chi2.alias("chi2"),
-        F.sqrt(
-            chi2
-            / (
-                F.max("grand_tot")
-                * F.least(
-                    F.countDistinct("period") - 1,
-                    F.countDistinct("event_type") - 1,
-                )
-            )
-        ).alias("cramers_v"),
-    )
+    return _chi2_readout(cells)
 
 
 # ---------------------------------------------------------------------------

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from ..operators.upsert import upsert_parquet
 from .dedup import (
     band_postings,
-    doc_shingles,
+    doc_shingle_hashes,
     jaccard_for_pairs,
     minhash_signatures_fast,
 )
@@ -83,7 +83,11 @@ def process_batch(
 ) -> None:
     """One incremental step; see module docstring."""
     spark = batch_docs.sparkSession
-    sh_new = doc_shingles(batch_docs)
+    # the persisted shingle store carries (doc_id, h1, h2) LONGS, not
+    # shingle strings — same win as the batch pipeline's all-numeric
+    # shingle table, and the state the stream accumulates is ~3x
+    # narrower (state size is the 100 TB constraint here)
+    sh_new = doc_shingle_hashes(batch_docs)
     post_new = band_postings(minhash_signatures_fast(sh_new))
 
     post_prev = _read_prior(spark, postings_store, batch_id)

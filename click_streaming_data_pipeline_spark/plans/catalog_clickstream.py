@@ -1636,7 +1636,7 @@ def user_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM per_user
         )
         SELECT max(n) AS n_users,
-               SUM(cents) AS total_cents,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
                (CAST(2 * SUM(i * cents) AS DOUBLE)
                 / (CAST(max(n) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE))
                 - CAST(max(n) + 1 AS DOUBLE) / CAST(max(n) AS DOUBLE))
@@ -1941,7 +1941,8 @@ def markov_transitions_streamed(
                    CAST(date_diff('day', max(ts), (SELECT now FROM mx))
                         AS BIGINT) AS recency_days,
                    CAST(count(*) AS BIGINT) AS frequency,
-                   SUM(CAST(round(value * 100) AS BIGINT)) AS monetary_cents
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS monetary_cents
             FROM events
             WHERE event_type = 'purchase'
             GROUP BY user_id
@@ -2129,8 +2130,9 @@ def item_decay_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY 1, 2
         )
         SELECT r.cohort, r.age_week, cs.n_users,
-               SUM(r.cents) OVER (PARTITION BY r.cohort
-                                  ORDER BY r.age_week) AS cum_cents,
+               CAST(SUM(r.cents) OVER (PARTITION BY r.cohort
+                                       ORDER BY r.age_week)
+                    AS BIGINT) AS cum_cents,
                (CAST(SUM(r.cents) OVER (PARTITION BY r.cohort
                                         ORDER BY r.age_week) AS DOUBLE)
                 / cs.n_users) AS ltv_cents_per_user
@@ -2299,8 +2301,8 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         sessions AS (
             SELECT user_id, sid,
-                   SUM(item * CASE WHEN rn = 1 THEN 1 ELSE 0 END)
-                       AS landing_item,
+                   CAST(SUM(item * CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS landing_item,
                    max(CASE WHEN event_type = 'purchase'
                             THEN 1 ELSE 0 END) AS converted
             FROM (

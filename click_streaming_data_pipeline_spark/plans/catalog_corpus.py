@@ -279,11 +279,12 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         SELECT lang,
                count(*) AS n_docs,
-               sum(CASE WHEN {_BUCKET} < {_STRATA_CASE}
-                        THEN 1 ELSE 0 END) AS n_kept,
-               sum(len({_TOKS})) AS tokens_total,
-               sum(CASE WHEN {_BUCKET} < {_STRATA_CASE}
-                        THEN len({_TOKS}) ELSE 0 END) AS tokens_kept
+               CAST(sum(CASE WHEN {_BUCKET} < {_STRATA_CASE}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(len({_TOKS})) AS BIGINT) AS tokens_total,
+               CAST(sum(CASE WHEN {_BUCKET} < {_STRATA_CASE}
+                        THEN len({_TOKS}) ELSE 0 END) AS BIGINT)
+                   AS tokens_kept
         FROM documents
         GROUP BY lang
     """,
@@ -321,13 +322,13 @@ tot AS (
         WITH {_LM_CTE}
         SELECT doc_id,
                count(*) AS n_tokens,
-               sum(tok_count) AS sum_count,
+               CAST(sum(tok_count) AS BIGINT) AS sum_count,
                CAST(sum(tok_count) AS DOUBLE)
                    / (count(*) * (SELECT lm_total FROM tot))
                    AS mean_token_prob,
-               sum(CASE WHEN tok_count * 1000000
+               CAST(sum(CASE WHEN tok_count * 1000000
                              < (SELECT lm_total FROM tot) * {RARE_PPM}
-                        THEN 1 ELSE 0 END) AS n_rare,
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
                CAST(sum(CASE WHEN tok_count * 1000000
                              < (SELECT lm_total FROM tot) * {RARE_PPM}
                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
@@ -437,10 +438,10 @@ def normalize_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         runs AS (
             SELECT shard, doc_id, n_tokens,
-                   sum(n_tokens) OVER (
+                   CAST(sum(n_tokens) OVER (
                        PARTITION BY shard ORDER BY doc_id
                        ROWS UNBOUNDED PRECEDING
-                   ) - n_tokens AS start_offset
+                   ) - n_tokens AS BIGINT) AS start_offset
             FROM toks
         )
         SELECT shard, doc_id, n_tokens, start_offset,
@@ -489,7 +490,7 @@ _BIGRAM_KNOWN = (
         )
         SELECT doc_id,
                count(*) AS n_bigrams,
-               {_BIGRAM_KNOWN} AS n_known,
+               CAST({_BIGRAM_KNOWN} AS BIGINT) AS n_known,
                CAST({_BIGRAM_KNOWN} AS DOUBLE) / count(*) AS known_frac,
                (CAST({_BIGRAM_KNOWN} AS DOUBLE) / count(*)
                    >= CAST(0.5 AS DOUBLE)) AS fluency_accept

@@ -119,7 +119,7 @@ def value_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                    SUM(cnt) OVER () AS n
             FROM c
         )
-        SELECT cb * 8 // n AS bucket,
+        SELECT CAST(cb * 8 // n AS BIGINT) AS bucket,
                CAST(sum(cnt) AS BIGINT) AS n_rows,
                min(cents) AS lo_cents,
                max(cents) AS hi_cents

@@ -1126,7 +1126,8 @@ def page_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH daily AS (
             SELECT event_type,
                    CAST(date_trunc('day', ts) AS DATE) AS day,
-                   SUM(CAST(round(value * 100) AS BIGINT)) AS day_cents
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS day_cents
             FROM events
             GROUP BY 1, 2
         )
@@ -1393,8 +1394,8 @@ def click_purchase_semi_streamed(
             FROM events
         )
         SELECT user_id,
-               SUM(cents * dur_us) AS weighted_area,
-               SUM(dur_us) AS span_us,
+               CAST(SUM(cents * dur_us) AS BIGINT) AS weighted_area,
+               CAST(SUM(dur_us) AS BIGINT) AS span_us,
                (CAST(SUM(cents * dur_us) AS DOUBLE)
                 / CAST(SUM(dur_us) AS DOUBLE)) AS twa_cents
         FROM stepped
@@ -1463,10 +1464,12 @@ def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
         )
         SELECT event_type, hour,
-               SUM(CASE WHEN rn_open = 1 THEN cents END) AS open_cents,
+               CAST(SUM(CASE WHEN rn_open = 1 THEN cents END)
+                    AS BIGINT) AS open_cents,
                max(cents) AS high_cents,
                min(cents) AS low_cents,
-               SUM(CASE WHEN rn_close = 1 THEN cents END) AS close_cents,
+               CAST(SUM(CASE WHEN rn_close = 1 THEN cents END)
+                    AS BIGINT) AS close_cents,
                count(*) AS n_events
         FROM base
         GROUP BY event_type, hour

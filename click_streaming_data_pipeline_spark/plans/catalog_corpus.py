@@ -1736,21 +1736,33 @@ from ..extensions.privacy import (  # noqa: E402
         WITH per_user AS (
             SELECT user_id, event_type, count(*) AS n
             FROM events GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT user_id, event_type, n,
+                   (row_number() OVER (PARTITION BY user_id
+                                       ORDER BY n DESC, event_type ASC)
+                        <= 3) AS kept
+            FROM per_user
         )
         SELECT event_type,
                CAST(sum(n) AS BIGINT) AS true_count,
-               CAST(sum(least(n, 8)) AS BIGINT) AS clamped_count,
-               CAST(sum(least(n, 8)) AS DOUBLE)
-                   + {laplace_noise_sql('event_type', 'dp-count', 8.0)}
+               CAST(sum(CASE WHEN kept THEN least(n, 8) ELSE 0 END)
+                    AS BIGINT) AS clamped_count,
+               CAST(sum(CASE WHEN kept THEN least(n, 8) ELSE 0 END)
+                    AS DOUBLE)
+                   + {laplace_noise_sql('event_type', 'dp-count', 24.0)}
                    AS noisy_count
-        FROM per_user GROUP BY 1
+        FROM ranked GROUP BY 1
     """,
     doc=(
         "governance extension: DIFFERENTIALLY-PRIVATE event histogram "
         "(Laplace mechanism, Dwork et al. 2006) with user-level "
         "contribution bounding - stage 1 caps each user at 8 events "
-        "per type (a per-(user,type) partial agg), stage 2 sums the "
-        "clamped contributions and adds Laplace(8/eps), eps=1, seeded "
+        "per type (a per-(user,type) partial agg), stage 1.5 keeps "
+        "only each user's top-3 types (keys-per-user bound L=3, so "
+        "the histogram-wide L1 sensitivity is 3*8=24, genuine "
+        "USER-level DP), stage 2 sums the kept clamped contributions "
+        "and adds Laplace(24/eps), eps=1, seeded "
         "from md5(event_type) so the release is deterministic and "
         "reshard-stable (extensions/privacy.py docstring covers the "
         "IEEE-exactness argument). Two partial-agg shuffles, output "
@@ -1768,6 +1780,7 @@ def dp_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         user_col="user_id",
         epsilon=1.0,
         max_per_user=8,
+        max_keys_per_user=3,
         label="dp-count",
     )
 
@@ -1781,27 +1794,38 @@ def dp_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events GROUP BY 1, 2
         ),
         clamped AS (
-            SELECT event_type,
+            SELECT user_id, event_type,
                    CASE WHEN s < CAST(0.0 AS DECIMAL(38,6))
                              THEN CAST(0.0 AS DECIMAL(38,6))
                         WHEN s > CAST(1000.0 AS DECIMAL(38,6))
                              THEN CAST(1000.0 AS DECIMAL(38,6))
                         ELSE s END AS c
             FROM per_user
+        ),
+        kept AS (
+            SELECT event_type, c FROM (
+                SELECT event_type, c,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY c DESC,
+                                                   event_type ASC) AS rk
+                FROM clamped
+            ) WHERE rk <= 3
         )
         SELECT event_type,
                CAST(sum(c) AS DOUBLE) AS clamped_sum,
                CAST(sum(c) AS DOUBLE)
-                   + {laplace_noise_sql('event_type', 'dp-sum', 1000.0)}
+                   + {laplace_noise_sql('event_type', 'dp-sum', 3000.0)}
                    AS noisy_sum
-        FROM clamped GROUP BY 1
+        FROM kept GROUP BY 1
     """,
     doc=(
         "governance extension: DIFFERENTIALLY-PRIVATE value totals - "
         "each user's per-type value TOTAL is clamped into [0, 1000] "
-        "(sum-level clamping is the user-level bound: many small rows "
-        "cap the same as one big row), then the key-level sum of "
-        "clamped totals gets Laplace(1000/eps), eps=1. Clamped totals "
+        "(sum-level clamping caps many small rows the same as one big "
+        "row) and only each user's top-3 types are released "
+        "(keys-per-user bound L=3 -> L1 sensitivity 3*1000), then "
+        "the key-level sum of kept totals gets Laplace(3000/eps), "
+        "eps=1. Clamped totals "
         "accumulate in decimal(28,6) (the catalog dsum rule) so both "
         "engines agree bit-for-bit before the noise add. Same "
         "two-shuffle plan shape as dp_event_counts."
@@ -1818,6 +1842,7 @@ def dp_value_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo=0.0,
         hi=1000.0,
         epsilon=1.0,
+        max_keys_per_user=3,
         label="dp-sum",
     )
 
@@ -1832,22 +1857,32 @@ def dp_value_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH per_user AS (
             SELECT user_id, event_type, count(*) AS n
             FROM events GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT user_id, event_type, n,
+                   (row_number() OVER (PARTITION BY user_id
+                                       ORDER BY n DESC, event_type ASC)
+                        <= 3) AS kept
+            FROM per_user
         )
         SELECT event_type,
                CAST(sum(n) AS BIGINT) AS true_count,
-               CAST(sum(least(n, 8)) AS BIGINT) AS clamped_count,
-               CAST(sum(least(n, 8)) AS DOUBLE)
-                   + {laplace_noise_sql('event_type', 'dp-count', 8.0)}
+               CAST(sum(CASE WHEN kept THEN least(n, 8) ELSE 0 END)
+                    AS BIGINT) AS clamped_count,
+               CAST(sum(CASE WHEN kept THEN least(n, 8) ELSE 0 END)
+                    AS DOUBLE)
+                   + {laplace_noise_sql('event_type', 'dp-count', 24.0)}
                    AS noisy_count
-        FROM per_user GROUP BY 1
+        FROM ranked GROUP BY 1
     """,
     doc=(
         "governance extension: STREAMING DP release - per-(user,type) "
         "counts fold incrementally into versioned state (a mergeable "
         "sum; state is bounded by the user x type domain, which "
-        "user-level DP must track by definition - clamping early "
-        "would double-count a user who spans micro-batches), and the "
-        "clamp + seeded Laplace noise run once at release. Versions "
+        "user-level DP must track by definition - clamping or "
+        "key-capping early would double-count a user who spans "
+        "micro-batches), and the top-3-keys cap + clamp + seeded "
+        "Laplace(24/eps) noise run once at release. Versions "
         "derive only from strictly-older versions, so at-least-once "
         "replays are byte-identical; the drained release must equal "
         "the batch dp_event_counts exactly."
@@ -1914,8 +1949,10 @@ def dp_event_counts_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         state,
         key_col="event_type",
         count_col="n",
+        user_col="user_id",
         epsilon=1.0,
         max_per_user=8,
+        max_keys_per_user=3,
         label="dp-count",
     )
 
@@ -1927,8 +1964,9 @@ from ..extensions.privacy import gumbel_noise_sql  # noqa: E402
     "dp_value_median",
     oracle=f"""
         WITH counts AS (
-            SELECT least(CAST(floor(value / 25.0) AS BIGINT),
-                         CAST(19 AS BIGINT)) AS bin,
+            SELECT greatest(CAST(0 AS BIGINT),
+                            least(CAST(floor(value / 25.0) AS BIGINT),
+                                  CAST(19 AS BIGINT))) AS bin,
                    count(*) AS cnt
             FROM events GROUP BY 1
         ),
@@ -2002,8 +2040,9 @@ def dp_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reproduces the batch release bit-for-bit
     oracle=f"""
         WITH counts AS (
-            SELECT least(CAST(floor(value / 25.0) AS BIGINT),
-                         CAST(19 AS BIGINT)) AS bin,
+            SELECT greatest(CAST(0 AS BIGINT),
+                            least(CAST(floor(value / 25.0) AS BIGINT),
+                                  CAST(19 AS BIGINT))) AS bin,
                    count(*) AS cnt
             FROM events GROUP BY 1
         ),
@@ -2125,27 +2164,37 @@ def dp_value_median_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events GROUP BY 1, 2
         ),
         clamped AS (
-            SELECT event_type,
+            SELECT user_id, event_type,
                    CASE WHEN s < CAST(0.0 AS DECIMAL(38,6))
                              THEN CAST(0.0 AS DECIMAL(38,6))
                         WHEN s > CAST(1000.0 AS DECIMAL(38,6))
                              THEN CAST(1000.0 AS DECIMAL(38,6))
                         ELSE s END AS c
             FROM per_user
+        ),
+        kept AS (
+            SELECT event_type, c FROM (
+                SELECT event_type, c,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY c DESC,
+                                                   event_type ASC) AS rk
+                FROM clamped
+            ) WHERE rk <= 3
         )
         SELECT event_type,
                CAST(sum(c) AS DOUBLE) AS clamped_sum,
                CAST(sum(c) AS DOUBLE)
-                   + {laplace_noise_sql('event_type', 'dp-sum', 1000.0)}
+                   + {laplace_noise_sql('event_type', 'dp-sum', 3000.0)}
                    AS noisy_sum
-        FROM clamped GROUP BY 1
+        FROM kept GROUP BY 1
     """,
     doc=(
         "governance extension: STREAMING DP sum release - per-"
         "(user,type) DECIMAL(28,6) value totals fold incrementally "
         "(decimal sums merge exactly, so cross-engine bit parity "
-        "survives any micro-batch split); the [0,1000] clamp and the "
-        "seeded Laplace(1000/eps) run once at drain. Clamping early "
+        "survives any micro-batch split); the [0,1000] clamp, the "
+        "top-3-keys cap, and the seeded Laplace(3000/eps) run once "
+        "at drain. Clamping early "
         "would break the user-level bound for users spanning "
         "batches, exactly as in dp_event_counts_streamed."
     ),
@@ -2213,8 +2262,10 @@ def dp_value_sums_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         state,
         key_col="event_type",
         sum_col="s",
+        user_col="user_id",
         lo=0.0,
         hi=1000.0,
         epsilon=1.0,
+        max_keys_per_user=3,
         label="dp-sum",
     )

@@ -175,11 +175,17 @@ def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_minhash_lsh",
-    # oracle = the EXACT all-pairs Jaccard result: on this corpus the
-    # 4x4 banding has full recall at j>=0.8 (P(miss) = (1-j^4)^4 <
-    # 2e-5 at j=0.8, ~0 at the actual j~0.99 pairs), so LSH must
-    # reproduce the exact pairs. A recall test also guards this in
-    # tests/test_extensions.py.
+    # oracle = the EXACT all-pairs Jaccard result. Residual miss
+    # probability of the 8x2 banding (ADVICE r3): a true pair at
+    # exactly j=0.8 escapes all bands with p = (1-0.8^2)^8 ~= 2.8e-4;
+    # the corpus's actual near-dup pairs sit at j~0.99 (p ~= 1e-14),
+    # so expected misses at sf0.1 (~256 true pairs) are ~0.07 — the
+    # exact-equality oracle holds here, but it is PROBABILISTIC and
+    # would eventually break as the true-pair count grows at larger
+    # SFs. The scale-safe invariant is the candidate-SUPERSET
+    # property, gated separately by the recall test in
+    # tests/test_extensions.py; production raises N_HASHES/N_BANDS
+    # for tighter recall rather than relying on pair-set equality.
     oracle=_JACCARD_SQL,
     doc=(
         "extension: MinHash+LSH near-dup pipeline (shingle -> 16 "

@@ -175,24 +175,27 @@ def search_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT doc_id,
                len(list_filter(string_split(lower(text), ' '),
-                   t -> levenshtein(t, 'streem') <= 1)) AS n_fuzzy_hits
+                   t -> levenshtein(t, 'streem') <= 2)) AS n_fuzzy_hits
         FROM documents
         WHERE len(list_filter(string_split(lower(text), ' '),
-                  t -> levenshtein(t, 'streem') <= 1)) > 0
+                  t -> levenshtein(t, 'streem') <= 2)) > 0
     """,
     doc=(
         "F1 fuzziness AUTO (search main.py:96: multi_match fuzziness) "
-        "as levenshtein(token, term) <= 1 over tokenized text"
+        "as levenshtein(token, term) <= D over tokenized text, D from "
+        "the ES AUTO length ladder (0 below 3 chars / 1 for 3-5 / 2 "
+        "from 6; 'streem' is 6 chars -> 2)"
     ),
     tags=("search",),
 )
 def search_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typo-tolerant match: 'streem' ~ 'stream' at edit distance 1.
+    """Typo-tolerant match under the AUTO ladder: 6-char 'streem'
+    allows 2 edits, so 'stream' (1 edit) and e.g. 'strem' (2) match.
     Scale: distance predicates don't prune; production path is a
     candidate set from the inverted index over n-gram keys, then exact
     levenshtein verify — the same shape ES uses."""
     docs = load_table(spark, sf_dir, "documents")
-    hits = fuzzy_term_frequency(tokenize("text"), "streem", 1)
+    hits = fuzzy_term_frequency(tokenize("text"), "streem")
     return (
         docs.withColumn("n_fuzzy_hits", hits)
         .filter(F.col("n_fuzzy_hits") > 0)

@@ -68,18 +68,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def scan_parallel(df: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Redistribute a narrow scan across all cores.
+    """Redistribute a narrow scan across all cores — but only when the
+    scan is actually starved.
 
     The driver's test parquet has ONE row group per file, so Spark
     cannot split the scan: every narrow expression chained onto it
     (json parse, shingling, hashing, cosine math) runs in a single
     task. For expression-heavy per-row pipelines, paying one small
     round-robin shuffle first unlocks full parallelism (measured 16x
-    on shingling at sf0.1). At warehouse scale data arrives in many
-    right-sized files and this call is a no-op decision — keep it at
-    the few explicit call sites where per-row compute dominates.
+    on shingling at sf0.1).
+
+    At warehouse scale data arrives in many right-sized splits, so the
+    no-op decision is made HERE, in code: when the plan already yields
+    at least half the target parallelism the input is returned
+    untouched — no Exchange, and scan-level pushdown/bloom injection
+    stay intact. Copied verbatim to a 1000-executor cluster this is a
+    true no-op; on the single-row-group test files it still buys the
+    shuffle that matters. (``getNumPartitions`` is plan metadata — it
+    schedules no job.)
     """
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, n // 2):
+        return df
     return df.repartition(n)
 
 

@@ -821,3 +821,51 @@ def test_dp_median_exponential_mechanism(spark):
         events.repartition(7), epsilon=1.0, **kw
     ).collect()[0]
     assert tuple(r1) == tuple(r2)
+
+
+def test_dp_user_level_l1_bound_with_key_cap(spark):
+    """ADVICE r3: without a keys-per-user bound, one user spread over
+    many keys has unbounded histogram-wide L1 sensitivity. With
+    max_keys_per_user=L, adding one user (however many keys they
+    touch) moves the SUM over all keys of clamped_count by at most
+    L * max_per_user — the L1 bound the Laplace scale L*max_per_user/eps
+    is calibrated to."""
+    from click_streaming_data_pipeline_spark.extensions.privacy import (
+        dp_noisy_counts,
+    )
+
+    base_rows = [(u, f"k{k}") for u in range(10) for k in range(30)]
+    # the new user floods EVERY key with many rows
+    loud = [(999, f"k{k}") for k in range(30) for _ in range(50)]
+    schema = "user_id long, event_type string"
+    d1 = spark.createDataFrame(base_rows, schema)
+    d2 = spark.createDataFrame(base_rows + loud, schema)
+    kw = dict(
+        key_col="event_type", user_col="user_id",
+        epsilon=1.0, max_per_user=8, max_keys_per_user=3,
+    )
+    r1 = {r["event_type"]: r for r in dp_noisy_counts(d1, **kw).collect()}
+    r2 = {r["event_type"]: r for r in dp_noisy_counts(d2, **kw).collect()}
+    l1 = sum(
+        abs(r2[k]["clamped_count"] - r1[k]["clamped_count"]) for k in r1
+    )
+    assert l1 <= 3 * 8  # despite 30 keys x 50 rows from the new user
+    # WITHOUT the cap the same neighbor shifts the histogram by
+    # 30 * 8 = 240 — the unbounded-sensitivity failure the cap closes
+    kw_nocap = dict(
+        key_col="event_type", user_col="user_id",
+        epsilon=1.0, max_per_user=8,
+    )
+    u1 = {r["event_type"]: r for r in dp_noisy_counts(d1, **kw_nocap).collect()}
+    u2 = {r["event_type"]: r for r in dp_noisy_counts(d2, **kw_nocap).collect()}
+    l1_nocap = sum(
+        abs(u2[k]["clamped_count"] - u1[k]["clamped_count"]) for k in u1
+    )
+    assert l1_nocap == 30 * 8
+    # the seeded noise stays a pure function of (key, label, scale):
+    # neighbors share noise, so the release difference is exactly the
+    # clamped-count difference
+    for k in r1:
+        n1 = r1[k]["noisy_count"] - r1[k]["clamped_count"]
+        n2 = r2[k]["noisy_count"] - r2[k]["clamped_count"]
+        assert abs(n1 - n2) < 1e-9

@@ -102,3 +102,43 @@ def test_phrase_search_semantics(spark):
     assert got2 == {2: 3}
     got3 = {r["doc_id"]: r["phrase_freq"] for r in phrase_search(idx, ["a", "b"]).collect()}
     assert got3 == {1: 2, 4: 1}
+
+
+def test_fuzziness_auto_length_ladder(spark):
+    """ES fuzziness:AUTO semantics (reference search main.py:96):
+    allowed edits follow the QUERY term's length — 0 below 3 chars,
+    1 for 3-5, 2 from 6 up. A 6+-char misspelling two edits away must
+    match under AUTO but not under a fixed distance of 1."""
+    from click_streaming_data_pipeline_spark.operators.search import (
+        auto_fuzziness,
+        fuzzy_term_frequency,
+        tokenize,
+    )
+
+    assert [auto_fuzziness(t) for t in ("ab", "abc", "abcde", "abcdef")] == [
+        0, 1, 1, 2,
+    ]
+
+    rows = [
+        (1, "stream processing"),   # 1 edit from 'streem'
+        (2, "striim of events"),    # 2 edits from 'streem'
+        (3, "scream quietly"),      # 2 edits from 'streem'
+        (4, "totally unrelated"),
+        (5, "ab cd"),               # short-term probe below
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, body string")
+    toks = tokenize("body")
+
+    def hits(term, dist=None):
+        return {
+            r["doc_id"]
+            for r in docs.filter(
+                fuzzy_term_frequency(toks, term, dist) > 0
+            ).collect()
+        }
+
+    assert hits("streem") == {1, 2, 3}        # AUTO: 6 chars -> 2 edits
+    assert hits("streem", 1) == {1}           # fixed 1 keeps old behavior
+    assert hits("ab") == {5}                  # AUTO: <3 chars -> exact only
+    assert hits("ac", 1) == {5}               # distance 1 would have matched
+    assert hits("ac") == set()                # AUTO forbids edits at len 2

@@ -49,7 +49,10 @@ _DELETION_KEYS = (
 
 def deletion_keys(df: DataFrame, s_col: str) -> DataFrame:
     """Explode each row into its deletion-neighborhood keys (+1 col
-    ``_dkey``)."""
+    ``_dkey``). Keys stay STRINGS deliberately: an xxhash64-long key
+    (the LSH-postings trick) was measured at 11.37 vs 11.31 CPU-s per
+    sf0.1 run — names are too short for the narrower key to beat the
+    hash's own cost, unlike 12-token shingles."""
     return df.withColumn(
         "_dkey", F.explode(F.expr(_DELETION_KEYS.format(s=s_col)))
     )
@@ -89,11 +92,16 @@ def edit_distance_pairs(
     # thresholded levenshtein computes the banded DP (O(n*k) per pair
     # instead of O(n^2)) and returns -1 beyond the band — exact
     # distances for every surviving pair, ~len/k less work per
-    # candidate on the hot verify path
+    # candidate on the hot verify path. Equality short-circuits first:
+    # a dist-0 pair re-enters the join once per shared deletion key
+    # (len+1 times — the highest-multiplicity candidates by far), and
+    # a byte compare is far cheaper than even the banded DP
     return (
         cand.withColumn(
             "dist",
-            F.levenshtein("name_a", "name_b", max_dist).cast("int"),
+            F.when(F.col("name_a") == F.col("name_b"), F.lit(0))
+            .otherwise(F.levenshtein("name_a", "name_b", max_dist))
+            .cast("int"),
         )
         .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select("id_a", "id_b", "name_a", "name_b", "dist")

@@ -10,12 +10,15 @@ implementation's prompt/parse/weights
   bit-identical to the pure-expression scorer in
   ``functions.quality`` (equivalence is oracle-gated: the pandas-UDF
   query shares the expression query's DuckDB oracle).
-- ``LLMProvider``: the real-LLM slot. Network calls are NOT available
-  in this environment, so ``score_batch`` raises NotImplementedError
-  at the exact point the reference performs its chat-completions call
+- ``LLMProvider``: the real-LLM slot. The chat-completions call
   (temperature=0, JSON mode, content truncated to 1024 chars,
-  ``OpenAIProvider.py:31-44``); the batching around it — one async
-  gather per Arrow batch — is the intended production shape.
+  ``OpenAIProvider.py:31-44``) is implemented stdlib-only in
+  :func:`http_chat_transport` and wired in with ``base_url=``; with
+  no transport configured ``score_batch`` raises NotImplementedError
+  at the exact call site. The batching — one semaphore-bounded async
+  gather per Arrow batch — is exercised end-to-end over real loopback
+  HTTP in ``tests/test_quality_providers.py`` (external endpoints are
+  unreachable from this sandbox, so that is as real as it gets here).
 
 Why a UDF path at all when expressions exist: the expression scorer
 is the fast path (codegen, no Python). The provider path exists for
@@ -101,17 +104,23 @@ class LLMProvider:
 
     The network call itself is injected as ``transport``: an async
     callable ``(prompt, model) -> str`` returning the model's JSON
-    text (in production an httpx/aiohttp chat-completions POST with
-    temperature=0 + JSON mode, OpenAIProvider.py:31-44). No transport
-    is available in this sandbox, so the default raises
-    NotImplementedError at the exact call site; tests exercise the
-    full batching/parse/error path with a mocked transport."""
+    text. Passing ``base_url=`` instead builds the real HTTP
+    chat-completions transport (:func:`http_chat_transport` —
+    temperature=0 + JSON mode, OpenAIProvider.py:31-44); a base_url is
+    a picklable string, so it survives the trip into Arrow-UDF worker
+    processes where a closure transport would not. With neither, the
+    default raises NotImplementedError at the exact call site. The
+    full Spark -> Arrow batch -> async gather -> HTTP POST -> parse ->
+    clamp path is executed end-to-end in tests against an in-process
+    loopback server (no external network)."""
 
     name = "llm"
     model = "gpt-4o-mini"  # reference default, config.py:16
     max_concurrency = 8  # in-flight requests per Arrow batch
 
-    def __init__(self, transport=None):
+    def __init__(self, transport=None, base_url=None, api_key=None):
+        if transport is None and base_url is not None:
+            transport = http_chat_transport(base_url, api_key=api_key)
         self._transport = transport
 
     @staticmethod
@@ -155,6 +164,45 @@ class LLMProvider:
         return pd.DataFrame(rows, columns=list(_SCORE_KEYS))
 
 
+def http_chat_transport(base_url: str, *, api_key: str | None = None,
+                        timeout: float = 30.0):
+    """Real chat-completions HTTP transport (OpenAIProvider.py:31-44's
+    request contract): POST {model, messages, temperature=0, JSON
+    response_format} to ``{base_url}/chat/completions`` and return the
+    first choice's message content. stdlib-only (urllib inside
+    ``asyncio.to_thread``) so it runs in this environment and inside
+    Arrow-UDF workers; concurrency is already bounded by the
+    provider's semaphore, so one thread per in-flight request is the
+    intended shape, not an accident."""
+    import urllib.request
+
+    endpoint = base_url.rstrip("/") + "/chat/completions"
+    headers = {"Content-Type": "application/json"}
+    if api_key:
+        headers["Authorization"] = f"Bearer {api_key}"
+
+    async def call(prompt: str, *, model: str) -> str:
+        def post() -> str:
+            body = json.dumps(
+                {
+                    "model": model,
+                    "messages": [{"role": "user", "content": prompt}],
+                    "temperature": 0,
+                    "response_format": {"type": "json_object"},
+                }
+            ).encode()
+            req = urllib.request.Request(
+                endpoint, data=body, method="POST", headers=headers
+            )
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                payload = json.loads(resp.read().decode())
+            return payload["choices"][0]["message"]["content"]
+
+        return await asyncio.to_thread(post)
+
+    return call
+
+
 _PROVIDERS = {
     HeuristicProvider.name: HeuristicProvider,
     LLMProvider.name: LLMProvider,
@@ -174,13 +222,17 @@ def get_provider(name: str = "heuristic", **kwargs):
     return cls(**kwargs)
 
 
-def quality_checks_udf(provider_name: str = "heuristic"):
-    """Arrow-batched pandas UDF emitting the 4-score struct."""
+def quality_checks_udf(provider_name: str = "heuristic", **provider_kwargs):
+    """Arrow-batched pandas UDF emitting the 4-score struct.
+    ``provider_kwargs`` (e.g. ``base_url=``) must be picklable — they
+    cross into the UDF worker and the provider is constructed there."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(CHECKS_SCHEMA)
     def _udf(text: pd.Series, n_chars: pd.Series) -> pd.DataFrame:
-        return get_provider(provider_name).score_batch(text, n_chars)
+        return get_provider(provider_name, **provider_kwargs).score_batch(
+            text, n_chars
+        )
 
     return _udf
 
@@ -191,12 +243,13 @@ def with_provider_quality(
     text_col: str = "text",
     n_chars_col: str = "n_chars",
     provider_name: str = "heuristic",
+    **provider_kwargs,
 ) -> DataFrame:
     """Attach provider-based quality columns (same names/semantics as
     the expression scorer): 4 sub-scores + weighted overall +
     validity. The weighted combine stays JVM-side so only the scores
     cross the Arrow boundary."""
-    udf = quality_checks_udf(provider_name)
+    udf = quality_checks_udf(provider_name, **provider_kwargs)
     out = df.withColumn(
         "__q", udf(F.col(text_col), F.col(n_chars_col).cast("long"))
     )

@@ -449,6 +449,22 @@ def jaccard_from_sets(
     )
 
 
+#: shingles appearing in more documents than this are dropped from
+#: the SIGNATURE input (verify always uses the full sets). A shingle
+#: shared corpus-wide is boilerplate, not a near-dup signal — and when
+#: such a shingle's hash wins a minhash seed, every doc containing it
+#: shares that signature component, so band buckets (and the candidate
+#: self-join) go quadratic in the boilerplate's df. Measured on the
+#: 8x scaling corpus before the guard: 17.5M candidates from 40k docs
+#: (buckets of ~2k docs) vs 941 candidates at 1x. Gate corpora df is
+#: orders of magnitude below the cap, so oracle behavior is
+#: bit-identical; same precedent as ``jaccard_pairs(max_df)``.
+#: Caveat: a doc consisting ENTIRELY of >max_df boilerplate drops out
+#: of candidate generation — exact dedup (hash of normalized text) is
+#: the right tool for those, not LSH.
+LSH_MAX_DF = 4096
+
+
 def minhash_lsh_dedup(
     docs: DataFrame,
     *,
@@ -456,6 +472,7 @@ def minhash_lsh_dedup(
     text_col: str = "text",
     threshold: float = 0.8,
     materialize: bool = True,
+    max_df: int | None = LSH_MAX_DF,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle -> minhash -> LSH candidates ->
     exact-Jaccard verify of the candidates only (never all pairs).
@@ -493,8 +510,25 @@ def minhash_lsh_dedup(
     sh = doc_shingle_hashes(docs, id_col=id_col, text_col=text_col)
     if materialize:
         sh = sh.localCheckpoint(eager=True)
+    sig_in = sh
+    if max_df is not None:
+        # shingle rows are distinct per doc, so count(*) per shingle
+        # IS document frequency. The DROP set (df > cap) is tiny by
+        # construction — only corpus-wide boilerplate crosses the cap
+        # — so it broadcasts and the filter is a broadcast anti-join:
+        # the shingle table itself never reshuffles. (The keep-set
+        # inner-join formulation shuffles the whole shingle table a
+        # second time; at 100 TB the blocklist broadcast is exactly
+        # the CCNet arrangement.)
+        drop = (
+            sh.groupBy("h1", "h2")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("h1", "h2")
+        )
+        sig_in = sh.join(F.broadcast(drop), ["h1", "h2"], "left_anti")
     banded = band_postings(
-        minhash_signatures_fast(sh, id_col=id_col), id_col=id_col
+        minhash_signatures_fast(sig_in, id_col=id_col), id_col=id_col
     )
     sets = shingle_sets(sh, id_col=id_col)
     if materialize:

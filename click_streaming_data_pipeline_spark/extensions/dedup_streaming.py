@@ -26,6 +26,18 @@ shingles are ~corpus-sized — at 100 TB keep them partitioned by a
 shingle-hash prefix so the verify join prunes, and compact
 periodically. State lives in storage, not the streaming state store,
 so it survives restarts and is shared by other consumers.
+
+Boilerplate df-cap: the batch pipeline drops >max_df shingles from
+the SIGNATURE input (``dedup.LSH_MAX_DF`` — without it a corpus-wide
+shingle that wins a minhash seed turns one band bucket quadratic).
+The incremental pipeline deliberately does NOT apply it: a streaming
+signature is computed once at arrival, when the shingle's final df is
+unknowable, so any cap here would depend on arrival order and break
+the drained-equals-batch oracle. At 100 TB, either pre-train a
+boilerplate blocklist offline (the CCNet arrangement: df stats from a
+prior snapshot, broadcast as the drop set) or periodically re-run the
+batch pipeline over the accumulated store — both keep signatures a
+pure function of (doc, blocklist), order-independent.
 """
 
 from __future__ import annotations

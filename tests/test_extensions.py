@@ -1145,3 +1145,64 @@ def test_resize_png_nearest_neighbor_semantics(spark):
         )
     ).collect()[0]
     assert dec["decode_ok"] and dec["px_sum"] == 0x00 + 0x02 + 0x20 + 0x22
+
+
+def test_lsh_boilerplate_df_cap_bounds_candidates(spark):
+    """SCALING probe r4 finding: a corpus-wide boilerplate shingle
+    whose hash wins a minhash seed puts EVERY doc carrying it into one
+    band bucket — the candidate self-join goes quadratic in the
+    boilerplate's df. The max_df signature guard must (a) keep the
+    candidate count bounded on such a corpus and (b) still find a
+    planted true near-dup pair through its unique content shingles."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from click_streaming_data_pipeline_spark.extensions.dedup import (
+        band_postings,
+        doc_shingle_hashes,
+        minhash_lsh_dedup,
+        minhash_signatures_fast,
+        pairs_from_postings,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{j}" for j in range(5000)]
+    boiler = "terms of service apply all rights reserved contact us here"
+    rows = []
+    for i in range(600):
+        unique = " ".join(rng.choice(vocab) for _ in range(30))
+        # boilerplate first: its shingles are shared by ALL docs
+        rows.append((f"d{i:04d}", f"{boiler} {unique}"))
+    # planted near-dup pair: same unique content, one word changed
+    base = " ".join(rng.choice(vocab) for _ in range(40))
+    rows.append(("dup_a", f"{boiler} {base}"))
+    rows.append(("dup_b", f"{boiler} {base} extraword"))
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    # without the guard the boilerplate bucket is corpus-sized
+    sh = doc_shingle_hashes(docs)
+    raw_cand = pairs_from_postings(
+        band_postings(minhash_signatures_fast(sh))
+    ).count()
+    assert raw_cand > 10_000  # quadratic: ~600^2/2 boilerplate pairs
+
+    # with the guard (cap far below the corpus size) candidates are
+    # bounded and the planted pair still verifies
+    out = minhash_lsh_dedup(docs, threshold=0.8, max_df=64)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert ("dup_a", "dup_b") in pairs
+    capped_cand = pairs_from_postings(
+        band_postings(
+            minhash_signatures_fast(
+                sh.join(
+                    sh.groupBy("h1", "h2")
+                    .agg(F.count("*").alias("f"))
+                    .filter(F.col("f") <= 64)
+                    .select("h1", "h2"),
+                    ["h1", "h2"],
+                )
+            )
+        )
+    ).count()
+    assert capped_cand < raw_cand / 20

@@ -66,6 +66,7 @@ PROBE_QUERIES = [
     "rag_mmr_rerank",
     "cep_funnel_regex",
     "pareto_frontier",
+    "search_fuzzy",
 ]
 
 
@@ -93,14 +94,23 @@ def build_replicated(spark) -> None:
             if table == "documents":
                 # verbatim replicas would make every doc a j=1.0
                 # near-dup of its 7 clones — quadratic OUTPUT by
-                # construction of the copy, not the plan. Inserting a
-                # per-replica token between every word collapses
-                # cross-replica shingle/window overlap while the
-                # within-replica duplicate structure (both members of
-                # a pair mutate identically) is preserved, so dedup
-                # output scales ~linearly like the corpus does.
+                # construction of the copy, not the plan. TAG every
+                # token with a per-replica prefix: cross-replica
+                # shingle/window overlap collapses while within-replica
+                # duplicate structure is preserved, AND each shingle
+                # still carries 12 distinct-vocabulary tokens. (The
+                # earlier scheme — INSERTING rep{i} between words —
+                # halved shingle entropy: every window held only 6 real
+                # tokens, so common shingles hit thousands of docs and
+                # minhash buckets went quadratic; that was a probe
+                # artifact, not a plan property, though it did flush
+                # out the engine's missing boilerplate df-cap.)
                 c = c.withColumn(
-                    "text", F.regexp_replace("text", " ", f" rep{i} ")
+                    "text",
+                    F.concat(
+                        F.lit(f"r{i}x"),
+                        F.regexp_replace("text", " ", f" r{i}x"),
+                    ),
                 )
             if table == "customer":
                 # same reasoning for the edit-distance lane: verbatim

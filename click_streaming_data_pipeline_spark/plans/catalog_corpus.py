@@ -1765,8 +1765,9 @@ from ..extensions.privacy import (  # noqa: E402
         "and adds Laplace(24/eps), eps=1, seeded "
         "from md5(event_type) so the release is deterministic and "
         "reshard-stable (extensions/privacy.py docstring covers the "
-        "IEEE-exactness argument). Two partial-agg shuffles, output "
-        "bounded by the key domain - the released number a 100 TB "
+        "IEEE-exactness argument). Two partial-agg shuffles plus one "
+        "window pass over the already-aggregated (user x type) frame "
+        "for the key cap, output bounded by the key domain - the released number a 100 TB "
         "corpus publisher can hand out without the audit queries "
         "(k_anonymity_audit) flagging it."
     ),

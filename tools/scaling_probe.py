@@ -23,9 +23,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-REPLICAS = 8
+REPLICAS = int(os.environ.get("SPARK_GRAFT_REPLICAS", "8"))
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = "/tmp/csdp_scaling_x8"
+OUT_DIR = f"/tmp/csdp_scaling_x{REPLICAS}"
 
 #: per-table key columns to offset so replicas occupy disjoint key
 #: ranges (FK pairs share one offset constant, keeping joins exact)
@@ -147,11 +147,14 @@ def main() -> None:
     from click_streaming_data_pipeline_spark.plans import QUERIES
     from click_streaming_data_pipeline_spark.session import get_spark
 
+    only = set(sys.argv[1:])
     spark = get_spark("csdp-scaling-probe")
     build_replicated(spark)
 
     rows = []
     for name in PROBE_QUERIES:
+        if only and name not in only:
+            continue
         q = QUERIES[name]
         # warm codegen at the smallest SF
         q.fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
@@ -160,9 +163,17 @@ def main() -> None:
         t1 = time_query(q, spark, BASE)
         t8 = time_query(q, spark, OUT_DIR)
         rows.append((name, t1, t8, t8 / t1))
-        print(f"# {name}: 1x={t1:.3f}s 8x={t8:.3f}s ratio={t8/t1:.2f}",
-              file=sys.stderr)
+        print(
+            f"# {name}: 1x={t1:.3f}s {REPLICAS}x={t8:.3f}s "
+            f"ratio={t8/t1:.2f}",
+            file=sys.stderr,
+        )
     spark.stop()
+
+    if only or REPLICAS != 8:
+        # partial / non-default run: report, never clobber SCALING.md
+        print(json.dumps({n: round(r, 2) for n, _, _, r in rows}))
+        return
 
     lines = [
         "# SCALING — measured 1x vs 8x wall clock (local[32])",

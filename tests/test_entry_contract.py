@@ -74,3 +74,27 @@ def test_no_query_emits_driver_hostile_types(spark):
             if isinstance(f.dataType, (ArrayType, MapType)):
                 offenders.append((name, f.name))
     assert not offenders, offenders
+
+
+def test_no_oracle_emits_pandas_fragile_dtypes():
+    """The r3 driver hash-fails were DuckDB HUGEINT outputs degrading
+    to float64 through the driver's pandas fetch ("10.0" vs Spark's
+    "10"). DESCRIBE every oracle and require zero HUGEINT/UHUGEINT or
+    DECIMAL(>18) output columns — integer sums must CAST to BIGINT."""
+    import duckdb
+
+    import __spark_entry__ as se
+    from tools.driver_check import TABLES, fragile_dtypes
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'/root/testdata/sf0.001/{t}.parquet'"
+        )
+    bad = {}
+    for name, sql in se.oracle_sql().items():
+        cols = fragile_dtypes(con, sql)
+        if cols:
+            bad[name] = cols
+    assert not bad, bad

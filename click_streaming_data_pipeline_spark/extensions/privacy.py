@@ -277,9 +277,18 @@ def release_noisy_sums(
         ).alias("__c"),
     )
     if max_keys_per_user is not None:
+        # zero out (don't drop) un-kept contributions so the released
+        # key domain matches release_noisy_counts' — a key nobody
+        # keeps still gets its zero+noise row, and joining the count
+        # and sum releases on key never loses rows
         clamped = _keep_top_keys(
             clamped, user_col, key_col, "__c", max_keys_per_user
-        ).filter(F.col("__kept"))
+        ).select(
+            key_col,
+            F.when(F.col("__kept"), F.col("__c"))
+            .otherwise(F.lit(0).cast("decimal(38,6)"))
+            .alias("__c"),
+        )
     return (
         clamped.groupBy(key_col)
         .agg(F.sum("__c").cast("double").alias("clamped_sum"))

@@ -1804,13 +1804,16 @@ def dp_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM per_user
         ),
         kept AS (
-            SELECT event_type, c FROM (
+            SELECT event_type,
+                   CASE WHEN rk <= 3 THEN c
+                        ELSE CAST(0.0 AS DECIMAL(38,6)) END AS c
+            FROM (
                 SELECT event_type, c,
                        row_number() OVER (PARTITION BY user_id
                                           ORDER BY c DESC,
                                                    event_type ASC) AS rk
                 FROM clamped
-            ) WHERE rk <= 3
+            )
         )
         SELECT event_type,
                CAST(sum(c) AS DOUBLE) AS clamped_sum,
@@ -2174,13 +2177,16 @@ def dp_value_median_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM per_user
         ),
         kept AS (
-            SELECT event_type, c FROM (
+            SELECT event_type,
+                   CASE WHEN rk <= 3 THEN c
+                        ELSE CAST(0.0 AS DECIMAL(38,6)) END AS c
+            FROM (
                 SELECT event_type, c,
                        row_number() OVER (PARTITION BY user_id
                                           ORDER BY c DESC,
                                                    event_type ASC) AS rk
                 FROM clamped
-            ) WHERE rk <= 3
+            )
         )
         SELECT event_type,
                CAST(sum(c) AS DOUBLE) AS clamped_sum,

@@ -87,7 +87,11 @@ def scan_parallel(df: DataFrame, partitions: int | None = None) -> DataFrame:
     shuffle that matters. (``getNumPartitions`` is plan metadata — it
     schedules no job.)
     """
-    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if partitions is not None:
+        # an explicit count is a demand (a caller pinning layout for a
+        # partition-count-sensitive write), not a hint — always honor it
+        return df.repartition(partitions)
+    n = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= max(2, n // 2):
         return df
     return df.repartition(n)

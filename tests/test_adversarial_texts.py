@@ -82,7 +82,11 @@ def test_adversarial_corpus_matches_oracle(spark, adversarial_dir, name):
     orows = cur.fetchall()
     assert sorted(sdf.columns) == sorted(ocols)
     assert len(srows) == len(orows), (len(srows), len(orows))
+    # None-safe sample ordering: rows may hold NULLs, which plain
+    # sorted() can't compare — sort by repr so a real divergence still
+    # reports samples instead of dying in the assert message
     assert value_hash(srows, sdf.columns) == value_hash(orows, ocols), (
         f"{name}: engines diverge on adversarial texts; "
-        f"spark sample={sorted(srows)[:4]} oracle sample={sorted(orows)[:4]}"
+        f"spark sample={sorted(srows, key=repr)[:4]} "
+        f"oracle sample={sorted(orows, key=repr)[:4]}"
     )

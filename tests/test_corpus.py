@@ -869,3 +869,30 @@ def test_dp_user_level_l1_bound_with_key_cap(spark):
         n1 = r1[k]["noisy_count"] - r1[k]["clamped_count"]
         n2 = r2[k]["noisy_count"] - r2[k]["clamped_count"]
         assert abs(n1 - n2) < 1e-9
+
+
+def test_dp_count_and_sum_releases_share_key_domain(spark):
+    """Review r4: with the key cap, a key that NO user keeps must
+    still appear in BOTH releases as a zero-contribution noise row —
+    the count and sum releases must expose the same key domain so a
+    consumer joining them on key never loses rows."""
+    from click_streaming_data_pipeline_spark.extensions.privacy import (
+        dp_noisy_counts,
+        dp_noisy_sum,
+    )
+
+    # every user touches 'rare' least (count 1 vs 5): with L=1 nobody
+    # keeps it, so it survives only as a zero row
+    rows = [(u, k, 10.0) for u in range(6) for k in ("a", "b") for _ in range(5)]
+    rows += [(u, "rare", 1.0) for u in range(6)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, value double")
+    kw = dict(key_col="event_type", user_col="user_id",
+              epsilon=1.0, max_keys_per_user=1)
+    counts = {r["event_type"]: r for r in dp_noisy_counts(
+        df, max_per_user=8, **kw).collect()}
+    sums = {r["event_type"]: r for r in dp_noisy_sum(
+        df, value_col="value", lo=0.0, hi=1000.0, **kw).collect()}
+    assert set(counts) == set(sums) == {"a", "b", "rare"}
+    assert counts["rare"]["clamped_count"] == 0
+    assert counts["rare"]["true_count"] == 6
+    assert sums["rare"]["clamped_sum"] == 0.0

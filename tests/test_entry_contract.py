@@ -86,11 +86,12 @@ def test_no_oracle_emits_pandas_fragile_dtypes():
     import __spark_entry__ as se
     from tools.driver_check import TABLES, fragile_dtypes
 
+    from .conftest import SF_TEST
+
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"'/root/testdata/sf0.001/{t}.parquet'"
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_TEST}/{t}.parquet'"
         )
     bad = {}
     for name, sql in se.oracle_sql().items():

@@ -25,27 +25,7 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
-
-FRAGILE = ("HUGEINT", "UHUGEINT")
-
-
-def fragile_cols(con, sql: str) -> list[tuple[str, str]]:
-    rows = con.execute(f"DESCRIBE {sql}").fetchall()
-    out = []
-    for name, typ, *_ in rows:
-        t = typ.upper()
-        if any(t.startswith(f) for f in FRAGILE):
-            out.append((name, typ))
-        elif t.startswith("DECIMAL"):
-            # DECIMAL(p,s) with p>18 falls back to object/float in pandas
-            digits = t.split("(")[1].split(",")[0]
-            if int(digits) > 18:
-                out.append((name, typ))
-    return out
+from tools.driver_check import TABLES, fragile_dtypes as fragile_cols  # noqa: E402
 
 
 def main() -> int:

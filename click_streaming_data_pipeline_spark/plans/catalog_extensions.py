@@ -534,13 +534,71 @@ def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _srp_oracle() -> str:
+    """SQL twin of ``lsh_bucketed_pairs`` at default (4 planes x 8
+    tables, threshold 0.40): NOT an idealized all-pairs oracle (that
+    would differ wherever recall < 1) but the SAME algorithm — the
+    hyperplanes are plan-time md5-derived literals, so the oracle
+    embeds the identical 32 plane vectors in a VALUES CTE, rebuilds
+    the sign-bit buckets, equi-joins candidates per table, and
+    verifies with the sequential-fold cosine (`_cos_sql`). Every
+    stage is order-free or explicitly ordered, so the match is
+    bit-exact."""
+    from ..extensions.similarity import N_PLANES, N_TABLES, _plane
+
+    rows = []
+    for t in range(N_TABLES):
+        for i in range(N_PLANES):
+            comps = ", ".join(repr(x) for x in _plane(t, i, 64))
+            rows.append(f"({t}, {i}, [{comps}])")
+    values = ",\n            ".join(rows)
+    dot = (
+        "list_reduce(list_transform(generate_series(1, 64), "
+        "j -> e.v[j] * p.plane[j]), (acc, x) -> acc + x)"
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        p (tbl, i, plane) AS (VALUES
+            {values}
+        ),
+        bits AS (
+            SELECT e.vec_id, p.tbl, p.i,
+                   CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END AS bit
+            FROM e, p
+        ),
+        tabled AS (
+            SELECT vec_id, tbl, string_agg(bit, '' ORDER BY i) AS bucket
+            FROM bits GROUP BY vec_id, tbl
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM tabled a
+            JOIN tabled b
+              ON a.tbl = b.tbl AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id
+        )
+        SELECT c.id_a, c.id_b, {_cos_sql('ea.v', 'eb.v')} AS cos
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.id_a
+        JOIN e eb ON eb.vec_id = c.id_b
+        WHERE {_cos_sql('ea.v', 'eb.v')} >= 0.4e0
+    """
+
+
 @query(
     "knn_lsh_pairs",
-    oracle=None,  # approximate (recall<1); pytest checks recall vs exact
+    oracle=_srp_oracle(),
     doc=(
         "extension: LSH-bucketed similar-pairs (sign-random-projection "
         "buckets -> in-bucket cosine) — the N^2-free scale path; "
-        "IVF swaps hyperplanes for centroids, same join shape"
+        "IVF swaps hyperplanes for centroids, same join shape. The "
+        "oracle replays the identical plan-time hyperplanes in SQL "
+        "(same buckets, same candidates), so the approximate "
+        "algorithm itself is value-hash-gated; the recall-vs-exact "
+        "property stays in pytest."
     ),
     tags=("similarity",),
 )

@@ -447,9 +447,89 @@ def page_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_edges(load_table(spark, sf_dir, "events"))
 
 
+def _pagerank_oracle(n_iter: int = 10) -> str:
+    """Unrolled-iteration SQL twin of ``extensions.graph.pagerank``.
+
+    The fixed iteration count makes the 'iterative' algorithm
+    SQL-expressible: each driver-loop round becomes one CTE pair
+    (contribution sum, rank update). Float parity notes:
+
+    - Spark's double->decimal(38,18) cast goes through the shortest
+      string repr (then HALF_UP); DuckDB's native cast converts the
+      exact binary value, so the two differ in the last decimal
+      digits. ``CAST(CAST(x AS VARCHAR) AS DECIMAL(38,18))`` makes
+      DuckDB take the same string-mediated route (verified
+      value-by-value).
+    - decimal->double likewise goes through VARCHAR so both engines
+      parse the same exact decimal string with correct rounding.
+    - ``0.85e0``/``1.0e0`` keep DuckDB literals DOUBLE (a bare 0.85
+      parses as DECIMAL(3,2) and ``1.0-0.85`` would then be an exact
+      decimal 0.15, not Python's 0.15000000000000002).
+    Both sides round the released rank to 9 dp (repo float rule).
+    """
+    head = """
+        WITH keyed AS (
+            SELECT user_id, ts, event_id,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER)
+                       AS dst
+            FROM events
+        ),
+        pairs AS (
+            SELECT lag(dst) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS src,
+                   dst
+            FROM keyed
+        ),
+        edges AS (
+            SELECT src, dst, count(*) AS n
+            FROM pairs
+            WHERE src IS NOT NULL AND src <> dst
+            GROUP BY 1, 2
+        ),
+        nodes AS (
+            SELECT src AS node FROM edges
+            UNION
+            SELECT dst FROM edges
+        ),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        outw AS (SELECT src, sum(n) AS out_w FROM edges GROUP BY src),
+        shares AS (
+            SELECT e.src, e.dst,
+                   CAST(e.n AS DOUBLE) / CAST(o.out_w AS DOUBLE)
+                       AS share
+            FROM edges e JOIN outw o USING (src)
+        ),
+        r0 AS (
+            SELECT node, 1.0e0 / (SELECT n FROM nn) AS rank FROM nodes
+        )"""
+    its = []
+    for k in range(1, n_iter + 1):
+        its.append(f""",
+        s{k} AS (
+            SELECT sh.dst,
+                   CAST(CAST(sum(
+                       CAST(CAST(r.rank * sh.share AS VARCHAR)
+                            AS DECIMAL(38,18))
+                   ) AS VARCHAR) AS DOUBLE) AS in_sum
+            FROM shares sh JOIN r{k - 1} r ON sh.src = r.node
+            GROUP BY sh.dst
+        ),
+        r{k} AS (
+            SELECT nodes.node,
+                   (1.0e0 - 0.85e0) / (SELECT n FROM nn)
+                       + 0.85e0 * coalesce(s{k}.in_sum, 0.0e0) AS rank
+            FROM nodes LEFT JOIN s{k} ON nodes.node = s{k}.dst
+        )""")
+    tail = f"""
+        SELECT node, round(rank, 9) AS rank FROM r{n_iter}
+    """
+    return head + "".join(its) + tail
+
+
 @query(
     "page_rank",
-    oracle=None,  # iterative; python-oracle parity in pytest
+    oracle=_pagerank_oracle(),
     doc=(
         "beyond-reference graph analytics: weighted PageRank over the "
         "page-transition graph — 10 driver-loop iterations, each one "
@@ -457,7 +537,10 @@ def page_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "contribution sum per dst; edge shares materialize once, node "
         "state checkpoints per round (the Pregel-on-DataFrames "
         "shape). Simplified dangling-mass variant, mirrored exactly "
-        "by the pytest oracle."
+        "by the pytest python oracle AND, since the iteration count "
+        "is fixed, by an unrolled-CTE SQL oracle (one contribution/"
+        "update CTE pair per round, string-mediated decimal casts "
+        "for bit parity)."
     ),
     tags=("graph",),
 )
@@ -465,7 +548,9 @@ def page_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.graph import pagerank, transition_edges
 
     edges = transition_edges(load_table(spark, sf_dir, "events"))
-    return pagerank(edges)
+    return pagerank(edges).select(
+        "node", F.round("rank", 9).alias("rank")
+    )
 
 
 @query(

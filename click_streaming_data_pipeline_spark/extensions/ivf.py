@@ -4,12 +4,15 @@ search. The second ANN strategy next to SRP-LSH
 (``extensions/similarity.py``) — IVF adapts to the data distribution
 (centroids follow density) where LSH is data-oblivious.
 
-This is also the repo's iterative-algorithm representative (SURVEY 5:
-"genuinely non-SQL-expressible ops"): k-means loops driver-side over
-DataFrame jobs — each iteration is one assign (broadcast centroids,
-argmin over K distances) + one re-center (groupBy mean) — the classic
-Spark iterative shape. Determinism: centroids initialize from the K
-smallest vec_ids (no RNG) and iterate a fixed number of rounds.
+This is also the repo's iterative-algorithm representative: k-means
+loops driver-side over DataFrame jobs — each iteration is one assign
+(broadcast centroids, argmin over K distances) + one re-center
+(groupBy decimal-exact sum + one IEEE division) — the classic Spark
+iterative shape. Determinism: centroids initialize from the K
+smallest vec_ids (no RNG), iterate a fixed number of rounds, and
+re-center order-free — which is what lets the DuckDB oracle unroll
+the loop and replay training bit-for-bit
+(plans/catalog_extensions.py ``_kmeans_chain``).
 
 Scale: the corpus is written partitioned by centroid id; a query
 probes ``nprobe`` nearest centroids → reads ~nprobe/K of the data.
@@ -109,18 +112,25 @@ def train_kmeans(
     dim = len(centroids[0][1])
     for _ in range(n_iter):
         assigned = _assign(e, centroids, "v")
+        # decimal-exact per-position sums (order-free, like graph.
+        # pagerank) + one driver-side IEEE division per component:
+        # identical doubles on any partitioning AND in the DuckDB
+        # oracle twin, where F.avg's float summation order is not.
         means = (
             assigned.groupBy("centroid_id")
             .agg(
+                F.count(F.lit(1)).alias("__n"),
                 *[
-                    F.avg(F.col("v")[i]).alias(f"m{i}")
+                    F.sum(F.col("v")[i].cast("decimal(38,18)"))
+                    .cast("double")
+                    .alias(f"s{i}")
                     for i in range(dim)
                 ],
             )
             .collect()
         )
         new = {
-            r["centroid_id"]: [r[f"m{i}"] for i in range(dim)]
+            r["centroid_id"]: [r[f"s{i}"] / r["__n"] for i in range(dim)]
             for r in means
         }
         # empty clusters keep their previous centroid (deterministic)

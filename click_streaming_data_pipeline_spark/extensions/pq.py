@@ -19,9 +19,12 @@ single groupBy (m, code). Coding and ADC search are pure codegen'd
 expressions over the broadcast codebook/table literals.
 
 Determinism: init = the K smallest ids' subvectors, fixed iteration
-count, min-code tie-breaks — no RNG; gated by pytest (recall vs brute
-force, reconstruction MSE, cross-run determinism) since iterative
-k-means is not SQL-expressible for the DuckDB oracle.
+count, min-code tie-breaks, decimal-exact (order-free) re-centering —
+no RNG and no partition-order float drift. That makes the fixed
+iteration count UNROLLABLE: the DuckDB oracle replays training,
+encoding, and ADC search bit-for-bit (plans/catalog_extensions.py
+``_pq_chain``); pytest keeps the recall-vs-brute-force and
+reconstruction-MSE properties.
 """
 
 from __future__ import annotations
@@ -137,13 +140,23 @@ def train_pq_codebooks(
         assigned = sub.withColumn(
             "code", _assign_code(F.col("s"), F.element_at(cb, F.col("m") + 1))
         )
+        # decimal-exact sums + driver-side IEEE division (see
+        # ivf.train_kmeans): order-free, bit-stable, oracle-replayable
         means = (
             assigned.groupBy("m", "code")
-            .agg(*[F.avg(F.col("s")[i]).alias(f"a{i}") for i in range(ds)])
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    F.sum(F.col("s")[i].cast("decimal(38,18)"))
+                    .cast("double")
+                    .alias(f"a{i}")
+                    for i in range(ds)
+                ],
+            )
             .collect()
         )
         new = {
-            (r["m"], r["code"]): [r[f"a{i}"] for i in range(ds)]
+            (r["m"], r["code"]): [r[f"a{i}"] / r["__n"] for i in range(ds)]
             for r in means
         }
         codebooks = [

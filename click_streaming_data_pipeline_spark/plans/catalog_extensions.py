@@ -908,14 +908,282 @@ def video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(assets)
 
 
+def _norm_sql(v: str) -> str:
+    """Sequential-fold L2 norm, mirroring extensions.similarity.norm."""
+    return (
+        f"sqrt(list_reduce(list_transform({v}, x -> x * x), "
+        f"(acc, x) -> acc + x))"
+    )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Sequential-fold 64-dim dot, mirroring extensions.similarity.dot."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, 64), "
+        f"j -> {a}[j] * {b}[j]), (acc, x) -> acc + x)"
+    )
+
+
+def _base_ctes() -> str:
+    """Shared base CTEs for the vector-index oracles: the double-cast
+    corpus with precomputed norms, plus the deterministic
+    ``id % mod`` training sample (mod sized to TRAIN_SAMPLE_CAP,
+    matching ``extensions.ivf``)."""
+    return f"""
+        e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        en AS (SELECT vec_id, v, {_norm_sql('v')} AS nv FROM e),
+        prm AS (
+            SELECT count(*) AS n,
+                   greatest(1, CAST(ceil(count(*) / 65536.0) AS BIGINT))
+                       AS md
+            FROM e
+        ),
+        samp AS (
+            SELECT vec_id, v, nv FROM en
+            WHERE vec_id % (SELECT md FROM prm) = 0
+        )"""
+
+
+def _kmeans_chain(n_iter: int = 3) -> str:
+    """CTE chain replaying ``extensions.ivf.train_kmeans`` in SQL
+    (appended after ``_base_ctes``): deterministic init (k smallest
+    ids, k = sqrt(N) clamped to [4, 256]), then ``n_iter`` unrolled
+    assign/re-center rounds. Re-centering is decimal-exact per
+    position (string-mediated casts — the same bit-parity discipline
+    as the page_rank oracle), matching the Spark trainer's order-free
+    decimal sums + one IEEE division. Ends with
+    ``cents(cid, cvec, nc)`` (nc = precomputed L2 norm; cosine =
+    dot/(nv*nc) is value-identical to the inline norm the Spark side
+    computes per pair) and ``corp`` (every vector with its assigned
+    centroid)."""
+    dec = "CAST(CAST({x} AS VARCHAR) AS DECIMAL(38,18))"
+    head = f"""
+        kk AS (
+            SELECT greatest(4, least(256,
+                CAST(floor(sqrt(CAST((SELECT n FROM prm) AS DOUBLE))
+                     + 0.5) AS BIGINT))) AS k
+        ),
+        c0 AS (
+            SELECT cid, cvec, {_norm_sql('cvec')} AS nc FROM (
+                SELECT row_number() OVER (ORDER BY vec_id ASC) - 1
+                           AS cid,
+                       v AS cvec
+                FROM samp
+            ) WHERE cid < (SELECT k FROM kk)
+        )"""
+    its = []
+    for j in range(1, n_iter + 1):
+        summed = dec.format(x="a.v[u.pos]")
+        its.append(f""",
+        s{j} AS (
+            SELECT t.vec_id, t.v, t.nv, c.cid,
+                   row_number() OVER (
+                       PARTITION BY t.vec_id
+                       ORDER BY {_dot_sql('t.v', 'c.cvec')}
+                                / (t.nv * c.nc) DESC,
+                                c.cid ASC
+                   ) AS rn
+            FROM samp t CROSS JOIN c{j - 1} c
+        ),
+        a{j} AS (SELECT vec_id, v, cid FROM s{j} WHERE rn = 1),
+        m{j} AS (
+            SELECT a.cid, u.pos,
+                   CAST(CAST(sum({summed}) AS VARCHAR) AS DOUBLE)
+                       / count(*) AS m
+            FROM a{j} a,
+                 (SELECT unnest(generate_series(1, 64)) AS pos) u
+            GROUP BY a.cid, u.pos
+        ),
+        w{j} AS (
+            SELECT cid, list(m ORDER BY pos) AS cvec
+            FROM m{j} GROUP BY cid
+        ),
+        c{j} AS (
+            SELECT cid, cvec, {_norm_sql('cvec')} AS nc FROM (
+                SELECT p.cid, coalesce(w.cvec, p.cvec) AS cvec
+                FROM c{j - 1} p LEFT JOIN w{j} w ON w.cid = p.cid
+            )
+        )""")
+    tail = f""",
+        cents AS (SELECT cid, cvec, nc FROM c{n_iter}),
+        corp AS (
+            SELECT vec_id, v, nv, cid AS centroid_id FROM (
+                SELECT t.vec_id, t.v, t.nv, c.cid,
+                       row_number() OVER (
+                           PARTITION BY t.vec_id
+                           ORDER BY {_dot_sql('t.v', 'c.cvec')}
+                                    / (t.nv * c.nc) DESC,
+                                    c.cid ASC
+                       ) AS rn
+                FROM en t CROSS JOIN cents c
+            ) WHERE rn = 1
+        )"""
+    return head + "".join(its) + tail
+
+
+def _kmeans_ctes(n_iter: int = 3) -> str:
+    """Base corpus/sample CTEs + the unrolled k-means chain."""
+    return _base_ctes() + "," + _kmeans_chain(n_iter)
+
+
+def _l2sq_sql(a: str, b: str, ds: int = 4) -> str:
+    """Sequential-fold squared L2 over a ``ds``-dim subvector,
+    mirroring extensions.pq._l2sq."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, {ds}), "
+        f"j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j])), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _pq_chain(n_iter: int = 3, m_sub: int = 16, k_codes: int = 16) -> str:
+    """CTE chain replaying ``extensions.pq.train_pq_codebooks`` +
+    ``pq_encode`` in SQL (appended after ``_base_ctes``): vectors
+    unit-normalize, split into ``m_sub`` subvectors, and each
+    subspace trains a ``k_codes``-entry L2 k-means codebook —
+    deterministic init from the k smallest sample ids, ``n_iter``
+    unrolled assign/re-center rounds with the same decimal-exact
+    re-centering as the IVF chain. Ends with ``pcb{n_iter}(m, code,
+    c)`` (the trained codebooks) and ``enc(vec_id, m, code, d)``
+    (every corpus vector's per-subspace code + its squared L2 to the
+    chosen entry)."""
+    ds = 64 // m_sub
+    dec = "CAST(CAST({x} AS VARCHAR) AS DECIMAL(38,18))"
+    head = f"""
+        eu AS (
+            SELECT vec_id,
+                   CASE WHEN nv = 0 THEN v
+                        ELSE list_transform(v, x -> x / nv)
+                   END AS u
+            FROM en
+        ),
+        mi AS (SELECT unnest(generate_series(0, {m_sub - 1})) AS m),
+        subf AS (
+            SELECT eu.vec_id, mi.m,
+                   list_transform(generate_series(1, {ds}),
+                                  j -> u[mi.m * {ds} + j]) AS s
+            FROM eu, mi
+        ),
+        subs AS (
+            SELECT * FROM subf
+            WHERE vec_id % (SELECT md FROM prm) = 0
+        ),
+        pinit AS (
+            SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1
+                       AS code
+            FROM (SELECT DISTINCT vec_id FROM subs)
+        ),
+        pcb0 AS (
+            SELECT s.m, p.code, s.s AS c
+            FROM subs s JOIN pinit p ON p.vec_id = s.vec_id
+            WHERE p.code < {k_codes}
+        )"""
+    its = []
+    for j in range(1, n_iter + 1):
+        summed = dec.format(x="a.s[u.pos]")
+        its.append(f""",
+        pa{j} AS (
+            SELECT vec_id, m, s, code FROM (
+                SELECT b.vec_id, b.m, b.s, c.code,
+                       row_number() OVER (
+                           PARTITION BY b.vec_id, b.m
+                           ORDER BY {_l2sq_sql('b.s', 'c.c', ds)} ASC,
+                                    c.code ASC
+                       ) AS rn
+                FROM subs b JOIN pcb{j - 1} c ON c.m = b.m
+            ) WHERE rn = 1
+        ),
+        pm{j} AS (
+            SELECT a.m, a.code, u.pos,
+                   CAST(CAST(sum({summed}) AS VARCHAR) AS DOUBLE)
+                       / count(*) AS mv
+            FROM pa{j} a,
+                 (SELECT unnest(generate_series(1, {ds})) AS pos) u
+            GROUP BY a.m, a.code, u.pos
+        ),
+        pw{j} AS (
+            SELECT m, code, list(mv ORDER BY pos) AS c
+            FROM pm{j} GROUP BY m, code
+        ),
+        pcb{j} AS (
+            SELECT p.m, p.code, coalesce(w.c, p.c) AS c
+            FROM pcb{j - 1} p
+            LEFT JOIN pw{j} w ON w.m = p.m AND w.code = p.code
+        )""")
+    tail = f""",
+        enc AS (
+            SELECT vec_id, m, code, d FROM (
+                SELECT b.vec_id, b.m, c.code,
+                       {_l2sq_sql('b.s', 'c.c', ds)} AS d,
+                       row_number() OVER (
+                           PARTITION BY b.vec_id, b.m
+                           ORDER BY {_l2sq_sql('b.s', 'c.c', ds)} ASC,
+                                    c.code ASC
+                       ) AS rn
+                FROM subf b JOIN pcb{n_iter} c ON c.m = b.m
+            ) WHERE rn = 1
+        )"""
+    return head + "".join(its) + tail
+
+
+def _ivf_oracle() -> str:
+    """SQL twin of ``extensions.ivf.ivf_topk`` at catalog defaults:
+    the trained centroids are recomputed in SQL (``_kmeans_ctes``),
+    each query probes its nprobe = |centroids| // 4 nearest
+    partitions, and only vectors assigned there are cosine-ranked —
+    the same approximate result, bit-for-bit, not an idealized
+    exact-ANN oracle."""
+    return f"""
+        WITH {_kmeans_ctes()},
+        np AS (
+            SELECT greatest(1, count(*) // 4) AS nprobe FROM cents
+        ),
+        qp AS (
+            SELECT query_id, q_vec, nq, cid AS centroid_id FROM (
+                SELECT t.vec_id AS query_id, t.v AS q_vec,
+                       t.nv AS nq, c.cid,
+                       row_number() OVER (
+                           PARTITION BY t.vec_id
+                           ORDER BY {_dot_sql('t.v', 'c.cvec')}
+                                    / (t.nv * c.nc) DESC,
+                                    c.cid ASC
+                       ) AS rn
+                FROM en t CROSS JOIN cents c
+                WHERE t.vec_id IN (0, 1, 2, 3, 4)
+            ) WHERE rn <= (SELECT nprobe FROM np)
+        ),
+        scored AS (
+            SELECT q.query_id, x.vec_id AS neighbor_id,
+                   {_dot_sql('q.q_vec', 'x.v')} / (q.nq * x.nv) AS cos
+            FROM qp q JOIN corp x ON x.centroid_id = q.centroid_id
+            WHERE x.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, cos, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id ASC
+            ) AS rank
+            FROM scored
+        ) WHERE rank <= 10
+    """
+
+
 @query(
     "knn_ivf_topk",
-    oracle=None,  # approximate by construction; recall gated in pytest
+    oracle=_ivf_oracle(),
     doc=(
         "extension: IVF ANN — deterministic mini k-means coarse "
         "quantizer (iterative: assign/re-center rounds, the classic "
         "Spark driver-loop shape) + nprobe-partitions search; the "
-        "data-adaptive ANN strategy next to SRP-LSH"
+        "data-adaptive ANN strategy next to SRP-LSH. The oracle "
+        "replays the whole pipeline in SQL — k-means unrolls into "
+        "one assign/re-center CTE pair per round (decimal-exact "
+        "re-centering on both engines), so even the trained "
+        "centroids are value-hash-gated; recall-vs-exact stays in "
+        "pytest."
     ),
     tags=("similarity",),
 )
@@ -923,12 +1191,126 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.ivf import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, _QUERY_IDS, k=10)
+    return ivf_topk(emb, _QUERY_IDS, k=10).withColumn(
+        "rank", F.col("rank").cast("bigint")
+    )
+
+
+def _pq_codes_oracle() -> str:
+    """SQL twin of ``pq_codes``: trained codebooks replayed by
+    ``_pq_chain``, codes joined in subspace order, reconstruction MSE
+    as the m-ordered sequential fold of per-subspace squared L2."""
+    return f"""
+        WITH {_base_ctes()},{_pq_chain()}
+        SELECT vec_id,
+               string_agg(CAST(code AS VARCHAR), ',' ORDER BY m)
+                   AS codes_str,
+               list_reduce(list(d ORDER BY m), (acc, x) -> acc + x)
+                   / 64.0e0 AS recon_mse
+        FROM enc GROUP BY vec_id
+    """
+
+
+def _pq_adc_tail(probe: bool) -> str:
+    """Shared ADC-search tail: per-query M x K distance table, ADC
+    distance = m-ordered fold of table lookups, 5k shortlist, exact-
+    cosine re-rank. With ``probe`` the candidate set is restricted to
+    the query's nprobe = |centroids| // 2 coarse partitions (IVF-PQ);
+    without it every coded vector is a candidate (plain PQ)."""
+    if probe:
+        cand = """
+        np AS (SELECT greatest(1, count(*) // 2) AS nprobe FROM cents),
+        eun AS (SELECT vec_id, u, {norm_u} AS nu FROM eu),
+        qp AS (
+            SELECT query_id, cid AS centroid_id FROM (
+                SELECT q.vec_id AS query_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {dot_uc} / (q.nu * c.nc) DESC,
+                                    c.cid ASC
+                       ) AS rn
+                FROM eun q CROSS JOIN cents c
+                WHERE q.vec_id IN (0, 1, 2, 3, 4)
+            ) WHERE rn <= (SELECT nprobe FROM np)
+        ),
+        adc AS (
+            SELECT t.query_id, x.vec_id AS neighbor_id,
+                   list_reduce(list(t.d ORDER BY t.m),
+                               (acc, y) -> acc + y) AS adc_dist
+            FROM qp p
+            JOIN corp g ON g.centroid_id = p.centroid_id
+            JOIN enc x ON x.vec_id = g.vec_id
+            JOIN dtab t ON t.query_id = p.query_id
+                       AND t.m = x.m AND t.code = x.code
+            WHERE x.vec_id <> p.query_id
+            GROUP BY t.query_id, x.vec_id
+        )""".format(
+            norm_u=_norm_sql("u"),
+            dot_uc=_dot_sql("q.u", "c.cvec"),
+        )
+    else:
+        cand = """
+        adc AS (
+            SELECT t.query_id, x.vec_id AS neighbor_id,
+                   list_reduce(list(t.d ORDER BY t.m),
+                               (acc, y) -> acc + y) AS adc_dist
+            FROM enc x
+            JOIN dtab t ON t.m = x.m AND t.code = x.code
+            WHERE x.vec_id <> t.query_id
+            GROUP BY t.query_id, x.vec_id
+        )"""
+    return f""",
+        dtab AS (
+            SELECT q.vec_id AS query_id, q.m, c.code,
+                   {_l2sq_sql('q.s', 'c.c')} AS d
+            FROM subf q JOIN pcb3 c ON c.m = q.m
+            WHERE q.vec_id IN (0, 1, 2, 3, 4)
+        ),{cand},
+        sl AS (
+            SELECT query_id, neighbor_id, adc_dist FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY adc_dist ASC, neighbor_id ASC
+                ) AS rank
+                FROM adc
+            ) WHERE rank <= 50
+        ),
+        ex AS (
+            SELECT s.query_id, s.neighbor_id, s.adc_dist,
+                   {_dot_sql('a.v', 'b.v')} / (a.nv * b.nv) AS cos
+            FROM sl s
+            JOIN en a ON a.vec_id = s.query_id
+            JOIN en b ON b.vec_id = s.neighbor_id
+        )
+        SELECT query_id, neighbor_id, adc_dist, cos, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id ASC
+            ) AS rank
+            FROM ex
+        ) WHERE rank <= 10
+    """
+
+
+def _pq_topk_oracle() -> str:
+    """SQL twin of ``extensions.pq.pq_topk`` at catalog defaults."""
+    return f"WITH {_base_ctes()},{_pq_chain()}{_pq_adc_tail(False)}"
+
+
+def _ivfpq_topk_oracle() -> str:
+    """SQL twin of ``extensions.pq.ivf_pq_topk`` at catalog defaults:
+    both trained stages (coarse k-means + PQ codebooks) replay in
+    SQL, probe ranking uses the unit-normalized query (matching the
+    Spark side), candidates = coded vectors inside probed partitions."""
+    return (
+        f"WITH {_base_ctes()},{_kmeans_chain()},{_pq_chain()}"
+        f"{_pq_adc_tail(True)}"
+    )
 
 
 @query(
     "pq_codes",
-    oracle=None,  # iterative k-means codebooks; pytest-gated
+    oracle=_pq_codes_oracle(),
     doc=(
         "extension: PRODUCT QUANTIZATION encoding — 16 subspaces x "
         "16-entry L2 codebooks over unit-normalized vectors (4-bit "
@@ -958,7 +1340,9 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "knn_pq_topk",
-    oracle=None,  # approximate by construction; recall gated in pytest
+    # the oracle replays codebook training + ADC + re-rank in SQL, so
+    # the approximate algorithm itself is value-hash-gated
+    oracle=_pq_topk_oracle(),
     doc=(
         "extension: PQ-ADC ANN search, the third strategy next to "
         "SRP-LSH and IVF (completing the IVF-PQ toolkit): the scan "
@@ -979,7 +1363,9 @@ def knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "knn_ivfpq_topk",
-    oracle=None,  # approximate by construction; recall gated in pytest
+    # both trained stages replay in SQL (coarse k-means + codebooks):
+    # the composed approximate pipeline is value-hash-gated
+    oracle=_ivfpq_topk_oracle(),
     doc=(
         "extension: IVF-PQ — the composed billion-scale ANN layout: "
         "IVF centroids restrict each query to nprobe coarse "
@@ -1190,9 +1576,30 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroid_distance(emb)
 
 
+def _semdedup_oracle() -> str:
+    """SQL twin of ``extensions.similarity.semdedup``: the k-means
+    CTE chain (shared with the IVF oracle) assigns every vector, the
+    pair compare runs only within clusters, and a vector drops when a
+    smaller-id neighbor sits at cosine >= 0.45."""
+    return f"""
+        WITH {_kmeans_ctes()},
+        dup AS (
+            SELECT b.vec_id AS id_b, min(a.vec_id) AS dup_of
+            FROM corp a JOIN corp b
+              ON a.centroid_id = b.centroid_id
+             AND a.vec_id < b.vec_id
+            WHERE {_dot_sql('a.v', 'b.v')} / (a.nv * b.nv) >= 0.45e0
+            GROUP BY b.vec_id
+        )
+        SELECT corp.vec_id, corp.centroid_id AS cluster_id,
+               d.dup_of IS NULL AS is_kept, d.dup_of
+        FROM corp LEFT JOIN dup d ON d.id_b = corp.vec_id
+    """
+
+
 @query(
     "semdedup_keep",
-    oracle=None,  # iterative k-means clustering; python-parity pytest
+    oracle=_semdedup_oracle(),
     doc=(
         "extension (semantic dedup): SEMDEDUP - k-means-cluster the "
         "embedding space (deterministic IVF trainer, K~sqrt(N)), "
@@ -1214,7 +1621,9 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "semdedup_streamed",
-    oracle=None,  # k-means codebook; batch-parity pytest is the gate
+    # same oracle as batch semdedup_keep: the drained incremental
+    # result must equal the batch pass bit-for-bit
+    oracle=_semdedup_oracle(),
     doc=(
         "extension (semantic dedup, INCREMENTAL): embeddings arrive "
         "as a micro-batched stream; the centroid codebook is trained "
@@ -1233,9 +1642,73 @@ def semdedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_semdedup(spark, sf_dir)
 
 
+def _ann_recall_oracle() -> str:
+    """SQL twin of ``ann_recall_report``: the exact top-k plus all
+    three approximate pipelines run as nested-WITH derived tables
+    (each one the same SQL the per-method oracles use — DuckDB scopes
+    their CTE names locally, so the big chains compose without
+    renaming), then one semi-join overlap count per method."""
+    exact = f"""
+        WITH {_base_ctes()},
+        scored AS (
+            SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                   {_dot_sql('q.v', 'x.v')} / (q.nv * x.nv) AS cos
+            FROM en q CROSS JOIN en x
+            WHERE q.vec_id IN (0, 1, 2, 3, 4)
+              AND x.vec_id <> q.vec_id
+        )
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id ASC
+            ) AS rank
+            FROM scored
+        ) WHERE rank <= 10
+    """
+    return f"""
+        WITH qx AS ({exact}),
+        qi AS (SELECT query_id, neighbor_id FROM ({_ivf_oracle()})),
+        qa AS (SELECT query_id, neighbor_id FROM ({_pq_topk_oracle()})),
+        qc AS (SELECT query_id, neighbor_id
+               FROM ({_ivfpq_topk_oracle()})),
+        ne AS (SELECT count(*) AS n FROM qx)
+        SELECT 'brute_force' AS method,
+               (SELECT n FROM ne) AS n_hits,
+               (SELECT n FROM ne) AS n_exact,
+               CAST((SELECT n FROM ne) AS DOUBLE)
+                   / (SELECT n FROM ne) AS recall
+        UNION ALL
+        SELECT 'ivf',
+               (SELECT count(*) FROM qi
+                SEMI JOIN qx USING (query_id, neighbor_id)),
+               (SELECT n FROM ne),
+               CAST((SELECT count(*) FROM qi
+                     SEMI JOIN qx USING (query_id, neighbor_id))
+                    AS DOUBLE) / (SELECT n FROM ne)
+        UNION ALL
+        SELECT 'pq_adc',
+               (SELECT count(*) FROM qa
+                SEMI JOIN qx USING (query_id, neighbor_id)),
+               (SELECT n FROM ne),
+               CAST((SELECT count(*) FROM qa
+                     SEMI JOIN qx USING (query_id, neighbor_id))
+                    AS DOUBLE) / (SELECT n FROM ne)
+        UNION ALL
+        SELECT 'ivf_pq',
+               (SELECT count(*) FROM qc
+                SEMI JOIN qx USING (query_id, neighbor_id)),
+               (SELECT n FROM ne),
+               CAST((SELECT count(*) FROM qc
+                     SEMI JOIN qx USING (query_id, neighbor_id))
+                    AS DOUBLE) / (SELECT n FROM ne)
+    """
+
+
 @query(
     "ann_recall_report",
-    oracle=None,  # k-means-dependent; python recompute pytest-gated
+    # every component pipeline now has a SQL twin, so the report
+    # composes them as nested-WITH derived tables and is value-gated
+    oracle=_ann_recall_oracle(),
     doc=(
         "extension (similarity, eval): ANN INDEX-QUALITY REPORT - "
         "recall@10 of each approximate strategy (IVF, PQ-ADC, IVF-PQ) "

@@ -57,6 +57,140 @@ _PROBES = [
 _STRATA_HEX = {"en": "cd", "es": "80", "de": "80", "fr": "80", "zh": "40"}
 
 
+def _bpe_train_ctes(n_merges: int = 10) -> str:
+    """CTE chain replaying ``extensions.text.bpe_merges`` in SQL: the
+    fixed merge count unrolls into one (pair-count, argmax, rewrite)
+    CTE group per rank. All arithmetic is integer (weighted pair
+    counts) and all tie-breaks are total orders (count desc, pair
+    asc), so the replay is exact. The greedy left-to-right
+    non-overlapping rewrite — a sequential fold on the Spark side —
+    becomes a gaps-and-islands parity: a matched position is taken
+    iff its offset inside its maximal run of consecutive matches is
+    even, and a position is consumed iff its predecessor was taken
+    (take at p and p+1 simultaneously is impossible: consecutive
+    island members alternate). Ends with ``t1..t{n}`` (the learned
+    merges) and ``wd{n}`` (every word's fully-rewritten symbols —
+    which IS the encode-stage vocabulary, since the rewrite never
+    depends on frequency)."""
+    head = """
+        wd0 AS MATERIALIZED (
+            SELECT w, freq,
+                   list_append(list_transform(
+                       generate_series(1, length(w)), i -> w[i]),
+                       '</w>') AS symbols
+            FROM (
+                SELECT w, CAST(count(*) AS BIGINT) AS freq
+                FROM (
+                    SELECT unnest(string_split(lower(text), ' ')) AS w
+                    FROM documents
+                ) WHERE w <> ''
+                GROUP BY w
+            )
+        )"""
+    its = []
+    for j in range(1, n_merges + 1):
+        its.append(f""",
+        pc{j} AS (
+            SELECT l, r, sum(freq) AS n FROM (
+                SELECT freq, symbols[pos] AS l, symbols[pos + 1] AS r
+                FROM (
+                    SELECT freq, symbols,
+                           unnest(generate_series(1, len(symbols) - 1))
+                               AS pos
+                    FROM wd{j - 1}
+                )
+            ) GROUP BY l, r
+        ),
+        t{j} AS MATERIALIZED (
+            SELECT l, r, CAST(n AS BIGINT) AS n FROM pc{j}
+            ORDER BY n DESC, l ASC, r ASC LIMIT 1
+        ),
+        rx{j} AS (
+            SELECT w, freq, pos, symbols[pos] AS s,
+                   coalesce(symbols[pos] = (SELECT l FROM t{j})
+                        AND symbols[pos + 1] = (SELECT r FROM t{j}),
+                        FALSE) AS m
+            FROM (
+                SELECT w, freq, symbols,
+                       unnest(generate_series(1, len(symbols))) AS pos
+                FROM wd{j - 1}
+            )
+        ),
+        tk{j} AS (
+            SELECT w, freq, pos, s, m,
+                   CASE WHEN m THEN
+                       (pos - min(pos) OVER (PARTITION BY w, grp))
+                           % 2 = 0
+                   ELSE FALSE END AS take
+            FROM (
+                SELECT *, pos - row_number() OVER (
+                           PARTITION BY w, m ORDER BY pos) AS grp
+                FROM rx{j}
+            )
+        ),
+        wd{j} AS MATERIALIZED (
+            SELECT w, freq,
+                   list(CASE WHEN take THEN
+                            (SELECT l FROM t{j}) || (SELECT r FROM t{j})
+                        ELSE s END ORDER BY pos)
+                       FILTER (WHERE take
+                               OR NOT coalesce(prev_take, FALSE))
+                       AS symbols
+            FROM (
+                SELECT *, lag(take) OVER (
+                           PARTITION BY w ORDER BY pos) AS prev_take
+                FROM tk{j}
+            )
+            GROUP BY w, freq
+        )""")
+    return head + "".join(its)
+
+
+def _bpe_ranks_oracle(n_merges: int = 10) -> str:
+    """SQL twin of ``bpe_merge_ranks``: the per-round argmax rows."""
+    rows = "\n        UNION ALL\n".join(
+        f"""        SELECT CAST({j - 1} AS BIGINT) AS rank,
+               l AS "left", r AS "right", n AS pair_count
+        FROM t{j}"""
+        for j in range(1, n_merges + 1)
+    )
+    return f"""
+        WITH {_bpe_train_ctes(n_merges)}
+{rows}
+    """
+
+
+def _bpe_encode_oracle(n_merges: int = 10) -> str:
+    """SQL twin of ``bpe_encode`` applied to the merges learned on
+    the same corpus: the trained chain's ``wd{{n}}`` already holds
+    every word's encoded form, so encoding = join the (doc, pos,
+    word) spine to it and reassemble in word order."""
+    return f"""
+        WITH {_bpe_train_ctes(n_merges)},
+        sp0 AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents
+        ),
+        spine AS (
+            SELECT doc_id, pos, t[pos] AS w FROM (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, len(t))) AS pos
+                FROM sp0
+            ) WHERE t[pos] <> ''
+        ),
+        assembled AS (
+            SELECT s.doc_id,
+                   flatten(list(e.symbols ORDER BY s.pos)) AS toks
+            FROM spine s JOIN wd{n_merges} e ON e.w = s.w
+            GROUP BY s.doc_id
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               array_to_string(toks, ' ') AS tokens
+        FROM assembled
+    """
+
+
 @query(
     "dataset_split",
     oracle=f"""
@@ -739,7 +873,9 @@ def rag_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "bpe_merge_ranks",
-    oracle=None,  # iterative argmax; pure-python oracle in pytest
+    # the fixed merge count unrolls: one argmax CTE group per rank,
+    # greedy rewrite as a gaps-and-islands parity — exact replay
+    oracle=_bpe_ranks_oracle(),
     doc=(
         "extension (tokenization): BPE TOKENIZER TRAINING - learn the "
         "first 10 merge ranks from the corpus (token_stats counts "
@@ -762,7 +898,9 @@ def bpe_merge_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "bpe_encode",
-    oracle=None,  # chained iterative rewrites; pure-python oracle pytest
+    # train+apply replay: the unrolled trainer's final word table IS
+    # the encode vocabulary (rewrites don't depend on frequency)
+    oracle=_bpe_encode_oracle(),
     doc=(
         "extension (tokenization): BPE ENCODE - tokenize the corpus "
         "with the merge table bpe_merge_ranks LEARNS (train->apply "

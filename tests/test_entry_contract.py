@@ -47,7 +47,7 @@ def test_oracle_sql_mentions_only_registered_tables():
                 continue
             assert (
                 re.search(
-                    rf"\b{t}\b\s*(\([^)]*\))?\s+AS\s*\(",
+                    rf"\b{t}\b\s*(\([^)]*\))?\s+AS\s*(MATERIALIZED\s*)?\(",
                     sql,
                     re.IGNORECASE,
                 )

@@ -67,6 +67,8 @@ PROBE_QUERIES = [
     "cep_funnel_regex",
     "pareto_frontier",
     "search_fuzzy",
+    "knn_ivf_topk",
+    "semdedup_keep",
 ]
 
 
@@ -110,6 +112,20 @@ def build_replicated(spark) -> None:
                     F.concat(
                         F.lit(f"r{i}x"),
                         F.regexp_replace("text", " ", f" r{i}x"),
+                    ),
+                )
+            if table == "embeddings" and i > 0:
+                # verbatim replicas would make every vector a cos=1.0
+                # twin of its clones — quadratic semdedup/near-dup
+                # OUTPUT by construction of the copy, not the plan.
+                # A per-replica CYCLIC DIMENSION SHIFT is orthogonal:
+                # every within-replica cosine is preserved exactly
+                # while cross-replica copies decorrelate to ~0.
+                c = c.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.slice(F.col("embedding"), i + 1, 64 - i),
+                        F.slice(F.col("embedding"), 1, i),
                     ),
                 )
             if table == "customer":

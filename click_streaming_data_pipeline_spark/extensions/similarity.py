@@ -47,9 +47,21 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """dot / (|a| * |b|) over double-cast arrays."""
+    """dot / (|a| * |b|) over double-cast arrays.
+
+    A zero-norm operand (an all-zero embedding — a certainty
+    somewhere in a 100 TB corpus) makes the denominator 0, which
+    under Spark's default ANSI mode is a hard DIVIDE_BY_ZERO job
+    failure, not a NaN. Defined here as similarity 0.0 ("no
+    direction, no similarity"): thresholds exclude it, top-k ranks
+    it below every positive match, and — unlike NULL/NaN — it has no
+    cross-engine ordering semantics to diverge on (the DuckDB twin
+    is ``coalesce(dot / nullif(den, 0), 0.0)``)."""
     da, db = _as_double(a), _as_double(b)
-    return dot(da, db) / (norm(da) * norm(db))
+    den = norm(da) * norm(db)
+    return F.coalesce(
+        dot(da, db) / F.nullif(den, F.lit(0.0)), F.lit(0.0)
+    )
 
 
 def brute_force_topk(

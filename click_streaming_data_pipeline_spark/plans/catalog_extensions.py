@@ -71,14 +71,15 @@ WHERE n_inter / (ca.n + cb.n - n_inter) >= 0.8
 
 
 def _cos_sql(va: str, vb: str) -> str:
-    """Sequential-fold cosine, mirroring extensions.similarity.cosine."""
+    """Sequential-fold cosine, mirroring extensions.similarity.cosine
+    (incl. the zero-norm -> 0.0 definition: see that docstring)."""
     dot = (
         f"list_reduce(list_transform(generate_series(1, len({va})), "
         f"i -> {va}[i] * {vb}[i]), (acc, x) -> acc + x)"
     )
     na = f"sqrt(list_reduce(list_transform({va}, x -> x * x), (acc, x) -> acc + x))"
     nb = f"sqrt(list_reduce(list_transform({vb}, x -> x * x), (acc, x) -> acc + x))"
-    return f"({dot} / ({na} * {nb}))"
+    return f"coalesce({dot} / nullif(({na} * {nb}), 0.0e0), 0.0e0)"
 
 
 # ---------------------------------------------------------------------------
@@ -959,7 +960,15 @@ def _kmeans_chain(n_iter: int = 3) -> str:
     dot/(nv*nc) is value-identical to the inline norm the Spark side
     computes per pair) and ``corp`` (every vector with its assigned
     centroid)."""
-    dec = "CAST(CAST({x} AS VARCHAR) AS DECIMAL(38,18))"
+    # DuckDB's string->DECIMAL cast rounds on the LEADING mantissa
+    # digit even when the value sits below the last decimal place
+    # ('5e-30'::DECIMAL(38,18) = 1E-18, not 0); Spark's HALF_UP
+    # correctly yields 0 for |x| < 5e-19. Zero the sub-1e-19 range
+    # explicitly so both engines agree on denormal-ish components.
+    dec = (
+        "CASE WHEN abs({x}) < 1e-19 THEN CAST(0 AS DECIMAL(38,18)) "
+        "ELSE CAST(CAST({x} AS VARCHAR) AS DECIMAL(38,18)) END"
+    )
     head = f"""
         kk AS (
             SELECT greatest(4, least(256,
@@ -982,8 +991,8 @@ def _kmeans_chain(n_iter: int = 3) -> str:
             SELECT t.vec_id, t.v, t.nv, c.cid,
                    row_number() OVER (
                        PARTITION BY t.vec_id
-                       ORDER BY {_dot_sql('t.v', 'c.cvec')}
-                                / (t.nv * c.nc) DESC,
+                       ORDER BY coalesce({_dot_sql('t.v', 'c.cvec')}
+                                / nullif((t.nv * c.nc), 0.0e0), 0.0e0) DESC,
                                 c.cid ASC
                    ) AS rn
             FROM samp t CROSS JOIN c{j - 1} c
@@ -1014,8 +1023,8 @@ def _kmeans_chain(n_iter: int = 3) -> str:
                 SELECT t.vec_id, t.v, t.nv, c.cid,
                        row_number() OVER (
                            PARTITION BY t.vec_id
-                           ORDER BY {_dot_sql('t.v', 'c.cvec')}
-                                    / (t.nv * c.nc) DESC,
+                           ORDER BY coalesce({_dot_sql('t.v', 'c.cvec')}
+                                    / nullif((t.nv * c.nc), 0.0e0), 0.0e0) DESC,
                                     c.cid ASC
                        ) AS rn
                 FROM en t CROSS JOIN cents c
@@ -1051,7 +1060,15 @@ def _pq_chain(n_iter: int = 3, m_sub: int = 16, k_codes: int = 16) -> str:
     (every corpus vector's per-subspace code + its squared L2 to the
     chosen entry)."""
     ds = 64 // m_sub
-    dec = "CAST(CAST({x} AS VARCHAR) AS DECIMAL(38,18))"
+    # DuckDB's string->DECIMAL cast rounds on the LEADING mantissa
+    # digit even when the value sits below the last decimal place
+    # ('5e-30'::DECIMAL(38,18) = 1E-18, not 0); Spark's HALF_UP
+    # correctly yields 0 for |x| < 5e-19. Zero the sub-1e-19 range
+    # explicitly so both engines agree on denormal-ish components.
+    dec = (
+        "CASE WHEN abs({x}) < 1e-19 THEN CAST(0 AS DECIMAL(38,18)) "
+        "ELSE CAST(CAST({x} AS VARCHAR) AS DECIMAL(38,18)) END"
+    )
     head = f"""
         eu AS (
             SELECT vec_id,
@@ -1147,8 +1164,8 @@ def _ivf_oracle() -> str:
                        t.nv AS nq, c.cid,
                        row_number() OVER (
                            PARTITION BY t.vec_id
-                           ORDER BY {_dot_sql('t.v', 'c.cvec')}
-                                    / (t.nv * c.nc) DESC,
+                           ORDER BY coalesce({_dot_sql('t.v', 'c.cvec')}
+                                    / nullif((t.nv * c.nc), 0.0e0), 0.0e0) DESC,
                                     c.cid ASC
                        ) AS rn
                 FROM en t CROSS JOIN cents c
@@ -1157,7 +1174,8 @@ def _ivf_oracle() -> str:
         ),
         scored AS (
             SELECT q.query_id, x.vec_id AS neighbor_id,
-                   {_dot_sql('q.q_vec', 'x.v')} / (q.nq * x.nv) AS cos
+                   coalesce({_dot_sql('q.q_vec', 'x.v')}
+                            / nullif((q.nq * x.nv), 0.0e0), 0.0e0) AS cos
             FROM qp q JOIN corp x ON x.centroid_id = q.centroid_id
             WHERE x.vec_id <> q.query_id
         )
@@ -1226,7 +1244,8 @@ def _pq_adc_tail(probe: bool) -> str:
                 SELECT q.vec_id AS query_id, c.cid,
                        row_number() OVER (
                            PARTITION BY q.vec_id
-                           ORDER BY {dot_uc} / (q.nu * c.nc) DESC,
+                           ORDER BY coalesce({dot_uc}
+                                / nullif((q.nu * c.nc), 0.0e0), 0.0e0) DESC,
                                     c.cid ASC
                        ) AS rn
                 FROM eun q CROSS JOIN cents c
@@ -1277,7 +1296,8 @@ def _pq_adc_tail(probe: bool) -> str:
         ),
         ex AS (
             SELECT s.query_id, s.neighbor_id, s.adc_dist,
-                   {_dot_sql('a.v', 'b.v')} / (a.nv * b.nv) AS cos
+                   coalesce({_dot_sql('a.v', 'b.v')}
+                            / nullif((a.nv * b.nv), 0.0e0), 0.0e0) AS cos
             FROM sl s
             JOIN en a ON a.vec_id = s.query_id
             JOIN en b ON b.vec_id = s.neighbor_id
@@ -1588,7 +1608,8 @@ def _semdedup_oracle() -> str:
             FROM corp a JOIN corp b
               ON a.centroid_id = b.centroid_id
              AND a.vec_id < b.vec_id
-            WHERE {_dot_sql('a.v', 'b.v')} / (a.nv * b.nv) >= 0.45e0
+            WHERE coalesce({_dot_sql('a.v', 'b.v')}
+                / nullif((a.nv * b.nv), 0.0e0), 0.0e0) >= 0.45e0
             GROUP BY b.vec_id
         )
         SELECT corp.vec_id, corp.centroid_id AS cluster_id,
@@ -1652,7 +1673,8 @@ def _ann_recall_oracle() -> str:
         WITH {_base_ctes()},
         scored AS (
             SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
-                   {_dot_sql('q.v', 'x.v')} / (q.nv * x.nv) AS cos
+                   coalesce({_dot_sql('q.v', 'x.v')}
+                            / nullif((q.nv * x.nv), 0.0e0), 0.0e0) AS cos
             FROM en q CROSS JOIN en x
             WHERE q.vec_id IN (0, 1, 2, 3, 4)
               AND x.vec_id <> q.vec_id

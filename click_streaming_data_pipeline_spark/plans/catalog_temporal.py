@@ -509,8 +509,10 @@ def _pagerank_oracle(n_iter: int = 10) -> str:
         s{k} AS (
             SELECT sh.dst,
                    CAST(CAST(sum(
-                       CAST(CAST(r.rank * sh.share AS VARCHAR)
-                            AS DECIMAL(38,18))
+                       CASE WHEN abs(r.rank * sh.share) < 1e-19
+                            THEN CAST(0 AS DECIMAL(38,18))
+                            ELSE CAST(CAST(r.rank * sh.share AS VARCHAR)
+                                      AS DECIMAL(38,18)) END
                    ) AS VARCHAR) AS DOUBLE) AS in_sum
             FROM shares sh JOIN r{k - 1} r ON sh.src = r.node
             GROUP BY sh.dst

@@ -34,10 +34,16 @@ N_ITER = 3
 #: needs a representative sample, not the full corpus — full-corpus
 #: assign/re-center rounds at 100 TB would be n_iter extra passes.
 TRAIN_SAMPLE_CAP = 65_536
-#: cap on K: centroids travel as a literal expression array into the
-#: assign transform (fine to a few hundred); a warehouse-scale corpus
-#: would hold centroids in a broadcast table join instead.
+#: cap on K for the catalog defaults: auto_k clamps here so centroids
+#: stay a literal expression array (fine to a few hundred). _assign
+#: itself is NOT capped — above ASSIGN_LITERAL_MAX it switches to the
+#: broadcast-table-join path, so a warehouse-scale caller can raise K
+#: with sqrt(N) (keeping SemDeDup's per-cluster work bounded) without
+#: hitting a literal-size wall.
 K_MAX = 256
+#: centroid count above which _assign swaps the literal array for a
+#: broadcast join + partial-agg argmax (same semantics, pytest-pinned)
+ASSIGN_LITERAL_MAX = 256
 
 
 def _centroid_array_col(centroids: list[tuple[int, list[float]]]):
@@ -54,22 +60,52 @@ def _centroid_array_col(centroids: list[tuple[int, list[float]]]):
 
 
 def _assign(emb: DataFrame, centroids, vec_col: str) -> DataFrame:
-    """Nearest-centroid id per vector (max cosine, min cid ties)."""
-    carr = _centroid_array_col(centroids)
-    scored = emb.withColumn(
-        "__cs",
-        F.transform(
-            carr,
-            lambda c: F.struct(
-                cosine(F.col(vec_col), c["cvec"]).alias("cos"),
-                (-c["cid"]).alias("neg_cid"),
-                c["cid"].alias("cid"),
+    """Nearest-centroid id per vector (max cosine, min cid ties).
+
+    K <= ASSIGN_LITERAL_MAX: centroids ride into codegen as a literal
+    struct array (no join, no shuffle). Larger K: centroids become a
+    BROADCAST table, each vector scores K rows, and the argmax is a
+    partial-aggregable max-of-struct groupBy on a transient row key —
+    the shape that scales to thousands of centroids. Same semantics
+    (max cosine, ties to the smaller cid), pinned by a parity pytest.
+    """
+    if len(centroids) <= ASSIGN_LITERAL_MAX:
+        carr = _centroid_array_col(centroids)
+        scored = emb.withColumn(
+            "__cs",
+            F.transform(
+                carr,
+                lambda c: F.struct(
+                    cosine(F.col(vec_col), c["cvec"]).alias("cos"),
+                    (-c["cid"]).alias("neg_cid"),
+                    c["cid"].alias("cid"),
+                ),
             ),
-        ),
+        )
+        return scored.withColumn(
+            "centroid_id", F.array_max("__cs")["cid"]
+        ).drop("__cs")
+    spark = emb.sparkSession
+    cents = spark.createDataFrame(
+        [(cid, [float(x) for x in vec]) for cid, vec in centroids],
+        "cid int, cvec array<double>",
     )
-    return scored.withColumn(
-        "centroid_id", F.array_max("__cs")["cid"]
-    ).drop("__cs")
+    keyed = emb.withColumn("__rk", F.monotonically_increasing_id())
+    best = (
+        keyed.select("__rk", F.col(vec_col).alias("__v"))
+        .crossJoin(F.broadcast(cents))
+        .groupBy("__rk")
+        .agg(
+            F.max(
+                F.struct(
+                    cosine(F.col("__v"), F.col("cvec")).alias("cos"),
+                    (-F.col("cid")).alias("neg_cid"),
+                    F.col("cid").alias("cid"),
+                )
+            )["cid"].alias("centroid_id")
+        )
+    )
+    return keyed.join(best, "__rk").drop("__rk")
 
 
 def auto_k(n: int) -> int:

@@ -1206,3 +1206,32 @@ def test_lsh_boilerplate_df_cap_bounds_candidates(spark):
         )
     ).count()
     assert capped_cand < raw_cand / 20
+
+
+def test_assign_join_path_matches_literal(spark):
+    """The broadcast-join assign (K > ASSIGN_LITERAL_MAX) must agree
+    with the literal-array assign row for row — same max-cosine,
+    ties-to-smaller-cid semantics, different physical shape."""
+    from click_streaming_data_pipeline_spark.extensions import ivf
+    from click_streaming_data_pipeline_spark.sources import load_table
+
+    from .conftest import SF_TEST
+
+    emb = load_table(spark, SF_TEST, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = ivf.train_kmeans(emb)
+    literal = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf._assign(emb, cents, "embedding").collect()
+    }
+    prev = ivf.ASSIGN_LITERAL_MAX
+    ivf.ASSIGN_LITERAL_MAX = 0  # force the join path
+    try:
+        joined = {
+            r["vec_id"]: r["centroid_id"]
+            for r in ivf._assign(emb, cents, "embedding").collect()
+        }
+    finally:
+        ivf.ASSIGN_LITERAL_MAX = prev
+    assert literal == joined

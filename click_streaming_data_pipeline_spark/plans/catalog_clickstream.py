@@ -577,7 +577,7 @@ def weekly_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         marked AS (
             SELECT *, CASE WHEN prev IS NULL
-                                OR ts - prev >= INTERVAL '30 minutes'
+                                OR ts - prev > INTERVAL '30 minutes'
                            THEN 1 ELSE 0 END AS new_s
             FROM o
         ),
@@ -634,7 +634,7 @@ def session_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lag("ts").over(w).isNull()
             | (
                 F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
-                >= 1800 * 1_000_000
+                > 1800 * 1_000_000
             ),
             1,
         )
@@ -753,7 +753,7 @@ def weekly_value_drift_streamed(
         ),
         marked AS (
             SELECT *, CASE WHEN prev IS NULL
-                                OR ts - prev >= INTERVAL '30 minutes'
+                                OR ts - prev > INTERVAL '30 minutes'
                            THEN 1 ELSE 0 END AS new_s
             FROM o
         ),
@@ -2460,7 +2460,7 @@ def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         marked AS (
             SELECT user_id, ts, event_type, cents,
                    CASE WHEN prev IS NULL
-                             OR ts - prev >= INTERVAL '30 minutes'
+                             OR ts - prev > INTERVAL '30 minutes'
                         THEN 1 ELSE 0 END AS new_s
             FROM o
         ),
@@ -2525,7 +2525,7 @@ def clickstream_mart_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (
                 F.unix_micros(F.col("ts"))
                 - F.unix_micros(F.lag("ts").over(w))
-                >= 1800 * 1_000_000
+                > 1800 * 1_000_000
             ),
             1,
         ).otherwise(0),

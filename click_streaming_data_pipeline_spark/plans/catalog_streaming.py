@@ -142,7 +142,7 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         marked AS (
             SELECT user_id, ts,
                    CASE WHEN prev IS NULL
-                             OR ts - prev >= INTERVAL '30 minutes'
+                             OR ts - prev > INTERVAL '30 minutes'
                         THEN 1 ELSE 0 END AS new_s
             FROM o
         ),
@@ -595,7 +595,7 @@ def window_tumbling_append_streamed(
         marked AS (
             SELECT user_id, ts,
                    CASE WHEN prev IS NULL
-                             OR ts - prev >= INTERVAL '30 minutes'
+                             OR ts - prev > INTERVAL '30 minutes'
                         THEN 1 ELSE 0 END AS new_s
             FROM o
         ),
@@ -850,7 +850,7 @@ _SESSIONS_CTE = """o AS (
         marked AS (
             SELECT user_id, ts,
                    CASE WHEN prev IS NULL
-                             OR ts - prev >= INTERVAL '30 minutes'
+                             OR ts - prev > INTERVAL '30 minutes'
                         THEN 1 ELSE 0 END AS new_s
             FROM o
         ),

@@ -79,6 +79,11 @@ EVENT_QUERIES = [
     "hourly_error_spine",
     "event_type_mode_value",
     "value_cusum_changepoint",
+    "asof_attribution",
+    "linear_attribution",
+    "item_cooccurrence",
+    "event_type_funnel",
+    "heavy_hitters_cms",
 ]
 
 

@@ -84,6 +84,11 @@ EVENT_QUERIES = [
     "item_cooccurrence",
     "event_type_funnel",
     "heavy_hitters_cms",
+    # graph lanes walk (ts, event_id)-ordered transitions: same-ts
+    # bursts and the missing-'$.k' props doc exercise their edges
+    "page_rank",
+    "markov_transitions",
+    "window_sliding",
 ]
 
 

@@ -51,6 +51,11 @@ TEXT_QUERIES = [
     "token_stats",
     "lang_id",
     "doc_fingerprint",
+    # round-4 upgrades: the unrolled BPE oracles exercise per-char
+    # indexing (DuckDB w[i] vs Spark split('')) on unicode/emoji and
+    # empty/space-only docs — exactly this corpus
+    "bpe_merge_ranks",
+    "bpe_encode",
 ]
 
 

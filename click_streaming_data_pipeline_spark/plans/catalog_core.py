@@ -1522,8 +1522,8 @@ def cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH d AS (
             SELECT l_returnflag,
-                   CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
-                   CAST(l_quantity AS DECIMAL(18,2)) AS q
+                   CAST(l_extendedprice AS DECIMAL(38,2)) AS p,
+                   CAST(l_quantity AS DECIMAL(38,2)) AS q
             FROM lineitem
         )
         SELECT l_returnflag,
@@ -1559,9 +1559,12 @@ def cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg",),
 )
 def price_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DECIMAL(38,2), not (18,2): DuckDB multiplies DECIMAL(18)s in
+    # int64 and overflows on large-but-valid prices (~1e13 x qty);
+    # width 38 keeps both engines in int128 exactness
     li = scan_parallel(load_table(spark, sf_dir, "lineitem"))
-    p = F.col("l_extendedprice").cast("decimal(18,2)")
-    q = F.col("l_quantity").cast("decimal(18,2)")
+    p = F.col("l_extendedprice").cast("decimal(38,2)")
+    q = F.col("l_quantity").cast("decimal(38,2)")
     d = lambda c: F.sum(c).cast("double")  # noqa: E731
     n = F.count("*").cast("double")
     sx, sy = d(p), d(q)

@@ -276,8 +276,10 @@ def binary_object_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n_rows,
                count(o_totalprice) AS n_non_null,
                count(DISTINCT o_totalprice) AS n_distinct,
-               CAST(min(o_totalprice) AS VARCHAR) AS min_value,
-               CAST(max(o_totalprice) AS VARCHAR) AS max_value
+               CAST(CAST(min(o_totalprice) AS DECIMAL(38,6))
+                    AS VARCHAR) AS min_value,
+               CAST(CAST(max(o_totalprice) AS DECIMAL(38,6))
+                    AS VARCHAR) AS max_value
         FROM orders
         UNION ALL
         SELECT 'o_orderstatus',
@@ -310,12 +312,21 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["o_totalprice", "o_orderstatus", "o_orderdate"]
     aggs = []
     for c in cols:
+        # doubles stringify through DECIMAL(38,6): Spark's native
+        # double->string goes scientific at |x| >= 1e7 ('9.9E12')
+        # where DuckDB stays positional — fixed-point canonicalizes
+        # the profile across engines (and both cast the identical
+        # min/max double, so the value itself can't diverge)
+        mn, mx = F.min(c), F.max(c)
+        if c == "o_totalprice":
+            mn = mn.cast("decimal(38,6)")
+            mx = mx.cast("decimal(38,6)")
         aggs += [
             F.count("*").alias(f"{c}__rows"),
             F.count(c).alias(f"{c}__nn"),
             F.countDistinct(c).alias(f"{c}__nd"),
-            F.min(c).cast("string").alias(f"{c}__min"),
-            F.max(c).cast("string").alias(f"{c}__max"),
+            mn.cast("string").alias(f"{c}__min"),
+            mx.cast("string").alias(f"{c}__max"),
         ]
     wide = orders.agg(*aggs)
     profiles = F.array(

@@ -239,7 +239,13 @@ def pack_sequences(
     """
     from pyspark.sql.window import Window
 
-    n_tok = F.size(F.split(F.col(text_col), " "))
+    # count NON-EMPTY tokens: Spark split vs DuckDB string_split agree
+    # on ''/'  ' edge texts in the engine pair tested here, but that is
+    # version-dependent — filtering empties on both sides makes the
+    # count divergence-proof (VERDICT r3 item 1b).
+    n_tok = F.size(
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    )
     toks = docs.select(
         F.col(shard_col).alias("shard"),
         F.col(id_col),
@@ -252,12 +258,19 @@ def pack_sequences(
         )
         - F.col("n_tokens")
     )
+    # integer division, not floor(double/): bit-exact at any magnitude
+    # (float floor is only exact below 2^53; 100 TB offsets get close)
     return toks.select(
         "shard",
         id_col,
         "n_tokens",
         start.alias("start_offset"),
-        F.floor(start / budget).cast("bigint").alias("bin_id"),
+    ).select(
+        "shard",
+        id_col,
+        "n_tokens",
+        "start_offset",
+        F.expr(f"start_offset DIV {int(budget)}").alias("bin_id"),
     )
 
 

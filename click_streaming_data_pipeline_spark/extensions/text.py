@@ -92,10 +92,20 @@ def _doc_tokens(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id, token) rows — explode is narrow (no shuffle); the scan is
-    redistributed first because the test parquet is one row group."""
+    redistributed first because the test parquet is one row group.
+
+    Empty tokens are filtered out BEFORE the explode: Spark ``split``
+    and DuckDB ``string_split`` agree on ''/'  ' edge texts in the
+    engine pair tested here, but that equivalence is version-dependent
+    — filtering empties on both sides makes every downstream count
+    independent of how either engine treats empty fields (VERDICT r3
+    item 1b; the oracle twin is the list_filter in ``_LM_CTE``)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit("")
+    )
     return scan_parallel(docs).select(
         F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"),
+        F.explode(toks).alias("token"),
     )
 
 
@@ -173,14 +183,20 @@ def lm_quality_score(
             F.sum(rare.cast("long")).alias("n_rare"),
         )
     )
-    rare_frac = F.col("n_rare").cast("double") / F.col("n_tokens")
+    # both score doubles are rounded to 9dp on BOTH engines (repo float
+    # rule: "round(x,9) both sides when scores feed the value hash";
+    # precedent dp_value_sums) — the divisions are exactly-rounded IEEE
+    # either way, but rounding also immunizes the driver's value hash
+    # against any float-repr delta in ITS DuckDB/pandas versions.
+    rare_frac = F.round(F.col("n_rare").cast("double") / F.col("n_tokens"), 9)
     return per_doc.select(
         id_col,
         "n_tokens",
         "sum_count",
-        (
+        F.round(
             F.col("sum_count").cast("double")
-            / (F.col("n_tokens") * F.col("lm_total"))
+            / (F.col("n_tokens") * F.col("lm_total")),
+            9,
         ).alias("mean_token_prob"),
         "n_rare",
         rare_frac.alias("rare_frac"),

@@ -437,9 +437,14 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample_summary(docs, _STRATA_HEX)
 
 
+# empty tokens filtered on BOTH engines (twin: the F.filter in
+# extensions/text.py::_doc_tokens) — makes every LM/TF-IDF count
+# independent of how either engine's split treats ''/'  ' texts
 _LM_CTE = f"""
 tok AS (
-    SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    SELECT doc_id,
+           unnest(list_filter({_TOKS}, x -> x != '')) AS token
+    FROM documents
 ),
 lm AS (
     SELECT token, count(*) AS tok_count FROM tok GROUP BY 1
@@ -457,19 +462,19 @@ tot AS (
         SELECT doc_id,
                count(*) AS n_tokens,
                CAST(sum(tok_count) AS BIGINT) AS sum_count,
-               CAST(sum(tok_count) AS DOUBLE)
-                   / (count(*) * (SELECT lm_total FROM tot))
+               round(CAST(sum(tok_count) AS DOUBLE)
+                   / (count(*) * (SELECT lm_total FROM tot)), 9)
                    AS mean_token_prob,
                CAST(sum(CASE WHEN tok_count * 1000000
                              < (SELECT lm_total FROM tot) * {RARE_PPM}
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
-               CAST(sum(CASE WHEN tok_count * 1000000
+               round(CAST(sum(CASE WHEN tok_count * 1000000
                              < (SELECT lm_total FROM tot) * {RARE_PPM}
-                        THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+                        THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 9)
                    AS rare_frac,
-               (CAST(sum(CASE WHEN tok_count * 1000000
+               (round(CAST(sum(CASE WHEN tok_count * 1000000
                               < (SELECT lm_total FROM tot) * {RARE_PPM}
-                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 9)
                    <= CAST({RARE_FRAC_MAX} AS DOUBLE)) AS lm_accept
         FROM tok JOIN lm USING (token)
         GROUP BY doc_id
@@ -567,7 +572,8 @@ def normalize_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH toks AS (
             SELECT lang AS shard, doc_id,
-                   len(string_split(text, ' ')) AS n_tokens
+                   len(list_filter(string_split(text, ' '),
+                                   x -> x != '')) AS n_tokens
             FROM documents
         ),
         runs AS (
@@ -579,7 +585,7 @@ def normalize_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM toks
         )
         SELECT shard, doc_id, n_tokens, start_offset,
-               CAST(floor(start_offset / 512) AS BIGINT) AS bin_id
+               CAST(start_offset // 512 AS BIGINT) AS bin_id
         FROM runs
     """,
     doc=(

@@ -113,15 +113,27 @@ def quality_heuristics(
     dup_frac = F.when(
         n_sh > 0, F.lit(1.0) - n_sh_distinct / n_sh
     ).otherwise(F.lit(0.0))
-    out = sh.select(
-        F.col(id_col),
-        *carry_cols,
+    # The signal struct leaves this function through a 1-element
+    # explode: a Generate node is an optimizer fence, so a downstream
+    # .filter(quality_ok) cannot be alias-substituted below it.
+    # Without the fence, PushPredicateThroughNonJoin inlines every
+    # signal's full expression tree into the predicate (HOFs get no
+    # common-subexpression elimination) — measured 24 rebuilds of the
+    # tokenizer per row and a 17x wall blow-up in
+    # corpus_build_pipeline. explode(array(struct)) itself is narrow,
+    # codegen'd, and never drops rows (the array is always length 1).
+    sig = F.struct(
         n_tokens.alias("n_tokens"),
         mean_token_len.alias("mean_token_len"),
         (alpha_tokens / n_tokens).alias("alpha_frac"),
         (stop_tokens / n_tokens).alias("stopword_frac"),
         dup_frac.alias("dup_3gram_frac"),
     )
+    out = sh.select(
+        F.col(id_col),
+        *carry_cols,
+        F.explode(F.array(sig)).alias("__sig"),
+    ).select(F.col(id_col), *carry_cols, "__sig.*")
     ok = (
         (F.col("n_tokens") >= MIN_TOKENS)
         & (F.col("n_tokens") <= MAX_TOKENS)

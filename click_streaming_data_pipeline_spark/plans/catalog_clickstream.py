@@ -2508,7 +2508,7 @@ def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session count per user is bounded, so no stage re-reads "
         "the corpus."
     ),
-    tags=("window", "agg", "scale"),
+    tags=("window", "agg", "scale", "bench"),
 )
 def clickstream_mart_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(

@@ -1724,7 +1724,7 @@ def _make_corpus_build_pipeline():
             "as one CTE stack — proving stage composition preserves "
             "every stage's exact semantics."
         ),
-        tags=("corpus", "quality", "dedup"),
+        tags=("corpus", "quality", "dedup", "bench"),
     )
     def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..extensions.corpus import dataset_split_col, normalize_text

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .similarity import _as_double, cosine
+from .similarity import _as_double, cosine, cosine_arrow
 
 N_ITER = 3
 #: cap on the k-means training-set size: above this the trainer
@@ -59,32 +59,77 @@ def _centroid_array_col(centroids: list[tuple[int, list[float]]]):
     )
 
 
+def _nearest_centroid_arrow(centroids):
+    """Arrow kernel for the small-K assign path: per batch, one
+    numpy pass per (centroid, dimension) reproducing the expression
+    fold bit-for-bit (same IEEE op order as ``similarity.cosine`` —
+    see ``similarity._fold_cosine_rows``). Comparison semantics match
+    ``array_max`` over struct(cos, neg_cid, cid): max cosine with
+    Spark's NaN-greatest double ordering, ties to the smaller cid
+    (centroids iterate in ascending cid; strict > keeps the first).
+    The old literal-transform expression did the same math interpreted
+    per element — ~0.2us x K x dim per row, the dominant cost of every
+    k-means iteration."""
+    import math
+
+    cents = sorted(
+        ((int(cid), [float(x) for x in vec]) for cid, vec in centroids)
+    )  # ascending cid: strict > then keeps the smaller cid on ties
+
+    def _kernel(v):
+        import numpy as np
+        import pandas as pd
+
+        V = np.vstack([np.asarray(x, np.float64) for x in v])
+        n, d = V.shape
+        nv = np.zeros(n)
+        for i in range(d):
+            nv = nv + V[:, i] * V[:, i]
+        nq = np.sqrt(nv)
+        best_key = np.full(n, -np.inf)
+        best_cid = np.zeros(n, dtype=np.int32)
+        first = True
+        for cid, cvec in cents:
+            dot = np.zeros(n)
+            nc = 0.0
+            for i in range(d):
+                ci = cvec[i]
+                dot = dot + V[:, i] * ci
+                nc = nc + ci * ci
+            den = nq * math.sqrt(nc)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = dot / den
+            cos = np.where(den == 0.0, 0.0, cos)
+            key = np.where(np.isnan(cos), np.inf, cos)  # NaN sorts greatest
+            if first:
+                best_key, best_cid, first = key, np.full(n, cid, np.int32), False
+            else:
+                win = key > best_key
+                best_key = np.where(win, key, best_key)
+                best_cid = np.where(win, cid, best_cid)
+        return pd.Series(best_cid, dtype="int32")
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    return pandas_udf(_kernel, "int")
+
+
 def _assign(emb: DataFrame, centroids, vec_col: str) -> DataFrame:
     """Nearest-centroid id per vector (max cosine, min cid ties).
 
-    K <= ASSIGN_LITERAL_MAX: centroids ride into codegen as a literal
-    struct array (no join, no shuffle). Larger K: centroids become a
-    BROADCAST table, each vector scores K rows, and the argmax is a
-    partial-aggregable max-of-struct groupBy on a transient row key —
-    the shape that scales to thousands of centroids. Same semantics
-    (max cosine, ties to the smaller cid), pinned by a parity pytest.
+    K <= ASSIGN_LITERAL_MAX: an Arrow kernel scores all K centroids
+    per batch with the exact expression-fold op order (no join, no
+    shuffle, no per-element interpretation). Larger K: centroids
+    become a BROADCAST table, each vector scores K rows, and the
+    argmax is a partial-aggregable max-of-struct groupBy on a
+    transient row key — the shape that scales to thousands of
+    centroids. Same semantics (max cosine, ties to the smaller cid),
+    pinned by a parity pytest.
     """
     if len(centroids) <= ASSIGN_LITERAL_MAX:
-        carr = _centroid_array_col(centroids)
-        scored = emb.withColumn(
-            "__cs",
-            F.transform(
-                carr,
-                lambda c: F.struct(
-                    cosine(F.col(vec_col), c["cvec"]).alias("cos"),
-                    (-c["cid"]).alias("neg_cid"),
-                    c["cid"].alias("cid"),
-                ),
-            ),
+        return emb.withColumn(
+            "centroid_id", _nearest_centroid_arrow(centroids)(F.col(vec_col))
         )
-        return scored.withColumn(
-            "centroid_id", F.array_max("__cs")["cid"]
-        ).drop("__cs")
     spark = emb.sparkSession
     cents = spark.createDataFrame(
         [(cid, [float(x) for x in vec]) for cid, vec in centroids],
@@ -238,7 +283,7 @@ def ivf_topk(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = cand.withColumn(
-        "cos", cosine(F.col("q_vec"), F.col("n_vec"))
+        "cos", cosine_arrow(F.col("q_vec"), F.col("n_vec"))
     ).select("query_id", "neighbor_id", "cos")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -351,7 +396,7 @@ def ivf_index_topk(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = cand.withColumn(
-        "cos", cosine(F.col("q_vec"), F.col("n_vec"))
+        "cos", cosine_arrow(F.col("q_vec"), F.col("n_vec"))
     ).select("query_id", "neighbor_id", "cos")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()

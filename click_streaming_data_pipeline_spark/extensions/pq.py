@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .ivf import TRAIN_SAMPLE_CAP
-from .similarity import _as_double, cosine, norm
+from .similarity import _as_double, cosine, cosine_arrow, norm
 
 M_SUB = 16
 K_CODES = 16
@@ -83,6 +83,58 @@ def _assign_code(s: Column, cb_m: Column) -> Column:
         ),
     )
     return F.array_min(scored)["code"]
+
+
+def _np_argmin_code(S, codebook):
+    """Vectorized argmin over one codebook for a (n, ds) subvector
+    matrix — the numpy twin of ``_assign_code``: per code, the same
+    sequential (x-y)^2 fold as ``_l2sq``; comparison mirrors
+    array_min over struct(d, code) (min d, Spark NaN-greatest so NaN
+    never wins over a finite d; ties keep the smaller code via
+    ascending iteration + strict <)."""
+    import numpy as np
+
+    n, ds = S.shape
+    best_d = None
+    best_c = np.zeros(n, dtype=np.int32)
+    for ci, c in enumerate(codebook):
+        d = np.zeros(n)
+        for j in range(ds):
+            t = S[:, j] - c[j]
+            d = d + t * t
+        d = np.where(np.isnan(d), np.inf, d)
+        if best_d is None:
+            best_d = d
+        else:
+            win = d < best_d
+            best_d = np.where(win, d, best_d)
+            best_c = np.where(win, ci, best_c)
+    return best_c, best_d
+
+
+def _assign_code_arrow(codebooks: list[list[list[float]]]):
+    """Arrow twin of ``_assign_code`` for the training loop: takes
+    (subvector, m) and picks the argmin code against codebook[m] —
+    one numpy pass per (code, dimension) instead of interpreted
+    per-element folds."""
+    cbs = [[list(map(float, c)) for c in cb] for cb in codebooks]
+
+    def _kernel(s, m):
+        import numpy as np
+        import pandas as pd
+
+        S = np.vstack([np.asarray(x, np.float64) for x in s])
+        mv = np.asarray(m, dtype=np.int64)
+        out = np.zeros(len(S), dtype=np.int32)
+        for mi in np.unique(mv):
+            mask = mv == mi
+            codes, _ = _np_argmin_code(S[mask], cbs[int(mi)])
+            out[mask] = codes
+        return pd.Series(out, dtype="int32")
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    return pandas_udf(_kernel, "int")
 
 
 def train_pq_codebooks(
@@ -136,9 +188,8 @@ def train_pq_codebooks(
     ]
 
     for _ in range(n_iter):
-        cb = _codebook_lit(codebooks)
         assigned = sub.withColumn(
-            "code", _assign_code(F.col("s"), F.element_at(cb, F.col("m") + 1))
+            "code", _assign_code_arrow(codebooks)(F.col("s"), F.col("m"))
         )
         # decimal-exact sums + driver-side IEEE division (see
         # ivf.train_kmeans): order-free, bit-stable, oracle-replayable
@@ -181,39 +232,52 @@ def pq_encode(
     observable next to the codes."""
     m = len(codebooks)
     ds = len(codebooks[0][0])
-    cb = _codebook_lit(codebooks)
-    v = _unit(_as_double(F.col(vec_col)))
-    coded = emb.select(F.col(id_col), v.alias("v")).withColumn(
-        "codes",
-        F.array(
-            *[
-                _assign_code(
-                    F.slice("v", mi * ds + 1, ds), F.element_at(cb, mi + 1)
-                )
-                for mi in range(m)
-            ]
-        ),
+    cbs = [[list(map(float, c)) for c in cb] for cb in codebooks]
+
+    def _kernel(v):
+        import numpy as np
+        import pandas as pd
+
+        V = np.vstack([np.asarray(x, np.float64) for x in v])
+        n, d = V.shape
+        # _unit twin: sequential-fold norm, zero vectors pass through
+        nv = np.zeros(n)
+        for j in range(d):
+            nv = nv + V[:, j] * V[:, j]
+        nrm = np.sqrt(nv)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            U = V / nrm[:, None]
+        U = np.where((nrm == 0.0)[:, None], V, U)
+        codes = np.zeros((n, m), dtype=np.int32)
+        # recon fold: subspace distances accumulate in m order, same
+        # as the expression's aggregate over the per-subspace array
+        recon = np.zeros(n)
+        for mi in range(m):
+            S = U[:, mi * ds: (mi + 1) * ds]
+            c, dmin = _np_argmin_code(S, cbs[mi])
+            codes[:, mi] = c
+            # dmin carries the NaN->inf surrogate; rebuild the exact
+            # chosen-code distance with the fold so recon matches the
+            # expression bit-for-bit
+            dm = np.zeros(n)
+            cb_arr = np.asarray(cbs[mi])  # (k, ds)
+            chosen = cb_arr[c]            # (n, ds)
+            for j in range(ds):
+                t = S[:, j] - chosen[:, j]
+                dm = dm + t * t
+            recon = recon + dm
+        recon = recon / float(m * ds)
+        return pd.DataFrame(
+            {"codes": list(codes), "recon_mse": recon}
+        )
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    enc = pandas_udf(_kernel, "codes array<int>, recon_mse double")
+    out = emb.select(
+        F.col(id_col), enc(F.col(vec_col)).alias("__e")
     )
-    recon_err = F.aggregate(
-        F.array(
-            *[
-                _l2sq(
-                    F.slice("v", mi * ds + 1, ds),
-                    F.element_at(
-                        F.element_at(cb, mi + 1), F.col("codes")[mi] + 1
-                    ),
-                )
-                for mi in range(m)
-            ]
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    ) / F.lit(float(m * ds))
-    return coded.select(
-        id_col,
-        "codes",
-        recon_err.alias("recon_mse"),
-    )
+    return out.select(id_col, "__e.codes", "__e.recon_mse")
 
 
 def pq_topk(
@@ -305,7 +369,7 @@ def pq_topk(
     exact = (
         shortlist.join(nvec, "neighbor_id")
         .join(F.broadcast(qvec), "query_id")
-        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+        .withColumn("cos", cosine_arrow(F.col("q_vec"), F.col("n_vec")))
     )
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -343,7 +407,7 @@ def ivf_pq_topk(
     probe-join as ``ivf_topk``; scoring/re-rank are ``pq_topk``'s.
     """
     from .ivf import _assign, _centroid_array_col, train_kmeans
-    from .similarity import cosine as _cos
+    from .similarity import cosine as _cos  # HOF site below needs the expression form
 
     centroids = train_kmeans(emb, id_col=id_col, vec_col=vec_col)
     if nprobe is None:
@@ -437,7 +501,7 @@ def ivf_pq_topk(
     exact = (
         shortlist.join(nvec, "neighbor_id")
         .join(F.broadcast(qvec), "query_id")
-        .withColumn("cos", _cos(F.col("q_vec"), F.col("n_vec")))
+        .withColumn("cos", cosine_arrow(F.col("q_vec"), F.col("n_vec")))
     )
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()

@@ -46,6 +46,79 @@ def norm(a: Column) -> Column:
     )
 
 
+def _fold_cosine_rows(a_rows, b_rows):
+    """numpy twin of ``cosine()`` for a batch of row pairs: the SAME
+    per-row operation sequence as the expression fold — one multiply
+    and one add per dimension, accumulated left-to-right — just
+    vectorized ACROSS rows, so every output double is bit-identical
+    to the zip_with/aggregate form (elementwise numpy float64 ops are
+    the same exactly-rounded IEEE ops codegen emits)."""
+    import numpy as np
+
+    n, d = a_rows.shape
+    dot = np.zeros(n)
+    na = np.zeros(n)
+    nb = np.zeros(n)
+    for i in range(d):
+        ai = a_rows[:, i]
+        bi = b_rows[:, i]
+        dot = dot + ai * bi
+        na = na + ai * ai
+        nb = nb + bi * bi
+    den = np.sqrt(na) * np.sqrt(nb)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = dot / den
+    return np.where(den == 0.0, 0.0, out)
+
+
+def _cosine_kernel_fn(a, b):
+    """Batch entry for the Arrow cosine kernel (pd.Series in/out).
+
+    Mirrors the expression's null/ragged semantics: a NULL array or a
+    length mismatch poisons the fold to NULL, which ``cosine()``'s
+    coalesce turns into 0.0 — reproduced here per row."""
+    import numpy as np
+    import pandas as pd
+
+    av = list(a)
+    bv = list(b)
+    ok = np.empty(len(av), dtype=bool)
+    d = None
+    for j, (x, y) in enumerate(zip(av, bv)):
+        good = x is not None and y is not None and len(x) == len(y)
+        if good and d is None:
+            d = len(x)
+        ok[j] = good and len(x) == d
+    if d is None:  # every row null/ragged
+        return pd.Series([0.0] * len(av), dtype="float64")
+    rows_a = np.vstack(
+        [np.asarray(x, np.float64) if k else np.zeros(d) for x, k in zip(av, ok)]
+    )
+    rows_b = np.vstack(
+        [np.asarray(y, np.float64) if k else np.zeros(d) for y, k in zip(bv, ok)]
+    )
+    out = _fold_cosine_rows(rows_a, rows_b)
+    return pd.Series(np.where(ok, out, 0.0))
+
+
+def cosine_arrow(a: Column, b: Column) -> Column:
+    """Arrow-vectorized twin of :func:`cosine` — bit-identical doubles
+    (same fold order, same zero-norm -> 0.0 rule; parity pinned by
+    ``tests/test_search.py::test_cosine_arrow_matches_expression`` and
+    every swapped lane's value-hash oracle).
+
+    Why it exists: the expression fold is interpreted per array
+    element (higher-order functions never enter codegen), measured
+    ~0.2us/element — candidate-verify lanes burn tens of CPU-seconds
+    on thousands of vectors. The kernel runs the same IEEE op sequence
+    over whole Arrow batches (~ms). Use it on hot per-pair paths; the
+    expression form remains the reference semantics and the oracle
+    documentation."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    return pandas_udf(_cosine_kernel_fn, "double")(a, b)
+
+
 def cosine(a: Column, b: Column) -> Column:
     """dot / (|a| * |b|) over double-cast arrays.
 
@@ -86,7 +159,7 @@ def brute_force_topk(
     )
     scored = (
         cand.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+        .withColumn("cos", cosine_arrow(F.col("q_vec"), F.col("n_vec")))
         .select("query_id", "neighbor_id", "cos")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -120,7 +193,7 @@ def neardup_pairs(
     )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .withColumn("cos", cosine_arrow(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -159,6 +232,52 @@ def lsh_bucket(
     return F.concat(*bits)
 
 
+def lsh_buckets_arrow(dim: int, n_planes: int, n_tables: int):
+    """Arrow kernel computing ALL tables' bucket ids per vector in one
+    batch pass (array<string>, index = table). Bit-exact twin of
+    ``lsh_bucket``: the same sequential-fold dot per plane, and the
+    sign test mirrors Spark's NaN-as-greatest comparison (NaN >= 0 is
+    TRUE in Spark SQL, false in IEEE — reproduced via isnan OR).
+    The expression form evaluates n_tables x n_planes x dim elements
+    interpreted per row (6k evals/row at the 32-table setting); the
+    kernel replaces that with numpy column ops."""
+    planes = [
+        [_plane(t, i, dim) for i in range(n_planes)] for t in range(n_tables)
+    ]
+
+    def _kernel(v):
+        import numpy as np
+        import pandas as pd
+
+        V = np.vstack([np.asarray(x, np.float64) for x in v])
+        n, d = V.shape
+        # bits[t][i] = boolean column for plane i of table t
+        out_bits = []
+        for t in range(n_tables):
+            tbits = []
+            for i in range(n_planes):
+                p = planes[t][i]
+                acc = np.zeros(n)
+                for j in range(d):
+                    acc = acc + V[:, j] * p[j]
+                tbits.append((acc >= 0.0) | np.isnan(acc))
+            out_bits.append(tbits)
+        rows = []
+        for r in range(n):
+            rows.append(
+                [
+                    "".join("1" if out_bits[t][i][r] else "0"
+                            for i in range(n_planes))
+                    for t in range(n_tables)
+                ]
+            )
+        return pd.Series(rows)
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    return pandas_udf(_kernel, "array<string>")
+
+
 def lsh_bucketed_pairs(
     emb: DataFrame,
     threshold: float,
@@ -181,22 +300,18 @@ def lsh_bucketed_pairs(
     per-table join would multiply shuffle width by 2 x dim x n_tables;
     instead the (much smaller) deduplicated candidate set re-joins the
     embedding table twice to fetch vectors for the cosine verify."""
-    tabled = scan_parallel(emb).select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        lsh_bucket(F.col(vec_col), dim, t, n_planes).alias(
-                            "bucket"
-                        ),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select(id_col, "tb.tbl", "tb.bucket")
+    tabled = (
+        scan_parallel(emb)
+        .select(
+            F.col(id_col),
+            lsh_buckets_arrow(dim, n_planes, n_tables)(
+                F.col(vec_col)
+            ).alias("__buckets"),
+        )
+        .select(
+            id_col, F.posexplode("__buckets").alias("tbl", "bucket")
+        )
+    )
     a = tabled.select("tbl", "bucket", F.col(id_col).alias("id_a"))
     b = tabled.select("tbl", "bucket", F.col(id_col).alias("id_b"))
     cand = (
@@ -210,7 +325,7 @@ def lsh_bucketed_pairs(
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .withColumn("cos", cosine_arrow(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -356,7 +471,7 @@ def label_centroid_distance(
     )
     return (
         e.join(F.broadcast(folded), e[label_col] == folded["__lbl"])
-        .withColumn("cos_centroid", cosine(F.col("__v"), F.col("__cen")))
+        .withColumn("cos_centroid", cosine_arrow(F.col("__v"), F.col("__cen")))
         .select(
             id_col,
             label_col,
@@ -416,7 +531,7 @@ def semdedup(
     dup_pairs = (
         a.join(b, "cluster_id")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
+        .withColumn("cos", cosine_arrow(F.col("__va"), F.col("__vb")))
         .filter(F.col("cos") >= F.lit(float(threshold)))
         .select("id_b", "id_a")
     )
@@ -477,12 +592,19 @@ def random_projection(
     is a compile-time literal — nothing is collected or broadcast.
     """
     signs = rp_signs(out_dim, in_dim)
-    v = _as_double(F.col(vec_col))
+    # index the raw array and cast the SCALAR element: putting
+    # _as_double's transform here instead gets inlined into all
+    # out_dim x in_dim references by the optimizer (no CSE for
+    # higher-order expressions) — measured 1024 array-transform
+    # rebuilds per row. float->double is exact either way.
     cols = []
     for j in range(out_dim):
         expr = F.lit(0.0)
         for i in range(in_dim):
-            expr = expr + F.element_at(v, i + 1) * F.lit(signs[j][i])
+            expr = expr + (
+                F.element_at(F.col(vec_col), i + 1).cast("double")
+                * F.lit(signs[j][i])
+            )
         cols.append(expr.alias(f"p{j}"))
     return scan_parallel(emb).select(F.col(id_col), *cols)
 
@@ -522,7 +644,7 @@ def hard_negative_pairs(
     scored = (
         cand.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .filter(F.col("q_label") != F.col("n_label"))
-        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+        .withColumn("cos", cosine_arrow(F.col("q_vec"), F.col("n_vec")))
         .filter(F.col("cos") < F.lit(max_cos))
         .select("query_id", "q_label", "neighbor_id", "n_label", "cos")
     )
@@ -601,7 +723,7 @@ def mmr_rerank(
         F.col("ca.query_id").alias("query_id"),
         F.col("ca.neighbor_id").alias("a"),
         F.col("cb.neighbor_id").alias("b"),
-        cosine(F.col("ca.v"), F.col("cb.v")).alias("sim"),
+        cosine_arrow(F.col("ca.v"), F.col("cb.v")).alias("sim"),
     )
 
     lam_f, mu_f, k_f = float(lam), float(mu), int(k)

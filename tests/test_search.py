@@ -142,3 +142,121 @@ def test_fuzziness_auto_length_ladder(spark):
     assert hits("ab") == {5}                  # AUTO: <3 chars -> exact only
     assert hits("ac", 1) == {5}               # distance 1 would have matched
     assert hits("ac") == set()                # AUTO forbids edits at len 2
+
+
+def test_cosine_arrow_matches_expression(spark):
+    """The Arrow cosine kernel must be BIT-identical to the
+    zip_with/aggregate expression fold — including the zero-norm ->
+    0.0 rule, denormals, huge magnitudes, and mixed signs (the
+    adversarial-embeddings shapes). Equality is ==, not approx."""
+    from pyspark.sql import functions as F
+
+    from click_streaming_data_pipeline_spark.extensions.similarity import (
+        cosine,
+        cosine_arrow,
+    )
+
+    rows = [
+        (1, [0.0] * 64, [1.0] * 64),                       # zero vector
+        (2, [5e-324] + [0.0] * 63, [1.0] * 64),            # denormal
+        (3, [1e15 * (1 + j % 3) for j in range(64)],
+            [0.1 + 0.01 * j for j in range(64)]),          # huge
+        (4, [(-1.0) ** j for j in range(64)],
+            [(-1.0) ** (j + 1) for j in range(64)]),       # alternating
+        (5, [0.0] * 64, [0.0] * 64),                       # both zero
+        (6, [((j * 37) % 13 - 6) / 7.0 for j in range(64)],
+            [((j * 11) % 17 - 8) / 9.0 for j in range(64)]),
+    ]
+    df = spark.createDataFrame(rows, "id long, x array<double>, y array<double>")
+    bad = df.select(
+        (cosine(F.col("x"), F.col("y"))
+         == cosine_arrow(F.col("x"), F.col("y"))).alias("eq")
+    ).filter(~F.col("eq")).count()
+    assert bad == 0
+
+
+def test_lsh_buckets_arrow_matches_expression(spark):
+    """lsh_buckets_arrow (all tables in one kernel pass) must emit the
+    same bucket strings as per-table lsh_bucket expressions."""
+    from pyspark.sql import functions as F
+
+    from click_streaming_data_pipeline_spark.extensions.similarity import (
+        N_PLANES,
+        N_TABLES,
+        lsh_bucket,
+        lsh_buckets_arrow,
+    )
+
+    rows = [
+        (i, [((i * 31 + j * 7) % 13 - 6) / 6.0 for j in range(64)])
+        for i in range(50)
+    ] + [(50, [0.0] * 64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    expr = df.select(
+        "vec_id",
+        F.array(
+            *[lsh_bucket(F.col("embedding"), 64, t) for t in range(N_TABLES)]
+        ).alias("b"),
+    )
+    kern = df.select(
+        "vec_id",
+        lsh_buckets_arrow(64, N_PLANES, N_TABLES)(F.col("embedding")).alias("b"),
+    )
+    e = {r["vec_id"]: r["b"] for r in expr.collect()}
+    k = {r["vec_id"]: list(r["b"]) for r in kern.collect()}
+    assert e == k
+
+
+def test_pq_encode_kernel_matches_expression(spark):
+    """pq_encode's Arrow kernel must reproduce the expression form
+    (_unit -> per-subspace _assign_code argmin -> recon fold)
+    bit-for-bit: codes equal, recon_mse == (not approx)."""
+    from pyspark.sql import functions as F
+
+    from click_streaming_data_pipeline_spark.extensions import pq
+
+    rows = [
+        (i, [((i * 31 + j * 7) % 13 - 6) / 6.0 for j in range(64)])
+        for i in range(40)
+    ] + [(40, [0.0] * 64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq.train_pq_codebooks(emb)
+    got = {
+        r["vec_id"]: (list(r["codes"]), r["recon_mse"])
+        for r in pq.pq_encode(emb, books).collect()
+    }
+    # expression reference: the pre-kernel formulation
+    cb = pq._codebook_lit(books)
+    m, ds = len(books), len(books[0][0])
+    v = pq._unit(pq._as_double(F.col("embedding")))
+    coded = emb.select(F.col("vec_id"), v.alias("v")).withColumn(
+        "codes",
+        F.array(
+            *[
+                pq._assign_code(
+                    F.slice("v", mi * ds + 1, ds), F.element_at(cb, mi + 1)
+                )
+                for mi in range(m)
+            ]
+        ),
+    )
+    recon = F.aggregate(
+        F.array(
+            *[
+                pq._l2sq(
+                    F.slice("v", mi * ds + 1, ds),
+                    F.element_at(
+                        F.element_at(cb, mi + 1), F.col("codes")[mi] + 1
+                    ),
+                )
+                for mi in range(m)
+            ]
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float(m * ds))
+    want = {
+        r["vec_id"]: (list(r["codes"]), r["r"])
+        for r in coded.select("vec_id", "codes", recon.alias("r")).collect()
+    }
+    assert got == want

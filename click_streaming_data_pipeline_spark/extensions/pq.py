@@ -394,6 +394,8 @@ def ivf_pq_topk(
     dim: int = 64,
     nprobe: int | None = None,
     rerank: int = 5,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """The canonical composed ANN layout: IVF restricts the search to
     ``nprobe`` coarse partitions, PQ-ADC scores only the CODES inside
@@ -409,12 +411,16 @@ def ivf_pq_topk(
     from .ivf import _assign, _centroid_array_col, train_kmeans
     from .similarity import cosine as _cos  # HOF site below needs the expression form
 
-    centroids = train_kmeans(emb, id_col=id_col, vec_col=vec_col)
+    if centroids is None:
+        centroids = train_kmeans(emb, id_col=id_col, vec_col=vec_col)
     if nprobe is None:
         # PQ scoring is cheap per candidate, so probe deeper than
         # ivf_topk's K/4 default: recall comes from coverage here
         nprobe = max(1, len(centroids) // 2)
-    codebooks = train_pq_codebooks(emb, id_col=id_col, vec_col=vec_col, dim=dim)
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            emb, id_col=id_col, vec_col=vec_col, dim=dim
+        )
     m = len(codebooks)
     ds = len(codebooks[0][0])
     cb = _codebook_lit(codebooks)

@@ -1743,26 +1743,36 @@ def _ann_recall_oracle() -> str:
     tags=("similarity",),
 )
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.ivf import ivf_topk
-    from ..extensions.pq import ivf_pq_topk, pq_topk
+    from ..extensions.ivf import ivf_topk, train_kmeans
+    from ..extensions.pq import ivf_pq_topk, pq_topk, train_pq_codebooks
     from ..extensions.similarity import brute_force_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    exact = brute_force_topk(emb, _QUERY_IDS, k=10).select(
-        "query_id", "neighbor_id"
+    # exact feeds a count + four semi-joins: materialize once instead
+    # of recomputing the brute-force scan per action
+    exact = (
+        brute_force_topk(emb, _QUERY_IDS, k=10)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
     )
     n_exact = exact.count()
+    # every strategy trains on the same corpus with the same
+    # deterministic trainers — train once, share (ivf_pq alone would
+    # otherwise re-run BOTH trainings; the standalone lanes keep
+    # training internally, so this changes no catalog output)
+    cents = train_kmeans(emb)
+    books = train_pq_codebooks(emb)
     methods = {
         "brute_force": exact,
-        "ivf": ivf_topk(emb, _QUERY_IDS, k=10).select(
+        "ivf": ivf_topk(emb, _QUERY_IDS, k=10, centroids=cents).select(
             "query_id", "neighbor_id"
         ),
-        "pq_adc": pq_topk(emb, _QUERY_IDS, k=10).select(
+        "pq_adc": pq_topk(emb, _QUERY_IDS, k=10, codebooks=books).select(
             "query_id", "neighbor_id"
         ),
-        "ivf_pq": ivf_pq_topk(emb, _QUERY_IDS, k=10).select(
-            "query_id", "neighbor_id"
-        ),
+        "ivf_pq": ivf_pq_topk(
+            emb, _QUERY_IDS, k=10, centroids=cents, codebooks=books
+        ).select("query_id", "neighbor_id"),
     }
     rows = []
     for name, df in methods.items():

@@ -183,18 +183,26 @@ def quality_with_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load_table(spark, sf_dir, "documents")
     q = quality_check_columns("text", "n_chars")
+    # score per DOCUMENT before the join: scoring the joined stream
+    # re-runs the regex/ratio expressions once per EVENT (~20x per doc
+    # at this fan-in; unbounded at 100 TB) for identical values
+    scored = docs.select(
+        "doc_id",
+        q["quality_score"].alias("__qs"),
+        q["quality_is_valid"].alias("__qv"),
+    )
     joined = events.join(
-        F.broadcast(docs), events.doc_key == docs.doc_id, "left"
+        F.broadcast(scored), events.doc_key == scored.doc_id, "left"
     )
     missing = F.col("doc_id").isNull()
     return joined.select(
         "event_id",
         "doc_key",
-        F.when(missing, F.lit(0.0)).otherwise(q["quality_score"]).alias(
+        F.when(missing, F.lit(0.0)).otherwise(F.col("__qs")).alias(
             "quality_score"
         ),
         F.when(missing, F.lit(False))
-        .otherwise(q["quality_is_valid"])
+        .otherwise(F.col("__qv"))
         .alias("quality_is_valid"),
         missing.alias("is_fallback"),
     )

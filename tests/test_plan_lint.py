@@ -157,3 +157,39 @@ def test_no_row_at_a_time_python_udf(plans, name):
     # forms (ArrowEvalPython / mapInPandas / FlatMapGroupsInPandas)
     # are fine and deliberately used.
     assert "BatchEvalPython" not in plans[name], name
+
+
+# -- expression-duplication guard (round 4) ---------------------------------
+# Filter-pushdown alias substitution can inline an expensive computed
+# column's WHOLE tree into predicates/projections once per reference —
+# higher-order expressions get no common-subexpression elimination, so
+# the tokenizer/regex chain re-evaluates per row per reference
+# (measured: 24 split() rebuilds and a 17x wall blow-up in
+# corpus_build_pipeline before the explode fence). This guard counts
+# expensive-pattern occurrences in the OPTIMIZED plan of the lanes
+# that compose quality signals and fails if duplication creeps back.
+DUP_GUARD = {
+    # name: (pattern, max occurrences in optimizedPlan)
+    "corpus_build_pipeline": [("split(", 6), ("regexp_replace", 10)],
+    "corpus_export_manifest": [("split(", 6), ("regexp_replace", 10)],
+    "filter_attrition": [("split(", 6)],
+    "corpus_quality_heuristics": [("split(", 6)],
+    "lm_quality_score": [("split(", 4)],
+    "pack_sequences": [("split(", 4)],
+    "quality_with_fallback": [("regexp_count", 8), ("regexp_replace", 8)],
+    "embedding_random_projection": [("transform(", 4)],
+}
+
+
+@pytest.mark.parametrize("name", sorted(DUP_GUARD))
+def test_no_expression_duplication_blowup(spark, name):
+    df = QUERIES[name].fn(spark, SF_TEST)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for pattern, cap in DUP_GUARD[name]:
+        n = plan.count(pattern)
+        assert n <= cap, (
+            f"{name}: {pattern!r} appears {n}x in the optimized plan "
+            f"(cap {cap}) — expression-duplication blow-up; fence the "
+            f"computed columns behind a Generate (see "
+            f"extensions/corpus.py::quality_heuristics)"
+        )

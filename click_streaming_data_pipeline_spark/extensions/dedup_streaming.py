@@ -375,11 +375,12 @@ def run_streaming_semdedup(
     independent."""
     from ..sources import load_table
     from .ivf import train_kmeans
-    from .similarity import SEMDEDUP_COS
+    from .similarity import SEMDEDUP_COS, SEMDEDUP_K_CAP
 
     thr = SEMDEDUP_COS if threshold is None else threshold
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = train_kmeans(emb)
+    # same K sizing as batch semdedup: drained result must equal it
+    centroids = train_kmeans(emb, k_cap=SEMDEDUP_K_CAP)
 
     work = tempfile.mkdtemp(prefix="csdp_semdd_")
     src = os.path.join(work, "in")

@@ -41,9 +41,13 @@ TRAIN_SAMPLE_CAP = 65_536
 #: with sqrt(N) (keeping SemDeDup's per-cluster work bounded) without
 #: hitting a literal-size wall.
 K_MAX = 256
-#: centroid count above which _assign swaps the literal array for a
-#: broadcast join + partial-agg argmax (same semantics, pytest-pinned)
-ASSIGN_LITERAL_MAX = 256
+#: centroid count above which _assign swaps the Arrow-kernel argmax
+#: for a broadcast join + partial-agg argmax (same semantics,
+#: pytest-pinned). Since round 4 the small-K path is a kernel, not a
+#: literal expression array, so the cap is a closure-size/flops bound
+#: (K x dim doubles ride in the UDF pickle; per-batch work is K x dim
+#: numpy column ops), not a Catalyst literal-size bound.
+ASSIGN_LITERAL_MAX = 4096
 
 
 def _centroid_array_col(centroids: list[tuple[int, list[float]]]):
@@ -153,10 +157,13 @@ def _assign(emb: DataFrame, centroids, vec_col: str) -> DataFrame:
     return keyed.join(best, "__rk").drop("__rk")
 
 
-def auto_k(n: int) -> int:
+def auto_k(n: int, cap: int = K_MAX) -> int:
     """K sized to the corpus: the sqrt(N) rule of thumb, clamped to
-    [4, K_MAX]."""
-    return max(4, min(K_MAX, int(round(n**0.5))))
+    [4, cap]. The default cap keeps the IVF probe-side centroid
+    literal bounded; callers that only ASSIGN (SemDeDup) can raise it
+    — the Arrow-kernel assign has no literal-size constraint, it just
+    ships the centroid matrix in the UDF closure."""
+    return max(4, min(cap, int(round(n**0.5))))
 
 
 def train_kmeans(
@@ -165,6 +172,7 @@ def train_kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int | None = None,
+    k_cap: int = K_MAX,
     n_iter: int = N_ITER,
     sample_mod: int | None = None,
 ) -> list[tuple[int, list[float]]]:
@@ -172,7 +180,7 @@ def train_kmeans(
     ids; each round assigns and re-centers via element-wise mean
     (aggregate over array positions).
 
-    ``k=None`` sizes K to the corpus (sqrt(N), clamped);
+    ``k=None`` sizes K to the corpus (sqrt(N), clamped to ``k_cap``);
     ``sample_mod=None`` picks the smallest deterministic sample
     (``id % mod == 0``) that fits TRAIN_SAMPLE_CAP, so training cost
     is bounded regardless of corpus size. Both remain overridable."""
@@ -181,7 +189,7 @@ def train_kmeans(
     )
     n = e.count()
     if k is None:
-        k = auto_k(n)
+        k = auto_k(n, k_cap)
     if sample_mod is None:
         sample_mod = max(1, -(-n // TRAIN_SAMPLE_CAP))  # ceil division
     if sample_mod > 1:

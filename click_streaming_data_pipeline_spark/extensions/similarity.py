@@ -488,6 +488,16 @@ def label_centroid_distance(
 #: near-dup band, same threshold as embedding_neardup).
 SEMDEDUP_COS = 0.45
 
+#: SemDeDup-specific K cap: the within-cluster pair work is N^2/K, so
+#: K must keep growing with sqrt(N) well past IVF's probe-side
+#: K_MAX=256 (that cap bounds the probe-ranking literal, which
+#: SemDeDup never builds — it only ASSIGNS, and the Arrow-kernel /
+#: broadcast-join assign paths both handle thousands of centroids).
+#: Measured: at 64x sf0.1 (256k vectors) the 256-cap made cluster
+#: populations grow linearly and the 64x wall ratio hit 10.5; sqrt(N)
+#: K keeps expected pair work at N^1.5.
+SEMDEDUP_K_CAP = 4096
+
 
 def semdedup(
     emb: DataFrame,
@@ -511,7 +521,9 @@ def semdedup(
     kept)."""
     from .ivf import _assign, train_kmeans
 
-    cents = train_kmeans(emb, id_col=id_col, vec_col=vec_col)
+    cents = train_kmeans(
+        emb, id_col=id_col, vec_col=vec_col, k_cap=SEMDEDUP_K_CAP
+    )
     e = scan_parallel(emb).select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
     )

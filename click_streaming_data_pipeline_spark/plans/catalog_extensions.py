@@ -948,10 +948,11 @@ def _base_ctes() -> str:
         )"""
 
 
-def _kmeans_chain(n_iter: int = 3) -> str:
+def _kmeans_chain(n_iter: int = 3, k_cap: int = 256) -> str:
     """CTE chain replaying ``extensions.ivf.train_kmeans`` in SQL
     (appended after ``_base_ctes``): deterministic init (k smallest
-    ids, k = sqrt(N) clamped to [4, 256]), then ``n_iter`` unrolled
+    ids, k = sqrt(N) clamped to [4, ``k_cap``]), then ``n_iter``
+    unrolled
     assign/re-center rounds. Re-centering is decimal-exact per
     position (string-mediated casts — the same bit-parity discipline
     as the page_rank oracle), matching the Spark trainer's order-free
@@ -971,7 +972,7 @@ def _kmeans_chain(n_iter: int = 3) -> str:
     )
     head = f"""
         kk AS (
-            SELECT greatest(4, least(256,
+            SELECT greatest(4, least({k_cap},
                 CAST(floor(sqrt(CAST((SELECT n FROM prm) AS DOUBLE))
                      + 0.5) AS BIGINT))) AS k
         ),
@@ -1033,9 +1034,9 @@ def _kmeans_chain(n_iter: int = 3) -> str:
     return head + "".join(its) + tail
 
 
-def _kmeans_ctes(n_iter: int = 3) -> str:
+def _kmeans_ctes(n_iter: int = 3, k_cap: int = 256) -> str:
     """Base corpus/sample CTEs + the unrolled k-means chain."""
-    return _base_ctes() + "," + _kmeans_chain(n_iter)
+    return _base_ctes() + "," + _kmeans_chain(n_iter, k_cap)
 
 
 def _l2sq_sql(a: str, b: str, ds: int = 4) -> str:
@@ -1600,9 +1601,11 @@ def _semdedup_oracle() -> str:
     """SQL twin of ``extensions.similarity.semdedup``: the k-means
     CTE chain (shared with the IVF oracle) assigns every vector, the
     pair compare runs only within clusters, and a vector drops when a
-    smaller-id neighbor sits at cosine >= 0.45."""
+    smaller-id neighbor sits at cosine >= 0.45. K clamps at
+    SEMDEDUP_K_CAP=4096, not IVF's probe-side 256 — matching the
+    engine's sqrt(N) cluster sizing (similarity.SEMDEDUP_K_CAP)."""
     return f"""
-        WITH {_kmeans_ctes()},
+        WITH {_kmeans_ctes(k_cap=4096)},
         dup AS (
             SELECT b.vec_id AS id_b, min(a.vec_id) AS dup_of
             FROM corp a JOIN corp b

@@ -74,7 +74,118 @@ def _tokens(text_col: str) -> Column:
     return F.split(F.lower(F.col(text_col)), " ")
 
 
+def _quality_signals_kernel():
+    """Arrow kernel computing the five quality signals per batch —
+    the numpy/pure-python twin of the expression form below (which
+    stays in ``quality_heuristics_expr`` as the reference semantics
+    and the parity-test baseline). Replicated semantics, per row:
+
+    - tokens = lower(text).split(' ') — Python ``str.split(' ')``
+      keeps empty fields exactly like Spark ``split(_, ' ', -1)``
+      (''.split(' ') == [''] on both).
+    - n_tokens = len(tokens) (Spark ``F.size``); sum of ``len(tok)``
+      counts CODE POINTS like Spark ``length`` (UTF8String.numChars).
+    - alpha tokens: Java ``rlike '^[a-z]+$'`` == Python
+      ``fullmatch('[a-z]+')`` (ASCII class on both engines).
+    - 3-gram dup fraction over space-joined shingles, [] when <3
+      tokens; every ratio is ONE IEEE division (bit-identical).
+    - NULL text mirrors the expression path: size(null)=NULL ->
+      n_tokens/alpha/stopword NULL, mean/dup fall to the 0.0
+      ``otherwise`` branches.
+
+    Why: the expression form's higher-order folds are interpreted per
+    array element (~0.2us each; 5 signal passes per doc) — measured
+    ~10 CPU-s per 5k docs at sf0.1. The kernel is also an optimizer
+    FENCE (ArrowEvalPython), replacing the explode(array(struct))
+    fence that previously stopped filter pushdown from re-inlining
+    the signal trees (the plan-lint duplication guard covers both)."""
+    import re
+
+    alpha_re = re.compile(r"[a-z]+")
+    stops = frozenset(QUALITY_STOPWORDS)
+
+    def _kernel(texts):
+        import pandas as pd
+
+        n_toks, means, alphas, stopfs, dups = [], [], [], [], []
+        for text in texts:
+            if text is None:
+                n_toks.append(None)
+                means.append(0.0)
+                alphas.append(None)
+                stopfs.append(None)
+                dups.append(0.0)
+                continue
+            t = text.lower().split(" ")
+            n = len(t)
+            sum_len = 0
+            alpha = 0
+            stop = 0
+            for tok in t:
+                sum_len += len(tok)
+                if alpha_re.fullmatch(tok):
+                    alpha += 1
+                if tok in stops:
+                    stop += 1
+            n_toks.append(n)
+            means.append(sum_len / n if n > 0 else 0.0)
+            alphas.append(alpha / n)
+            stopfs.append(stop / n)
+            if n >= 3:
+                n_sh = n - 2
+                sh = {" ".join(t[i: i + 3]) for i in range(n_sh)}
+                dups.append(1.0 - len(sh) / n_sh)
+            else:
+                dups.append(0.0)
+        return pd.DataFrame(
+            {
+                "n_tokens": pd.array(n_toks, dtype="Int32"),
+                "mean_token_len": pd.array(means, dtype="float64"),
+                "alpha_frac": pd.array(alphas, dtype="float64"),
+                "stopword_frac": pd.array(stopfs, dtype="float64"),
+                "dup_3gram_frac": pd.array(dups, dtype="float64"),
+            }
+        )
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    return pandas_udf(
+        _kernel,
+        "n_tokens int, mean_token_len double, alpha_frac double, "
+        "stopword_frac double, dup_3gram_frac double",
+    )
+
+
 def quality_heuristics(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """C4/Gopher-style per-document quality signals in ONE Arrow
+    batch pass (see ``_quality_signals_kernel`` for the replicated
+    semantics); ``quality_heuristics_expr`` keeps the original
+    pure-expression form as the reference, and a parity pytest pins
+    kernel == expression row-for-row. ``carry_cols`` pass through
+    untouched so composers (export_manifest) stay one-scan."""
+    sig = _quality_signals_kernel()
+    out = scan_parallel(docs).select(
+        F.col(id_col),
+        *carry_cols,
+        sig(F.col(text_col)).alias("__sig"),
+    ).select(F.col(id_col), *carry_cols, "__sig.*")
+    ok = (
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("n_tokens") <= MAX_TOKENS)
+        & (F.col("mean_token_len") >= MIN_MEAN_TOKEN_LEN)
+        & (F.col("mean_token_len") <= MAX_MEAN_TOKEN_LEN)
+        & (F.col("dup_3gram_frac") <= MAX_DUP_3GRAM_FRAC)
+    )
+    return out.withColumn("quality_ok", ok)
+
+
+def quality_heuristics_expr(
     docs: DataFrame,
     *,
     id_col: str = "doc_id",

@@ -896,3 +896,42 @@ def test_dp_count_and_sum_releases_share_key_domain(spark):
     assert counts["rare"]["clamped_count"] == 0
     assert counts["rare"]["true_count"] == 6
     assert sums["rare"]["clamped_sum"] == 0.0
+
+
+def test_quality_kernel_matches_expression(spark):
+    """The Arrow quality-signals kernel must equal the pure-expression
+    form row-for-row (== on every signal, including the one-division
+    ratios) on edge-case texts: empties, space runs, unicode/emoji,
+    sub-3-token docs, long tokens, and clean prose."""
+    from click_streaming_data_pipeline_spark.extensions.corpus import (
+        quality_heuristics,
+        quality_heuristics_expr,
+    )
+
+    rows = [
+        (0, ""),
+        (1, " "),
+        (2, "  "),
+        (3, " a"),
+        (4, "a "),
+        (5, "a  b"),
+        (6, "the the the"),
+        (7, "tab\tand\nnewline chars"),
+        (8, "café naïve 中文 \U0001f600"),
+        (9, "MiXeD CaSe MIXED mixed"),
+        (10, "a b c d e f g h i j"),
+        (11, "z" * 2000),
+        (12, " ".join(["tok"] * 300)),
+        (13, "the quick brown fox jumps over the lazy dog again"),
+        (14, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in quality_heuristics(docs).collect()
+    }
+    want = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in quality_heuristics_expr(docs).collect()
+    }
+    assert got == want

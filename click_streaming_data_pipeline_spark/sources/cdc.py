@@ -116,9 +116,20 @@ def synth_cdc_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def parse_cdc(raw: DataFrame) -> DataFrame:
-    """Wire JSON -> typed envelope (G6; data-quality main.py:214)."""
+    """Wire JSON -> typed envelope (G6; data-quality main.py:214).
+
+    The parsed struct leaves through a 1-element explode: expanding
+    ``e.*`` directly lets CollapseProject inline ``from_json`` into
+    every top-level field reference — the envelope JSON gets re-parsed
+    once per column (3x in cdc_pipeline's optimized plan), which at
+    warehouse scale multiplies the single most expensive scan-stage
+    expression. The Generate fence parses once; a corrupt row's NULL
+    envelope still flows (array(NULL) explodes to one NULL row, same
+    as the un-fenced form)."""
     return raw.select(
-        F.from_json(F.col("value"), ENVELOPE_SCHEMA).alias("e")
+        F.explode(
+            F.array(F.from_json(F.col("value"), ENVELOPE_SCHEMA))
+        ).alias("e")
     ).select("e.*")
 
 

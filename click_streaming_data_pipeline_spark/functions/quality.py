@@ -84,6 +84,69 @@ def quality_check_columns(
     }
 
 
+def with_quality_columns(df, text_col: str = "text",
+                         n_chars_col: str = "n_chars",
+                         names: tuple[str, ...] | None = None):
+    """Append quality columns to ``df`` with the expensive per-row
+    primitives (tokenizer split, stop-word HOF filter, PII rlikes)
+    computed ONCE behind a 1-element explode fence.
+
+    Selecting ``quality_check_columns``' dict entries as independent
+    columns lets the optimizer inline one full tokenizer/regex tree
+    per column (six split() passes per row in the CDC plan; the
+    higher-order stop-word filter gets no codegen CSE). Here the
+    primitives land in a fenced struct and every score derives from
+    those scalars — byte-identical arithmetic over identical
+    integers, so all oracle hashes are unchanged (gated by the CDC
+    and quality lanes' value hashes).
+
+    ``names`` restricts the appended columns (default: all seven,
+    in ``quality_check_columns`` order).
+    """
+    text = F.col(text_col)
+    n_chars = F.col(n_chars_col)
+    tokens = F.split(text, " ")
+    prim = F.struct(
+        F.length(text).alias("len_text"),
+        F.size(tokens).alias("n_tokens"),
+        F.size(
+            F.filter(tokens, lambda t: t.isin(*STOPWORDS))
+        ).alias("stop_hits"),
+        (text.rlike(EMAIL_RE) | text.rlike(PHONE_RE)).alias("has_pii"),
+    )
+    fenced = df.select("*", F.explode(F.array(prim)).alias("__qp"))
+    completeness = F.least(F.lit(100.0), n_chars / F.lit(20.0))
+    consistency = F.when(
+        F.col("__qp.len_text") == n_chars, F.lit(100.0)
+    ).otherwise(F.lit(50.0))
+    pii_detection = F.when(F.col("__qp.has_pii"), F.lit(0.0)).otherwise(
+        F.lit(100.0)
+    )
+    stop_ratio = F.col("__qp.stop_hits") / F.greatest(
+        F.col("__qp.n_tokens"), F.lit(1)
+    )
+    language_quality = F.least(F.lit(100.0), stop_ratio * F.lit(250.0))
+    overall = (
+        completeness * F.lit(QUALITY_WEIGHTS["completeness"])
+        + consistency * F.lit(QUALITY_WEIGHTS["consistency"])
+        + pii_detection * F.lit(QUALITY_WEIGHTS["pii_detection"])
+        + language_quality * F.lit(QUALITY_WEIGHTS["language_quality"])
+    )
+    cols = {
+        "completeness": completeness,
+        "consistency": consistency,
+        "pii_detection": pii_detection,
+        "language_quality": language_quality,
+        "quality_score": overall,
+        "quality_is_valid": overall >= F.lit(MIN_QUALITY_SCORE),
+        "has_pii": F.col("__qp.has_pii"),
+    }
+    keep = names if names is not None else tuple(cols)
+    return fenced.select(
+        "*", *(cols[n].alias(n) for n in keep)
+    ).drop("__qp")
+
+
 def quality_oracle_exprs(
     text_col: str = "text", n_chars_col: str = "n_chars"
 ) -> dict[str, str]:

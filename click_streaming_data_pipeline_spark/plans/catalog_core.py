@@ -505,11 +505,13 @@ def constraint_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _quality_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.quality import with_quality_columns
+
     docs = load_table(spark, sf_dir, "documents")
-    cols = quality_check_columns("text", "n_chars")
-    return docs.select(
+    scored = with_quality_columns(docs)  # fenced: tokenizer runs once
+    return scored.select(
         "doc_id",
-        *(c.alias(name) for name, c in cols.items()),
+        *quality_check_columns("text", "n_chars").keys(),
     )
 
 

@@ -390,11 +390,12 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.dedup import minhash_lsh_dedup, neardup_clusters
 
+    from ..functions.quality import with_quality_columns
+
     docs = load_table(spark, sf_dir, "documents")
     clusters = neardup_clusters(minhash_lsh_dedup(docs, threshold=0.8))
-    q = quality_check_columns("text", "n_chars")
-    scored = docs.select(
-        "doc_id", q["quality_score"].alias("quality_score")
+    scored = with_quality_columns(docs, names=("quality_score",)).select(
+        "doc_id", "quality_score"
     )
     member = clusters.join(scored, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(
@@ -1469,10 +1470,11 @@ def _make_quality_calibration():
     ) -> DataFrame:
         from ..operators.prefix import grouped_prefix_sum
 
+        from ..functions.quality import with_quality_columns
+
         docs = load_table(spark, sf_dir, "documents")
-        q = quality_check_columns("text", "n_chars")
-        scored = docs.select(
-            "doc_id", "source", q["quality_score"].alias("quality_score")
+        scored = with_quality_columns(docs, names=("quality_score",)).select(
+            "doc_id", "source", "quality_score"
         )
         src_n = scored.groupBy("source").agg(
             F.count("*").cast("long").alias("n")

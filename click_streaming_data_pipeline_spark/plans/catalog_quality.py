@@ -83,19 +83,23 @@ _ISSUES_ORACLE = " UNION ALL ".join(
     tags=("quality",),
 )
 def quality_issues_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.quality import with_quality_columns
+
     docs = load_table(spark, sf_dir, "documents")
-    cols = quality_check_columns("text", "n_chars")
-    scored = docs.select(
-        "doc_id",
-        *(
-            cols[name].alias(name)
-            for name in (
-                "completeness",
-                "consistency",
-                "pii_detection",
-                "language_quality",
-            )
+    scored = with_quality_columns(
+        docs,
+        names=(
+            "completeness",
+            "consistency",
+            "pii_detection",
+            "language_quality",
         ),
+    ).select(
+        "doc_id",
+        "completeness",
+        "consistency",
+        "pii_detection",
+        "language_quality",
     )
     issue_structs = F.array(
         *[
@@ -128,15 +132,20 @@ def quality_issues_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def quality_events_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.quality import with_quality_columns
+
     docs = load_table(spark, sf_dir, "documents")
-    cols = quality_check_columns("text", "n_chars")
+    # fenced scoring first: every reference below is a plain column
+    # read, so the tokenizer/regex primitives evaluate once per row
+    # (cols[name] expressions would re-inline one tree per reference)
+    scored = with_quality_columns(docs)
     issue_structs = F.array(
         *[
             F.when(
-                cols[name] < 50,
+                F.col(name) < 50,
                 F.struct(
                     F.lit(name).alias("type"),
-                    F.when(cols[name] < 25, F.lit("high"))
+                    F.when(F.col(name) < 25, F.lit("high"))
                     .otherwise(F.lit("medium"))
                     .alias("severity"),
                     F.lit(f"low {name} score").alias("description"),
@@ -151,21 +160,21 @@ def quality_events_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
     )
-    return docs.select(
+    return scored.select(
         F.col("doc_id").cast("string").alias("id"),
         F.substring("text", 1, 64).alias("title"),
         F.octet_length("text").alias("content_size"),
-        cols["quality_score"].alias("quality_score"),
-        cols["quality_is_valid"].alias("quality_is_valid"),
+        "quality_score",
+        "quality_is_valid",
         F.filter(issue_structs, lambda x: x.isNotNull()).alias(
             "quality_issues"
         ),
-        cols["has_pii"].alias("has_pii"),
+        "has_pii",
         F.struct(
-            cols["completeness"].alias("completeness"),
-            cols["consistency"].alias("consistency"),
-            cols["pii_detection"].alias("pii_detection"),
-            cols["language_quality"].alias("language_quality"),
+            "completeness",
+            "consistency",
+            "pii_detection",
+            "language_quality",
         ).alias("quality_checks"),
         F.lit("heuristic").alias("quality_provider"),
         F.lit("rules-v1").alias("quality_model"),

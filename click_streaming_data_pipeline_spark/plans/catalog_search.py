@@ -107,11 +107,11 @@ def _sql_score() -> str:
 def search_bool_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES bool.filter as a predicate conjunction — unscored, fully
     pushable into the scan."""
+    from ..functions.quality import with_quality_columns
+
     docs = load_table(spark, sf_dir, "documents")
-    q = quality_check_columns("text", "n_chars")
     return (
-        docs.withColumn("quality_score", q["quality_score"])
-        .withColumn("has_pii", q["has_pii"])
+        with_quality_columns(docs, names=("quality_score", "has_pii"))
         .filter(
             (F.col("lang") == "en")
             & (F.col("source") == "src1")

@@ -35,67 +35,14 @@ def transform(envelopes_raw: DataFrame) -> DataFrame:
     batch and streaming DataFrames (no stateful ops here; state lives
     in the sink merge).
 
-    The expensive per-row primitives (tokenizer split, stop-word HOF
-    filter, the two PII rlikes) are computed ONCE into scalar columns
-    behind a 1-element explode fence, and every quality score derives
-    from those scalars — without the fence the optimizer inlines one
-    full tokenizer tree per selected score column (six split() passes
-    per row in the flagship CDC plan; higher-order filters get no
-    codegen CSE). The score arithmetic is byte-identical to
-    ``quality_check_columns`` (same ops over the same integers), so
-    all four CDC lanes keep their value-hash parity."""
-    from pyspark.sql import functions as F
+    Quality scores come from ``with_quality_columns``, which computes
+    the expensive per-row primitives (tokenizer split, stop-word HOF
+    filter, PII rlikes) once behind an explode fence — without it the
+    optimizer inlines one full tokenizer tree per score column (six
+    split() passes per row in the flagship CDC plan)."""
+    from ..functions.quality import with_quality_columns
 
-    from ..functions.quality import (
-        EMAIL_RE,
-        MIN_QUALITY_SCORE,
-        PHONE_RE,
-        QUALITY_WEIGHTS,
-        STOPWORDS,
-    )
-
-    flat = filter_and_flatten(parse_cdc(envelopes_raw))
-    text = F.col("text")
-    tokens = F.split(text, " ")
-    prim = F.struct(
-        F.length(text).alias("len_text"),
-        F.size(tokens).alias("n_tokens"),
-        F.size(
-            F.filter(tokens, lambda t: t.isin(*STOPWORDS))
-        ).alias("stop_hits"),
-        (text.rlike(EMAIL_RE) | text.rlike(PHONE_RE)).alias("has_pii"),
-    )
-    fenced = flat.select(
-        "*", F.explode(F.array(prim)).alias("__p")
-    )
-    n_chars = F.col("n_chars")
-    completeness = F.least(F.lit(100.0), n_chars / F.lit(20.0))
-    consistency = F.when(
-        F.col("__p.len_text") == n_chars, F.lit(100.0)
-    ).otherwise(F.lit(50.0))
-    pii_detection = F.when(F.col("__p.has_pii"), F.lit(0.0)).otherwise(
-        F.lit(100.0)
-    )
-    stop_ratio = F.col("__p.stop_hits") / F.greatest(
-        F.col("__p.n_tokens"), F.lit(1)
-    )
-    language_quality = F.least(F.lit(100.0), stop_ratio * F.lit(250.0))
-    overall = (
-        completeness * F.lit(QUALITY_WEIGHTS["completeness"])
-        + consistency * F.lit(QUALITY_WEIGHTS["consistency"])
-        + pii_detection * F.lit(QUALITY_WEIGHTS["pii_detection"])
-        + language_quality * F.lit(QUALITY_WEIGHTS["language_quality"])
-    )
-    return fenced.select(
-        "*",
-        completeness.alias("completeness"),
-        consistency.alias("consistency"),
-        pii_detection.alias("pii_detection"),
-        language_quality.alias("language_quality"),
-        overall.alias("quality_score"),
-        (overall >= F.lit(MIN_QUALITY_SCORE)).alias("quality_is_valid"),
-        F.col("__p.has_pii").alias("has_pii"),
-    ).drop("__p")
+    return with_quality_columns(filter_and_flatten(parse_cdc(envelopes_raw)))
 
 
 def run_batch(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -92,6 +92,12 @@ def _quality_signals_kernel():
     - NULL text mirrors the expression path: size(null)=NULL ->
       n_tokens/alpha/stopword NULL, mean/dup fall to the 0.0
       ``otherwise`` branches.
+    - lowercase: Python ``str.lower()`` is locale-independent; Java
+      ``toLowerCase()`` behind Spark ``lower()`` follows the JVM
+      default locale ('I' -> 'ı' on tr_TR). ``session.get_spark``
+      pins ``-Duser.language=en`` on both driver and executors so
+      the two agree; on a foreign pre-existing JVM the parity claim
+      holds for ASCII + locale-insensitive mappings only.
 
     Why: the expression form's higher-order folds are interpreted per
     array element (~0.2us each; 5 signal passes per doc) — measured

@@ -84,8 +84,21 @@ def _nearest_centroid_arrow(centroids):
         import numpy as np
         import pandas as pd
 
-        V = np.vstack([np.asarray(x, np.float64) for x in v])
-        n, d = V.shape
+        # NULL/ragged rows: the expression path yields cosine 0.0 to
+        # every centroid (NULL fold -> coalesce 0.0), so the smallest
+        # cid wins. A zeros row reproduces that exactly (den == 0 ->
+        # cos 0.0 for all centroids) — substitute instead of letting
+        # vstack raise an opaque executor ValueError.
+        d = len(cents[0][1])
+        V = np.vstack(
+            [
+                np.asarray(x, np.float64)
+                if x is not None and len(x) == d
+                else np.zeros(d)
+                for x in v
+            ]
+        )
+        n = V.shape[0]
         nv = np.zeros(n)
         for i in range(d):
             nv = nv + V[:, i] * V[:, i]

@@ -123,6 +123,15 @@ def _assign_code_arrow(codebooks: list[list[list[float]]]):
         import numpy as np
         import pandas as pd
 
+        ds = len(cbs[0][0])
+        for x in s:
+            if x is None or len(x) != ds:
+                raise ValueError(
+                    "pq trainer: null or ragged subvector "
+                    f"(expected dim {ds}, got "
+                    f"{'NULL' if x is None else len(x)}) — "
+                    "filter null/short embeddings before training"
+                )
         S = np.vstack([np.asarray(x, np.float64) for x in s])
         mv = np.asarray(m, dtype=np.int64)
         out = np.zeros(len(S), dtype=np.int32)
@@ -238,6 +247,15 @@ def pq_encode(
         import numpy as np
         import pandas as pd
 
+        want = m * ds
+        for x in v:
+            if x is None or len(x) != want:
+                raise ValueError(
+                    "pq_encode: null or ragged embedding "
+                    f"(expected dim {want}, got "
+                    f"{'NULL' if x is None else len(x)}) — "
+                    "filter null/short embeddings before encoding"
+                )
         V = np.vstack([np.asarray(x, np.float64) for x in v])
         n, d = V.shape
         # _unit twin: sequential-fold norm, zero vectors pass through

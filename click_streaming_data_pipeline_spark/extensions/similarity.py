@@ -74,31 +74,30 @@ def _fold_cosine_rows(a_rows, b_rows):
 def _cosine_kernel_fn(a, b):
     """Batch entry for the Arrow cosine kernel (pd.Series in/out).
 
-    Mirrors the expression's null/ragged semantics: a NULL array or a
-    length mismatch poisons the fold to NULL, which ``cosine()``'s
-    coalesce turns into 0.0 — reproduced here per row."""
+    Mirrors the expression's null/ragged semantics exactly: a NULL
+    array or a per-row length mismatch poisons the fold to NULL, which
+    ``cosine()``'s coalesce turns into 0.0. Any row whose two arrays
+    DO match in length gets the true cosine — even when different rows
+    in the batch carry different dimensions (a heterogeneous-dim batch
+    is computed per dimension-group, never silently zeroed)."""
     import numpy as np
     import pandas as pd
 
     av = list(a)
     bv = list(b)
-    ok = np.empty(len(av), dtype=bool)
-    d = None
+    n = len(av)
+    out = np.zeros(n, dtype=np.float64)
+    by_dim: dict[int, list[int]] = {}
     for j, (x, y) in enumerate(zip(av, bv)):
-        good = x is not None and y is not None and len(x) == len(y)
-        if good and d is None:
-            d = len(x)
-        ok[j] = good and len(x) == d
-    if d is None:  # every row null/ragged
-        return pd.Series([0.0] * len(av), dtype="float64")
-    rows_a = np.vstack(
-        [np.asarray(x, np.float64) if k else np.zeros(d) for x, k in zip(av, ok)]
-    )
-    rows_b = np.vstack(
-        [np.asarray(y, np.float64) if k else np.zeros(d) for y, k in zip(bv, ok)]
-    )
-    out = _fold_cosine_rows(rows_a, rows_b)
-    return pd.Series(np.where(ok, out, 0.0))
+        if x is not None and y is not None and len(x) == len(y):
+            by_dim.setdefault(len(x), []).append(j)
+    for d, idx in by_dim.items():
+        if d == 0:  # zero-length arrays: dot=0, den=0 -> 0.0
+            continue
+        rows_a = np.vstack([np.asarray(av[j], np.float64) for j in idx])
+        rows_b = np.vstack([np.asarray(bv[j], np.float64) for j in idx])
+        out[idx] = _fold_cosine_rows(rows_a, rows_b)
+    return pd.Series(out)
 
 
 def cosine_arrow(a: Column, b: Column) -> Column:
@@ -249,7 +248,20 @@ def lsh_buckets_arrow(dim: int, n_planes: int, n_tables: int):
         import numpy as np
         import pandas as pd
 
-        V = np.vstack([np.asarray(x, np.float64) for x in v])
+        # NULL/ragged rows: the expression path folds them to a NULL
+        # dot, and when(NULL >= 0).otherwise("0") stamps every bit
+        # "0" — reproduce that (zeros substitution alone would flip
+        # the sign test to "1": 0 >= 0).
+        vv = list(v)
+        ok = np.array(
+            [x is not None and len(x) == dim for x in vv], dtype=bool
+        )
+        V = np.vstack(
+            [
+                np.asarray(x, np.float64) if k else np.zeros(dim)
+                for x, k in zip(vv, ok)
+            ]
+        )
         n, d = V.shape
         # bits[t][i] = boolean column for plane i of table t
         out_bits = []
@@ -262,8 +274,12 @@ def lsh_buckets_arrow(dim: int, n_planes: int, n_tables: int):
                     acc = acc + V[:, j] * p[j]
                 tbits.append((acc >= 0.0) | np.isnan(acc))
             out_bits.append(tbits)
+        zero_row = ["0" * n_planes] * n_tables
         rows = []
         for r in range(n):
+            if not ok[r]:
+                rows.append(list(zero_row))
+                continue
             rows.append(
                 [
                     "".join("1" if out_bits[t][i][r] else "0"
@@ -339,22 +355,23 @@ QMAX = 127
 _LEVELS = 2 * QMAX  # 254 quantization steps across each dim's range
 
 
-def quantize_embeddings(
+def _quantize_embeddings_expr(
     emb: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
 ) -> DataFrame:
-    """Per-dimension min/max int8 scalar quantization — the standard
-    4x (float32) / 8x (float64) compression for warehouse-scale vector
-    storage; ANN pre-filters can score int8 codes and re-rank the
-    shortlist with full-precision vectors.
+    """Expression-form int8 scalar quantization — the REFERENCE
+    semantics for :func:`quantize_embeddings` (which swaps the hot
+    per-element transforms for an Arrow kernel; parity pinned by
+    ``test_quantize_kernel_matches_expression`` and the adversarial
+    vector suite).
 
     Two-pass plan, both cheap: (1) one corpus scan reduces to a single
     row of per-dim mins/maxs (partial agg, no shuffle of the data);
     (2) the stats row broadcasts back (crossJoin of a 1-row frame) and
-    a second scan codes every vector in one codegen'd expression.
+    a second scan codes every vector.
 
     Exactness: q_i = floor((x_i-mn_i)/(mx_i-mn_i)*254 + 0.5) - 127
     uses only exactly-rounded IEEE ops + floor, so codes are
@@ -362,9 +379,17 @@ def quantize_embeddings(
     reconstruction error folds left-to-right like ``cosine``.
     Output keeps the driver-hashable scalar forms: integer sum, code
     extrema, an md5 digest of the code array, and mean |error|.
+
+    Ragged rows (len != dim) are nulled at the scan — under ANSI mode
+    ``element_at`` past the end is a hard job failure, and a 100 TB
+    corpus will contain a malformed vector somewhere; NULL outputs
+    (same as a NULL vector) are the graceful contract.
     """
     v = _as_double(F.col(vec_col))
-    base = scan_parallel(emb).select(F.col(id_col), v.alias("v"))
+    base = scan_parallel(emb).select(
+        F.col(id_col),
+        F.when(F.size(v) == F.lit(dim), v).alias("v"),
+    )
     stats = base.agg(
         F.array(
             *[F.min(F.element_at("v", i + 1)) for i in range(dim)]
@@ -413,6 +438,162 @@ def quantize_embeddings(
             F.aggregate(err, F.lit(0.0), lambda a, x: a + x)
             / F.lit(float(dim))
         ).alias("recon_mae"),
+    )
+
+
+def _quantize_kernel(mins: list[float], maxs: list[float], dim: int):
+    """Arrow kernel twin of ``_quantize_embeddings_expr``'s code/err
+    transforms: the SAME IEEE op sequence per dimension
+    ((x-mn)/(mx-mn)*254.0 + 0.5 -> floor -> -127; reconstruction
+    mn + (q+127)/254.0*(mx-mn), |err| folded left-to-right), just
+    vectorized across the batch — codes and digests are bit-identical
+    (gated by the oracle value hash and the adversarial vector suite).
+
+    Why: the expression's F.transform/F.aggregate lambdas are
+    interpreted per array element (HOFs never enter codegen) —
+    measured 10.3 CPU-s for 4k rows x 64 dims (PERF_AUDIT r4), the
+    last interpreted-HOF hot path in the repo.
+
+    Null/ragged/NaN-element rows emit NULL for every output (the
+    expression path also NULL-poisons whole-array NULLs; per-element
+    nulls — absent from every corpus — differ: the expression emits
+    partial extrema, the kernel full NULL, documented deviation)."""
+    import hashlib
+
+    import numpy as np
+
+    mn = np.asarray(mins, np.float64)
+    mx = np.asarray(maxs, np.float64)
+
+    def _kernel(v):
+        import pandas as pd
+
+        vv = list(v)
+        n = len(vv)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "q_sum": pd.array([], dtype="Int64"),
+                    "q_lo": pd.array([], dtype="Int64"),
+                    "q_hi": pd.array([], dtype="Int64"),
+                    "q_digest": pd.Series([], dtype="object"),
+                    "recon_mae": pd.array([], dtype="Float64"),
+                }
+            )
+        ok = np.empty(n, dtype=bool)
+        rows = []
+        for j, x in enumerate(vv):
+            good = x is not None and len(x) == dim
+            if good:
+                r = np.asarray(x, np.float64)
+                good = not np.isnan(r).any()
+            ok[j] = good
+            rows.append(r if good else np.zeros(dim))
+        V = np.vstack(rows)
+        Q = np.empty((n, dim), np.int64)
+        for i in range(dim):
+            if mx[i] == mn[i]:
+                Q[:, i] = 0
+            else:
+                scaled = (V[:, i] - mn[i]) / (mx[i] - mn[i]) * 254.0 + 0.5
+                Q[:, i] = np.floor(scaled).astype(np.int64) - QMAX
+        acc = np.zeros(n)
+        for i in range(dim):
+            qd = (Q[:, i] + QMAX).astype(np.float64)
+            dq = mn[i] + qd / 254.0 * (mx[i] - mn[i])
+            acc = acc + np.abs(dq - V[:, i])
+        mae = acc / float(dim)
+        digests = [
+            hashlib.md5(
+                ",".join(str(int(q)) for q in Q[r]).encode()
+            ).hexdigest()
+            if ok[r]
+            else None
+            for r in range(n)
+        ]
+        mask = ~ok
+        q_sum = pd.array(Q.sum(axis=1), dtype="Int64")
+        q_lo = pd.array(Q.min(axis=1), dtype="Int64")
+        q_hi = pd.array(Q.max(axis=1), dtype="Int64")
+        recon = pd.array(mae, dtype="Float64")
+        q_sum[mask] = pd.NA
+        q_lo[mask] = pd.NA
+        q_hi[mask] = pd.NA
+        recon[mask] = pd.NA
+        return pd.DataFrame(
+            {
+                "q_sum": q_sum,
+                "q_lo": q_lo,
+                "q_hi": q_hi,
+                "q_digest": digests,
+                "recon_mae": recon,
+            }
+        )
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    return pandas_udf(
+        _kernel,
+        "q_sum bigint, q_lo bigint, q_hi bigint, "
+        "q_digest string, recon_mae double",
+    )
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-dimension min/max int8 scalar quantization — the standard
+    4x (float32) / 8x (float64) compression for warehouse-scale vector
+    storage; ANN pre-filters can score int8 codes and re-rank the
+    shortlist with full-precision vectors.
+
+    Two-pass plan: (1) one corpus scan reduces to a single row of
+    per-dim mins/maxs (partial agg; collected — 2 x dim doubles, a
+    codebook-sized reduction, same driver footprint as the k-means
+    centroids); (2) a second scan codes every vector in one Arrow
+    batch pass (``_quantize_kernel``). Semantics and exactness are
+    defined by :func:`_quantize_embeddings_expr`; the kernel is
+    bit-identical (parity pytest + adversarial suite + oracle hash).
+    Degenerate stats (an all-NULL dimension makes min/max NULL) fall
+    back to the expression path, which NULL-poisons exactly. Ragged
+    rows are nulled at the scan like the expression path."""
+    v = _as_double(F.col(vec_col))
+    base = scan_parallel(emb).select(
+        F.col(id_col),
+        F.when(F.size(v) == F.lit(dim), v).alias("v"),
+    )
+    srow = base.agg(
+        F.array(
+            *[F.min(F.element_at("v", i + 1)) for i in range(dim)]
+        ).alias("mins"),
+        F.array(
+            *[F.max(F.element_at("v", i + 1)) for i in range(dim)]
+        ).alias("maxs"),
+    ).collect()[0]
+    mins, maxs = srow["mins"], srow["maxs"]
+    if (
+        mins is None
+        or maxs is None
+        or any(x is None for x in mins)
+        or any(x is None for x in maxs)
+    ):
+        return _quantize_embeddings_expr(
+            emb, id_col=id_col, vec_col=vec_col, dim=dim
+        )
+    enc = _quantize_kernel(list(mins), list(maxs), dim)
+    return base.select(
+        id_col, enc(F.col("v")).alias("__q")
+    ).select(
+        id_col,
+        "__q.q_sum",
+        "__q.q_lo",
+        "__q.q_hi",
+        "__q.q_digest",
+        "__q.recon_mae",
     )
 
 

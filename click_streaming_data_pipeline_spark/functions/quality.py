@@ -142,8 +142,12 @@ def with_quality_columns(df, text_col: str = "text",
         "has_pii": F.col("__qp.has_pii"),
     }
     keep = names if names is not None else tuple(cols)
+    # Re-scoring an already-scored frame must REPLACE the quality
+    # columns, not duplicate them (select('*', alias) would emit two
+    # columns named quality_score etc. — withColumn semantics here).
+    carried = [c for c in fenced.columns if c not in keep]
     return fenced.select(
-        "*", *(cols[n].alias(n) for n in keep)
+        *carried, *(cols[n].alias(n) for n in keep)
     ).drop("__qp")
 
 

@@ -91,6 +91,21 @@ def get_spark(
         .appName(app_name)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("CSDP_DRIVER_MEM", "8g"))
+        # Pin the JVM default locale: Java toLowerCase (behind Spark's
+        # lower()) is locale-sensitive for some mappings ('I' -> 'ı'
+        # on tr_TR), which would break Arrow-kernel vs expression
+        # parity (kernels use Python str.lower, locale-independent).
+        # Applies when this builder launches the JVM (the normal local
+        # path); a pre-existing JVM keeps its locale — the kernels'
+        # parity claims assume en/ROOT lowercase semantics.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Duser.language=en -Duser.country=US",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-Duser.language=en -Duser.country=US",
+        )
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or cpus),

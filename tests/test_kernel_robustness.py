@@ -1,0 +1,197 @@
+"""Null / ragged / heterogeneous-input robustness of the Arrow
+kernels (r4 ADVICE items): kernels that replaced expression paths
+must keep the expression's semantics on degenerate vectors instead
+of silently zeroing (cosine) or raising opaque executor ValueErrors
+(vstack), and re-scoring an already-scored frame must replace, not
+duplicate, the quality columns."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_cosine_arrow_mixed_dims_match_expression(spark):
+    """A batch whose rows carry DIFFERENT (but per-row matched)
+    dimensions must get each row's true cosine — the expression
+    computes per-row, so the kernel must too (r4 ADVICE medium:
+    the old kernel locked d to the first row and emitted 0.0)."""
+    from click_streaming_data_pipeline_spark.extensions.similarity import (
+        cosine,
+        cosine_arrow,
+    )
+
+    rows = [
+        (1, [1.0, 2.0], [3.0, 4.0]),                   # dim 2
+        (2, [1.0] * 8, [0.5] * 8),                     # dim 8
+        (3, [1.0, 0.0, 0.0, 1.0], [0.0, 1.0, 1.0, 0.0]),  # dim 4, ortho
+        (4, [1.0, 2.0, 3.0], [1.0, 2.0]),              # per-row mismatch
+        (5, None, [1.0, 2.0]),                          # null side
+        (6, [], []),                                    # zero-length
+        (7, [2.0] * 16, [2.0] * 16),                    # dim 16
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, x array<double>, y array<double>"
+    ).coalesce(1)  # one Arrow batch: forces the heterogeneous case
+    got = {
+        r["id"]: (r["e"], r["k"])
+        for r in df.select(
+            "id",
+            cosine(F.col("x"), F.col("y")).alias("e"),
+            cosine_arrow(F.col("x"), F.col("y")).alias("k"),
+        ).collect()
+    }
+    for i, (e, k) in got.items():
+        assert e == k, f"row {i}: expression {e} != kernel {k}"
+    assert got[3] == (0.0, 0.0)  # orthogonal, not batch-zeroed
+    assert got[1][1] != 0.0 and got[2][1] != 0.0 and got[7][1] == 1.0
+    assert got[4][1] == 0.0 and got[5][1] == 0.0 and got[6][1] == 0.0
+
+
+def test_lsh_buckets_arrow_null_and_ragged(spark):
+    """NULL/ragged vectors: the expression path stamps every bit "0"
+    (NULL dot -> otherwise branch); the kernel must match, not raise
+    from np.vstack (r4 ADVICE low)."""
+    from click_streaming_data_pipeline_spark.extensions.similarity import (
+        N_PLANES,
+        N_TABLES,
+        lsh_bucket,
+        lsh_buckets_arrow,
+    )
+
+    rows = [
+        (1, [((j * 7) % 13 - 6) / 6.0 for j in range(64)]),
+        (2, None),
+        (3, [1.0, 2.0, 3.0]),  # ragged (dim 3 != 64)
+        (4, [0.0] * 64),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).coalesce(1)
+    out = df.select(
+        "vec_id",
+        F.array(
+            *[lsh_bucket(F.col("embedding"), 64, t) for t in range(N_TABLES)]
+        ).alias("e"),
+        lsh_buckets_arrow(64, N_PLANES, N_TABLES)(
+            F.col("embedding")
+        ).alias("k"),
+    ).collect()
+    for r in out:
+        assert r["e"] == r["k"], f"vec {r['vec_id']}: {r['e']} != {r['k']}"
+    by_id = {r["vec_id"]: r["k"] for r in out}
+    assert by_id[2] == ["0" * N_PLANES] * N_TABLES
+    assert by_id[3] == ["0" * N_PLANES] * N_TABLES
+
+
+def test_ivf_assign_null_and_ragged(spark):
+    """NULL/ragged vectors assign to the smallest centroid id (the
+    expression's cosine-0.0-everywhere tie rule), not an executor
+    ValueError (r4 ADVICE low)."""
+    from click_streaming_data_pipeline_spark.extensions.ivf import _assign
+
+    centroids = [
+        (3, [1.0, 0.0, 0.0, 0.0]),
+        (7, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    rows = [
+        (1, [0.9, 0.1, 0.0, 0.0]),   # -> 3
+        (2, None),                    # null -> smallest cid 3
+        (3, [1.0, 2.0]),              # ragged -> smallest cid 3
+        (4, [0.1, 0.9, 0.0, 0.0]),   # -> 7
+        (5, [0.0, 0.0, 0.0, 0.0]),   # zero vector -> ties -> 3
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).coalesce(1)
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in _assign(df, centroids, "embedding").collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 7, 5: 3}
+
+
+def test_pq_encode_null_embedding_raises_clearly(spark):
+    """A NULL embedding reaching pq_encode must fail with a named
+    error telling the user what to filter, not an opaque numpy
+    broadcast error (r4 ADVICE low)."""
+    from click_streaming_data_pipeline_spark.extensions.pq import pq_encode
+
+    ds, m = 2, 2
+    codebooks = [
+        [[0.0, 0.0], [1.0, 1.0]] for _ in range(m)
+    ]
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3, 0.4]), (2, None)],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1)
+    with pytest.raises(Exception, match="null or ragged embedding"):
+        pq_encode(df, codebooks).collect()
+
+
+def test_with_quality_columns_rescore_replaces_not_duplicates(spark):
+    """Re-scoring an already-scored frame keeps exactly one copy of
+    each quality column, with the fresh values (r4 ADVICE low:
+    select('*', alias) used to emit duplicates)."""
+    from click_streaming_data_pipeline_spark.functions.quality import (
+        with_quality_columns,
+    )
+
+    df = spark.createDataFrame(
+        [("hello world this is a test of the scorer", 41)],
+        "text string, n_chars int",
+    )
+    once = with_quality_columns(df)
+    twice = with_quality_columns(once)
+    assert sorted(once.columns) == sorted(twice.columns)
+    assert len(twice.columns) == len(set(twice.columns))
+    r1, r2 = once.collect()[0], twice.collect()[0]
+    assert r1["quality_score"] == r2["quality_score"]
+    assert r1["has_pii"] == r2["has_pii"]
+
+
+def test_quantize_kernel_matches_expression(spark):
+    """quantize_embeddings (Arrow kernel) must be bit-identical to
+    _quantize_embeddings_expr on normal / huge / denormal / constant
+    dims; null and ragged rows NULL-poison on both paths."""
+    from click_streaming_data_pipeline_spark.extensions.similarity import (
+        _quantize_embeddings_expr,
+        quantize_embeddings,
+    )
+
+    dim = 8
+    rows = [
+        (1, [0.1 * j for j in range(dim)]),
+        (2, [1e15 * (1 + j % 3) for j in range(dim)]),
+        (3, [5e-324 if j == 0 else 0.0 for j in range(dim)]),
+        (4, [(-1.0) ** j for j in range(dim)]),
+        (5, [7.5] * dim),  # when combined: dims still vary; see (7)
+        (6, None),
+        (7, [1.0, 2.0]),  # ragged
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    want = {
+        r["vec_id"]: tuple(r)[1:]
+        for r in _quantize_embeddings_expr(df, dim=dim).collect()
+    }
+    got = {
+        r["vec_id"]: tuple(r)[1:]
+        for r in quantize_embeddings(df, dim=dim).collect()
+    }
+    assert want == got
+    assert got[6] == (None, None, None, None, None)
+    assert got[7] == (None, None, None, None, None)
+
+    # constant-dimension corpus: every dim has mx == mn -> code 0
+    const = spark.createDataFrame(
+        [(i, [3.25] * dim) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    w2 = {
+        r["vec_id"]: tuple(r)[1:]
+        for r in _quantize_embeddings_expr(const, dim=dim).collect()
+    }
+    g2 = {
+        r["vec_id"]: tuple(r)[1:]
+        for r in quantize_embeddings(const, dim=dim).collect()
+    }
+    assert w2 == g2
+    assert g2[0][0] == 0 and g2[0][4] == 0.0

@@ -89,6 +89,13 @@ def edit_distance_pairs(
     # shuffling the full candidate multiset through a distinct — the
     # distinct then only shuffles verified survivors
     cand = a.join(b, "_dkey").filter(F.col("id_a") < F.col("id_b"))
+    # length prune before the DP: a shared deletion key only bounds
+    # |len_a - len_b| <= 2 (one deletion each side), but dist <= 1
+    # requires <= 1 — the two-length-gap candidates can never verify,
+    # and two length() calls are ~free next to even the banded DP
+    cand = cand.filter(
+        F.abs(F.length("name_a") - F.length("name_b")) <= max_dist
+    )
     # thresholded levenshtein computes the banded DP (O(n*k) per pair
     # instead of O(n^2)) and returns -1 beyond the band — exact
     # distances for every surviving pair, ~len/k less work per

@@ -183,10 +183,12 @@ def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so expected misses at sf0.1 (~256 true pairs) are ~0.07 — the
     # exact-equality oracle holds here, but it is PROBABILISTIC and
     # would eventually break as the true-pair count grows at larger
-    # SFs. The scale-safe invariant is the candidate-SUPERSET
-    # property, gated separately by the recall test in
-    # tests/test_extensions.py; production raises N_HASHES/N_BANDS
-    # for tighter recall rather than relying on pair-set equality.
+    # SFs. The scale-safe invariants (soundness lsh ⊆ exact; misses
+    # bounded by the corpus's own Σ(1-j²)^8 budget; no high-j escape)
+    # are gated at sf0.1 by tests/test_extensions.py::
+    # test_minhash_lsh_sound_and_complete_at_sf01; production raises
+    # N_HASHES/N_BANDS for tighter recall rather than relying on
+    # pair-set equality.
     oracle=_JACCARD_SQL,
     doc=(
         "extension: MinHash+LSH near-dup pipeline (shingle -> 16 "
@@ -1204,7 +1206,7 @@ def _ivf_oracle() -> str:
         "centroids are value-hash-gated; recall-vs-exact stays in "
         "pytest."
     ),
-    tags=("similarity",),
+    tags=("bench", "similarity"),
 )
 def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.ivf import ivf_topk
@@ -1395,7 +1397,7 @@ def knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the shortlist re-ranks by exact cosine. Both pruning levers "
         "at once; recall@10 ~0.86 on the gate corpus (pytest-pinned)."
     ),
-    tags=("similarity",),
+    tags=("bench", "similarity"),
 )
 def knn_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.pq import ivf_pq_topk
@@ -1634,7 +1636,7 @@ def _semdedup_oracle() -> str:
         "(bitwise) dedup; python-parity pytest replays clustering + "
         "rule exactly"
     ),
-    tags=("dedup", "similarity"),
+    tags=("bench", "dedup", "similarity"),
 )
 def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.similarity import semdedup

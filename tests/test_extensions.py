@@ -140,6 +140,51 @@ def test_minhash_lsh_equals_exact_jaccard(spark):
     assert lsh == exact
 
 
+def test_minhash_lsh_sound_and_complete_at_sf01(spark):
+    """Scale-safe LSH gate at sf0.1 (r4 VERDICT #3): pair-set EQUALITY
+    with the exact-Jaccard oracle is probabilistic — a true pair at
+    jaccard j escapes all 8 two-row bands with (1-j^2)^8, so equality
+    eventually flakes as the true-pair count grows. The invariants
+    that CANNOT flake:
+
+    - soundness: every emitted pair passed the exact-Jaccard verify,
+      so lsh ⊆ exact must hold exactly (a verify bug breaks this);
+    - bounded completeness: observed misses stay within a generous
+      multiple of the corpus's own expected-miss budget
+      Σ (1-j²)^8 over the true pairs (a banding/candidate bug drops
+      MANY pairs and blows through it; P(misses > 10·E + 3) is a
+      vanishing Poisson tail);
+    - miss profile: any escaped pair sits near the threshold — a
+      j ≥ 0.95 pair escapes with p ≤ 8e-9, so a high-j miss means a
+      candidate-generation bug, not banding luck.
+    """
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_dedup(docs, threshold=0.8).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(doc_shingles(docs), threshold=0.8).collect()
+    }
+    assert exact, "gate corpus has no true near-dup pairs"
+    assert lsh <= set(exact), (
+        f"unsound pairs (failed exact verify): {sorted(lsh - set(exact))[:5]}"
+    )
+    misses = set(exact) - lsh
+    expected = sum((1.0 - j * j) ** 8 for j in exact.values())
+    budget = 10.0 * expected + 3.0
+    assert len(misses) <= budget, (
+        f"{len(misses)} misses vs banding budget {budget:.2f} "
+        f"(expected {expected:.3f} over {len(exact)} true pairs)"
+    )
+    for pair in misses:
+        assert exact[pair] < 0.95, (
+            f"high-jaccard pair {pair} (j={exact[pair]:.3f}) escaped "
+            "banding — candidate generation bug, not banding luck"
+        )
+
+
 def test_knn_lsh_recall_against_brute_force(spark):
     emb = load_table(spark, SF_TEST, "embeddings")
     exact = {

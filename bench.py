@@ -50,6 +50,15 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    # host-speed denominator: round hosts have differed up to ~2x in
+    # single-core speed; normalize cross-round walls by this before
+    # reading a delta as a regression (tools/calibrate.py)
+    try:
+        from tools.calibrate import py_calibration_ms
+
+        calib = py_calibration_ms()
+    except Exception:
+        calib = None
     print(
         json.dumps(
             {
@@ -58,6 +67,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "host_calib_md5_1m_ms": calib,
             }
         )
     )

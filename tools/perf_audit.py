@@ -148,6 +148,15 @@ def main() -> None:
         spark.sparkContext.setJobGroup(name, name)
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         print(f"# ran {name}", file=sys.stderr)
+    # per-task CPU floor: a null-work shuffle job measured LAST (fully
+    # warm JVM), so its per-task CPU is pure environment overhead —
+    # task serde, codec init, cgroup-accounted runtime — not compute.
+    # Hosts have differed 2x+ on this constant between rounds; small
+    # lanes are dominated by floor x tasks.
+    spark.sparkContext.setJobGroup("__floor__", "__floor__")
+    spark.range(10_000).repartition(32).write.format("noop").mode(
+        "overwrite"
+    ).save()
     spark.stop()
 
     agg = _collect(log_dir)
@@ -157,6 +166,15 @@ def main() -> None:
         print(json.dumps(agg, indent=2, sort_keys=True))
         return
 
+    from tools.calibrate import py_calibration_ms
+
+    calib = py_calibration_ms()
+    floor = agg.pop("__floor__", None)
+    floor_ms = (
+        floor["executor_cpu_ms"] / floor["tasks"]
+        if floor and floor["tasks"]
+        else 0.0
+    )
     lines = [
         "# PERF_AUDIT — measured per-query physical cost "
         f"(sf_dir={sf_dir}, local[{cpus}])",
@@ -164,6 +182,20 @@ def main() -> None:
         "Generated by `tools/perf_audit.py` from Spark event-log task",
         "metrics (one cold run per query; bytes are exact task sums,",
         "wall time is NOT measured here — bench.py owns timing).",
+        "",
+        f"Host calibration: md5-fold of 1M strings = {calib:.0f} ms "
+        "single-core (tools/calibrate.py); per-task CPU floor =",
+        f"{floor_ms:.0f} ms (null-work shuffle, warm JVM). The floor "
+        "is shape-dependent: sort/window-shaped tasks measure",
+        "~10x the null floor on this host (a trivial 5,400-row",
+        "window = ~9.5 CPU-s warm across 33 tasks), so small lanes",
+        "are dominated by task-count overhead, not their compute.",
+        "CPU-s columns are additionally COLD runs (one-time",
+        "codegen/JIT, ~2x on small lanes), scale with host speed,",
+        "and vary +-40% run-to-run on CPU-bound lanes. Compare",
+        "rows within this file (all biases shared); across rounds,",
+        "normalize by the calibration and trust only >2x deltas on",
+        "lanes with few tasks.",
         "",
         "| query | input | in rows | shuf write | sw rows | shuf read |"
         " spill | cpu s | tasks |",

@@ -80,7 +80,16 @@ def build_replicated(spark) -> None:
     )
 
     os.makedirs(OUT_DIR, exist_ok=True)
+    # SPARK_GRAFT_PROBE_TABLES=embeddings,customer limits the build to
+    # the tables the probed queries actually read — a 128x replica of
+    # every table is GBs of parquet nothing will scan
+    want = os.environ.get("SPARK_GRAFT_PROBE_TABLES")
+    tables = (
+        {t.strip() for t in want.split(",")} if want else set(OFFSETS)
+    )
     for table, offs in OFFSETS.items():
+        if table not in tables:
+            continue
         dst = os.path.join(OUT_DIR, f"{table}.parquet")
         if os.path.exists(dst):
             continue
@@ -121,13 +130,20 @@ def build_replicated(spark) -> None:
                 # A per-replica CYCLIC DIMENSION SHIFT is orthogonal:
                 # every within-replica cosine is preserved exactly
                 # while cross-replica copies decorrelate to ~0.
-                c = c.withColumn(
-                    "embedding",
-                    F.concat(
-                        F.slice(F.col("embedding"), i + 1, 64 - i),
-                        F.slice(F.col("embedding"), 1, i),
-                    ),
+                # 64 dims allow 64 distinct rotations; replicas past
+                # that reuse rotation i % 64 but NEGATE the vector —
+                # negation also preserves within-replica cosines
+                # (cos(-a,-b) = cos(a,b)) while the reused-rotation
+                # twin pair lands at cos = -1, below any positive
+                # near-dup threshold. Supports up to 128 replicas.
+                rot = i % 64
+                shifted = F.concat(
+                    F.slice(F.col("embedding"), rot + 1, 64 - rot),
+                    F.slice(F.col("embedding"), 1, rot),
                 )
+                if i >= 64:
+                    shifted = F.transform(shifted, lambda x: -x)
+                c = c.withColumn("embedding", shifted)
             if table == "customer":
                 # same reasoning for the edit-distance lane: verbatim
                 # name clones would be ed=0 matches of their 7 copies

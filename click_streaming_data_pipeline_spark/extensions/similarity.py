@@ -711,6 +711,36 @@ def semdedup(
     assigned = _assign(e, cents, "__v").select(
         F.col(id_col), F.col("__v"), F.col("centroid_id").alias("cluster_id")
     )
+    dup_of = (
+        assigned.select("cluster_id", F.col(id_col).alias("__id"), "__v")
+        .groupBy("cluster_id")
+        .applyInPandas(
+            _cluster_dup_of_fn(float(threshold)),
+            "id_b long, dup_of long",
+        )
+    )
+    return (
+        assigned.join(dup_of, assigned[id_col] == dup_of.id_b, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.col("dup_of").isNull().alias("is_kept"),
+            "dup_of",
+        )
+    )
+
+
+def _semdedup_dup_of_join(
+    assigned: DataFrame, threshold: float, id_col: str = "vec_id"
+) -> DataFrame:
+    """REFERENCE form of the within-cluster pair step: a self-join on
+    cluster id, one cosine per candidate pair, min smaller-id neighbor
+    per duplicate. Semantically exact but ships BOTH full vectors per
+    candidate pair — sum(c^2) * 2 * dim * 8 bytes of pair traffic,
+    measured as the super-linear term at the 128x probe (94 s vs the
+    kernel's one-vector-per-row transfer). Kept as the parity twin
+    for ``_cluster_dup_of_fn`` and the shape AQE can skew-split if a
+    deployment ever prefers it."""
     a = assigned.select(
         F.col("cluster_id"),
         F.col(id_col).alias("id_a"),
@@ -728,16 +758,116 @@ def semdedup(
         .filter(F.col("cos") >= F.lit(float(threshold)))
         .select("id_b", "id_a")
     )
-    dup_of = dup_pairs.groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
-    return (
-        assigned.join(dup_of, assigned[id_col] == dup_of.id_b, "left")
-        .select(
-            id_col,
-            "cluster_id",
-            F.col("dup_of").isNull().alias("is_kept"),
-            "dup_of",
+    return dup_pairs.groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
+
+
+#: pairwise-block edge for the in-kernel SemDeDup matrix: bounds the
+#: kernel's working set at B^2 doubles (~33 MB) regardless of cluster
+#: size, so a mega-cluster costs time, never memory.
+SEMDEDUP_BLOCK = 2048
+
+
+def _cluster_dup_of_fn(threshold: float, block: int | None = None):
+    """applyInPandas kernel: all within-cluster semantic-dup lookups
+    for ONE cluster, emitted as (id_b, dup_of = min smaller-id
+    neighbor with cos >= threshold). ``block`` overrides
+    ``SEMDEDUP_BLOCK`` (tests shrink it to force multi-block paths);
+    it is captured driver-side at factory time.
+
+    Scale shape: each vector crosses the wire ONCE (the groupBy
+    shuffles N rows of dim doubles); the sum(c^2) pair work happens
+    in-kernel over numpy blocks of ``SEMDEDUP_BLOCK`` rows, so memory
+    is B^2-bounded and there is no sum(c^2)-row join materialization
+    (the join form moves 2*dim*8 bytes per CANDIDATE PAIR — the
+    measured super-linear term at the 128x scale probe). One cluster
+    = one task: a skewed mega-cluster serializes on one core, the
+    standard applyInPandas caveat; k-means with K ~ sqrt(N) keeps
+    expected cluster size sqrt(N).
+
+    Bit-exactness: dot/norm accumulate per dimension in index order
+    over the block matrices — elementwise numpy float64 ops in the
+    same sequence as the ``cosine()`` fold (see ``_fold_cosine_rows``)
+    — and the zero-denominator -> 0.0 rule matches; NULL/ragged
+    vectors enter as zero rows (cos 0.0 with everything, the
+    expression's NULL-fold -> coalesce outcome). The min over
+    qualifying smaller ids is integer and order-free. Parity with
+    ``_semdedup_dup_of_join`` is pytest-pinned; the DuckDB oracle
+    (pair replay in SQL) gates the composed query's value hash."""
+    B = int(block or SEMDEDUP_BLOCK)
+
+    def _fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_b": [], "dup_of": []}).astype(
+                {"id_b": "int64", "dup_of": "int64"}
+            )
+        order = np.argsort(pdf["__id"].to_numpy(), kind="stable")
+        ids = pdf["__id"].to_numpy()[order]
+        vecs = pdf["__v"].to_numpy()[order]
+        d = 0
+        for x in vecs:
+            if x is not None:
+                d = max(d, len(x))
+        if d == 0:
+            return pd.DataFrame({"id_b": [], "dup_of": []}).astype(
+                {"id_b": "int64", "dup_of": "int64"}
+            )
+        V = np.vstack(
+            [
+                np.asarray(x, np.float64)
+                if x is not None and len(x) == d
+                else np.zeros(d)
+                for x in vecs
+            ]
         )
-    )
+        # per-row norm via the sequential fold
+        nv = np.zeros(n)
+        for i in range(d):
+            nv = nv + V[:, i] * V[:, i]
+        root = np.sqrt(nv)
+
+        dup_min = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        n_blocks = (n + B - 1) // B
+        for p in range(n_blocks):
+            p0, p1 = p * B, min((p + 1) * B, n)
+            A = V[p0:p1]
+            for q in range(p, n_blocks):
+                q0, q1 = q * B, min((q + 1) * B, n)
+                Bm = V[q0:q1]
+                dot = np.zeros((p1 - p0, q1 - q0))
+                for i in range(d):
+                    dot = dot + A[:, i][:, None] * Bm[:, i][None, :]
+                den = root[p0:p1][:, None] * root[q0:q1][None, :]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos = dot / den
+                cos = np.where(den == 0.0, 0.0, cos)
+                qual = cos >= threshold
+                # ids are sorted: id_a < id_b wherever row index <
+                # col index (strict upper triangle within p == q;
+                # everything in p < q blocks)
+                if p == q:
+                    qual &= np.triu(
+                        np.ones_like(qual, dtype=bool), k=1
+                    )
+                if not qual.any():
+                    continue
+                cand = np.where(
+                    qual,
+                    ids[p0:p1][:, None],
+                    np.iinfo(np.int64).max,
+                ).min(axis=0)
+                np.minimum(
+                    dup_min[q0:q1], cand, out=dup_min[q0:q1]
+                )
+        hit = dup_min < np.iinfo(np.int64).max
+        return pd.DataFrame(
+            {"id_b": ids[hit], "dup_of": dup_min[hit]}
+        ).astype({"id_b": "int64", "dup_of": "int64"})
+
+    return _fn
 
 
 # ---------------------------------------------------------------------------

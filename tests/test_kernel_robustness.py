@@ -195,3 +195,62 @@ def test_quantize_kernel_matches_expression(spark):
     }
     assert w2 == g2
     assert g2[0][0] == 0 and g2[0][4] == 0.0
+
+
+def test_semdedup_cluster_kernel_matches_join(spark):
+    """The applyInPandas within-cluster dup kernel must produce
+    exactly the join form's (id_b, dup_of) set — including across
+    block boundaries (corpus > SEMDEDUP_BLOCK per cluster is
+    exercised with a shrunken block size) and on zero vectors."""
+
+    from click_streaming_data_pipeline_spark.extensions.similarity import (
+        _as_double,
+        _cluster_dup_of_fn,
+        _semdedup_dup_of_join,
+    )
+
+    dim = 8
+    rows = []
+    # three planted clusters with internal near-dups + noise + a zero
+    # vector and a null vector
+    for i in range(90):
+        base = [((i % 3) * 31 + j * 7 % 13 - 6) / 6.0 for j in range(dim)]
+        jitter = [x + (0.001 * ((i * 17) % 5)) for x in base]
+        rows.append((i, jitter, i % 3))
+    rows.append((90, [0.0] * dim, 0))
+    rows.append((91, None, 1))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cluster int"
+    )
+    assigned = df.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("__v"),
+        F.col("cluster").cast("int").alias("cluster_id"),
+    )
+    want = {
+        (r["id_b"], r["dup_of"])
+        for r in _semdedup_dup_of_join(assigned, 0.45).collect()
+    }
+    got = {
+        (r["id_b"], r["dup_of"])
+        for r in assigned.select("cluster_id", F.col("vec_id").alias("__id"), "__v")
+        .groupBy("cluster_id")
+        .applyInPandas(_cluster_dup_of_fn(0.45), "id_b long, dup_of long")
+        .collect()
+    }
+    assert want == got and got
+
+    # force multi-block paths: shrink the block edge below the
+    # cluster size and require identical output
+    got_small = {
+        (r["id_b"], r["dup_of"])
+        for r in assigned.select(
+            "cluster_id", F.col("vec_id").alias("__id"), "__v"
+        )
+        .groupBy("cluster_id")
+        .applyInPandas(
+            _cluster_dup_of_fn(0.45, block=7), "id_b long, dup_of long"
+        )
+        .collect()
+    }
+    assert got_small == want

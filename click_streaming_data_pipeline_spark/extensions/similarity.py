@@ -294,28 +294,57 @@ def lsh_buckets_arrow(dim: int, n_planes: int, n_tables: int):
     return pandas_udf(_kernel, "array<string>")
 
 
-def lsh_bucketed_pairs(
-    emb: DataFrame,
-    threshold: float,
-    *,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    dim: int = 64,
-    n_planes: int = N_PLANES,
-    n_tables: int = N_TABLES,
-) -> DataFrame:
-    """Approximate similar-pairs: vectors are compared only when they
-    share a bucket in at least one of ``n_tables`` independent tables
-    (OR of ANDs — the standard recall knob for SRP-LSH). Candidate
-    generation is a per-table equi-join on the bucket key; the
-    all-pairs O(N^2) join never happens.
+#: target expected bucket occupancy for auto-sized SRP-LSH carving
+LSH_TARGET_BUCKET = 256
 
-    Scale: each table's join shuffles on a short bucket string; hot
-    buckets (skew) split via AQE. The candidate join carries IDS ONLY
-    (two longs per row) — carrying the vectors through the exploded
-    per-table join would multiply shuffle width by 2 x dim x n_tables;
-    instead the (much smaller) deduplicated candidate set re-joins the
-    embedding table twice to fetch vectors for the cosine verify."""
+
+def lsh_planes_for(n: int, target_bucket: int = LSH_TARGET_BUCKET) -> int:
+    """Planes needed so a table's EXPECTED bucket occupancy stays at
+    ``target_bucket`` for an ``n``-vector corpus: ceil(log2(n/target)),
+    floored at the default ``N_PLANES``.
+
+    Why this must grow with N: a table with p planes has only 2^p
+    buckets, so candidate work per table is sum(c_b^2) ~ n^2 / 2^p —
+    QUADRATIC in n whenever p is fixed (measured: the fixed 4-plane
+    config that is exact at sf0.1 ground unboundedly at the 64x scale
+    probe — 409k vectors / 16 buckets ~ 25k per bucket ~ 4e10
+    candidate pairs). With p = log2(n/target), occupancy is constant
+    and candidates grow ~n * target — linear.
+
+    The recall trade: more planes lowers per-table collision
+    probability for true pairs (P = p_angle^planes), so a deployment
+    raising planes should raise ``n_tables`` to hold recall
+    (t ~ ln(1/(1-R)) / p_angle^planes) or adopt multi-probe. The
+    oracle-gated catalog lane keeps the FIXED (4, 8) config — its
+    static SQL twin replays those exact hyperplanes — and this helper
+    is the documented sizing rule for scale deployments.
+
+    The law assumes roughly ISOTROPIC vectors: an angularly clustered
+    corpus concentrates occupancy no matter how many planes carve it
+    (measured: lattice-structured vectors held near-quadratic
+    candidate growth under auto-sizing while seeded gaussians came in
+    near-linear). AQE skew-splitting bounds the per-task damage of a
+    hot bucket; the candidate VOLUME on such data is an input
+    property, not a knob."""
+    import math
+
+    if n <= target_bucket:
+        return N_PLANES
+    return max(N_PLANES, math.ceil(math.log2(n / target_bucket)))
+
+
+def _lsh_candidates(
+    emb: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+) -> DataFrame:
+    """Deduplicated (id_a < id_b) bucket-collision candidates across
+    all tables — the ids-only stage of ``lsh_bucketed_pairs``, split
+    out so scale tests can count candidates without the verify."""
     tabled = (
         scan_parallel(emb)
         .select(
@@ -330,11 +359,51 @@ def lsh_bucketed_pairs(
     )
     a = tabled.select("tbl", "bucket", F.col(id_col).alias("id_a"))
     b = tabled.select("tbl", "bucket", F.col(id_col).alias("id_b"))
-    cand = (
+    return (
         a.join(b, ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def lsh_bucketed_pairs(
+    emb: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int | None = N_PLANES,
+    n_tables: int = N_TABLES,
+) -> DataFrame:
+    """Approximate similar-pairs: vectors are compared only when they
+    share a bucket in at least one of ``n_tables`` independent tables
+    (OR of ANDs — the standard recall knob for SRP-LSH). Candidate
+    generation is a per-table equi-join on the bucket key; the
+    all-pairs O(N^2) join never happens.
+
+    Scale: each table's join shuffles on a short bucket string; hot
+    buckets (skew) split via AQE. The candidate join carries IDS ONLY
+    (two longs per row) — carrying the vectors through the exploded
+    per-table join would multiply shuffle width by 2 x dim x n_tables;
+    instead the (much smaller) deduplicated candidate set re-joins the
+    embedding table twice to fetch vectors for the cosine verify.
+
+    The plane count is the REAL scale knob: candidates per table are
+    sum(c_b^2) ~ N^2/2^planes, quadratic whenever planes are fixed —
+    see :func:`lsh_planes_for`. Pass ``n_planes=None`` to auto-size
+    from a corpus count (one cheap count job; the oracle-gated catalog
+    lane pins the fixed config its SQL twin replays)."""
+    if n_planes is None:
+        n_planes = lsh_planes_for(emb.count())
+    cand = _lsh_candidates(
+        emb,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        n_planes=n_planes,
+        n_tables=n_tables,
     )
     va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))

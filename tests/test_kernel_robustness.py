@@ -254,3 +254,47 @@ def test_semdedup_cluster_kernel_matches_join(spark):
         .collect()
     }
     assert got_small == want
+
+
+def test_lsh_auto_planes_bounds_candidate_growth(spark):
+    """Fixed-plane SRP-LSH is quadratic in candidates (sum c^2 with
+    2^planes buckets — the 64x probe ground unboundedly on the (4, 8)
+    config); lsh_planes_for sizes planes so expected occupancy stays
+    constant. Gate: 4x the corpus under auto-sizing grows candidates
+    by well under 4^2 (quadratic), and occupancy-based sizing picks
+    strictly more planes for the bigger corpus."""
+    from click_streaming_data_pipeline_spark.extensions.similarity import (
+        _lsh_candidates,
+        lsh_planes_for,
+        LSH_TARGET_BUCKET,
+    )
+
+    def corpus(n):
+        import numpy as np
+
+        rng = np.random.RandomState(42)
+        vecs = rng.randn(n, 16)
+        return spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        )
+
+    n_small, n_big = 2048, 8192
+    p_small = lsh_planes_for(n_small, 64)
+    p_big = lsh_planes_for(n_big, 64)
+    assert p_big == p_small + 2  # 4x corpus -> +2 planes
+    c_small = _lsh_candidates(
+        corpus(n_small), id_col="vec_id", vec_col="embedding",
+        dim=16, n_planes=p_small, n_tables=4,
+    ).count()
+    c_big = _lsh_candidates(
+        corpus(n_big), id_col="vec_id", vec_col="embedding",
+        dim=16, n_planes=p_big, n_tables=4,
+    ).count()
+    assert c_small > 0
+    # quadratic would be 16x; occupancy-constant sizing keeps the
+    # growth near-linear (allow generous slack for carving imbalance)
+    assert c_big / c_small < 8, (c_small, c_big)
+    # default floor: tiny corpora keep the catalog config
+    assert lsh_planes_for(100) == 4
+    assert lsh_planes_for(100, LSH_TARGET_BUCKET) == 4

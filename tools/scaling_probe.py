@@ -69,6 +69,10 @@ PROBE_QUERIES = [
     "search_fuzzy",
     "knn_ivf_topk",
     "semdedup_keep",
+    # NOT embedding_neardup: that lane IS the documented O(N^2)
+    # all-pairs baseline (neardup_pairs docstring); the scale path it
+    # verifies against is knn_lsh_pairs
+    "knn_lsh_pairs",
 ]
 
 

@@ -320,7 +320,7 @@ def process_semdedup_batch(
     per-cluster store (plus the batch itself), and upsert verified
     semantic-dup pairs. Mirrors process_batch: new vectors only ever
     join their own cluster's accumulated members, never the corpus."""
-    from .similarity import _as_double, cosine
+    from .similarity import _as_double, _bipartite_pairs_fn
     from .ivf import _assign
 
     spark = batch_emb.sparkSession
@@ -333,21 +333,28 @@ def process_semdedup_batch(
     prev = _read_prior(spark, vec_store, batch_id)
     allv = prev.unionByName(new) if prev is not None else new
 
-    a = allv.select(
-        "cluster_id", F.col("vec_id").alias("id_x"), F.col("v").alias("vx")
-    )
-    b = new.select(
-        "cluster_id", F.col("vec_id").alias("id_y"), F.col("v").alias("vy")
-    )
+    # within-cluster verify as a cogrouped kernel: each accumulated
+    # vector crosses the wire once per micro-batch instead of once
+    # per candidate pair (the join form's sum(c_all*c_new) x 2 x dim
+    # bytes — the same super-linear term the batch path shed in r5);
+    # bit-identical cos doubles, parity pinned by the drained-equals-
+    # batch oracle. Both-new pairs arrive in both orientations, so
+    # the dropDuplicates stays.
     cand = (
-        a.join(b, "cluster_id")
-        .filter(F.col("id_x") != F.col("id_y"))
-        .withColumn("cos", cosine(F.col("vx"), F.col("vy")))
-        .filter(F.col("cos") >= F.lit(float(threshold)))
-        .select(
-            F.least("id_x", "id_y").alias("id_a"),
-            F.greatest("id_x", "id_y").alias("id_b"),
-            "cos",
+        allv.select(
+            "cluster_id", F.col("vec_id").alias("__id"), F.col("v").alias("__v")
+        )
+        .groupBy("cluster_id")
+        .cogroup(
+            new.select(
+                "cluster_id",
+                F.col("vec_id").alias("__id"),
+                F.col("v").alias("__v"),
+            ).groupBy("cluster_id")
+        )
+        .applyInPandas(
+            _bipartite_pairs_fn(float(threshold)),
+            "id_a long, id_b long, cos double",
         )
         .dropDuplicates(["id_a", "id_b"])
     )

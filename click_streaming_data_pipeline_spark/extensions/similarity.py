@@ -836,6 +836,99 @@ def _semdedup_dup_of_join(
 SEMDEDUP_BLOCK = 2048
 
 
+def _bipartite_pairs_fn(threshold: float, block: int | None = None):
+    """Cogrouped-applyInPandas kernel: qualifying cosine pairs between
+    ONE cluster's accumulated members (left) and its new micro-batch
+    members (right) — the streaming SemDeDup twin of
+    ``_cluster_dup_of_fn``. Emits normalized (id_a=min, id_b=max,
+    cos) rows; a pair whose BOTH members are new appears in both
+    orientations, so callers keep their dropDuplicates.
+
+    Same scale shape as the batch kernel: each vector crosses the
+    wire once per micro-batch (the cogroup shuffles rows, not
+    candidate pairs), blocked matrices bound memory, and the per-dim
+    fold order reproduces ``cosine()`` bit-for-bit — the drained
+    stream must equal batch semdedup exactly, and the stored cos
+    doubles participate in the pairs store's idempotent upsert."""
+    B = int(block or SEMDEDUP_BLOCK)
+
+    def _fn(left, right):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"id_a": [], "id_b": [], "cos": []}
+        ).astype({"id_a": "int64", "id_b": "int64", "cos": "float64"})
+        nl, nr = len(left), len(right)
+        if nl == 0 or nr == 0:
+            return empty
+        d = 0
+        for col in (left["__v"], right["__v"]):
+            for x in col:
+                if x is not None:
+                    d = max(d, len(x))
+        if d == 0:
+            return empty
+
+        def stack(col):
+            return np.vstack(
+                [
+                    np.asarray(x, np.float64)
+                    if x is not None and len(x) == d
+                    else np.zeros(d)
+                    for x in col
+                ]
+            )
+
+        L, R = stack(left["__v"]), stack(right["__v"])
+        lid = left["__id"].to_numpy()
+        rid = right["__id"].to_numpy()
+
+        def roots(V):
+            nv = np.zeros(len(V))
+            for i in range(d):
+                nv = nv + V[:, i] * V[:, i]
+            return np.sqrt(nv)
+
+        lroot, rroot = roots(L), roots(R)
+        out_a, out_b, out_c = [], [], []
+        for p0 in range(0, nl, B):
+            p1 = min(p0 + B, nl)
+            A = L[p0:p1]
+            for q0 in range(0, nr, B):
+                q1 = min(q0 + B, nr)
+                Bm = R[q0:q1]
+                dot = np.zeros((p1 - p0, q1 - q0))
+                for i in range(d):
+                    dot = dot + A[:, i][:, None] * Bm[:, i][None, :]
+                den = lroot[p0:p1][:, None] * rroot[q0:q1][None, :]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos = dot / den
+                cos = np.where(den == 0.0, 0.0, cos)
+                qual = (cos >= threshold) & (
+                    lid[p0:p1][:, None] != rid[q0:q1][None, :]
+                )
+                if not qual.any():
+                    continue
+                pi, qi = np.nonzero(qual)
+                xa = lid[p0:p1][pi]
+                xb = rid[q0:q1][qi]
+                out_a.append(np.minimum(xa, xb))
+                out_b.append(np.maximum(xa, xb))
+                out_c.append(cos[pi, qi])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos": np.concatenate(out_c),
+            }
+        )
+
+    return _fn
+
+
 def _cluster_dup_of_fn(threshold: float, block: int | None = None):
     """applyInPandas kernel: all within-cluster semantic-dup lookups
     for ONE cluster, emitted as (id_b, dup_of = min smaller-id

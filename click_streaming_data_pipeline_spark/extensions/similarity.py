@@ -16,6 +16,8 @@ hyperplanes with k-means centroids; same join shape.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -326,11 +328,42 @@ def lsh_planes_for(n: int, target_bucket: int = LSH_TARGET_BUCKET) -> int:
     near-linear). AQE skew-splitting bounds the per-task damage of a
     hot bucket; the candidate VOLUME on such data is an input
     property, not a knob."""
-    import math
-
     if n <= target_bucket:
         return N_PLANES
     return max(N_PLANES, math.ceil(math.log2(n / target_bucket)))
+
+
+#: hard cap on auto-sized table count: beyond this the bucket pass
+#: dominates wall and a deployment should adopt multi-probe instead.
+LSH_MAX_TABLES = 64
+
+
+def lsh_tables_for(n_planes: int, *, threshold: float = 0.8) -> int:
+    """Tables needed so auto-RAISED planes keep the DEFAULT config's
+    recall for a true pair at ``threshold`` cosine (r5 ADVICE low:
+    auto-sizing planes while holding tables fixed silently decays
+    per-table collision probability p_angle^planes and with it
+    recall).
+
+    The rule holds the (N_PLANES, N_TABLES) recall invariant rather
+    than chasing an absolute target: with p = 1 - acos(threshold)/pi
+    the default config recalls 1-(1-p^N_PLANES)^N_TABLES; solving
+    1-(1-p^n_planes)^t >= that gives
+    t = N_TABLES * ln(1-p^N_PLANES) / ln(1-p^n_planes)
+    (~ N_TABLES * p^(N_PLANES-n_planes) for small p^planes). Capped
+    at ``LSH_MAX_TABLES`` — past that, multi-probe is the right tool.
+    Degenerate thresholds (p -> 0 or 1, nothing to hold) and
+    non-raised plane counts return ``N_TABLES`` unchanged, so the
+    fixed catalog config is bit-stable."""
+    if n_planes <= N_PLANES:
+        return N_TABLES
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    base = p**N_PLANES
+    cur = p**n_planes
+    if cur <= 0.0 or base >= 1.0:
+        return N_TABLES
+    t = math.ceil(N_TABLES * math.log1p(-base) / math.log1p(-cur))
+    return max(N_TABLES, min(LSH_MAX_TABLES, t))
 
 
 def _lsh_candidates(
@@ -375,7 +408,8 @@ def lsh_bucketed_pairs(
     vec_col: str = "embedding",
     dim: int = 64,
     n_planes: int | None = N_PLANES,
-    n_tables: int = N_TABLES,
+    n_tables: int | None = None,
+    target_bucket: int = LSH_TARGET_BUCKET,
 ) -> DataFrame:
     """Approximate similar-pairs: vectors are compared only when they
     share a bucket in at least one of ``n_tables`` independent tables
@@ -393,10 +427,17 @@ def lsh_bucketed_pairs(
     The plane count is the REAL scale knob: candidates per table are
     sum(c_b^2) ~ N^2/2^planes, quadratic whenever planes are fixed —
     see :func:`lsh_planes_for`. Pass ``n_planes=None`` to auto-size
-    from a corpus count (one cheap count job; the oracle-gated catalog
-    lane pins the fixed config its SQL twin replays)."""
+    from a corpus count (one cheap count job; ``target_bucket`` tunes
+    the occupancy the carve aims for). ``n_tables=None`` (the
+    default) resolves through :func:`lsh_tables_for`, which holds the
+    default config's recall when planes are auto-RAISED — at the
+    default plane count it returns ``N_TABLES`` unchanged, so fixed
+    callers (including the oracle-gated catalog lane, whose SQL twin
+    replays the fixed config) are bit-stable."""
     if n_planes is None:
-        n_planes = lsh_planes_for(emb.count())
+        n_planes = lsh_planes_for(emb.count(), target_bucket)
+    if n_tables is None:
+        n_tables = lsh_tables_for(n_planes, threshold=threshold)
     cand = _lsh_candidates(
         emb,
         id_col=id_col,
@@ -627,9 +668,13 @@ def quantize_embeddings(
     batch pass (``_quantize_kernel``). Semantics and exactness are
     defined by :func:`_quantize_embeddings_expr`; the kernel is
     bit-identical (parity pytest + adversarial suite + oracle hash).
-    Degenerate stats (an all-NULL dimension makes min/max NULL) fall
-    back to the expression path, which NULL-poisons exactly. Ragged
-    rows are nulled at the scan like the expression path."""
+    Degenerate stats fall back to the expression path, which
+    NULL-poisons exactly: an all-NULL dimension makes min/max NULL,
+    and a single NaN element makes max NaN (Spark orders NaN above
+    every value) — feeding NaN bounds to the kernel would corrupt
+    EVERY row's codes on that dimension, so non-finite stats are
+    guarded like NULL ones. Ragged rows are nulled at the scan like
+    the expression path."""
     v = _as_double(F.col(vec_col))
     base = scan_parallel(emb).select(
         F.col(id_col),
@@ -647,8 +692,10 @@ def quantize_embeddings(
     if (
         mins is None
         or maxs is None
-        or any(x is None for x in mins)
-        or any(x is None for x in maxs)
+        or any(
+            x is None or not math.isfinite(x)
+            for x in list(mins) + list(maxs)
+        )
     ):
         return _quantize_embeddings_expr(
             emb, id_col=id_col, vec_col=vec_col, dim=dim
@@ -849,8 +896,20 @@ def _bipartite_pairs_fn(threshold: float, block: int | None = None):
     candidate pairs), blocked matrices bound memory, and the per-dim
     fold order reproduces ``cosine()`` bit-for-bit — the drained
     stream must equal batch semdedup exactly, and the stored cos
-    doubles participate in the pairs store's idempotent upsert."""
+    doubles participate in the pairs store's idempotent upsert.
+
+    Mixed-dimension groups are computed per dimension-group, like
+    ``_cosine_kernel_fn``: two same-length vectors get their true
+    cosine regardless of the group's max dim, and cross-dim /
+    NULL / zero-length pairs are cos 0.0 under the expression
+    semantics — never >= a positive threshold, so they are skipped
+    (the factory asserts threshold > 0, same as the batch kernel)."""
     B = int(block or SEMDEDUP_BLOCK)
+    if not threshold > 0.0:
+        raise ValueError(
+            "_bipartite_pairs_fn requires threshold > 0.0: cross-dim "
+            "and NULL pairs are cos 0.0 and the kernel prunes them"
+        )
 
     def _fn(left, right):
         import numpy as np
@@ -862,60 +921,67 @@ def _bipartite_pairs_fn(threshold: float, block: int | None = None):
         nl, nr = len(left), len(right)
         if nl == 0 or nr == 0:
             return empty
-        d = 0
-        for col in (left["__v"], right["__v"]):
-            for x in col:
-                if x is not None:
-                    d = max(d, len(x))
-        if d == 0:
-            return empty
-
-        def stack(col):
-            return np.vstack(
-                [
-                    np.asarray(x, np.float64)
-                    if x is not None and len(x) == d
-                    else np.zeros(d)
-                    for x in col
-                ]
-            )
-
-        L, R = stack(left["__v"]), stack(right["__v"])
         lid = left["__id"].to_numpy()
         rid = right["__id"].to_numpy()
+        lvecs = list(left["__v"])
+        rvecs = list(right["__v"])
 
-        def roots(V):
-            nv = np.zeros(len(V))
-            for i in range(d):
-                nv = nv + V[:, i] * V[:, i]
-            return np.sqrt(nv)
+        def group_by_dim(col):
+            by_dim: dict[int, list[int]] = {}
+            for j, x in enumerate(col):
+                if x is not None and len(x) > 0:
+                    by_dim.setdefault(len(x), []).append(j)
+            return by_dim
 
-        lroot, rroot = roots(L), roots(R)
+        lgroups = group_by_dim(lvecs)
+        rgroups = group_by_dim(rvecs)
+
         out_a, out_b, out_c = [], [], []
-        for p0 in range(0, nl, B):
-            p1 = min(p0 + B, nl)
-            A = L[p0:p1]
-            for q0 in range(0, nr, B):
-                q1 = min(q0 + B, nr)
-                Bm = R[q0:q1]
-                dot = np.zeros((p1 - p0, q1 - q0))
+        for d, lidx in lgroups.items():
+            ridx = rgroups.get(d)
+            if not ridx:
+                continue
+            L = np.vstack(
+                [np.asarray(lvecs[j], np.float64) for j in lidx]
+            )
+            R = np.vstack(
+                [np.asarray(rvecs[j], np.float64) for j in ridx]
+            )
+            glid = lid[lidx]
+            grid = rid[ridx]
+            ml, mr = len(lidx), len(ridx)
+
+            def roots(V):
+                nv = np.zeros(len(V))
                 for i in range(d):
-                    dot = dot + A[:, i][:, None] * Bm[:, i][None, :]
-                den = lroot[p0:p1][:, None] * rroot[q0:q1][None, :]
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    cos = dot / den
-                cos = np.where(den == 0.0, 0.0, cos)
-                qual = (cos >= threshold) & (
-                    lid[p0:p1][:, None] != rid[q0:q1][None, :]
-                )
-                if not qual.any():
-                    continue
-                pi, qi = np.nonzero(qual)
-                xa = lid[p0:p1][pi]
-                xb = rid[q0:q1][qi]
-                out_a.append(np.minimum(xa, xb))
-                out_b.append(np.maximum(xa, xb))
-                out_c.append(cos[pi, qi])
+                    nv = nv + V[:, i] * V[:, i]
+                return np.sqrt(nv)
+
+            lroot, rroot = roots(L), roots(R)
+            for p0 in range(0, ml, B):
+                p1 = min(p0 + B, ml)
+                A = L[p0:p1]
+                for q0 in range(0, mr, B):
+                    q1 = min(q0 + B, mr)
+                    Bm = R[q0:q1]
+                    dot = np.zeros((p1 - p0, q1 - q0))
+                    for i in range(d):
+                        dot = dot + A[:, i][:, None] * Bm[:, i][None, :]
+                    den = lroot[p0:p1][:, None] * rroot[q0:q1][None, :]
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        cos = dot / den
+                    cos = np.where(den == 0.0, 0.0, cos)
+                    qual = (cos >= threshold) & (
+                        glid[p0:p1][:, None] != grid[q0:q1][None, :]
+                    )
+                    if not qual.any():
+                        continue
+                    pi, qi = np.nonzero(qual)
+                    xa = glid[p0:p1][pi]
+                    xb = grid[q0:q1][qi]
+                    out_a.append(np.minimum(xa, xb))
+                    out_b.append(np.maximum(xa, xb))
+                    out_c.append(cos[pi, qi])
         if not out_a:
             return empty
         return pd.DataFrame(
@@ -949,82 +1015,95 @@ def _cluster_dup_of_fn(threshold: float, block: int | None = None):
     Bit-exactness: dot/norm accumulate per dimension in index order
     over the block matrices — elementwise numpy float64 ops in the
     same sequence as the ``cosine()`` fold (see ``_fold_cosine_rows``)
-    — and the zero-denominator -> 0.0 rule matches; NULL/ragged
-    vectors enter as zero rows (cos 0.0 with everything, the
-    expression's NULL-fold -> coalesce outcome). The min over
-    qualifying smaller ids is integer and order-free. Parity with
+    — and the zero-denominator -> 0.0 rule matches. Mixed-dimension
+    clusters are computed per dimension-group, like
+    ``_cosine_kernel_fn``: two same-length vectors get their true
+    cosine even when the cluster's max dim is larger, and cross-dim /
+    NULL / zero-length pairs are cos 0.0 under the expression
+    semantics (zip_with pads with NULL -> fold poisons -> coalesce
+    0.0) — never >= a positive threshold, so the factory asserts
+    threshold > 0 and the kernel prunes them. The min over qualifying
+    smaller ids is integer and order-free. Parity with
     ``_semdedup_dup_of_join`` is pytest-pinned; the DuckDB oracle
     (pair replay in SQL) gates the composed query's value hash."""
     B = int(block or SEMDEDUP_BLOCK)
+    if not threshold > 0.0:
+        raise ValueError(
+            "_cluster_dup_of_fn requires threshold > 0.0: cross-dim "
+            "and NULL pairs are cos 0.0 and the kernel prunes them"
+        )
 
     def _fn(pdf):
         import numpy as np
         import pandas as pd
 
+        empty = pd.DataFrame({"id_b": [], "dup_of": []}).astype(
+            {"id_b": "int64", "dup_of": "int64"}
+        )
         n = len(pdf)
         if n < 2:
-            return pd.DataFrame({"id_b": [], "dup_of": []}).astype(
-                {"id_b": "int64", "dup_of": "int64"}
-            )
+            return empty
         order = np.argsort(pdf["__id"].to_numpy(), kind="stable")
         ids = pdf["__id"].to_numpy()[order]
         vecs = pdf["__v"].to_numpy()[order]
-        d = 0
-        for x in vecs:
-            if x is not None:
-                d = max(d, len(x))
-        if d == 0:
-            return pd.DataFrame({"id_b": [], "dup_of": []}).astype(
-                {"id_b": "int64", "dup_of": "int64"}
-            )
-        V = np.vstack(
-            [
-                np.asarray(x, np.float64)
-                if x is not None and len(x) == d
-                else np.zeros(d)
-                for x in vecs
-            ]
-        )
-        # per-row norm via the sequential fold
-        nv = np.zeros(n)
-        for i in range(d):
-            nv = nv + V[:, i] * V[:, i]
-        root = np.sqrt(nv)
+        by_dim: dict[int, list[int]] = {}
+        for j, x in enumerate(vecs):
+            if x is not None and len(x) > 0:
+                by_dim.setdefault(len(x), []).append(j)
 
-        dup_min = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
-        n_blocks = (n + B - 1) // B
-        for p in range(n_blocks):
-            p0, p1 = p * B, min((p + 1) * B, n)
-            A = V[p0:p1]
-            for q in range(p, n_blocks):
-                q0, q1 = q * B, min((q + 1) * B, n)
-                Bm = V[q0:q1]
-                dot = np.zeros((p1 - p0, q1 - q0))
-                for i in range(d):
-                    dot = dot + A[:, i][:, None] * Bm[:, i][None, :]
-                den = root[p0:p1][:, None] * root[q0:q1][None, :]
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    cos = dot / den
-                cos = np.where(den == 0.0, 0.0, cos)
-                qual = cos >= threshold
-                # ids are sorted: id_a < id_b wherever row index <
-                # col index (strict upper triangle within p == q;
-                # everything in p < q blocks)
-                if p == q:
-                    qual &= np.triu(
-                        np.ones_like(qual, dtype=bool), k=1
+        INT64_MAX = np.iinfo(np.int64).max
+        dup_min = np.full(n, INT64_MAX, dtype=np.int64)
+        for d, idx in by_dim.items():
+            m = len(idx)
+            if m < 2:
+                continue
+            # idx ascending over id-sorted rows -> sub_ids ascending
+            sub_ids = ids[idx]
+            V = np.vstack(
+                [np.asarray(vecs[j], np.float64) for j in idx]
+            )
+            # per-row norm via the sequential fold
+            nv = np.zeros(m)
+            for i in range(d):
+                nv = nv + V[:, i] * V[:, i]
+            root = np.sqrt(nv)
+
+            sub_min = np.full(m, INT64_MAX, dtype=np.int64)
+            n_blocks = (m + B - 1) // B
+            for p in range(n_blocks):
+                p0, p1 = p * B, min((p + 1) * B, m)
+                A = V[p0:p1]
+                for q in range(p, n_blocks):
+                    q0, q1 = q * B, min((q + 1) * B, m)
+                    Bm = V[q0:q1]
+                    dot = np.zeros((p1 - p0, q1 - q0))
+                    for i in range(d):
+                        dot = dot + A[:, i][:, None] * Bm[:, i][None, :]
+                    den = root[p0:p1][:, None] * root[q0:q1][None, :]
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        cos = dot / den
+                    cos = np.where(den == 0.0, 0.0, cos)
+                    qual = cos >= threshold
+                    # ids are sorted: id_a < id_b wherever row index <
+                    # col index (strict upper triangle within p == q;
+                    # everything in p < q blocks)
+                    if p == q:
+                        qual &= np.triu(
+                            np.ones_like(qual, dtype=bool), k=1
+                        )
+                    if not qual.any():
+                        continue
+                    cand = np.where(
+                        qual,
+                        sub_ids[p0:p1][:, None],
+                        INT64_MAX,
+                    ).min(axis=0)
+                    np.minimum(
+                        sub_min[q0:q1], cand, out=sub_min[q0:q1]
                     )
-                if not qual.any():
-                    continue
-                cand = np.where(
-                    qual,
-                    ids[p0:p1][:, None],
-                    np.iinfo(np.int64).max,
-                ).min(axis=0)
-                np.minimum(
-                    dup_min[q0:q1], cand, out=dup_min[q0:q1]
-                )
-        hit = dup_min < np.iinfo(np.int64).max
+            # dimension-groups are disjoint row sets: direct scatter
+            dup_min[idx] = sub_min
+        hit = dup_min < INT64_MAX
         return pd.DataFrame(
             {"id_b": ids[hit], "dup_of": dup_min[hit]}
         ).astype({"id_b": "int64", "dup_of": "int64"})

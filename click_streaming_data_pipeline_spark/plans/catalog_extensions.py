@@ -610,6 +610,102 @@ def knn_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_pairs(emb, threshold=0.40)
 
 
+#: the correctness gate runs at sf0.01 (500 embeddings); the auto
+#: lane's oracle replays the config the sizing rules derive for that
+#: corpus. sf0.001 has the same 500-vector table, so local runs match
+#: too; other SFs re-derive planes and the static twin diverges by
+#: design (the gate never runs there).
+_AUTO_EMB_N = 500
+_AUTO_TARGET_BUCKET = 16
+
+
+def _srp_auto_oracle() -> str:
+    """SQL twin of the AUTO-SIZED ``lsh_bucketed_pairs`` path: planes
+    from ``lsh_planes_for`` (occupancy-constant carving — the scale
+    fix for fixed-plane quadratic candidates) and tables from
+    ``lsh_tables_for`` (recall held when planes are raised, r5 ADVICE
+    low). For the gate corpus this derives (5 planes x 14 tables) —
+    deliberately different from the fixed (4 x 8) lane, so the
+    PRODUCTION sizing path is what gets value-hash-certified, not the
+    test fixture. Same replay technique as ``_srp_oracle``: the
+    md5-derived hyperplanes are plan-time literals, inlined as a
+    VALUES CTE; buckets, candidate equi-join, and the
+    sequential-fold cosine verify are rebuilt stage-for-stage."""
+    from ..extensions.similarity import (
+        _plane,
+        lsh_planes_for,
+        lsh_tables_for,
+    )
+
+    n_planes = lsh_planes_for(_AUTO_EMB_N, _AUTO_TARGET_BUCKET)
+    n_tables = lsh_tables_for(n_planes, threshold=0.40)
+    rows = []
+    for t in range(n_tables):
+        for i in range(n_planes):
+            comps = ", ".join(repr(x) for x in _plane(t, i, 64))
+            rows.append(f"({t}, {i}, [{comps}])")
+    values = ",\n            ".join(rows)
+    dot = (
+        "list_reduce(list_transform(generate_series(1, 64), "
+        "j -> e.v[j] * p.plane[j]), (acc, x) -> acc + x)"
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        p (tbl, i, plane) AS (VALUES
+            {values}
+        ),
+        bits AS (
+            SELECT e.vec_id, p.tbl, p.i,
+                   CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END AS bit
+            FROM e, p
+        ),
+        tabled AS (
+            SELECT vec_id, tbl, string_agg(bit, '' ORDER BY i) AS bucket
+            FROM bits GROUP BY vec_id, tbl
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM tabled a
+            JOIN tabled b
+              ON a.tbl = b.tbl AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id
+        )
+        SELECT c.id_a, c.id_b, {_cos_sql('ea.v', 'eb.v')} AS cos
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.id_a
+        JOIN e eb ON eb.vec_id = c.id_b
+        WHERE {_cos_sql('ea.v', 'eb.v')} >= 0.4e0
+    """
+
+
+@query(
+    "knn_lsh_pairs_auto",
+    oracle=_srp_auto_oracle(),
+    doc=(
+        "extension: AUTO-SIZED LSH similar-pairs — planes from the "
+        "occupancy-constant carving rule (lsh_planes_for) and tables "
+        "from the recall-holding rule (lsh_tables_for), i.e. the "
+        "config a scale deployment actually runs, value-hash-gated "
+        "against a SQL replay of the derived (5 planes x 14 tables) "
+        "hyperplanes. Companion to knn_lsh_pairs, which certifies the "
+        "fixed test-fixture config."
+    ),
+    tags=("similarity",),
+)
+def knn_lsh_pairs_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucketed_pairs(
+        emb,
+        threshold=0.40,
+        n_planes=None,
+        n_tables=None,
+        target_bucket=_AUTO_TARGET_BUCKET,
+    )
+
+
 _EMB_DIM = 64
 _MINS = ", ".join(f"min(v[{i + 1}])" for i in range(_EMB_DIM))
 _MAXS = ", ".join(f"max(v[{i + 1}])" for i in range(_EMB_DIM))

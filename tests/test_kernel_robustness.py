@@ -5,6 +5,8 @@ of silently zeroing (cosine) or raising opaque executor ValueErrors
 (vstack), and re-scoring an already-scored frame must replace, not
 duplicate, the quality columns."""
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -196,6 +198,39 @@ def test_quantize_kernel_matches_expression(spark):
     assert w2 == g2
     assert g2[0][0] == 0 and g2[0][4] == 0.0
 
+    # NaN element in ONE row: Spark min/max order NaN above every
+    # value, so maxs[dim0] becomes NaN — the kernel must fall back to
+    # the expression path instead of coding floor(NaN) on every row
+    # (r5 ADVICE medium). Parity must hold for the clean rows too.
+    nan_rows = [
+        (1, [float("nan") if j == 0 else 0.5 * j for j in range(dim)]),
+        (2, [0.25 * j for j in range(dim)]),
+        (3, [1.0 - 0.125 * j for j in range(dim)]),
+    ]
+    ndf = spark.createDataFrame(
+        nan_rows, "vec_id long, embedding array<double>"
+    )
+    w3 = {
+        r["vec_id"]: tuple(r)[1:]
+        for r in _quantize_embeddings_expr(ndf, dim=dim).collect()
+    }
+    g3 = {
+        r["vec_id"]: tuple(r)[1:]
+        for r in quantize_embeddings(ndf, dim=dim).collect()
+    }
+
+    def _eq(a, b):
+        return a == b or (
+            isinstance(a, float) and isinstance(b, float)
+            and math.isnan(a) and math.isnan(b)
+        )
+
+    assert set(w3) == set(g3)
+    for k in w3:
+        assert all(_eq(x, y) for x, y in zip(w3[k], g3[k])), (
+            k, w3[k], g3[k],
+        )
+
 
 def test_semdedup_cluster_kernel_matches_join(spark):
     """The applyInPandas within-cluster dup kernel must produce
@@ -219,6 +254,13 @@ def test_semdedup_cluster_kernel_matches_join(spark):
         rows.append((i, jitter, i % 3))
     rows.append((90, [0.0] * dim, 0))
     rows.append((91, None, 1))
+    # mixed-dimension cluster members (r5 ADVICE low): two dim-4
+    # near-dup vectors inside a dim-8 cluster must get their TRUE
+    # cosine (the join twin computes per dimension-group), not a
+    # silent zero from max-dim padding
+    rows.append((92, [1.0, 2.0, 3.0, 4.0], 2))
+    rows.append((93, [1.0, 2.0, 3.0, 4.001], 2))
+    rows.append((94, [9.0, -7.0, 0.5, 1.0], 2))  # same dim, far away
     df = spark.createDataFrame(
         rows, "vec_id long, embedding array<double>, cluster int"
     )
@@ -239,6 +281,8 @@ def test_semdedup_cluster_kernel_matches_join(spark):
         .collect()
     }
     assert want == got and got
+    # the mixed-dim near-dup pair must actually be detected
+    assert (93, 92) in got
 
     # force multi-block paths: shrink the block edge below the
     # cluster size and require identical output

@@ -809,13 +809,15 @@ def semdedup(
     with a smaller id (deterministic keep-lowest rule).
 
     Scale: the quadratic pair step is confined to single clusters —
-    sum(c_k^2) work instead of N^2, the paper's entire point; the
-    within-cluster join shuffles on cluster id (AQE splits a skewed
-    mega-cluster). K sizes itself to sqrt(N) via the IVF trainer, so
-    expected cluster size grows as sqrt(N), not N. Returns
-    (vec_id, cluster_id, is_kept, dup_of) where dup_of is the
-    smallest more-similar neighbor id for dropped rows (null when
-    kept)."""
+    sum(c_k^2) work instead of N^2, the paper's entire point — and
+    size-routed by ``_semdedup_dup_of``: typical clusters run the
+    one-task Arrow kernel, while a skewed mega-cluster (above
+    ``SEMDEDUP_SPLIT_ROWS``) fans out as independent block-pair tile
+    tasks instead of serializing one core. K sizes itself to sqrt(N)
+    via the IVF trainer, so expected cluster size grows as sqrt(N),
+    not N. Returns (vec_id, cluster_id, is_kept, dup_of) where dup_of
+    is the smallest more-similar neighbor id for dropped rows (null
+    when kept)."""
     from .ivf import _assign, train_kmeans
 
     cents = train_kmeans(
@@ -827,14 +829,7 @@ def semdedup(
     assigned = _assign(e, cents, "__v").select(
         F.col(id_col), F.col("__v"), F.col("centroid_id").alias("cluster_id")
     )
-    dup_of = (
-        assigned.select("cluster_id", F.col(id_col).alias("__id"), "__v")
-        .groupBy("cluster_id")
-        .applyInPandas(
-            _cluster_dup_of_fn(float(threshold)),
-            "id_b long, dup_of long",
-        )
-    )
+    dup_of = _semdedup_dup_of(assigned, float(threshold), id_col)
     return (
         assigned.join(dup_of, assigned[id_col] == dup_of.id_b, "left")
         .select(
@@ -881,6 +876,131 @@ def _semdedup_dup_of_join(
 #: kernel's working set at B^2 doubles (~33 MB) regardless of cluster
 #: size, so a mega-cluster costs time, never memory.
 SEMDEDUP_BLOCK = 2048
+
+#: clusters above this row count leave the one-task applyInPandas
+#: kernel for the tiled cogroup path — the kernel's caveat is one
+#: cluster = one task, which serializes a skewed mega-cluster on a
+#: single core (~m^2/2 dots; at 64k rows that is minutes of one-core
+#: work while the rest of the stage idles).
+SEMDEDUP_SPLIT_ROWS = 65536
+
+#: rows per tile block in the tiled mega-cluster path: each (p, q)
+#: block-pair is one cogroup task of ~TILE^2 dots (seconds of numpy),
+#: and each vector is shuffled ceil(m/TILE) times — versus ONCE for
+#: the one-task kernel and once PER CANDIDATE PAIR for the join form
+#: (the measured super-linear term the kernel replaced).
+SEMDEDUP_TILE_ROWS = 8192
+
+
+def _semdedup_dup_of_tiled(
+    big: DataFrame,
+    threshold: float,
+    *,
+    tile_rows: int | None = None,
+    block: int | None = None,
+) -> DataFrame:
+    """Multi-task within-cluster dup step for mega-clusters: rows are
+    hashed into ceil(csize/TILE) blocks, every block-PAIR (p <= q)
+    becomes one cogroup key, and ``_bipartite_pairs_fn`` — the same
+    bit-exact blocked cosine kernel the streaming twin uses — emits
+    that tile's qualifying pairs; a final groupBy(id_b).min(id_a)
+    applies the keep-lowest rule. Input must carry
+    (cluster_id, __id, __v, __csize).
+
+    Exactness: a pair in blocks (gx, gy) is examined in exactly tile
+    (min, max) — same-block pairs surface in both orientations inside
+    the diagonal tile and collapse under the min — and the kernel's
+    per-dimension fold is the one the one-task kernel and the oracle
+    replay share, so routing NEVER changes the value hash.
+
+    Scale: tile count grows as (m/TILE)^2 per mega-cluster — the
+    m^2/2 dot work is unchanged but spread over independent tasks —
+    while shuffle traffic is m * ceil(m/TILE) vectors, the classic
+    triangle-tile trade (the per-pair join form would ship
+    sum(c^2) * 2 * dim * 8 bytes; at m = 256k that is tens of TB,
+    this path ~GBs)."""
+    T = int(tile_rows or SEMDEDUP_TILE_ROWS)
+    base = big.withColumn(
+        "__nb",
+        F.ceil(F.col("__csize") / F.lit(float(T))).cast("int"),
+    ).withColumn(
+        "__g",
+        F.pmod(F.xxhash64(F.col("__id")), F.col("__nb")).cast("int"),
+    )
+    # the two tile sides derive from the same frame — alias them so
+    # the cogroup's self-lineage stays unambiguous to the analyzer
+    left = base.select(
+        "cluster_id",
+        F.col("__g").alias("p"),
+        F.explode(
+            F.sequence(F.col("__g"), F.col("__nb") - F.lit(1))
+        ).alias("q"),
+        "__id",
+        "__v",
+    )
+    # same-name aliases mint fresh attribute ids, keeping the
+    # cogroup's self-lineage unambiguous to the analyzer
+    right = base.select(
+        F.col("cluster_id").alias("cluster_id"),
+        F.explode(
+            F.sequence(F.lit(0), F.col("__g"))
+        ).alias("p"),
+        F.col("__g").alias("q"),
+        F.col("__id").alias("__id"),
+        F.col("__v").alias("__v"),
+    )
+    pairs = (
+        left.groupBy("cluster_id", "p", "q")
+        .cogroup(right.groupBy("cluster_id", "p", "q"))
+        .applyInPandas(
+            _bipartite_pairs_fn(float(threshold), block=block),
+            "id_a long, id_b long, cos double",
+        )
+    )
+    return pairs.groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
+
+
+def _semdedup_dup_of(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    *,
+    split_rows: int | None = None,
+    tile_rows: int | None = None,
+    block: int | None = None,
+) -> DataFrame:
+    """Size-routed within-cluster dup step: clusters at or under
+    ``split_rows`` run the one-task ``_cluster_dup_of_fn`` kernel
+    (each vector crosses the wire once — optimal when clusters fit a
+    core); bigger clusters run the tiled cogroup path so a skewed
+    mega-cluster executes as many independent tile tasks instead of
+    serializing one executor thread. Both paths share the same fold
+    arithmetic and keep-lowest rule, so routing is invisible in the
+    output (pytest-pinned on a planted mega-cluster; the catalog
+    oracle hash is unchanged because gate-scale clusters all route
+    small)."""
+    split = int(split_rows or SEMDEDUP_SPLIT_ROWS)
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("__csize")
+    )
+    tagged = assigned.select(
+        "cluster_id", F.col(id_col).alias("__id"), "__v"
+    ).join(F.broadcast(sizes), "cluster_id")
+    dup_small = (
+        tagged.filter(F.col("__csize") <= split)
+        .groupBy("cluster_id")
+        .applyInPandas(
+            _cluster_dup_of_fn(float(threshold), block=block),
+            "id_b long, dup_of long",
+        )
+    )
+    dup_big = _semdedup_dup_of_tiled(
+        tagged.filter(F.col("__csize") > split),
+        threshold,
+        tile_rows=tile_rows,
+        block=block,
+    )
+    return dup_small.unionByName(dup_big)
 
 
 def _bipartite_pairs_fn(threshold: float, block: int | None = None):

@@ -68,6 +68,7 @@ PROBE_QUERIES = [
     "pareto_frontier",
     "search_fuzzy",
     "knn_ivf_topk",
+    "knn_ivfpq_topk",
     "semdedup_keep",
     # NOT embedding_neardup: that lane IS the documented O(N^2)
     # all-pairs baseline (neardup_pairs docstring); the scale path it

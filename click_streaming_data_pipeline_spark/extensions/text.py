@@ -381,8 +381,46 @@ def _merge_pair_expr(symbols: "Column", x: str, y: str) -> "Column":
     return F.aggregate(paired, init, step)["arr"]
 
 
+def _apply_merges_kernel(merges: list[tuple[str, str]]):
+    """Arrow kernel applying a ROUND of merges to each symbol array,
+    in rank order, each as the same non-overlapping left-to-right
+    rewrite ``_merge_pair_expr`` performs (the while-loop's i += 2 is
+    the fold's skip flag). Used by the batched trainer so one kernel
+    pass replaces ``batch`` chained fold expressions — Catalyst's
+    analyzer cost and the interpreted-HOF eval both grow with every
+    nested aggregate, while the kernel applies the whole round in one
+    vocab-sized Arrow batch."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    def _one(sym: list, x: str, y: str) -> list:
+        out = []
+        i = 0
+        n = len(sym)
+        while i < n:
+            if i + 1 < n and sym[i] == x and sym[i + 1] == y:
+                out.append(x + y)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        return out
+
+    def _kernel(col):
+        import pandas as pd
+
+        res = []
+        for sym in col:
+            s = list(sym) if sym is not None else []
+            for x, y in merges:
+                s = _one(s, x, y)
+            res.append(s)
+        return pd.Series(res)
+
+    return pandas_udf(_kernel, "array<string>")
+
+
 def bpe_merges(docs: "DataFrame", *, n_merges: int = BPE_N_MERGES,
-               text_col: str = "text") -> "DataFrame":
+               text_col: str = "text", batch: int = 1) -> "DataFrame":
     """Learn the first ``n_merges`` BPE merges from the corpus — the
     tokenizer-TRAINING step (token_stats only counts with a fixed
     tokenizer; this learns one). Classic iterative driver-loop shape:
@@ -396,6 +434,22 @@ def bpe_merges(docs: "DataFrame", *, n_merges: int = BPE_N_MERGES,
        becomes the next merge, and every word's symbols are rewritten
        by a pure fold expression (no UDF). State localCheckpoints each
        round (flat lineage, the PageRank/k-means convention).
+
+    ``batch`` > 1 is the 32k-vocab scale path: sequential training is
+    a serial chain of ~3 tiny driver jobs PER MERGE (32k merges =
+    ~100k jobs of pure scheduling latency over a vocab-sized table).
+    A batched round computes pair counts ONCE, then greedily accepts
+    up to ``batch`` top candidates whose symbols are DISJOINT from
+    every earlier acceptee's symbols and merged concats — under that
+    rule applying the earlier merges cannot create or destroy any
+    occurrence of a later acceptee, so each accepted pair's count
+    equals what sequential training would have measured at its turn.
+    The accepted round is applied in one Arrow-kernel rewrite
+    (2 jobs/round total). The SCHEDULE can still differ from
+    sequential where a merge's output symbol immediately fuels a
+    higher-count pair (the cascade lands in a later round), so
+    batch=1 — bit-exact, oracle-replayed — stays the default and the
+    parity pytest pins agreement on a cascade-free corpus.
 
     Returns (rank, left, right, pair_count). Exactly reproduced by the
     pure-python oracle in tests (rows-only at the driver gate:
@@ -421,7 +475,9 @@ def bpe_merges(docs: "DataFrame", *, n_merges: int = BPE_N_MERGES,
         .localCheckpoint(eager=True)
     )
     out = []
-    for rank in range(n_merges):
+    while len(out) < n_merges:
+        room = n_merges - len(out)
+        m = max(1, min(int(batch), room))
         pairs = words.select(
             F.col("freq"),
             F.explode(
@@ -439,21 +495,39 @@ def bpe_merges(docs: "DataFrame", *, n_merges: int = BPE_N_MERGES,
                 )
             ).alias("p"),
         )
-        top = (
-            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("freq").alias("n"))
-            .orderBy(F.col("n").desc(), F.col("l").asc(), F.col("r").asc())
-            .limit(1)
-            .collect()
+        ranked = pairs.groupBy(
+            F.col("p.l").alias("l"), F.col("p.r").alias("r")
+        ).agg(F.sum("freq").alias("n")).orderBy(
+            F.col("n").desc(), F.col("l").asc(), F.col("r").asc()
         )
+        # bounded driver pull: enough candidates to survive conflict
+        # exclusions, still merge-batch-sized (never vocab-scale)
+        top = ranked.limit(m if m == 1 else 4 * m + 16).collect()
         if not top:
             break
-        l, r, n = top[0]["l"], top[0]["r"], top[0]["n"]
-        out.append((rank, l, r, int(n)))
-        words = words.select(
-            _merge_pair_expr(F.col("symbols"), l, r).alias("symbols"),
-            "freq",
-        ).localCheckpoint(eager=True)
+        accepted: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for row in top:
+            if len(accepted) >= m:
+                break
+            l, r, n = row["l"], row["r"], int(row["n"])
+            if l in used or r in used or (l + r) in used:
+                continue
+            accepted.append((l, r, n))
+            used.update((l, r, l + r))
+        for l, r, n in accepted:
+            out.append((len(out), l, r, n))
+        if m == 1 or len(accepted) == 1:
+            l, r, _ = accepted[0]
+            words = words.select(
+                _merge_pair_expr(F.col("symbols"), l, r).alias("symbols"),
+                "freq",
+            ).localCheckpoint(eager=True)
+        else:
+            kern = _apply_merges_kernel([(l, r) for l, r, _ in accepted])
+            words = words.select(
+                kern(F.col("symbols")).alias("symbols"), "freq"
+            ).localCheckpoint(eager=True)
     spark = docs.sparkSession
     return spark.createDataFrame(
         out, "rank long, left string, right string, pair_count long"

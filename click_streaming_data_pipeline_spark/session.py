@@ -86,6 +86,14 @@ def get_spark(
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
+    # before the JVM spawns: put the vendored protobuf runtime (if the
+    # native one is absent) on PYTHONPATH so every Python worker the
+    # JVM ever launches — including the TWS schema-validation driver
+    # worker, which skips the python-includes path — can import it.
+    # No-op where google.protobuf is installed.
+    from .streaming.stateful import ensure_protobuf_runtime
+
+    ensure_protobuf_runtime()
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)

@@ -140,11 +140,13 @@ def user_state_batch(events: DataFrame) -> DataFrame:
 # batch twin as oracle.
 #
 # Runtime gate: the TWS Python state server speaks protobuf to the
-# JVM; this container has no ``google.protobuf``, so the operator
-# cannot EXECUTE here (the parity test auto-skips, like the Kafka
-# integration test). The code is complete and runs wherever
-# protobuf is installed — which is every real Spark 4 deployment,
-# since pyspark[connect] depends on it.
+# JVM. Where the real ``google.protobuf`` is installed (every real
+# Spark 4 deployment — pyspark[connect] depends on it) it is used
+# as-is; where it is absent (this container, no pip), the vendored
+# mini runtime (``vendor/miniproto`` — a self-written implementation
+# of the proto3 wire-format subset StateMessage uses) is put on
+# sys.path AND PYTHONPATH so both the driver and the spawned Python
+# workers resolve it.
 
 try:  # Spark >= 4.0
     from pyspark.sql.streaming import (
@@ -158,18 +160,90 @@ except ImportError:  # pragma: no cover - older Spark
     HAS_TWS = False
 
 
+def ensure_protobuf_runtime(spark=None) -> str:
+    """Make ``google.protobuf`` importable, preferring the native
+    runtime. Returns "native", "vendored", or "absent".
+
+    The TWS state client executes inside the Python WORKER processes,
+    and driver-side sys.path edits do not propagate there; when a
+    live session is passed, the vendored tree is shipped to workers
+    through ``SparkContext.addPyFile`` (a zip whose root holds the
+    ``google`` package) — the runtime-mutable distribution channel
+    Spark itself provides. ``PYTHONPATH`` is also set for child
+    processes launched after this call."""
+    import importlib
+    import os
+    import sys
+
+    try:
+        importlib.import_module("google.protobuf.descriptor")
+        return "native"
+    except ImportError:
+        pass
+    vendor = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "vendor",
+        "miniproto",
+    )
+    if not os.path.isdir(os.path.join(vendor, "google", "protobuf")):
+        return "absent"
+    if vendor not in sys.path:
+        sys.path.insert(0, vendor)
+    existing = os.environ.get("PYTHONPATH", "")
+    parts = existing.split(os.pathsep) if existing else []
+    if vendor not in parts:
+        os.environ["PYTHONPATH"] = (
+            vendor + (os.pathsep + existing if existing else "")
+        )
+    if spark is not None:
+        import tempfile
+        import zipfile
+
+        zpath = os.path.join(
+            tempfile.gettempdir(), "csdp_miniproto_shim.zip"
+        )
+        if not os.path.exists(zpath):
+            tmp = zpath + ".tmp"
+            with zipfile.ZipFile(tmp, "w") as zf:
+                for root, _dirs, files in os.walk(vendor):
+                    for fn in files:
+                        if not fn.endswith(".py"):
+                            continue
+                        full = os.path.join(root, fn)
+                        zf.write(full, os.path.relpath(full, vendor))
+            os.replace(tmp, zpath)
+        sc = spark.sparkContext
+        # normal partition workers pick the zip up through the
+        # python-includes path...
+        sc.addPyFile(zpath)
+        # ...but the TWS schema-validation "driver worker"
+        # (transform_with_state_driver_worker) skips includes
+        # processing; it DOES receive the PythonFunction's env, which
+        # is sc.environment — and it always runs on the driver node,
+        # so the driver-local vendor path is valid for it.
+        prev = sc.environment.get("PYTHONPATH", "")
+        if vendor not in prev.split(os.pathsep):
+            sc.environment["PYTHONPATH"] = (
+                vendor + (os.pathsep + prev if prev else "")
+            )
+    # a failed native import leaves partial modules cached
+    for mod in [m for m in sys.modules if m.startswith("google")]:
+        if sys.modules[mod] is None:
+            del sys.modules[mod]
+    try:
+        importlib.import_module("google.protobuf.descriptor")
+        return "vendored"
+    except ImportError:  # pragma: no cover - vendor tree damaged
+        return "absent"
+
+
 def tws_runtime_available() -> bool:
     """True when transformWithStateInPandas can actually run: the
-    API exists AND the protobuf runtime its state server needs is
-    importable."""
+    API exists AND a protobuf runtime its state server needs is
+    importable (native, or the vendored mini runtime)."""
     if not HAS_TWS:
         return False
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
+    return ensure_protobuf_runtime() != "absent"
 
 
 class UserStateProcessor(StatefulProcessor):
@@ -232,6 +306,7 @@ def user_state_stream_tws(events_stream: DataFrame) -> DataFrame:
     (``ROCKSDB_PROVIDER``) — the caller sets
     ``spark.sql.streaming.stateStore.providerClass`` before starting
     the query."""
+    ensure_protobuf_runtime(events_stream.sparkSession)
     return events_stream.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=UserStateProcessor(),
         outputStructType=OUTPUT_SCHEMA,

@@ -498,6 +498,59 @@ def test_bpe_merges_match_python_oracle(spark):
     assert got == want
 
 
+def test_bpe_merges_batched_matches_sequential(spark):
+    """batch > 1 must reproduce sequential training — same merges,
+    same ranks, same counts — on a cascade-free corpus (disjoint
+    per-family symbols, family counts strictly ordered, every cascade
+    pair strictly below the next fresh candidate), exercising one
+    multi-accept kernel round plus a sequential tail round."""
+    from click_streaming_data_pipeline_spark.extensions.text import (
+        bpe_merges,
+    )
+
+    # (a,b)=100 > (c,d)=90 > (e,f)=80 > cascades (ab,x)=60 ...
+    fams = [("abx", 60), ("aby", 40), ("cdu", 50), ("cdv", 40),
+            ("efs", 45), ("eft", 35)]
+    docs = spark.createDataFrame(
+        [(i, " ".join([w] * f)) for i, (w, f) in enumerate(fams)],
+        "doc_id long, text string",
+    )
+    seq = [
+        tuple(r)
+        for r in bpe_merges(docs, n_merges=4).orderBy("rank").collect()
+    ]
+    bat = [
+        tuple(r)
+        for r in bpe_merges(docs, n_merges=4, batch=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert seq == bat
+    assert [t[3] for t in seq] == [100, 90, 80, 60]
+    assert [(t[1], t[2]) for t in seq] == [
+        ("a", "b"), ("c", "d"), ("e", "f"), ("ab", "x"),
+    ]
+
+    # the conflict rule must hold merges back rather than mis-count:
+    # with every pair sharing </w>, each round accepts exactly one
+    # merge and batched training IS sequential training
+    uni = spark.createDataFrame(
+        [(0, " ".join(["p"] * 9 + ["q"] * 6 + ["r"] * 3))],
+        "doc_id long, text string",
+    )
+    s2 = [
+        tuple(r)
+        for r in bpe_merges(uni, n_merges=3).orderBy("rank").collect()
+    ]
+    b2 = [
+        tuple(r)
+        for r in bpe_merges(uni, n_merges=3, batch=8)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert s2 == b2
+
+
 def test_bpe_encode_matches_python_oracle(spark):
     """Train→encode round-trip: encoding with the learned merges must
     replay the pure-python tokenizer exactly (same per-rule single

@@ -314,13 +314,18 @@ def process_semdedup_batch(
     vec_store: str,
     pairs_store: str,
     threshold: float,
+    tile_rows: int | None = None,
 ) -> None:
     """One incremental SemDeDup step: assign the batch's vectors to
     the FIXED centroid codebook, compare them against the accumulated
     per-cluster store (plus the batch itself), and upsert verified
     semantic-dup pairs. Mirrors process_batch: new vectors only ever
     join their own cluster's accumulated members, never the corpus."""
-    from .similarity import _as_double, _bipartite_pairs_fn
+    from .similarity import (
+        SEMDEDUP_TILE_ROWS,
+        _as_double,
+        _bipartite_pairs_fn,
+    )
     from .ivf import _assign
 
     spark = batch_emb.sparkSession
@@ -340,18 +345,40 @@ def process_semdedup_batch(
     # bit-identical cos doubles, parity pinned by the drained-equals-
     # batch oracle. Both-new pairs arrive in both orientations, so
     # the dropDuplicates stays.
+    #
+    # Mega-cluster skew (round 6): the accumulated side of a skewed
+    # cluster grows without bound while one cogroup key = one task.
+    # The tile split from the batch path applies directly — hash the
+    # ACCUMULATED side into ceil(csize/TILE) blocks and replicate the
+    # (micro-batch-bounded) new side to every block, so a mega-
+    # cluster's verify runs as independent block tasks. nb == 1 for
+    # ordinary clusters, which IS the untiled grouping — one code
+    # path, no routing, identical output set.
+    T = int(tile_rows or SEMDEDUP_TILE_ROWS)
+    sizes = allv.groupBy("cluster_id").agg(
+        F.count("*").alias("__csize")
+    )
+    nb = F.ceil(F.col("__csize") / F.lit(float(T))).cast("int")
+    left = allv.join(F.broadcast(sizes), "cluster_id").select(
+        "cluster_id",
+        F.pmod(F.xxhash64("vec_id"), nb).cast("int").alias("__g"),
+        F.col("vec_id").alias("__id"),
+        F.col("v").alias("__v"),
+    )
+    # same-name aliases mint fresh attribute ids: both sides descend
+    # from the micro-batch frame, and the cogroup's analyzer rejects
+    # ambiguous self-lineage otherwise
+    right = new.join(F.broadcast(sizes), "cluster_id").select(
+        F.col("cluster_id").alias("cluster_id"),
+        F.explode(
+            F.sequence(F.lit(0), nb - F.lit(1))
+        ).alias("__g"),
+        F.col("vec_id").alias("__id"),
+        F.col("v").alias("__v"),
+    )
     cand = (
-        allv.select(
-            "cluster_id", F.col("vec_id").alias("__id"), F.col("v").alias("__v")
-        )
-        .groupBy("cluster_id")
-        .cogroup(
-            new.select(
-                "cluster_id",
-                F.col("vec_id").alias("__id"),
-                F.col("v").alias("__v"),
-            ).groupBy("cluster_id")
-        )
+        left.groupBy("cluster_id", "__g")
+        .cogroup(right.groupBy("cluster_id", "__g"))
         .applyInPandas(
             _bipartite_pairs_fn(float(threshold)),
             "id_a long, id_b long, cos double",
@@ -369,6 +396,7 @@ def run_streaming_semdedup(
     threshold: float | None = None,
     files_per_trigger: int = 2,
     n_files: int = 6,
+    tile_rows: int | None = None,
 ) -> DataFrame:
     """Incremental SemDeDup over a stream of embeddings: the centroid
     codebook is trained ONCE up front (deterministic sampled k-means —
@@ -410,6 +438,7 @@ def run_streaming_semdedup(
             vec_store=vec_store,
             pairs_store=pairs_store,
             threshold=thr,
+            tile_rows=tile_rows,
         )
 
     q = (

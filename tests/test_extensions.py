@@ -701,6 +701,17 @@ def test_semdedup_streamed_equals_batch(spark):
     )
     assert streamed == batch
 
+    # mega-cluster tile split (round 6): a tile edge far below the
+    # cluster sizes forces every accumulated side through multi-block
+    # cogroups; the drained result must not move a single row
+    tiled = sorted(
+        map(
+            tuple,
+            run_streaming_semdedup(spark, SF_TEST, tile_rows=7).collect(),
+        )
+    )
+    assert tiled == batch
+
 
 def test_ann_recall_report_matches_recompute(spark):
     """The recall report must equal an independent python recompute

@@ -485,3 +485,39 @@ def test_lsh_auto_planes_bounds_candidate_growth(spark):
     # default floor: tiny corpora keep the catalog config
     assert lsh_planes_for(100) == 4
     assert lsh_planes_for(100, LSH_TARGET_BUCKET) == 4
+
+
+def test_lsh_tables_for_holds_default_recall():
+    """Auto-raised planes must raise tables enough to hold the
+    default (4-plane, 8-table) config's recall (r5 ADVICE low), stay
+    bit-stable at or below the default plane count, and clamp the
+    degenerate-threshold and runaway cases."""
+    import math
+
+    from click_streaming_data_pipeline_spark.extensions.similarity import (
+        LSH_MAX_TABLES,
+        N_PLANES,
+        N_TABLES,
+        lsh_tables_for,
+    )
+
+    # non-raised plane counts: untouched (fixed catalog lanes)
+    assert lsh_tables_for(3) == N_TABLES
+    assert lsh_tables_for(N_PLANES) == N_TABLES
+
+    for thr in (0.4, 0.6, 0.8, 0.95):
+        p = 1.0 - math.acos(thr) / math.pi
+        base_recall = 1.0 - (1.0 - p**N_PLANES) ** N_TABLES
+        for planes in (5, 6, 8, 10):
+            t = lsh_tables_for(planes, threshold=thr)
+            assert N_TABLES <= t <= LSH_MAX_TABLES
+            got_recall = 1.0 - (1.0 - p**planes) ** t
+            # recall held (up to the LSH_MAX_TABLES clamp)
+            if t < LSH_MAX_TABLES:
+                assert got_recall >= base_recall - 1e-9, (
+                    thr, planes, t, got_recall, base_recall,
+                )
+
+    # degenerate thresholds: nothing to hold, default returned
+    assert lsh_tables_for(10, threshold=-1.0) == N_TABLES
+    assert lsh_tables_for(10, threshold=1.0) == N_TABLES

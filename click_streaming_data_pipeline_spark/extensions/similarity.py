@@ -826,8 +826,19 @@ def semdedup(
     e = scan_parallel(emb).select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
     )
-    assigned = _assign(e, cents, "__v").select(
-        F.col(id_col), F.col("__v"), F.col("centroid_id").alias("cluster_id")
+    # four consumers after size-routing (cluster sizes, both routing
+    # branches, and the final keep join) — left lazy, each one re-runs
+    # the assign kernel over the corpus; pin the assignment once
+    # (N x (id, vec, cluster) rows, the same bounded materialization
+    # the minhash pipeline uses for its shingle table)
+    assigned = (
+        _assign(e, cents, "__v")
+        .select(
+            F.col(id_col),
+            F.col("__v"),
+            F.col("centroid_id").alias("cluster_id"),
+        )
+        .localCheckpoint(eager=True)
     )
     dup_of = _semdedup_dup_of(assigned, float(threshold), id_col)
     return (
@@ -983,6 +994,22 @@ def _semdedup_dup_of(
     sizes = assigned.groupBy("cluster_id").agg(
         F.count("*").alias("__csize")
     )
+    # bounded driver pull (one long): when no cluster is skewed —
+    # K ~ sqrt(N) sizing makes this the overwhelmingly common case —
+    # skip the routing join and the (empty) tiled branch entirely and
+    # run the exact single-path plan
+    mx_row = sizes.agg(F.max("__csize")).collect()[0]
+    if (mx_row[0] or 0) <= split:
+        return (
+            assigned.select(
+                "cluster_id", F.col(id_col).alias("__id"), "__v"
+            )
+            .groupBy("cluster_id")
+            .applyInPandas(
+                _cluster_dup_of_fn(float(threshold), block=block),
+                "id_b long, dup_of long",
+            )
+        )
     tagged = assigned.select(
         "cluster_id", F.col(id_col).alias("__id"), "__v"
     ).join(F.broadcast(sizes), "cluster_id")

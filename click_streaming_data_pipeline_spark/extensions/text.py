@@ -534,6 +534,12 @@ def bpe_merges(docs: "DataFrame", *, n_merges: int = BPE_N_MERGES,
     )
 
 
+#: merge-list length above which bpe_encode swaps the chained fold
+#: expressions for the Arrow kernel (chained HOFs cost the analyzer
+#: and the interpreter one pass PER MERGE).
+BPE_ENCODE_EXPR_MAX = 32
+
+
 def bpe_encode(
     docs: "DataFrame",
     merges: list[tuple[str, str]],
@@ -554,8 +560,12 @@ def bpe_encode(
     (vocabulary-sized — corpus bytes don't multiply the merge work),
     then the encoded forms join back to the corpus-sized (doc, pos,
     word) spine and re-assemble in word order. One groupBy for the
-    vocab, one hash join on word, one doc_id re-aggregation; the merge
-    chain itself is pure fold expressions, no UDFs.
+    vocab, one hash join on word, one doc_id re-aggregation. Short
+    merge lists (<= ``BPE_ENCODE_EXPR_MAX``) apply as chained pure
+    fold expressions; longer — realistic — tokenizers switch to one
+    Arrow-kernel pass over the vocab table (same rewrite, parity
+    pytest-pinned), because a 1000-deep fold-expression chain is an
+    analyzer/interpreted-eval blowup, not a plan.
 
     Returns (id_col, n_tokens, tokens) with ``tokens`` the
     space-joined token sequence.
@@ -574,9 +584,27 @@ def bpe_encode(
         "symbols",
         F.concat(F.split(F.col("w"), ""), F.array(F.lit("</w>"))),
     )
-    for left, right in merges:
+    if len(merges) <= BPE_ENCODE_EXPR_MAX:
+        # expression chain: one fold per merge, all codegen-adjacent —
+        # the reference semantics and the oracle-replayable form
+        for left, right in merges:
+            vocab = vocab.select(
+                "w",
+                _merge_pair_expr(
+                    F.col("symbols"), left, right
+                ).alias("symbols"),
+            )
+    else:
+        # realistic tokenizers carry hundreds-to-32k merges: chaining
+        # that many fold expressions explodes the analyzer/eval cost
+        # (each _merge_pair_expr is an interpreted HOF pass), so apply
+        # the whole rank-ordered list in ONE Arrow kernel pass over
+        # the vocab-sized table — the identical per-rule
+        # non-overlapping left-to-right rewrite (shared with the
+        # batched trainer; parity pytest pins kernel == expression)
+        kern = _apply_merges_kernel(list(merges))
         vocab = vocab.select(
-            "w", _merge_pair_expr(F.col("symbols"), left, right).alias("symbols")
+            "w", kern(F.col("symbols")).alias("symbols")
         )
     encoded = vocab.select("w", F.col("symbols").alias("word_tokens"))
     return (

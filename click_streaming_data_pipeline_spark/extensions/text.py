@@ -445,11 +445,18 @@ def bpe_merges(docs: "DataFrame", *, n_merges: int = BPE_N_MERGES,
     occurrence of a later acceptee, so each accepted pair's count
     equals what sequential training would have measured at its turn.
     The accepted round is applied in one Arrow-kernel rewrite
-    (2 jobs/round total). The SCHEDULE can still differ from
-    sequential where a merge's output symbol immediately fuels a
-    higher-count pair (the cascade lands in a later round), so
-    batch=1 — bit-exact, oracle-replayed — stays the default and the
-    parity pytest pins agreement on a cascade-free corpus.
+    (2 jobs/round total). The SCHEDULE can differ from sequential in
+    two ways: a merge's output symbol can immediately fuel a
+    higher-count pair (the cascade lands in a later round), and a
+    conflict-EXCLUDED pair is displaced by lower-count disjoint pairs
+    within its round — so at an ``n_merges`` truncation boundary the
+    batched merge SET itself can differ from sequential's, not just
+    its order (e.g. counts (a,b)=100 > (b,c)=90 > (c,d)=80 with
+    batch=2, n_merges=2 learn {(a,b),(c,d)} where sequential learns
+    {(a,b),(b,c)}). Run to exhaustion or overshoot n_merges when
+    set-equality matters. batch=1 — bit-exact, oracle-replayed —
+    stays the default; the parity pytest pins agreement on a
+    cascade-free corpus.
 
     Returns (rank, left, right, pair_count). Exactly reproduced by the
     pure-python oracle in tests (rows-only at the driver gate:

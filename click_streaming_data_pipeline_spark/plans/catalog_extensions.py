@@ -619,7 +619,10 @@ _AUTO_EMB_N = 500
 _AUTO_TARGET_BUCKET = 16
 
 
-def _srp_auto_oracle() -> str:
+def _srp_auto_oracle(
+    n_emb: int = _AUTO_EMB_N,
+    target_bucket: int = _AUTO_TARGET_BUCKET,
+) -> str:
     """SQL twin of the AUTO-SIZED ``lsh_bucketed_pairs`` path: planes
     from ``lsh_planes_for`` (occupancy-constant carving — the scale
     fix for fixed-plane quadratic candidates) and tables from
@@ -630,14 +633,16 @@ def _srp_auto_oracle() -> str:
     test fixture. Same replay technique as ``_srp_oracle``: the
     md5-derived hyperplanes are plan-time literals, inlined as a
     VALUES CTE; buckets, candidate equi-join, and the
-    sequential-fold cosine verify are rebuilt stage-for-stage."""
+    sequential-fold cosine verify are rebuilt stage-for-stage.
+    Parameterized by corpus count so other corpora (the adversarial
+    vector suite) can generate their own exact replay."""
     from ..extensions.similarity import (
         _plane,
         lsh_planes_for,
         lsh_tables_for,
     )
 
-    n_planes = lsh_planes_for(_AUTO_EMB_N, _AUTO_TARGET_BUCKET)
+    n_planes = lsh_planes_for(n_emb, target_bucket)
     n_tables = lsh_tables_for(n_planes, threshold=0.40)
     rows = []
     for t in range(n_tables):

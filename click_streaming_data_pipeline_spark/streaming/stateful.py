@@ -175,16 +175,22 @@ def ensure_protobuf_runtime(spark=None) -> str:
     import os
     import sys
 
-    try:
-        importlib.import_module("google.protobuf.descriptor")
-        return "native"
-    except ImportError:
-        pass
     vendor = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "vendor",
         "miniproto",
     )
+    try:
+        mod = importlib.import_module("google.protobuf.descriptor")
+        origin = os.path.abspath(getattr(mod, "__file__", "") or "")
+        if not origin.startswith(os.path.abspath(vendor) + os.sep):
+            return "native"
+        # already importable but FROM the vendor tree (e.g. a test
+        # inserted it driver-side): fall through so the worker-side
+        # propagation below still happens — returning "native" here
+        # would leave Python workers unable to import it
+    except ImportError:
+        pass
     if not os.path.isdir(os.path.join(vendor, "google", "protobuf")):
         return "absent"
     if vendor not in sys.path:
@@ -199,19 +205,26 @@ def ensure_protobuf_runtime(spark=None) -> str:
         import tempfile
         import zipfile
 
-        zpath = os.path.join(
-            tempfile.gettempdir(), "csdp_miniproto_shim.zip"
+        # per-uid private dir + unconditional atomic rebuild: a fixed
+        # world-writable path could be pre-created by another local
+        # user (addPyFile would ship foreign code to every worker)
+        # and would also pin a stale shim across vendor upgrades
+        zdir = os.path.join(
+            tempfile.gettempdir(), f"csdp-miniproto-{os.getuid()}"
         )
-        if not os.path.exists(zpath):
-            tmp = zpath + ".tmp"
-            with zipfile.ZipFile(tmp, "w") as zf:
-                for root, _dirs, files in os.walk(vendor):
-                    for fn in files:
-                        if not fn.endswith(".py"):
-                            continue
-                        full = os.path.join(root, fn)
-                        zf.write(full, os.path.relpath(full, vendor))
-            os.replace(tmp, zpath)
+        os.makedirs(zdir, mode=0o700, exist_ok=True)
+        os.chmod(zdir, 0o700)
+        zpath = os.path.join(zdir, "miniproto_shim.zip")
+        fd, tmp = tempfile.mkstemp(dir=zdir, suffix=".zip")
+        os.close(fd)
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for root, _dirs, files in os.walk(vendor):
+                for fn in sorted(files):
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fn)
+                    zf.write(full, os.path.relpath(full, vendor))
+        os.replace(tmp, zpath)
         sc = spark.sparkContext
         # normal partition workers pick the zip up through the
         # python-includes path...
@@ -226,10 +239,13 @@ def ensure_protobuf_runtime(spark=None) -> str:
             sc.environment["PYTHONPATH"] = (
                 vendor + (os.pathsep + prev if prev else "")
             )
-    # a failed native import leaves partial modules cached
-    for mod in [m for m in sys.modules if m.startswith("google")]:
-        if sys.modules[mod] is None:
-            del sys.modules[mod]
+    # the vendored tree ships `google` WITHOUT an __init__.py — a
+    # PEP-420 namespace PORTION — so environments that carry other
+    # google.* namespace distributions (google-auth, google-cloud)
+    # keep working: portions merge instead of one regular package
+    # shadowing the rest, and an already-imported namespace `google`
+    # recomputes its __path__ when sys.path grows, so no module-cache
+    # surgery is needed.
     try:
         importlib.import_module("google.protobuf.descriptor")
         return "vendored"

@@ -78,6 +78,50 @@ def adversarial_emb_dir(spark, tmp_path_factory):
     return d
 
 
+def test_adversarial_vectors_auto_lsh(spark, adversarial_emb_dir):
+    """The AUTO-SIZED LSH path (count -> lsh_planes_for ->
+    lsh_tables_for -> bucketing) on the adversarial corpus, compared
+    against a replay oracle GENERATED for this corpus's count — the
+    static catalog oracle pins the 500-row gate derivation and cannot
+    cover other corpora (r6 self-review finding). Two configs: the
+    default target (degenerates to the floor config at n=20) and a
+    forced-tiny target that RAISES planes (5) and tables (14), so the
+    recall-holding path runs on zero/denormal/huge vectors too."""
+    from click_streaming_data_pipeline_spark.extensions.similarity import (
+        lsh_bucketed_pairs,
+    )
+    from click_streaming_data_pipeline_spark.plans.catalog_extensions import (
+        _AUTO_TARGET_BUCKET,
+        _srp_auto_oracle,
+    )
+    from click_streaming_data_pipeline_spark.sources import load_table
+
+    n = len(ADVERSARIAL_VECS)
+    emb = load_table(spark, adversarial_emb_dir, "embeddings")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{adversarial_emb_dir}/embeddings.parquet/*.parquet'"
+    )
+    for target in (_AUTO_TARGET_BUCKET, 1):
+        sdf = lsh_bucketed_pairs(
+            emb,
+            threshold=0.40,
+            n_planes=None,
+            n_tables=None,
+            target_bucket=target,
+        )
+        srows = [tuple(r) for r in sdf.collect()]
+        cur = con.execute(_srp_auto_oracle(n, target))
+        ocols = [d_[0] for d_ in cur.description]
+        orows = cur.fetchall()
+        assert sorted(sdf.columns) == sorted(ocols)
+        assert len(srows) == len(orows), (target, len(srows), len(orows))
+        assert value_hash(srows, sdf.columns) == value_hash(
+            orows, ocols
+        ), f"auto LSH diverges at target_bucket={target}"
+
+
 @pytest.mark.parametrize("name", VECTOR_QUERIES)
 def test_adversarial_vectors_match_oracle(spark, adversarial_emb_dir, name):
     if name not in QUERIES or not QUERIES[name].oracle:

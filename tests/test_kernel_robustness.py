@@ -406,32 +406,15 @@ def test_semdedup_mega_cluster_routes_multi_task(spark):
 
 
 def _tiled_pairs_with_pid(big, threshold, tile_rows, kernel_factory):
-    """The tiled path's cogroup stage with spark_partition_id stamped
-    on its OUTPUT rows (before any further shuffle), exposing how many
-    partitions the pair work actually executed in."""
-    base = big.withColumn(
-        "__nb",
-        F.ceil(F.col("__csize") / F.lit(float(tile_rows))).cast("int"),
-    ).withColumn(
-        "__g",
-        F.pmod(F.xxhash64(F.col("__id")), F.col("__nb")).cast("int"),
+    """The tiled path's cogroup stage — built by the PRODUCTION
+    frame builder — with spark_partition_id stamped on its OUTPUT
+    rows (before any further shuffle), exposing how many partitions
+    the pair work actually executed in."""
+    from click_streaming_data_pipeline_spark.extensions.similarity import (
+        _tile_pair_frames,
     )
-    left = base.select(
-        "cluster_id",
-        F.col("__g").alias("p"),
-        F.explode(
-            F.sequence(F.col("__g"), F.col("__nb") - F.lit(1))
-        ).alias("q"),
-        "__id",
-        "__v",
-    )
-    right = base.select(
-        F.col("cluster_id").alias("cluster_id"),
-        F.explode(F.sequence(F.lit(0), F.col("__g"))).alias("p"),
-        F.col("__g").alias("q"),
-        F.col("__id").alias("__id"),
-        F.col("__v").alias("__v"),
-    )
+
+    left, right = _tile_pair_frames(big, tile_rows)
     return (
         left.groupBy("cluster_id", "p", "q")
         .cogroup(right.groupBy("cluster_id", "p", "q"))

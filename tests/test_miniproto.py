@@ -5,11 +5,19 @@ protobuf installed. The end-to-end proof is
 test_streaming.py::test_tws_user_state_equals_batch, where the shim
 talks to the JVM state server's real protobuf across a socket."""
 
+import os
 import sys
 
 import pytest
 
-VENDOR = "click_streaming_data_pipeline_spark/vendor/miniproto"
+VENDOR = os.path.abspath(
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "click_streaming_data_pipeline_spark",
+        "vendor",
+        "miniproto",
+    )
+)
 
 
 @pytest.fixture(scope="module")
@@ -85,6 +93,34 @@ def test_oneof_set_and_clear(sm):
     rt.ParseFromString(call.SerializeToString())
     assert rt.WhichOneof("method") == "deleteIfExists"
     assert rt.deleteIfExists.stateName == "b"
+
+
+def test_oneof_read_is_side_effect_free(sm):
+    """A pure READ of an unset oneof member must not clear the set
+    sibling (real protobuf reads never mutate); a nested WRITE through
+    the read instance attaches it and clears siblings, like the real
+    attach-on-first-write runtime. Parse of an I64-typed record for a
+    varint field is skipped as unknown, not a TypeError."""
+    call = sm.StatefulProcessorCall(
+        getValueState=sm.StateCallCommand(stateName="a")
+    )
+    # reads: defensive checks and logging must be harmless
+    assert call.deleteIfExists.stateName == ""
+    assert call.getListState.schema == ""
+    assert call.WhichOneof("method") == "getValueState"
+    assert call.getValueState.stateName == "a"
+    # nested write through a freshly-read member attaches it
+    call.timerStateCall.register.expiryTimestampMs = 9
+    assert call.WhichOneof("method") == "timerStateCall"
+    rt = sm.StatefulProcessorCall()
+    rt.ParseFromString(call.SerializeToString())
+    assert rt.timerStateCall.register.expiryTimestampMs == 9
+
+    # wire-type mismatch: field 1 of StateResponse is int32 (varint);
+    # an I64 record for it must be skipped, not crash
+    r = sm.StateResponse()
+    r.ParseFromString(b"\x09" + b"\x00" * 8 + b"\x08\x07")
+    assert r.statusCode == 7
 
 
 def test_repeated_bytes_and_messages_roundtrip(sm):

@@ -229,16 +229,11 @@ def train_pq_codebooks(
     return codebooks
 
 
-def pq_encode(
-    emb: DataFrame,
-    codebooks: list[list[list[float]]],
-    *,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """(id, codes array<int>, recon_mse) in one codegen'd pass —
-    plus the dequantized-reconstruction MSE so storage loss is
-    observable next to the codes."""
+def _pq_encode_udf(codebooks: list[list[list[float]]]):
+    """Arrow kernel column for PQ encoding — struct(codes, recon_mse)
+    per vector. Split out of :func:`pq_encode` so composed lanes
+    (``ivf_pq_topk``) can stamp codes onto an already-assigned frame
+    in the SAME corpus pass instead of join-merging two scans."""
     m = len(codebooks)
     ds = len(codebooks[0][0])
     cbs = [[list(map(float, c)) for c in cb] for cb in codebooks]
@@ -291,7 +286,20 @@ def pq_encode(
 
     from pyspark.sql.pandas.functions import pandas_udf
 
-    enc = pandas_udf(_kernel, "codes array<int>, recon_mse double")
+    return pandas_udf(_kernel, "codes array<int>, recon_mse double")
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>, recon_mse) in one Arrow-kernel pass —
+    plus the dequantized-reconstruction MSE so storage loss is
+    observable next to the codes."""
+    enc = _pq_encode_udf(codebooks)
     out = emb.select(
         F.col(id_col), enc(F.col(vec_col)).alias("__e")
     )
@@ -443,17 +451,25 @@ def ivf_pq_topk(
     ds = len(codebooks[0][0])
     cb = _codebook_lit(codebooks)
 
-    coded = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col).select(
-        F.col(id_col).alias("neighbor_id"), "codes"
+    # codes and coarse assignment are both ROW-WISE transforms of the
+    # same table: stamp both in ONE corpus pass (two Arrow kernels
+    # inline) instead of join-merging two separate scans — the join
+    # form shuffles the whole coded corpus on neighbor_id, a
+    # corpus-wide shuffle that buys nothing at any scale
+    corpus = (
+        _assign(
+            emb.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("n_vec"),
+            ),
+            centroids,
+            "n_vec",
+        )
+        .withColumn(
+            "codes", _pq_encode_udf(codebooks)(F.col("n_vec"))["codes"]
+        )
+        .select("neighbor_id", "codes", "centroid_id")
     )
-    assigned = _assign(
-        emb.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
-        ),
-        centroids,
-        "n_vec",
-    ).select("neighbor_id", "centroid_id")
-    corpus = coded.join(assigned, "neighbor_id")
 
     def _dtab_m(mi: int) -> Column:
         sub_q = F.slice("qv", mi * ds + 1, ds)

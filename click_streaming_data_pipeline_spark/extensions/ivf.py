@@ -63,68 +63,87 @@ def _centroid_array_col(centroids: list[tuple[int, list[float]]]):
     )
 
 
-def _nearest_centroid_arrow(centroids):
-    """Arrow kernel for the small-K assign path: per batch, one
+def _assign_matrix(vecs, d):
+    """(n, d) float64 matrix with the assign path's NULL/ragged rule:
+    the expression path yields cosine 0.0 to every centroid for a NULL
+    or wrong-dimension vector (NULL fold -> coalesce 0.0), so the
+    smallest cid wins. A zeros row reproduces that exactly (den == 0
+    -> cos 0.0 for all centroids) — substitute instead of letting
+    vstack raise an opaque executor ValueError."""
+    import numpy as np
+
+    return np.vstack(
+        [
+            np.asarray(x, np.float64)
+            if x is not None and len(x) == d
+            else np.zeros(d)
+            for x in vecs
+        ]
+    )
+
+
+def _np_nearest_matrix(V, cents):
+    """Nearest-centroid ids for a prebuilt (n, d) float64 matrix: one
     numpy pass per (centroid, dimension) reproducing the expression
     fold bit-for-bit (same IEEE op order as ``similarity.cosine`` —
     see ``similarity._fold_cosine_rows``). Comparison semantics match
     ``array_max`` over struct(cos, neg_cid, cid): max cosine with
     Spark's NaN-greatest double ordering, ties to the smaller cid
     (centroids iterate in ascending cid; strict > keeps the first).
-    The old literal-transform expression did the same math interpreted
-    per element — ~0.2us x K x dim per row, the dominant cost of every
-    k-means iteration."""
+    Shared by the Arrow assign kernel and the driver-local trainer so
+    their parity is by construction — numpy elementwise ops are
+    batch-composition-independent, so per-batch and whole-sample calls
+    yield identical doubles."""
     import math
 
+    import numpy as np
+
     cents = sorted(
-        ((int(cid), [float(x) for x in vec]) for cid, vec in centroids)
+        ((int(cid), [float(x) for x in vec]) for cid, vec in cents)
     )  # ascending cid: strict > then keeps the smaller cid on ties
+    d = V.shape[1]
+    n = V.shape[0]
+    nv = np.zeros(n)
+    for i in range(d):
+        nv = nv + V[:, i] * V[:, i]
+    nq = np.sqrt(nv)
+    best_key = np.full(n, -np.inf)
+    best_cid = np.zeros(n, dtype=np.int32)
+    first = True
+    for cid, cvec in cents:
+        dot = np.zeros(n)
+        nc = 0.0
+        for i in range(d):
+            ci = cvec[i]
+            dot = dot + V[:, i] * ci
+            nc = nc + ci * ci
+        den = nq * math.sqrt(nc)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = dot / den
+        cos = np.where(den == 0.0, 0.0, cos)
+        key = np.where(np.isnan(cos), np.inf, cos)  # NaN sorts greatest
+        if first:
+            best_key, best_cid, first = key, np.full(n, cid, np.int32), False
+        else:
+            win = key > best_key
+            best_key = np.where(win, key, best_key)
+            best_cid = np.where(win, cid, best_cid)
+    return best_cid
+
+
+def _nearest_centroid_arrow(centroids):
+    """Arrow kernel for the small-K assign path — the distributed face
+    of :func:`_np_nearest_matrix`. The old literal-transform
+    expression did the same math interpreted per element — ~0.2us x K
+    x dim per row, the dominant cost of every k-means iteration."""
+    cents = [(int(cid), [float(x) for x in vec]) for cid, vec in centroids]
+    d = len(cents[0][1])
 
     def _kernel(v):
-        import numpy as np
         import pandas as pd
 
-        # NULL/ragged rows: the expression path yields cosine 0.0 to
-        # every centroid (NULL fold -> coalesce 0.0), so the smallest
-        # cid wins. A zeros row reproduces that exactly (den == 0 ->
-        # cos 0.0 for all centroids) — substitute instead of letting
-        # vstack raise an opaque executor ValueError.
-        d = len(cents[0][1])
-        V = np.vstack(
-            [
-                np.asarray(x, np.float64)
-                if x is not None and len(x) == d
-                else np.zeros(d)
-                for x in v
-            ]
-        )
-        n = V.shape[0]
-        nv = np.zeros(n)
-        for i in range(d):
-            nv = nv + V[:, i] * V[:, i]
-        nq = np.sqrt(nv)
-        best_key = np.full(n, -np.inf)
-        best_cid = np.zeros(n, dtype=np.int32)
-        first = True
-        for cid, cvec in cents:
-            dot = np.zeros(n)
-            nc = 0.0
-            for i in range(d):
-                ci = cvec[i]
-                dot = dot + V[:, i] * ci
-                nc = nc + ci * ci
-            den = nq * math.sqrt(nc)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                cos = dot / den
-            cos = np.where(den == 0.0, 0.0, cos)
-            key = np.where(np.isnan(cos), np.inf, cos)  # NaN sorts greatest
-            if first:
-                best_key, best_cid, first = key, np.full(n, cid, np.int32), False
-            else:
-                win = key > best_key
-                best_key = np.where(win, key, best_key)
-                best_cid = np.where(win, cid, best_cid)
-        return pd.Series(best_cid, dtype="int32")
+        V = _assign_matrix(v, d)
+        return pd.Series(_np_nearest_matrix(V, cents), dtype="int32")
 
     from pyspark.sql.pandas.functions import pandas_udf
 
@@ -170,6 +189,177 @@ def _assign(emb: DataFrame, centroids, vec_col: str) -> DataFrame:
     return keyed.join(best, "__rk").drop("__rk")
 
 
+# ---------------------------------------------------------------------------
+# Driver-local training: the sample is CAP-bounded by construction, so
+# the k-means iterations can run on the driver — one collect, zero
+# per-iteration Spark jobs — as long as every step replays the Spark
+# loop bit-for-bit. Above this (sample x K) budget the Arrow-kernel
+# assign's 32-way parallelism beats a single driver core and the
+# Spark-loop path is kept (SemDeDup's K_CAP=4096 case).
+LOCAL_TRAIN_CELLS_MAX = 32_000_000
+
+
+def _dec_units(x) -> int | None:
+    """``x`` after Spark's double->decimal(38,18) cast, as an integer
+    count of 1e-18 units — or None where the cast yields NULL (NULL /
+    NaN / Inf input, even under ANSI — verified empirically). Spark
+    casts via the SHORTEST decimal repr (``BigDecimal.valueOf`` =
+    Double.toString) then setScale(18, HALF_UP); Python's
+    ``repr(float)`` is the same shortest round-trip repr, so
+    ``Decimal(repr(x))`` is the exact twin (verified empirically:
+    0.1 -> 0.100000000000000000, not the binary expansion ...055511;
+    2**-30 -> 9.31322575E-10). A finite value beyond decimal(38,18)'s
+    range raises, as ANSI mode does in the distributed loop."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+    if x is None:
+        return None
+    xf = float(x)
+    if not math.isfinite(xf):
+        return None
+    with localcontext() as ctx:
+        ctx.prec = 60
+        u = int(
+            Decimal(repr(xf)).scaleb(18).to_integral_value(
+                rounding=ROUND_HALF_UP
+            )
+        )
+    # decimal(38,18) holds |values| < 1e20 -> < 1e38 units
+    if abs(u) >= 10**38:
+        raise ArithmeticError(
+            f"{xf!r} cannot be represented as Decimal(38, 18) — the "
+            "distributed trainer raises NUMERIC_VALUE_OUT_OF_RANGE "
+            "here under ANSI mode; scale the embeddings down"
+        )
+    return u
+
+
+def _units_matrix(vecs, dim):
+    """Per-row, per-position 1e-18 units for the SUM leg, replaying
+    ``F.sum(v[i].cast(decimal(38,18)))``'s input semantics under ANSI:
+    ``v[i]`` uses the actual element whenever ``i < len(v)`` (extra
+    elements beyond ``dim`` are ignored), yields NULL for a NULL
+    vector or a non-finite element, and RAISES for a vector shorter
+    than ``dim`` (ANSI INVALID_ARRAY_INDEX — the distributed loop's
+    re-center job dies the same way; the assign leg's
+    zeros-substitution never reaches the aggregation). Returns
+    ``(U, NN, big)``: with ``big=False``, U is an int64 (n, dim)
+    matrix (NULL as 0) and NN the non-null mask, safe for the
+    two-limb exact summation; with ``big=True`` (any |units| >= 2**62
+    — values beyond ~4.6e3), U is a row-list of python-int-or-None
+    for the exact-but-slower path."""
+    import numpy as np
+
+    rows = []
+    big = False
+    for v in vecs:
+        r = []
+        for i in range(dim):
+            if v is None:
+                u = None
+            elif i >= len(v):
+                raise IndexError(
+                    f"[INVALID_ARRAY_INDEX] index {i} out of bounds for a "
+                    f"{len(v)}-element vector — the distributed trainer's "
+                    "ANSI re-center raises the same way; filter ragged "
+                    "embeddings before training"
+                )
+            else:
+                u = _dec_units(v[i])
+            if u is not None and abs(u) >= 2**62:
+                big = True
+            r.append(u)
+        rows.append(r)
+    if big:
+        return rows, None, True
+    U = np.zeros((len(rows), dim), dtype=np.int64)
+    NN = np.zeros((len(rows), dim), dtype=bool)
+    for j, r in enumerate(rows):
+        for i, u in enumerate(r):
+            if u is not None:
+                U[j, i] = u
+                NN[j, i] = True
+    return U, NN, False
+
+
+def _exact_group_means(units, nn_mask, big, gids, counts, dim):
+    """dict group_id -> mean vector, replaying the Spark loop's
+    ``cast(sum(decimal), double) / count`` exactly: the decimal sum is
+    an exact integer (two-limb int64 accumulation, or python ints on
+    the ``big`` path), decimal->double is the correctly-rounded
+    ``total / 10**18`` (python int/int true division), and ONE IEEE
+    division by the group count follows — the same op order as
+    ``train_kmeans``'s driver-side ``s_i / n``. Groups with count 0
+    are absent (the caller keeps the previous centroid); an all-NULL
+    (group, position) raises TypeError exactly like the Spark path's
+    ``None / n``."""
+    import numpy as np
+
+    kg = len(counts)
+    if big:
+        sums = [[0] * dim for _ in range(kg)]
+        nn = [[0] * dim for _ in range(kg)]
+        for j, r in enumerate(units):
+            g = int(gids[j])
+            sr, nr = sums[g], nn[g]
+            for i, u in enumerate(r):
+                if u is not None:
+                    sr[i] += u
+                    nr[i] += 1
+        totals = sums
+        nonnull = nn
+    else:
+        hi = units >> np.int64(32)
+        lo = units & np.int64(0xFFFFFFFF)
+        sh = np.zeros((kg, dim), np.int64)
+        sl = np.zeros((kg, dim), np.int64)
+        nncnt = np.zeros((kg, dim), np.int64)
+        np.add.at(sh, gids, hi)
+        np.add.at(sl, gids, lo)
+        np.add.at(nncnt, gids, nn_mask.astype(np.int64))
+        totals = [
+            [(int(sh[g, i]) << 32) + int(sl[g, i]) for i in range(dim)]
+            for g in range(kg)
+        ]
+        nonnull = nncnt
+    out = {}
+    for g in range(kg):
+        cnt = int(counts[g])
+        if cnt == 0:
+            continue
+        vals = []
+        for i in range(dim):
+            s_val = totals[g][i] / 10**18 if nonnull[g][i] else None
+            vals.append(s_val / cnt)
+        out[g] = vals
+    return out
+
+
+def _local_kmeans(rows, k: int, n_iter: int):
+    """Driver-local replay of ``train_kmeans``'s Spark loop on the
+    collected (id, vec) sample: init = the k smallest ids, assign =
+    the shared :func:`_np_nearest_matrix` kernel math, re-center =
+    :func:`_exact_group_means`. Bit-for-bit identical output
+    (parity-pinned in tests/test_extensions.py) with one collect
+    instead of 2 + 2*n_iter corpus-scanning jobs."""
+    import numpy as np
+
+    ordered = sorted(rows, key=lambda r: r[0])
+    centroids = [(i, list(r[1])) for i, r in enumerate(ordered[:k])]
+    dim = len(centroids[0][1])
+    vecs = [r[1] for r in rows]
+    V = _assign_matrix(vecs, dim)
+    U, NN, big = _units_matrix(vecs, dim)
+    for _ in range(n_iter):
+        cids = _np_nearest_matrix(V, centroids)
+        counts = np.bincount(cids, minlength=len(centroids))
+        new = _exact_group_means(U, NN, big, cids, counts, dim)
+        # empty clusters keep their previous centroid (deterministic)
+        centroids = [(cid, new.get(cid, vec)) for cid, vec in centroids]
+    return centroids
+
+
 def auto_k(n: int, cap: int = K_MAX) -> int:
     """K sized to the corpus: the sqrt(N) rule of thumb, clamped to
     [4, cap]. The default cap keeps the IVF probe-side centroid
@@ -188,6 +378,7 @@ def train_kmeans(
     k_cap: int = K_MAX,
     n_iter: int = N_ITER,
     sample_mod: int | None = None,
+    driver_local: bool | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic k-means (cosine/spherical): init = the k smallest
     ids; each round assigns and re-centers via element-wise mean
@@ -196,7 +387,16 @@ def train_kmeans(
     ``k=None`` sizes K to the corpus (sqrt(N), clamped to ``k_cap``);
     ``sample_mod=None`` picks the smallest deterministic sample
     (``id % mod == 0``) that fits TRAIN_SAMPLE_CAP, so training cost
-    is bounded regardless of corpus size. Both remain overridable."""
+    is bounded regardless of corpus size. Both remain overridable.
+
+    ``driver_local=None`` auto-picks the execution shape: since the
+    sample is CAP-bounded, small (sample x K) budgets collect it ONCE
+    and iterate on the driver (:func:`_local_kmeans` — bit-identical
+    by shared kernel math + exact decimal re-centering, zero
+    per-iteration jobs); large budgets (SemDeDup's K_CAP=4096) keep
+    the distributed loop, whose sample is localCheckpoint'ed so the
+    iterations never re-scan the corpus. Either way the FULL corpus
+    is read exactly once per training run at any scale."""
     e = emb.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("v")
     )
@@ -205,8 +405,18 @@ def train_kmeans(
         k = auto_k(n, k_cap)
     if sample_mod is None:
         sample_mod = max(1, -(-n // TRAIN_SAMPLE_CAP))  # ceil division
+    if driver_local is None:
+        est = n if sample_mod <= 1 else n // sample_mod + 1
+        driver_local = est * k <= LOCAL_TRAIN_CELLS_MAX
     if sample_mod > 1:
         e = e.filter(F.col(id_col) % sample_mod == 0)
+    if driver_local:
+        return _local_kmeans(
+            [(r[id_col], r["v"]) for r in e.collect()], k=k, n_iter=n_iter
+        )
+    # distributed loop: pin the (bounded) sample so each iteration
+    # reads it back instead of re-scanning the full corpus
+    e = e.localCheckpoint(eager=True)
     init = (
         e.orderBy(F.col(id_col).asc()).limit(k).collect()
     )
@@ -306,6 +516,13 @@ def ivf_topk(
     scored = cand.withColumn(
         "cos", cosine_arrow(F.col("q_vec"), F.col("n_vec"))
     ).select("query_id", "neighbor_id", "cos")
+    # map-side top-k combine: a probed partition set can still be
+    # ~nprobe/K of the corpus per query — don't reduce it on one task
+    from ..operators.topk import partial_topk_per_key
+
+    scored = partial_topk_per_key(
+        scored, order_col="cos", descending=True, k=k
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
@@ -419,6 +636,11 @@ def ivf_index_topk(
     scored = cand.withColumn(
         "cos", cosine_arrow(F.col("q_vec"), F.col("n_vec"))
     ).select("query_id", "neighbor_id", "cos")
+    from ..operators.topk import partial_topk_per_key
+
+    scored = partial_topk_per_key(
+        scored, order_col="cos", descending=True, k=k
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )

@@ -146,6 +146,62 @@ def _assign_code_arrow(codebooks: list[list[list[float]]]):
     return pandas_udf(_kernel, "int")
 
 
+def _local_pq_codebooks(rows, dim: int, m: int, k: int, n_iter: int):
+    """Driver-local replay of ``train_pq_codebooks``'s Spark loop on
+    the collected (id, unit-normalized vec) sample: init = the k
+    smallest ids' subvectors, assign = the shared
+    :func:`_np_argmin_code` kernel math per subspace, re-center =
+    ``ivf._exact_group_means``. Bit-for-bit identical output
+    (parity-pinned in tests/test_extensions.py) with one collect
+    instead of the checkpoint + 2*n_iter jobs."""
+    import numpy as np
+
+    from .ivf import _exact_group_means, _units_matrix
+
+    ds = dim // m
+    for r in rows:
+        v = r[1]
+        if v is None or len(v) < dim:
+            # the Arrow trainer kernel raises on any ragged subvector;
+            # a vector shorter than dim always produces one
+            raise ValueError(
+                "pq trainer: null or ragged subvector "
+                f"(expected dim {ds}, vector is "
+                f"{'NULL' if v is None else f'{len(v)}-dim, need {dim}'}) — "
+                "filter null/short embeddings before training"
+            )
+    ordered = sorted(rows, key=lambda r: r[0])[:k]
+    codebooks = [
+        [
+            [float(x) for x in r[1][mi * ds: (mi + 1) * ds]]
+            for r in ordered
+        ]
+        for mi in range(m)
+    ]
+    V = np.vstack([np.asarray(r[1][:dim], np.float64) for r in rows])
+    subs = [V[:, mi * ds: (mi + 1) * ds] for mi in range(m)]
+    units = [
+        _units_matrix([list(s) for s in subs[mi]], ds) for mi in range(m)
+    ]
+    for _ in range(n_iter):
+        new = {}
+        for mi in range(m):
+            codes, _ = _np_argmin_code(subs[mi], codebooks[mi])
+            counts = np.bincount(codes, minlength=k)
+            U, NN, big = units[mi]
+            means = _exact_group_means(U, NN, big, codes, counts, ds)
+            for ci, vals in means.items():
+                new[(mi, ci)] = vals
+        codebooks = [
+            [
+                new.get((mi, ci), codebooks[mi][ci])  # empty: keep old
+                for ci in range(k)
+            ]
+            for mi in range(m)
+        ]
+    return codebooks
+
+
 def train_pq_codebooks(
     emb: DataFrame,
     *,
@@ -156,6 +212,7 @@ def train_pq_codebooks(
     k: int = K_CODES,
     n_iter: int = N_ITER,
     sample_mod: int | None = None,
+    driver_local: bool | None = None,
 ) -> list[list[list[float]]]:
     """Per-subspace L2 k-means codebooks, [m][k][dim/m].
 
@@ -164,7 +221,16 @@ def train_pq_codebooks(
     groupBy (m, code) job, not M of them. The frame is bounded by the
     deterministic training sample (id % mod == 0, cap like IVF's) and
     checkpointed so iterations never replay the corpus scan.
+
+    ``driver_local=None`` auto-picks like ``ivf.train_kmeans``: the
+    CAP-bounded sample collects once and the loop runs on the driver
+    (:func:`_local_pq_codebooks`, bit-identical) unless the
+    (sample x codes x subspaces) budget argues for the distributed
+    loop. PQ's budget (sample x 16 x 16) stays under the cell cap even
+    at the full TRAIN_SAMPLE_CAP, so the local path is the norm.
     """
+    from .ivf import LOCAL_TRAIN_CELLS_MAX
+
     ds = dim // m
     e = emb.select(
         F.col(id_col).alias("id"), _unit(_as_double(F.col(vec_col))).alias("v")
@@ -172,8 +238,16 @@ def train_pq_codebooks(
     n = e.count()
     if sample_mod is None:
         sample_mod = max(1, -(-n // TRAIN_SAMPLE_CAP))
+    if driver_local is None:
+        est = n if sample_mod <= 1 else n // sample_mod + 1
+        driver_local = est * k * m <= LOCAL_TRAIN_CELLS_MAX
     if sample_mod > 1:
         e = e.filter(F.col("id") % sample_mod == 0)
+    if driver_local:
+        return _local_pq_codebooks(
+            [(r["id"], r["v"]) for r in e.collect()],
+            dim=dim, m=m, k=k, n_iter=n_iter,
+        )
     sub = e.select(
         "id",
         F.posexplode(
@@ -371,6 +445,17 @@ def pq_topk(
     scored = cand.select(
         "query_id", "neighbor_id", dist.alias("adc_dist")
     )
+    # map-side top-k combine: every coded vector is an ADC candidate
+    # here — the shortlist cutoff must not funnel the whole corpus
+    # through one reducer per query
+    from ..operators.topk import partial_topk_per_key
+
+    scored = partial_topk_per_key(
+        scored,
+        order_col="adc_dist",
+        descending=False,
+        k=(rerank * k if rerank else k),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )
@@ -382,7 +467,10 @@ def pq_topk(
 
     # production shape: ADC prunes to a shortlist (rerank*k), then the
     # shortlist re-ranks with exact full-precision cosine — only
-    # shortlist-many float vectors are ever fetched per query
+    # shortlist-many float vectors are ever fetched per query. The
+    # shortlist is queries x rerank x k rows at ANY corpus size:
+    # broadcast it so the float fetch is a corpus-scan probe, not a
+    # corpus-wide shuffle
     shortlist = ranked.filter(F.col("rank") <= rerank * k).select(
         "query_id", "neighbor_id", "adc_dist"
     )
@@ -393,7 +481,7 @@ def pq_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
     exact = (
-        shortlist.join(nvec, "neighbor_id")
+        F.broadcast(shortlist).join(nvec, "neighbor_id")
         .join(F.broadcast(qvec), "query_id")
         .withColumn("cos", cosine_arrow(F.col("q_vec"), F.col("n_vec")))
     )
@@ -523,6 +611,13 @@ def ivf_pq_topk(
         lambda acc, x: acc + x,
     )
     scored = cand.select("query_id", "neighbor_id", dist.alias("adc_dist"))
+    # map-side top-k combine + broadcast shortlist: same scale
+    # rationale as pq_topk above
+    from ..operators.topk import partial_topk_per_key
+
+    scored = partial_topk_per_key(
+        scored, order_col="adc_dist", descending=False, k=rerank * k
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )
@@ -539,7 +634,7 @@ def ivf_pq_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
     exact = (
-        shortlist.join(nvec, "neighbor_id")
+        F.broadcast(shortlist).join(nvec, "neighbor_id")
         .join(F.broadcast(qvec), "query_id")
         .withColumn("cos", cosine_arrow(F.col("q_vec"), F.col("n_vec")))
     )

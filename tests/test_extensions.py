@@ -1291,3 +1291,149 @@ def test_assign_join_path_matches_literal(spark):
     finally:
         ivf.ASSIGN_LITERAL_MAX = prev
     assert literal == joined
+
+
+def test_local_kmeans_matches_spark_loop_bit_for_bit(spark):
+    """The driver-local trainer (one collect, zero per-iteration jobs)
+    must replay the distributed loop EXACTLY: shared assign-kernel
+    math plus a shortest-repr HALF_UP decimal re-centering. Any
+    float inequality here breaks the DuckDB oracle replay of every
+    trained-index lane."""
+    from click_streaming_data_pipeline_spark.extensions.ivf import (
+        train_kmeans,
+    )
+
+    emb = load_table(spark, SF_TEST, "embeddings")
+    assert train_kmeans(emb, k=8, driver_local=True) == train_kmeans(
+        emb, k=8, driver_local=False
+    )
+    # sampled training takes the same fork
+    assert train_kmeans(
+        emb, k=6, sample_mod=4, driver_local=True
+    ) == train_kmeans(emb, k=6, sample_mod=4, driver_local=False)
+
+
+def test_local_kmeans_parity_on_degenerate_vectors(spark):
+    """NULL vectors and NaN elements: both trainer paths must agree on
+    the zeros-substitution assign rule AND on NULL-skipping decimal
+    sums (NULL/NaN cast to decimal NULL even under ANSI). A ragged
+    (short) vector kills the distributed loop's ANSI re-center with
+    INVALID_ARRAY_INDEX — the local path raises the same way."""
+    import pytest as _pytest
+
+    from click_streaming_data_pipeline_spark.extensions.ivf import (
+        train_kmeans,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j) % 5) / 3.0 + 0.1 for j in range(4)])
+        for i in range(18)
+    ]
+    rows += [
+        (18, None),                               # NULL vector
+        (19, [0.1, float("nan"), 0.3, 0.4]),      # NaN element
+        # 5-dim vs centroid dim 4: zeros-substituted in assign; the
+        # sum leg reads only positions 0..3, so no ANSI index error
+        (20, [0.2, 0.3, 0.4, 0.5, 9.9]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert train_kmeans(emb, k=5, driver_local=True) == train_kmeans(
+        emb, k=5, driver_local=False
+    )
+
+    ragged = spark.createDataFrame(
+        rows[:18] + [(18, [0.5, 0.25])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(Exception, match="INVALID_ARRAY_INDEX"):
+        train_kmeans(ragged, k=5, driver_local=True)
+    with _pytest.raises(Exception, match="INVALID_ARRAY_INDEX"):
+        train_kmeans(ragged, k=5, driver_local=False)
+
+
+def test_local_pq_codebooks_match_spark_loop_bit_for_bit(spark):
+    from click_streaming_data_pipeline_spark.extensions.pq import (
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, SF_TEST, "embeddings")
+    assert train_pq_codebooks(emb, driver_local=True) == train_pq_codebooks(
+        emb, driver_local=False
+    )
+
+
+def test_dec_units_matches_spark_cast(spark):
+    """_dec_units is the driver-side twin of cast(double as
+    decimal(38,18)): spot-check against the JVM on adversarial values
+    (shortest-repr vs binary-expansion divergers, HALF_UP boundaries,
+    subnormal-ish exponents)."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from click_streaming_data_pipeline_spark.extensions.ivf import (
+        _dec_units,
+    )
+
+    vals = [
+        0.1, 0.3, 1.0 / 3.0, 2.0**-30, 123.456, 1e-19, 7e-18, 5e-30,
+        -0.1, -2.0**-30, 0.0, -0.0, 1.5e-18, 2.5e-18, -2.5e-18,
+        9.9999999999999e19 / 1e19, 12345.678901234567, 1e17,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = df.select(
+        F.col("x").cast("decimal(38,18)").alias("d")
+    ).collect()
+    for v, r in zip(vals, got):
+        jvm = None if r["d"] is None else int(
+            Decimal(str(r["d"])).scaleb(18)
+        )
+        assert _dec_units(v) == jvm, f"divergence at {v!r}"
+
+
+def test_partial_topk_combiner_exactness(spark):
+    """The map-side top-k combiner must be invisible: window-ranked
+    output over the combined frame == over the raw frame, including
+    NaN (Spark-greatest), -0.0 == 0.0, and tie-break rows straddling
+    partition boundaries."""
+    from pyspark.sql.window import Window
+
+    from click_streaming_data_pipeline_spark.operators.topk import (
+        partial_topk_per_key,
+    )
+
+    rows = []
+    for q in (1, 2):
+        for i in range(200):
+            rows.append((q, i, float((i * 37) % 19) / 7.0))
+        rows += [
+            (q, 900, float("nan")),      # NaN: greatest, first under DESC
+            (q, 901, -0.0),              # -0.0 ties 0.0; id breaks it
+            (q, 902, 0.0),
+            (q, 903, 2.7142857142857144),  # exact duplicates of a top
+            (q, 904, 2.7142857142857144),  # value: tie rows
+        ]
+    df = spark.createDataFrame(
+        rows, "query_id int, neighbor_id int, cos double"
+    ).repartition(16)  # ties and NaN scattered across partitions
+
+    def ranked(frame, desc):
+        order = (
+            [F.col("cos").desc(), F.col("neighbor_id").asc()]
+            if desc
+            else [F.col("cos").asc(), F.col("neighbor_id").asc()]
+        )
+        w = Window.partitionBy("query_id").orderBy(*order)
+        return sorted(
+            # repr-compare: tuple equality would fail on nan != nan
+            repr(tuple(r))
+            for r in frame.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 12)
+            .collect()
+        )
+
+    for desc in (True, False):
+        combined = partial_topk_per_key(
+            df, order_col="cos", descending=desc, k=12, compact_at=64
+        )
+        assert ranked(combined, desc) == ranked(df, desc)

@@ -131,6 +131,82 @@ def _np_nearest_matrix(V, cents):
     return best_cid
 
 
+def _np_centroid_cosines(V, cents):
+    """(n, K) cosine matrix for a prebuilt (n, d) float64 matrix
+    against ``cents`` IN THE GIVEN ORDER — the same IEEE fold per
+    (centroid, dimension) as :func:`_np_nearest_matrix` (which streams
+    over centroids to stay O(n) memory at SemDeDup's K=4096; this
+    materializes the matrix for the probe-ranking path, where K is
+    the probe codebook, <= K_MAX)."""
+    import math
+
+    import numpy as np
+
+    n, d = V.shape
+    nv = np.zeros(n)
+    for i in range(d):
+        nv = nv + V[:, i] * V[:, i]
+    nq = np.sqrt(nv)
+    out = np.empty((n, len(cents)))
+    for j, (_cid, cvec) in enumerate(cents):
+        dot = np.zeros(n)
+        nc = 0.0
+        for i in range(d):
+            ci = cvec[i]
+            dot = dot + V[:, i] * ci
+            nc = nc + ci * ci
+        den = nq * math.sqrt(nc)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = dot / den
+        out[:, j] = np.where(den == 0.0, 0.0, cos)
+    return out
+
+
+def _np_probe_matrix(V, cents, nprobe):
+    """Per row, the ``nprobe`` nearest centroid ids under the query
+    side's ``reverse(array_sort(struct(cos, neg_cid, cid)))``
+    semantics: cosine DESC with NaN greatest-first, ties by cid ASC.
+    ``V`` rows must already carry the expression's NULL/ragged
+    outcome (zeros row -> cosine 0.0 everywhere — see
+    :func:`_assign_matrix`; a NULL or dimension-mismatched q_vec
+    coalesces to 0.0 against every centroid in the expression form,
+    which a zeros row reproduces exactly)."""
+    import numpy as np
+
+    C = _np_centroid_cosines(V, cents)
+    cids = np.asarray([c for c, _ in cents], dtype=np.int64)
+    out = []
+    for r in range(V.shape[0]):
+        cos = C[r]
+        nan = np.isnan(cos)
+        order = np.lexsort((cids, -np.where(nan, 0.0, cos), ~nan))
+        out.append([int(cids[j]) for j in order[:nprobe]])
+    return out
+
+
+def _probe_cids_arrow(centroids, nprobe: int):
+    """Arrow kernel replacing the query-side centroid-array LITERAL
+    ranking (``_centroid_array_col`` + transform/array_sort/slice):
+    the K x dim literal is thousands of py4j ``F.lit`` calls and a
+    Catalyst tree that dominates plan BUILD time (measured ~6 s of an
+    sf0.1 IVF-PQ lane); here the centroid matrix rides in the UDF
+    closure and the ranking replays the exact expression semantics
+    (:func:`_np_probe_matrix`). Bit-parity is pinned by the lanes'
+    DuckDB value-hash oracles, which replay the literal form in SQL."""
+    cents = [(int(cid), [float(x) for x in vec]) for cid, vec in centroids]
+    d = len(cents[0][1])
+
+    def _kernel(v):
+        import pandas as pd
+
+        V = _assign_matrix(v, d)
+        return pd.Series(_np_probe_matrix(V, cents, nprobe))
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    return pandas_udf(_kernel, "array<int>")
+
+
 def _nearest_centroid_arrow(centroids):
     """Arrow kernel for the small-K assign path — the distributed face
     of :func:`_np_nearest_matrix`. The old literal-transform
@@ -211,20 +287,34 @@ def _dec_units(x) -> int | None:
     2**-30 -> 9.31322575E-10). A finite value beyond decimal(38,18)'s
     range raises, as ANSI mode does in the distributed loop."""
     import math
-    from decimal import ROUND_HALF_UP, Decimal, localcontext
 
     if x is None:
         return None
     xf = float(x)
     if not math.isfinite(xf):
         return None
-    with localcontext() as ctx:
-        ctx.prec = 60
-        u = int(
-            Decimal(repr(xf)).scaleb(18).to_integral_value(
-                rounding=ROUND_HALF_UP
-            )
-        )
+    # integer-exact parse of the shortest repr (pure int math is ~4x
+    # faster than a Decimal quantize and this runs len(sample) x dim
+    # times): digits/exponent split, then HALF_UP (away from zero) at
+    # the 1e-18 unit. Pinned against the JVM cast AND a Decimal
+    # reference in tests/test_extensions.py::test_dec_units*.
+    s = repr(xf)
+    mant, _, ex = s.lower().partition("e")
+    exp = int(ex) if ex else 0
+    neg = mant.startswith("-")
+    if neg:
+        mant = mant[1:]
+    ip, _, fp = mant.partition(".")
+    digits = int(ip + fp)
+    p = exp - len(fp) + 18
+    if p >= 0:
+        u = digits * 10**p
+    else:
+        d = 10**-p
+        q, r = divmod(digits, d)
+        u = q + (1 if 2 * r >= d else 0)
+    if neg:
+        u = -u
     # decimal(38,18) holds |values| < 1e20 -> < 1e38 units
     if abs(u) >= 10**38:
         raise ArithmeticError(
@@ -400,7 +490,18 @@ def train_kmeans(
     e = emb.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("v")
     )
-    n = e.count()
+    rows = None
+    n = None
+    if sample_mod is None and driver_local is not False:
+        # one pass for cap-sized corpora: if everything fits the
+        # training cap this limited collect IS the training set and
+        # the separate count job is unnecessary (limit stops the scan
+        # early on larger corpora, so probing stays cheap at any size)
+        probe = e.limit(TRAIN_SAMPLE_CAP + 1).collect()
+        if len(probe) <= TRAIN_SAMPLE_CAP:
+            rows, n, sample_mod = probe, len(probe), 1
+    if n is None:
+        n = e.count()
     if k is None:
         k = auto_k(n, k_cap)
     if sample_mod is None:
@@ -410,9 +511,12 @@ def train_kmeans(
         driver_local = est * k <= LOCAL_TRAIN_CELLS_MAX
     if sample_mod > 1:
         e = e.filter(F.col(id_col) % sample_mod == 0)
+        rows = None
     if driver_local:
+        if rows is None:
+            rows = e.collect()
         return _local_kmeans(
-            [(r[id_col], r["v"]) for r in e.collect()], k=k, n_iter=n_iter
+            [(r[id_col], r["v"]) for r in rows], k=k, n_iter=n_iter
         )
     # distributed loop: pin the (bounded) sample so each iteration
     # reads it back instead of re-scanning the full corpus
@@ -481,32 +585,14 @@ def ivf_topk(
         centroids,
         "n_vec",
     )
-    carr = _centroid_array_col(centroids)
     queries = (
         emb.filter(F.col(id_col).isin(query_ids))
         .select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
         )
         .withColumn(
-            "__ranked",
-            F.reverse(
-                F.array_sort(
-                    F.transform(
-                        carr,
-                        lambda c: F.struct(
-                            cosine(F.col("q_vec"), c["cvec"]).alias("cos"),
-                            (-c["cid"]).alias("neg_cid"),
-                            c["cid"].alias("cid"),
-                        ),
-                    )
-                )
-            ),
-        )
-        .withColumn(
             "probe_cids",
-            F.transform(
-                F.slice(F.col("__ranked"), 1, nprobe), lambda s: s["cid"]
-            ),
+            _probe_cids_arrow(centroids, nprobe)(F.col("q_vec")),
         )
         .select("query_id", "q_vec", F.explode("probe_cids").alias("centroid_id"))
     )
@@ -602,28 +688,10 @@ def ivf_index_topk(
     centroids = load_ivf_centroids(spark, index_dir)
     if nprobe is None:
         nprobe = max(1, len(centroids) // 4)
-    carr = _centroid_array_col(centroids)
     probed = (
         queries.withColumn(
-            "__ranked",
-            F.reverse(
-                F.array_sort(
-                    F.transform(
-                        carr,
-                        lambda c: F.struct(
-                            cosine(F.col("q_vec"), c["cvec"]).alias("cos"),
-                            (-c["cid"]).alias("neg_cid"),
-                            c["cid"].alias("cid"),
-                        ),
-                    )
-                )
-            ),
-        )
-        .withColumn(
             "probe_cids",
-            F.transform(
-                F.slice(F.col("__ranked"), 1, nprobe), lambda s: s["cid"]
-            ),
+            _probe_cids_arrow(centroids, nprobe)(F.col("q_vec")),
         )
         .select(
             "query_id", "q_vec", F.explode("probe_cids").alias("centroid_id")

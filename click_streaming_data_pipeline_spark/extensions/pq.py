@@ -85,6 +85,23 @@ def _assign_code(s: Column, cb_m: Column) -> Column:
     return F.array_min(scored)["code"]
 
 
+def _np_unit(V):
+    """Unit-normalize the rows of a (n, d) float64 matrix with the
+    exact ``_unit`` expression fold: sequential per-dimension norm
+    accumulation, sqrt, one division per element, zero-norm rows pass
+    through (NaN rows propagate NaN, like the expression)."""
+    import numpy as np
+
+    n, d = V.shape
+    nv = np.zeros(n)
+    for j in range(d):
+        nv = nv + V[:, j] * V[:, j]
+    nrm = np.sqrt(nv)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        U = V / nrm[:, None]
+    return np.where((nrm == 0.0)[:, None], V, U)
+
+
 def _np_argmin_code(S, codebook):
     """Vectorized argmin over one codebook for a (n, ds) subvector
     matrix — the numpy twin of ``_assign_code``: per code, the same
@@ -235,7 +252,15 @@ def train_pq_codebooks(
     e = emb.select(
         F.col(id_col).alias("id"), _unit(_as_double(F.col(vec_col))).alias("v")
     )
-    n = e.count()
+    rows = None
+    n = None
+    if sample_mod is None and driver_local is not False:
+        # one pass for cap-sized corpora (see ivf.train_kmeans)
+        probe = e.limit(TRAIN_SAMPLE_CAP + 1).collect()
+        if len(probe) <= TRAIN_SAMPLE_CAP:
+            rows, n, sample_mod = probe, len(probe), 1
+    if n is None:
+        n = e.count()
     if sample_mod is None:
         sample_mod = max(1, -(-n // TRAIN_SAMPLE_CAP))
     if driver_local is None:
@@ -243,9 +268,12 @@ def train_pq_codebooks(
         driver_local = est * k * m <= LOCAL_TRAIN_CELLS_MAX
     if sample_mod > 1:
         e = e.filter(F.col("id") % sample_mod == 0)
+        rows = None
     if driver_local:
+        if rows is None:
+            rows = e.collect()
         return _local_pq_codebooks(
-            [(r["id"], r["v"]) for r in e.collect()],
+            [(r["id"], r["v"]) for r in rows],
             dim=dim, m=m, k=k, n_iter=n_iter,
         )
     sub = e.select(
@@ -327,14 +355,7 @@ def _pq_encode_udf(codebooks: list[list[list[float]]]):
                 )
         V = np.vstack([np.asarray(x, np.float64) for x in v])
         n, d = V.shape
-        # _unit twin: sequential-fold norm, zero vectors pass through
-        nv = np.zeros(n)
-        for j in range(d):
-            nv = nv + V[:, j] * V[:, j]
-        nrm = np.sqrt(nv)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            U = V / nrm[:, None]
-        U = np.where((nrm == 0.0)[:, None], V, U)
+        U = _np_unit(V)  # sequential-fold norm, zero rows pass through
         codes = np.zeros((n, m), dtype=np.int32)
         # recon fold: subspace distances accumulate in m order, same
         # as the expression's aggregate over the per-subspace array
@@ -361,6 +382,107 @@ def _pq_encode_udf(codebooks: list[list[list[float]]]):
     from pyspark.sql.pandas.functions import pandas_udf
 
     return pandas_udf(_kernel, "codes array<int>, recon_mse double")
+
+
+def _pq_prep_queries(
+    qdf: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: list[tuple[int, list[float]]] | None = None,
+    nprobe: int | None = None,
+    *,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Arrow prep replacing the query side's codebook LITERAL dtab
+    (``_codebook_lit`` + m x k ``_l2sq`` folds) and — with
+    ``centroids`` — the centroid-literal probe ranking: those literals
+    are thousands of py4j ``F.lit`` calls whose tree construction
+    dominated the IVF-PQ lane's wall (measured ~6 s at sf0.1).
+    Returns (query_id, dtab array<array<double>>[, probe array<int>])
+    per raw embedding, replaying the expression semantics exactly:
+
+    - qv = unit-normalize over the vector's OWN length
+      (:func:`_np_unit`, the ``_unit`` fold twin);
+    - dtab[mi][code] = the sequential ``_l2sq`` fold when subspace mi
+      is complete ((mi+1)*ds <= len), else NULL (``F.slice`` of a
+      short vector null-pads ``zip_with``, and any null term nulls the
+      fold); a NULL vector yields all-NULL entries the same way;
+    - probe = ``reverse(array_sort(struct(cos, neg_cid, cid)))`` ids
+      over qv (``ivf._np_probe_matrix``): NULL or dimension-mismatched
+      qv coalesces to cosine 0.0 against every centroid, which the
+      zeros row reproduces bit-for-bit; NaN propagates (greatest).
+
+    Implemented over ``mapInArrow`` with explicitly-typed arrays: the
+    pandas serializer's from_pandas conversion folds NaN into NULL in
+    nested lists, which would corrupt a NaN-element query's dtab.
+    Bit-parity with the literal form is pinned by a degenerate-input
+    pytest and the lanes' DuckDB value-hash oracles (literal SQL)."""
+    from .ivf import _np_probe_matrix
+
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    dim = m * ds
+    cbs = [[list(map(float, c)) for c in cb] for cb in codebooks]
+    cents = (
+        None
+        if centroids is None
+        else [(int(c), [float(x) for x in v]) for c, v in centroids]
+    )
+    id_type = qdf.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {id_type}, dtab array<array<double>>" + (
+        ", probe array<int>" if cents is not None else ""
+    )
+    id_idx = qdf.columns.index(id_col)
+    vec_idx = qdf.columns.index(vec_col)
+
+    def _fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            vecs = b.column(vec_idx).to_pylist()  # NaN/NULL preserved
+            n = len(vecs)
+            dtabs = []
+            units = np.zeros((n, dim))
+            for r, x in enumerate(vecs):
+                if x is None:
+                    dtabs.append(
+                        [[None] * len(cbs[mi]) for mi in range(m)]
+                    )
+                    continue  # zeros unit row: cosine-0.0 coalesce twin
+                qu = _np_unit(np.asarray(x, np.float64)[None, :])[0]
+                if len(qu) == dim:
+                    units[r] = qu
+                # else: zeros row — zip_with null-pads the shorter
+                # side, the cosine folds NULL and coalesces to 0.0
+                row = []
+                for mi in range(m):
+                    lo = mi * ds
+                    if lo + ds <= len(qu):
+                        s = qu[lo:lo + ds]
+                        drow = []
+                        for c in cbs[mi]:
+                            d_ = 0.0
+                            for j in range(ds):
+                                t = s[j] - c[j]
+                                d_ = d_ + t * t
+                            drow.append(float(d_))
+                        row.append(drow)
+                    else:
+                        row.append([None] * len(cbs[mi]))
+                dtabs.append(row)
+            cols = [
+                b.column(id_idx),
+                pa.array(dtabs, type=pa.list_(pa.list_(pa.float64()))),
+            ]
+            names = ["query_id", "dtab"]
+            if cents is not None:
+                probes = _np_probe_matrix(units, cents, nprobe)
+                cols.append(pa.array(probes, type=pa.list_(pa.int32())))
+                names.append("probe")
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return qdf.mapInArrow(_fn, out_schema)
 
 
 def pq_encode(
@@ -404,31 +526,17 @@ def pq_topk(
     codebooks = codebooks or train_pq_codebooks(
         emb, id_col=id_col, vec_col=vec_col, dim=dim
     )
-    m = len(codebooks)
-    ds = len(codebooks[0][0])
-    cb = _codebook_lit(codebooks)
     coded = pq_encode(
         emb, codebooks, id_col=id_col, vec_col=vec_col
     ).select(F.col(id_col).alias("neighbor_id"), "codes")
 
-    def _dtab_m(mi: int) -> Column:
-        # NB: a closure factory, NOT `lambda c, _mi=mi`: PySpark reads
-        # lambda arity, and a second (default) parameter turns the
-        # lambda into the (element, index) binary form — the index
-        # would silently replace the subspace number.
-        sub_q = F.slice("qv", mi * ds + 1, ds)
-        return F.transform(
-            F.element_at(cb, mi + 1), lambda c: _l2sq(sub_q, c)
-        )
-
-    queries = (
-        emb.filter(F.col(id_col).isin(query_ids))
-        .select(
-            F.col(id_col).alias("query_id"),
-            _unit(_as_double(F.col(vec_col))).alias("qv"),
-        )
-        .withColumn("dtab", F.array(*[_dtab_m(mi) for mi in range(m)]))
-        .select("query_id", "dtab")
+    # dtab via the Arrow prep — the codebook-literal fold tree it
+    # replaces dominated lane BUILD time (see _pq_prep_queries)
+    queries = _pq_prep_queries(
+        emb.filter(F.col(id_col).isin(query_ids)),
+        codebooks,
+        id_col=id_col,
+        vec_col=vec_col,
     )
     cand = coded.crossJoin(F.broadcast(queries)).filter(
         F.col("query_id") != F.col("neighbor_id")
@@ -522,8 +630,7 @@ def ivf_pq_topk(
     the coded corpus; candidate generation is the same broadcast
     probe-join as ``ivf_topk``; scoring/re-rank are ``pq_topk``'s.
     """
-    from .ivf import _assign, _centroid_array_col, train_kmeans
-    from .similarity import cosine as _cos  # HOF site below needs the expression form
+    from .ivf import _assign, train_kmeans
 
     if centroids is None:
         centroids = train_kmeans(emb, id_col=id_col, vec_col=vec_col)
@@ -535,10 +642,6 @@ def ivf_pq_topk(
         codebooks = train_pq_codebooks(
             emb, id_col=id_col, vec_col=vec_col, dim=dim
         )
-    m = len(codebooks)
-    ds = len(codebooks[0][0])
-    cb = _codebook_lit(codebooks)
-
     # codes and coarse assignment are both ROW-WISE transforms of the
     # same table: stamp both in ONE corpus pass (two Arrow kernels
     # inline) instead of join-merging two separate scans — the join
@@ -559,45 +662,16 @@ def ivf_pq_topk(
         .select("neighbor_id", "codes", "centroid_id")
     )
 
-    def _dtab_m(mi: int) -> Column:
-        sub_q = F.slice("qv", mi * ds + 1, ds)
-        return F.transform(
-            F.element_at(cb, mi + 1), lambda c: _l2sq(sub_q, c)
-        )
-
-    carr = _centroid_array_col(centroids)
-    queries = (
-        emb.filter(F.col(id_col).isin(query_ids))
-        .select(
-            F.col(id_col).alias("query_id"),
-            _unit(_as_double(F.col(vec_col))).alias("qv"),
-        )
-        .withColumn("dtab", F.array(*[_dtab_m(mi) for mi in range(m)]))
-        .withColumn(
-            "__ranked",
-            F.reverse(
-                F.array_sort(
-                    F.transform(
-                        carr,
-                        lambda c: F.struct(
-                            _cos(F.col("qv"), c["cvec"]).alias("cos"),
-                            (-c["cid"]).alias("neg_cid"),
-                            c["cid"].alias("cid"),
-                        ),
-                    )
-                )
-            ),
-        )
-        .withColumn(
-            "probe_cids",
-            F.transform(
-                F.slice(F.col("__ranked"), 1, nprobe), lambda s: s["cid"]
-            ),
-        )
-        .select(
-            "query_id", "dtab", F.explode("probe_cids").alias("centroid_id")
-        )
-    )
+    # dtab + probe ranking in ONE Arrow prep pass — replaces the
+    # codebook AND centroid literal trees (see _pq_prep_queries)
+    queries = _pq_prep_queries(
+        emb.filter(F.col(id_col).isin(query_ids)),
+        codebooks,
+        centroids,
+        nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("query_id", "dtab", F.explode("probe").alias("centroid_id"))
     cand = corpus.join(F.broadcast(queries), "centroid_id").filter(
         F.col("query_id") != F.col("neighbor_id")
     )

@@ -1390,6 +1390,29 @@ def test_dec_units_matches_spark_cast(spark):
         )
         assert _dec_units(v) == jvm, f"divergence at {v!r}"
 
+    # the int-parser implementation vs a Decimal-quantize reference on
+    # a seeded random sweep across magnitudes
+    import random
+    from decimal import ROUND_HALF_UP, localcontext
+
+    rng = random.Random(42)
+    sweep = (
+        [rng.uniform(-2.0, 2.0) for _ in range(300)]
+        + [rng.uniform(-1e19, 1e19) for _ in range(50)]
+        + [rng.random() * 10.0 ** rng.randint(-25, 19) for _ in range(200)]
+    )
+    for v in sweep:
+        with localcontext() as ctx:
+            ctx.prec = 60
+            ref = int(
+                Decimal(repr(float(v))).scaleb(18).to_integral_value(
+                    rounding=ROUND_HALF_UP
+                )
+            )
+        if abs(ref) >= 10**38:
+            continue
+        assert _dec_units(v) == ref, f"int parser diverges at {v!r}"
+
 
 def test_partial_topk_combiner_exactness(spark):
     """The map-side top-k combiner must be invisible: window-ranked
@@ -1437,3 +1460,118 @@ def test_partial_topk_combiner_exactness(spark):
             df, order_col="cos", descending=desc, k=12, compact_at=64
         )
         assert ranked(combined, desc) == ranked(df, desc)
+
+
+def test_pq_query_prep_kernel_matches_literal_expressions(spark):
+    """The Arrow query-prep kernel replaced the codebook/centroid
+    LITERAL trees on the ANN query side; the lanes' DuckDB oracles pin
+    parity on well-formed data, so this pins the degenerate inputs the
+    oracles never see: NULL vector, short vector (partial subspaces ->
+    NULL dtab entries), long vector (unit-normalized over its own
+    length), NaN element, all-zeros."""
+    from pyspark.sql import functions as F
+
+    from click_streaming_data_pipeline_spark.extensions.ivf import (
+        _centroid_array_col,
+        train_kmeans,
+    )
+    from click_streaming_data_pipeline_spark.extensions.pq import (
+        _as_double,
+        _codebook_lit,
+        _l2sq,
+        _pq_prep_queries,
+        _unit,
+        train_pq_codebooks,
+    )
+    from click_streaming_data_pipeline_spark.sources import load_table as _lt
+
+    emb = _lt(spark, SF_TEST, "embeddings")
+    books = train_pq_codebooks(emb)
+    cents = train_kmeans(emb, k=8)
+    m, ds = len(books), len(books[0][0])
+    nprobe = max(1, len(cents) // 2)
+
+    base = [r["embedding"] for r in emb.limit(3).collect()]
+    rows = [(i, v) for i, v in enumerate(base)] + [
+        (10, None),
+        (11, base[0][:30]),                       # short: ragged subspaces
+        (12, base[1] + [0.25, -0.5, 0.75]),       # long: norm over 67 dims
+        (13, [float("nan")] + base[2][1:]),       # NaN element
+        (14, [0.0] * 64),                         # zero vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # --- legacy literal path, reconstructed exactly as the old code
+    cb = _codebook_lit(books)
+    carr = _centroid_array_col(cents)
+    q = df.select("vec_id", _unit(_as_double(F.col("embedding"))).alias("qv"))
+
+    def _dtab_m(mi):
+        sub_q = F.slice("qv", mi * ds + 1, ds)
+        return F.transform(F.element_at(cb, mi + 1), lambda c: _l2sq(sub_q, c))
+
+    lit = (
+        q.withColumn("dtab", F.array(*[_dtab_m(mi) for mi in range(m)]))
+        .withColumn(
+            "__ranked",
+            F.reverse(
+                F.array_sort(
+                    F.transform(
+                        carr,
+                        lambda c: F.struct(
+                            F.coalesce(
+                                F.aggregate(
+                                    F.zip_with(
+                                        F.col("qv"),
+                                        c["cvec"],
+                                        lambda x, y: x * y,
+                                    ),
+                                    F.lit(0.0),
+                                    lambda a, x: a + x,
+                                )
+                                / F.nullif(
+                                    F.sqrt(
+                                        F.aggregate(
+                                            F.transform(
+                                                F.col("qv"), lambda x: x * x
+                                            ),
+                                            F.lit(0.0),
+                                            lambda a, x: a + x,
+                                        )
+                                    )
+                                    * F.sqrt(
+                                        F.aggregate(
+                                            F.transform(
+                                                c["cvec"], lambda x: x * x
+                                            ),
+                                            F.lit(0.0),
+                                            lambda a, x: a + x,
+                                        )
+                                    ),
+                                    F.lit(0.0),
+                                ),
+                                F.lit(0.0),
+                            ).alias("cos"),
+                            (-c["cid"]).alias("neg_cid"),
+                            c["cid"].alias("cid"),
+                        ),
+                    )
+                )
+            ),
+        )
+        .withColumn(
+            "probe",
+            F.transform(
+                F.slice(F.col("__ranked"), 1, nprobe), lambda s: s["cid"]
+            ),
+        )
+        .select("vec_id", "dtab", "probe")
+    )
+
+    ker = _pq_prep_queries(
+        df, books, cents, nprobe, id_col="vec_id", vec_col="embedding"
+    )
+
+    want = {r["vec_id"]: (repr(r["dtab"]), repr(r["probe"])) for r in lit.collect()}
+    got = {r["query_id"]: (repr(r["dtab"]), repr(r["probe"])) for r in ker.collect()}
+    assert got == want

@@ -271,8 +271,12 @@ def _assign(emb: DataFrame, centroids, vec_col: str) -> DataFrame:
 # per-iteration Spark jobs — as long as every step replays the Spark
 # loop bit-for-bit. Above this (sample x K) budget the Arrow-kernel
 # assign's 32-way parallelism beats a single driver core and the
-# Spark-loop path is kept (SemDeDup's K_CAP=4096 case).
-LOCAL_TRAIN_CELLS_MAX = 32_000_000
+# Spark-loop path is kept (SemDeDup's K_CAP=4096 case, and auto-K over
+# corpora past ~30k vectors). Sizing: a cell costs ~dim flops x n_iter
+# on ONE core locally; 2M cells x 64 dims x 3 iters ~ 0.4G flops ~
+# 1-2 s, about where per-iteration job overhead stops winning
+# (measured: 16M cells ran ~10 s local vs ~2 s distributed at 64x).
+LOCAL_TRAIN_CELLS_MAX = 2_000_000
 
 
 def _dec_units(x) -> int | None:
@@ -337,8 +341,8 @@ def _units_matrix(vecs, dim):
     ``(U, NN, big)``: with ``big=False``, U is an int64 (n, dim)
     matrix (NULL as 0) and NN the non-null mask, safe for the
     two-limb exact summation; with ``big=True`` (any |units| >= 2**62
-    — values beyond ~4.6e3), U is a row-list of python-int-or-None
-    for the exact-but-slower path."""
+    — element magnitudes beyond ~4.61), U is a row-list of
+    python-int-or-None for the exact-but-slower path."""
     import numpy as np
 
     rows = []
@@ -496,9 +500,16 @@ def train_kmeans(
         # one pass for cap-sized corpora: if everything fits the
         # training cap this limited collect IS the training set and
         # the separate count job is unnecessary (limit stops the scan
-        # early on larger corpora, so probing stays cheap at any size)
-        probe = e.limit(TRAIN_SAMPLE_CAP + 1).collect()
-        if len(probe) <= TRAIN_SAMPLE_CAP:
+        # early on larger corpora, so probing stays cheap at any
+        # size). The probe is also bounded by the cells budget at the
+        # K upper bound, so a large-K caller (SemDeDup's k_cap=4096)
+        # never collects 65k rows only to pick the distributed loop
+        probe_cap = min(
+            TRAIN_SAMPLE_CAP,
+            LOCAL_TRAIN_CELLS_MAX // max(1, k if k is not None else k_cap),
+        )
+        probe = e.limit(probe_cap + 1).collect()
+        if len(probe) <= probe_cap:
             rows, n, sample_mod = probe, len(probe), 1
     if n is None:
         n = e.count()

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .ivf import TRAIN_SAMPLE_CAP
-from .similarity import _as_double, cosine, cosine_arrow, norm
+from .similarity import _as_double, cosine_arrow, norm
 
 M_SUB = 16
 K_CODES = 16
@@ -255,9 +255,13 @@ def train_pq_codebooks(
     rows = None
     n = None
     if sample_mod is None and driver_local is not False:
-        # one pass for cap-sized corpora (see ivf.train_kmeans)
-        probe = e.limit(TRAIN_SAMPLE_CAP + 1).collect()
-        if len(probe) <= TRAIN_SAMPLE_CAP:
+        # one pass for cap-sized corpora, bounded by the cells budget
+        # (see ivf.train_kmeans)
+        probe_cap = min(
+            TRAIN_SAMPLE_CAP, LOCAL_TRAIN_CELLS_MAX // max(1, k * m)
+        )
+        probe = e.limit(probe_cap + 1).collect()
+        if len(probe) <= probe_cap:
             rows, n, sample_mod = probe, len(probe), 1
     if n is None:
         n = e.count()
@@ -421,13 +425,18 @@ def _pq_prep_queries(
 
     m = len(codebooks)
     ds = len(codebooks[0][0])
-    dim = m * ds
     cbs = [[list(map(float, c)) for c in cb] for cb in codebooks]
     cents = (
         None
         if centroids is None
         else [(int(c), [float(x) for x in v]) for c, v in centroids]
     )
+    # the probe leg ranks against the CENTROID dimension, which a
+    # caller passing pre-trained centroids may have set differently
+    # from the codebook's m*ds: a qv of any other length coalesces to
+    # cosine 0.0 against every centroid (zip_with null-pad), which the
+    # zeros row reproduces — gate on cent_dim, not dim
+    cent_dim = len(cents[0][1]) if cents else 0
     id_type = qdf.schema[id_col].dataType.simpleString()
     out_schema = f"query_id {id_type}, dtab array<array<double>>" + (
         ", probe array<int>" if cents is not None else ""
@@ -443,7 +452,7 @@ def _pq_prep_queries(
             vecs = b.column(vec_idx).to_pylist()  # NaN/NULL preserved
             n = len(vecs)
             dtabs = []
-            units = np.zeros((n, dim))
+            units = np.zeros((n, cent_dim)) if cents is not None else None
             for r, x in enumerate(vecs):
                 if x is None:
                     dtabs.append(
@@ -451,7 +460,7 @@ def _pq_prep_queries(
                     )
                     continue  # zeros unit row: cosine-0.0 coalesce twin
                 qu = _np_unit(np.asarray(x, np.float64)[None, :])[0]
-                if len(qu) == dim:
+                if units is not None and len(qu) == cent_dim:
                     units[r] = qu
                 # else: zeros row — zip_with null-pads the shorter
                 # side, the cosine folds NULL and coalesces to 0.0

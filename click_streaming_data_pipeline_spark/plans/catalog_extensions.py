@@ -1318,6 +1318,42 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "knn_ivf_index_topk",
+    # identical oracle to knn_ivf_topk: the SAVED index must reproduce
+    # the in-memory pipeline result exactly (same deterministic
+    # trainer, same nprobe default, same ranking)
+    oracle=_ivf_oracle(),
+    doc=(
+        "extension: PERSISTENT IVF index — save_ivf_index materializes "
+        "the trained centroid codebook and the corpus PARTITIONED BY "
+        "centroid id as parquet tables (train + assign run ONCE), then "
+        "ivf_index_topk probes only nprobe partition DIRECTORIES per "
+        "query (file-level partition pruning, not a post-scan filter): "
+        "the build-once/probe-many deployment shape of knn_ivf_topk, "
+        "value-hash-gated against the same SQL replay"
+    ),
+    tags=("similarity",),
+)
+def knn_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..extensions.ivf import ivf_index_topk, save_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    idx = os.path.join(tempfile.gettempdir(), f"csdp_ivf_index_{tag}")
+    save_ivf_index(emb, idx)
+    queries = emb.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+    )
+    return ivf_index_topk(spark, idx, queries, k=10).withColumn(
+        "rank", F.col("rank").cast("bigint")
+    )
+
+
 def _pq_codes_oracle() -> str:
     """SQL twin of ``pq_codes``: trained codebooks replayed by
     ``_pq_chain``, codes joined in subspace order, reconstruction MSE

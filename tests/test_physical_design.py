@@ -445,3 +445,41 @@ def test_scan_parallel_is_noop_on_well_split_input(spark):
         assert scan_parallel(well_split) is well_split
         plan = _plan(QUERIES["pricing_summary"].fn(spark, d))
         assert not re.findall(r"Exchange rangepartitioning|RoundRobin", plan), plan
+
+
+def test_ivf_index_probe_uses_dynamic_partition_pruning(spark):
+    """The persistent IVF index's probe must prune corpus PARTITIONS,
+    not post-filter a full scan: the probe join on centroid_id (the
+    partitionBy column of save_ivf_index) has to inject a dynamic
+    pruning subquery into the corpus FileScan, so a query touches only
+    its nprobe partition directories."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from click_streaming_data_pipeline_spark.extensions.ivf import (
+        ivf_index_topk,
+        save_ivf_index,
+    )
+    from click_streaming_data_pipeline_spark.sources import load_table
+
+    from .conftest import SF_TEST
+
+    emb = load_table(spark, SF_TEST, "embeddings")
+    with tempfile.TemporaryDirectory() as idx:
+        save_ivf_index(emb, idx)
+        queries = emb.filter(F.col("vec_id").isin([0, 1])).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"),
+        )
+        df = ivf_index_topk(spark, idx, queries, k=5)
+        plan = _plan(df)
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        # the pruning expression must hang off the partition column
+        assert "centroid_id" in plan
+        # and the probe still returns k rows per query
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+        assert set(got) == {0, 1}
+        assert all(len(v) == 5 for v in got.values())

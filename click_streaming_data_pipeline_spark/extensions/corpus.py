@@ -680,13 +680,32 @@ def mixture_allocation_sample(
             + (F.row_number().over(worder) <= leftover).cast("long")
         ).alias("quota"),
     )
-    sel = Window.partitionBy(source_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
-    )
-    return (
+    # per-source pick ranks: no quota can exceed k (the global seat
+    # count), so a map-side per-source top-k on the hash order bounds
+    # the window input to partitions x sources x k rows — the bare
+    # window shipped EVERY doc of a source to one reducer (few
+    # sources, corpus-scale rows: the skew cliff)
+    from ..operators.topk import partial_topk_per_key
+
+    cand = (
         scan_parallel(docs)
         .select(F.col(id_col), F.col(source_col))
-        .withColumn("pick_rank", F.row_number().over(sel))
+        .withColumn("__h", F.md5(F.col(id_col).cast("string")))
+    )
+    cand = partial_topk_per_key(
+        cand,
+        key=source_col,
+        order_col="__h",
+        descending=False,
+        tie_col=id_col,
+        k=int(k),
+        plain=True,
+    )
+    sel = Window.partitionBy(source_col).orderBy(
+        F.col("__h"), F.col(id_col)
+    )
+    return (
+        cand.withColumn("pick_rank", F.row_number().over(sel))
         .join(quotas, source_col)
         .filter(F.col("pick_rank") <= F.col("quota"))
         .select(id_col, source_col, "pick_rank")

@@ -613,13 +613,8 @@ def ivf_topk(
     scored = cand.withColumn(
         "cos", cosine_arrow(F.col("q_vec"), F.col("n_vec"))
     ).select("query_id", "neighbor_id", "cos")
-    # map-side top-k combine: a probed partition set can still be
-    # ~nprobe/K of the corpus per query — don't reduce it on one task
-    from ..operators.topk import partial_topk_per_key
-
-    scored = partial_topk_per_key(
-        scored, order_col="cos", descending=True, k=k
-    )
+    # the rank<=k filter infers a PARTIAL WindowGroupLimit map-side,
+    # so probed candidates never funnel through one reducer per query
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
@@ -715,11 +710,6 @@ def ivf_index_topk(
     scored = cand.withColumn(
         "cos", cosine_arrow(F.col("q_vec"), F.col("n_vec"))
     ).select("query_id", "neighbor_id", "cos")
-    from ..operators.topk import partial_topk_per_key
-
-    scored = partial_topk_per_key(
-        scored, order_col="cos", descending=True, k=k
-    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )

@@ -562,17 +562,8 @@ def pq_topk(
     scored = cand.select(
         "query_id", "neighbor_id", dist.alias("adc_dist")
     )
-    # map-side top-k combine: every coded vector is an ADC candidate
-    # here — the shortlist cutoff must not funnel the whole corpus
-    # through one reducer per query
-    from ..operators.topk import partial_topk_per_key
-
-    scored = partial_topk_per_key(
-        scored,
-        order_col="adc_dist",
-        descending=False,
-        k=(rerank * k if rerank else k),
-    )
+    # the rank<=shortlist filter infers a PARTIAL WindowGroupLimit
+    # map-side, so ADC candidates never funnel through one reducer
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )
@@ -694,13 +685,6 @@ def ivf_pq_topk(
         lambda acc, x: acc + x,
     )
     scored = cand.select("query_id", "neighbor_id", dist.alias("adc_dist"))
-    # map-side top-k combine + broadcast shortlist: same scale
-    # rationale as pq_topk above
-    from ..operators.topk import partial_topk_per_key
-
-    scored = partial_topk_per_key(
-        scored, order_col="adc_dist", descending=False, k=rerank * k
-    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )

@@ -163,13 +163,10 @@ def brute_force_topk(
         .withColumn("cos", cosine_arrow(F.col("q_vec"), F.col("n_vec")))
         .select("query_id", "neighbor_id", "cos")
     )
-    # map-side top-k combine: the window below otherwise funnels the
-    # ENTIRE corpus's scores for a query through one reducer
-    from ..operators.topk import partial_topk_per_key
-
-    scored = partial_topk_per_key(
-        scored, order_col="cos", descending=True, k=k
-    )
+    # the rank<=k filter below infers a PARTIAL WindowGroupLimit
+    # (map-side per-query top-k before the exchange), so the window
+    # never funnels the full corpus through one reducer — verified in
+    # tests/test_physical_design.py
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
@@ -1377,12 +1374,6 @@ def hard_negative_pairs(
         .withColumn("cos", cosine_arrow(F.col("q_vec"), F.col("n_vec")))
         .filter(F.col("cos") < F.lit(max_cos))
         .select("query_id", "q_label", "neighbor_id", "n_label", "cos")
-    )
-    # map-side top-k combine before the single-reducer-per-anchor window
-    from ..operators.topk import partial_topk_per_key
-
-    scored = partial_topk_per_key(
-        scored, order_col="cos", descending=True, k=k
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()

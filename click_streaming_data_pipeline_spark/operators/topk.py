@@ -1,17 +1,22 @@
-"""Map-side top-k combine: the partial aggregation Spark's window
-functions lack.
+"""Map-side top-k combine for ranking windows the optimizer can't
+partial-limit.
 
-``row_number() OVER (PARTITION BY key ORDER BY ...)`` shuffles EVERY
-candidate row to one reducer per key. For per-query top-k over ANN
-candidate sets that is the classic scale cliff: a query probing half
-of a billion-vector corpus sends ~500M rows to a single task while 999
-executors idle. Aggregates avoid this with partial/final phases;
-windows have no partial phase — so this module supplies one:
-``partial_topk_per_key`` keeps, INSIDE each upstream partition, only
-the k best rows per key (Arrow-batched ``mapInArrow`` — no shuffle),
-after which the usual window ranks at most
-``n_partitions x n_keys x k`` rows instead of the full candidate
-volume.
+Spark 3.5+ DOES have a partial phase for the common case: a
+``row_number() OVER (PARTITION BY key ORDER BY ...)`` followed by
+``filter(rank <= LITERAL)`` infers a ``WindowGroupLimit(Partial)``
+BEFORE the exchange (verified in tests/test_physical_design.py), so
+those windows already shuffle at most ``partitions x keys x k`` rows
+— do NOT wrap them in this combiner; it would only add an Arrow
+round-trip (this was measured, and the ANN lanes that briefly used it
+here were reverted). ``InferWindowGroupLimit`` cannot fire, though,
+when the rank bound is NOT a foldable literal — e.g. stratified
+sampling's ``pick_rank <= quota`` where quota is a per-key COLUMN.
+There every row of a key still funnels through one reducer (few
+sources x corpus-scale rows: the skew cliff), and this module
+supplies the missing partial phase: ``partial_topk_per_key`` keeps,
+INSIDE each upstream partition, only the k best rows per key
+(Arrow-batched ``mapInArrow`` — no shuffle), for any k that upper-
+bounds the caller's data-dependent rank cutoff.
 
 EXACTNESS: the global top-k under a total order is a subset of every
 partition's per-key top-k under the same order, so pre-filtering
@@ -39,27 +44,43 @@ COMPACT_AT = 131_072
 
 
 def _keep_topk(table, key: str, order_col: str, descending: bool,
-               tie_col: str, k: int):
+               tie_col: str, k: int, plain: bool = False):
     """The k best rows per key within one Arrow table, under Spark's
     double total order (NaN greatest, -0.0 == 0.0, ties by
-    ``tie_col`` ascending). Returns a row-selection ``take`` of the
-    input — every column, NaN included, passes through bit-exact."""
+    ``tie_col`` ascending) — or, with ``plain``, the natural total
+    order of a non-float orderable column (strings compare as Python
+    str, which equals Spark's binary UTF-8 ordering for the ASCII
+    hex/id values used at the call sites). Returns a row-selection
+    ``take`` of the input — every column, NaN included, passes
+    through bit-exact."""
     import numpy as np
     import pyarrow as pa
 
     n = table.num_rows
-    v = table[order_col].to_numpy(zero_copy_only=False).astype(np.float64)
     _, kcode = np.unique(
         table[key].to_numpy(zero_copy_only=False), return_inverse=True
     )
     tie = table[tie_col].to_numpy(zero_copy_only=False)
-    nan = np.isnan(v)
-    vkey = np.where(nan, 0.0, v) + 0.0  # -0.0 -> 0.0, like Spark
-    if descending:
-        vkey = -vkey
-        nanflag = ~nan  # NaN greatest -> first under DESC
+    if plain:
+        # rank via ascending-sorted unique codes; descending negates
+        _, vkey = np.unique(
+            table[order_col].to_numpy(zero_copy_only=False),
+            return_inverse=True,
+        )
+        if descending:
+            vkey = -vkey
+        nanflag = np.zeros(n, dtype=bool)
     else:
-        nanflag = nan  # NaN greatest -> last under ASC
+        v = table[order_col].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        nan = np.isnan(v)
+        vkey = np.where(nan, 0.0, v) + 0.0  # -0.0 -> 0.0, like Spark
+        if descending:
+            vkey = -vkey
+            nanflag = ~nan  # NaN greatest -> first under DESC
+        else:
+            nanflag = nan  # NaN greatest -> last under ASC
     # global rank of each row under the order (lexsort: last key primary)
     order_rank = np.empty(n, dtype=np.int64)
     order_rank[np.lexsort((tie, vkey, nanflag))] = np.arange(n)
@@ -82,13 +103,16 @@ def partial_topk_per_key(
     tie_col: str = "neighbor_id",
     k: int,
     compact_at: int = COMPACT_AT,
+    plain: bool = False,
 ) -> DataFrame:
     """Per-partition, per-key exact top-k pre-filter (see module doc).
 
     Returns a frame with the SAME schema and the same global-top-k
     content: feed it to the unchanged ranking window. ``k`` must be
     at least the largest rank the caller will keep (e.g. the
-    ``rerank * k`` shortlist size, not the final k)."""
+    ``rerank * k`` shortlist size, not the final k). ``plain`` ranks
+    a non-float order column by its natural ascending order instead
+    of the Spark double order."""
     schema = df.schema
 
     def _fn(batches):
@@ -99,10 +123,12 @@ def partial_topk_per_key(
             t = pa.Table.from_batches([b])
             buf = t if buf is None else pa.concat_tables([buf, t])
             if buf.num_rows > compact_at:
-                buf = _keep_topk(buf, key, order_col, descending, tie_col, k)
+                buf = _keep_topk(
+                    buf, key, order_col, descending, tie_col, k, plain
+                )
         if buf is not None and buf.num_rows:
             yield from _keep_topk(
-                buf, key, order_col, descending, tie_col, k
+                buf, key, order_col, descending, tie_col, k, plain
             ).to_batches()
 
     return df.mapInArrow(_fn, schema)

@@ -372,13 +372,20 @@ def _make_search_bm25():
                 "title", "body", _TERMS, idf=idf, avgdl=avgdl
             ).alias("score"),
         )
+        # top-10 never global-sorts: orderBy().limit() plans
+        # TakeOrderedAndProject (per-partition top-k + driver merge);
+        # the 10-row result is all the ranking window ever sees —
+        # the bare window shipped every scored doc to ONE reducer
+        top = scored.orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        ).limit(10)
         w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         return (
-            scored.select(
+            top.select(
                 "doc_id", "score",
                 F.row_number().over(w).cast("int").alias("rn"),
             )
-            .filter((F.col("rn") <= 10) & (F.col("score") > 0.0))
+            .filter(F.col("score") > 0.0)
         )
 
     return search_bm25_topk
@@ -692,14 +699,18 @@ def _make_search_eval():
                 "title", "body", _TERMS, idf=idf
             ).alias("score"),
         )
+        # TakeOrdered top-k, then rank the k rows (see search_bm25_topk)
+        top_k = scored.orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        ).limit(k)
         w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         ranked = (
-            scored.select(
+            top_k.select(
                 "doc_id",
                 "score",
                 F.row_number().over(w).cast("int").alias("rn"),
             )
-            .filter((F.col("rn") <= k) & (F.col("score") > 0.0))
+            .filter(F.col("score") > 0.0)
             .select("doc_id", "rn")
         )
 

@@ -483,3 +483,27 @@ def test_ivf_index_probe_uses_dynamic_partition_pruning(spark):
             got.setdefault(r["query_id"], []).append(r["neighbor_id"])
         assert set(got) == {0, 1}
         assert all(len(v) == 5 for v in got.values())
+
+
+def test_ranking_windows_get_partial_group_limit(spark):
+    """Literal rank<=k filters over per-key ranking windows must plan a
+    PARTIAL WindowGroupLimit BEFORE the exchange (Spark 3.5+'s
+    map-side top-k): this is what keeps per-query ANN candidate
+    ranking off the one-reducer-per-key cliff, and why those lanes do
+    NOT use operators/topk.py (reserved for non-literal bounds like
+    stratified quotas, where the optimizer cannot infer a limit)."""
+    from click_streaming_data_pipeline_spark.extensions.similarity import (
+        brute_force_topk,
+    )
+    from click_streaming_data_pipeline_spark.sources import load_table
+
+    from .conftest import SF_TEST
+
+    emb = load_table(spark, SF_TEST, "embeddings")
+    plan = _plan(brute_force_topk(emb, [0, 1], k=5))
+    partials = [
+        ln for ln in plan.splitlines()
+        if "WindowGroupLimit" in ln and "Partial" in ln
+    ]
+    assert partials, plan[:2000]
+    assert "row_number" in partials[0] and "5" in partials[0]

@@ -304,12 +304,12 @@ def search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(idx, _PHRASE)
 
 
-def _make_search_bm25():
-    """The avgdl literal depends on the corpus, but the ORACLE string
-    must be fixed at registration. Solution: express avgdl in pure SQL
-    inside the oracle (exact integer sum / count — the same float the
-    driver-side python division produces), so no substitution is
-    needed; only the Spark side computes it at call time."""
+def _bm25_score_sql() -> str:
+    """The full-BM25 document score as one SQL expression. The avgdl
+    literal depends on the corpus, but ORACLE strings must be fixed at
+    registration — so avgdl is expressed in pure SQL (exact integer
+    sum / count, the same float the driver-side python division
+    produces); only the Spark side computes it at call time."""
     avgdl_sql = (
         "(SELECT CAST(SUM(len(string_split(lower(text), ' '))) AS DOUBLE)"
         " / CAST(count(*) AS DOUBLE) FROM documents)"
@@ -328,7 +328,27 @@ def _make_search_bm25():
         parts.append(
             f"{_sql_idf(t)} * ({wtf} * CAST(2.2 AS DOUBLE) / ({wtf} + {norm}))"
         )
-    score_sql = "(CAST(0.0 AS DOUBLE) + " + " + ".join(parts) + ")"
+    return "(CAST(0.0 AS DOUBLE) + " + " + ".join(parts) + ")"
+
+
+def _bm25_scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score) under full BM25 — the Spark twin of
+    :func:`_bm25_score_sql` (shared by the top-k and hybrid lanes)."""
+    from ..operators.search import corpus_search_stats, score_columns_bm25
+
+    docs = _docs_with_fields(spark, sf_dir)
+    n_docs, dfs, avgdl = corpus_search_stats(docs, _TERMS, body_col="body")
+    idf = {t: bm25_idf(n_docs, dfs[t]) for t in _TERMS}
+    return docs.select(
+        "doc_id",
+        score_columns_bm25(
+            "title", "body", _TERMS, idf=idf, avgdl=avgdl
+        ).alias("score"),
+    )
+
+
+def _make_search_bm25():
+    score_sql = _bm25_score_sql()
 
     oracle = f"""
         SELECT doc_id, score, rn FROM (
@@ -358,20 +378,9 @@ def _make_search_bm25():
         tags=("search",),
     )
     def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from ..operators.search import corpus_search_stats, score_columns_bm25
         from pyspark.sql.window import Window
 
-        docs = _docs_with_fields(spark, sf_dir)
-        n_docs, dfs, avgdl = corpus_search_stats(
-            docs, _TERMS, body_col="body"
-        )
-        idf = {t: bm25_idf(n_docs, dfs[t]) for t in _TERMS}
-        scored = docs.select(
-            "doc_id",
-            score_columns_bm25(
-                "title", "body", _TERMS, idf=idf, avgdl=avgdl
-            ).alias("score"),
-        )
+        scored = _bm25_scored_frame(spark, sf_dir)
         # top-10 never global-sorts: orderBy().limit() plans
         # TakeOrderedAndProject (per-partition top-k + driver merge);
         # the 10-row result is all the ranking window ever sees —
@@ -392,6 +401,147 @@ def _make_search_bm25():
 
 
 _make_search_bm25()
+
+
+def _make_search_hybrid_rrf():
+    """Hybrid search via reciprocal-rank fusion — the production
+    RAG retrieval shape (ES/OpenSearch `rrf`, Vespa/Weaviate hybrid):
+    a lexical BM25 ranking and a dense embedding ranking each
+    nominate their top-20, and a document's fused score is
+    sum(1/(60+rank)) over the legs it appears in. Rank fusion needs
+    no score calibration between legs — only the two rank integers —
+    which is why it is the default hybrid everywhere; k=60 is the
+    constant from Cormack et al. 2009.
+
+    Exactness: both legs rank with unique tie-breaks, 1/(60+rank) is
+    one correctly-rounded double division per leg, and the fused sum
+    adds the legs in a fixed order — bit-identical across engines, so
+    the lane carries a full value oracle."""
+    from .catalog_extensions import _dot_sql, _norm_sql
+
+    score_sql = _bm25_score_sql()
+    oracle = f"""
+        WITH ev AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        qv AS (
+            SELECT v AS q, {_norm_sql('v')} AS nq FROM ev WHERE vec_id = 0
+        ),
+        bm AS (
+            SELECT doc_id, rb FROM (
+                SELECT doc_id, CAST(row_number() OVER (
+                    ORDER BY {score_sql} DESC, doc_id ASC) AS INT) AS rb
+                FROM documents
+            ) WHERE rb <= 20
+        ),
+        vec AS (
+            SELECT e.vec_id AS doc_id,
+                   coalesce({_dot_sql('e.v', 'qv.q')}
+                            / nullif({_norm_sql('e.v')} * qv.nq,
+                                     CAST(0.0 AS DOUBLE)),
+                            CAST(0.0 AS DOUBLE)) AS cos
+            FROM ev e, qv WHERE e.vec_id <> 0
+        ),
+        vr AS (
+            SELECT doc_id, rv FROM (
+                SELECT doc_id, CAST(row_number() OVER (
+                    ORDER BY cos DESC, doc_id ASC) AS INT) AS rv
+                FROM vec
+            ) WHERE rv <= 20
+        ),
+        fused AS (
+            SELECT coalesce(bm.doc_id, vr.doc_id) AS doc_id,
+                   bm.rb AS bm25_rank, vr.rv AS vec_rank,
+                   coalesce(CAST(1.0 AS DOUBLE)
+                            / CAST(60 + bm.rb AS DOUBLE),
+                            CAST(0.0 AS DOUBLE))
+                   + coalesce(CAST(1.0 AS DOUBLE)
+                              / CAST(60 + vr.rv AS DOUBLE),
+                              CAST(0.0 AS DOUBLE)) AS rrf
+            FROM bm FULL OUTER JOIN vr ON bm.doc_id = vr.doc_id
+        )
+        SELECT doc_id, bm25_rank, vec_rank, rrf, rn FROM (
+            SELECT *, CAST(row_number() OVER (
+                ORDER BY rrf DESC, doc_id ASC) AS INT) AS rn
+            FROM fused
+        ) WHERE rn <= 10
+    """
+
+    @query(
+        "search_hybrid_rrf",
+        oracle=oracle,
+        doc=(
+            "beyond-reference RAG retrieval: HYBRID SEARCH via "
+            "reciprocal-rank fusion — full-BM25 lexical top-20 and "
+            "dense cosine top-20 (query = doc 0's embedding, itself "
+            "excluded) fuse by sum(1/(60+rank)); docs nominated by "
+            "one leg keep that leg's term alone. Each leg is a "
+            "TakeOrdered top-k (no global sort, no single-reducer "
+            "window); the fuse joins two 20-row frames. Scale: leg "
+            "cost is the scan (BM25) / ANN probe (vector), fusion "
+            "cost is O(k)"
+        ),
+        tags=("search", "similarity"),
+    )
+    def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        from ..extensions.similarity import cosine_arrow
+
+        scored = _bm25_scored_frame(spark, sf_dir)
+        bm_top = scored.orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        ).limit(20)
+        wb = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        bm = bm_top.select(
+            "doc_id", F.row_number().over(wb).cast("int").alias("bm25_rank")
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        qv = emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("q_vec")
+        )
+        vec = (
+            emb.filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(qv))
+            .select(
+                F.col("vec_id").alias("doc_id"),
+                cosine_arrow(F.col("embedding"), F.col("q_vec")).alias("cos"),
+            )
+        )
+        v_top = vec.orderBy(
+            F.col("cos").desc(), F.col("doc_id").asc()
+        ).limit(20)
+        wv = Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+        vr = v_top.select(
+            "doc_id", F.row_number().over(wv).cast("int").alias("vec_rank")
+        )
+
+        rrf = (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(60) + F.col("bm25_rank")).cast("double"),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(60) + F.col("vec_rank")).cast("double"),
+                F.lit(0.0),
+            )
+        )
+        fused = bm.join(vr, "doc_id", "full_outer").select(
+            "doc_id", "bm25_rank", "vec_rank", rrf.alias("rrf")
+        )
+        wf = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        return (
+            fused.withColumn("rn", F.row_number().over(wf).cast("int"))
+            .filter(F.col("rn") <= 10)
+        )
+
+    return search_hybrid_rrf
+
+
+_make_search_hybrid_rrf()
 
 
 @query(

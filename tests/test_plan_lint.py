@@ -38,6 +38,9 @@ ALLPAIRS_ALLOWED = {
     # ADC brute-scan baseline: broadcast query side x coded corpus
     # (IVF-PQ is the scale path)
     "knn_pq_topk",
+    # broadcast single-row query embedding x one corpus scan for the
+    # dense leg (same shape as knn_topk's anchor batch)
+    "search_hybrid_rrf",
     # 1-row bounds/stats frames crossJoined back onto the corpus
     # (broadcast of a single row, not an N^2 pair join)
     "value_histogram",

@@ -1575,3 +1575,31 @@ def test_pq_query_prep_kernel_matches_literal_expressions(spark):
     want = {r["vec_id"]: (repr(r["dtab"]), repr(r["probe"])) for r in lit.collect()}
     got = {r["query_id"]: (repr(r["dtab"]), repr(r["probe"])) for r in ker.collect()}
     assert got == want
+
+
+def test_local_kmeans_big_magnitude_exact_path(spark):
+    """Element magnitudes beyond ~4.61 overflow the two-limb int64
+    fast path (|units| >= 2**62), flipping _units_matrix to the
+    python-int exact path — which must still replay the distributed
+    loop bit-for-bit. Magnitudes here reach 1e6 (units ~1e24)."""
+    from click_streaming_data_pipeline_spark.extensions.ivf import (
+        _units_matrix,
+        train_kmeans,
+    )
+
+    rows = [
+        (
+            i,
+            [
+                ((i * 13 + j * 7) % 11 - 5) * 1.0e6 + float(j) / 3.0
+                for j in range(4)
+            ],
+        )
+        for i in range(24)
+    ]
+    _, _, big = _units_matrix([r[1] for r in rows], 4)
+    assert big, "fixture must actually trigger the big path"
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert train_kmeans(emb, k=4, driver_local=True) == train_kmeans(
+        emb, k=4, driver_local=False
+    )

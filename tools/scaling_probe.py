@@ -74,6 +74,11 @@ PROBE_QUERIES = [
     # all-pairs baseline (neardup_pairs docstring); the scale path it
     # verifies against is knn_lsh_pairs
     "knn_lsh_pairs",
+    # round-6 window-topk audit lanes: TakeOrdered global top-k and
+    # the quota sampler's map-side combine
+    "search_bm25_topk",
+    "search_hybrid_rrf",
+    "mixture_allocation_sample",
 ]
 
 

@@ -613,8 +613,14 @@ def ivf_topk(
     scored = cand.withColumn(
         "cos", cosine_arrow(F.col("q_vec"), F.col("n_vec"))
     ).select("query_id", "neighbor_id", "cos")
-    # the rank<=k filter infers a PARTIAL WindowGroupLimit map-side,
-    # so probed candidates never funnel through one reducer per query
+    # the rank<=k filter infers a PARTIAL WindowGroupLimit map-side
+    # (up to the optimizer threshold; the guard covers larger k), so
+    # probed candidates never funnel through one reducer per query
+    from ..operators.topk import ensure_partial_limit
+
+    scored = ensure_partial_limit(
+        scored, order_col="cos", descending=True, k=k
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
@@ -710,6 +716,11 @@ def ivf_index_topk(
     scored = cand.withColumn(
         "cos", cosine_arrow(F.col("q_vec"), F.col("n_vec"))
     ).select("query_id", "neighbor_id", "cos")
+    from ..operators.topk import ensure_partial_limit
+
+    scored = ensure_partial_limit(
+        scored, order_col="cos", descending=True, k=k
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )

@@ -563,7 +563,16 @@ def pq_topk(
         "query_id", "neighbor_id", dist.alias("adc_dist")
     )
     # the rank<=shortlist filter infers a PARTIAL WindowGroupLimit
-    # map-side, so ADC candidates never funnel through one reducer
+    # map-side (up to the optimizer threshold; the guard covers larger
+    # rerank*k), so ADC candidates never funnel through one reducer
+    from ..operators.topk import ensure_partial_limit
+
+    scored = ensure_partial_limit(
+        scored,
+        order_col="adc_dist",
+        descending=False,
+        k=(rerank * k if rerank else k),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )
@@ -685,6 +694,11 @@ def ivf_pq_topk(
         lambda acc, x: acc + x,
     )
     scored = cand.select("query_id", "neighbor_id", dist.alias("adc_dist"))
+    from ..operators.topk import ensure_partial_limit
+
+    scored = ensure_partial_limit(
+        scored, order_col="adc_dist", descending=False, k=rerank * k
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )

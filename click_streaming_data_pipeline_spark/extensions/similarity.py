@@ -164,9 +164,15 @@ def brute_force_topk(
         .select("query_id", "neighbor_id", "cos")
     )
     # the rank<=k filter below infers a PARTIAL WindowGroupLimit
-    # (map-side per-query top-k before the exchange), so the window
-    # never funnels the full corpus through one reducer — verified in
-    # tests/test_physical_design.py
+    # (map-side per-query top-k before the exchange; pinned in
+    # tests/test_physical_design.py) — but only up to the optimizer's
+    # windowGroupLimitThreshold, so the guard adds the Arrow combiner
+    # for larger caller-chosen k
+    from ..operators.topk import ensure_partial_limit
+
+    scored = ensure_partial_limit(
+        scored, order_col="cos", descending=True, k=k
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
@@ -1374,6 +1380,11 @@ def hard_negative_pairs(
         .withColumn("cos", cosine_arrow(F.col("q_vec"), F.col("n_vec")))
         .filter(F.col("cos") < F.lit(max_cos))
         .select("query_id", "q_label", "neighbor_id", "n_label", "cos")
+    )
+    from ..operators.topk import ensure_partial_limit
+
+    scored = ensure_partial_limit(
+        scored, order_col="cos", descending=True, k=k
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()

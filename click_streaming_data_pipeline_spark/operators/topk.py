@@ -18,6 +18,15 @@ INSIDE each upstream partition, only the k best rows per key
 (Arrow-batched ``mapInArrow`` — no shuffle), for any k that upper-
 bounds the caller's data-dependent rank cutoff.
 
+``InferWindowGroupLimit`` also silently stops firing when the rank
+bound exceeds ``spark.sql.optimizer.windowGroupLimitThreshold``
+(default 1000) — verified: limit 1000 plans a Partial node, 1001
+plans none. :func:`ensure_partial_limit` covers that seam: a no-op
+while the bound is within the threshold (the built-in partial phase
+is JVM-side and cheaper), it applies the Arrow combiner above it, so
+caller-controlled bounds (a PQ ``rerank * k`` shortlist, a large
+brute-force k) never fall off the cliff unannounced.
+
 EXACTNESS: the global top-k under a total order is a subset of every
 partition's per-key top-k under the same order, so pre-filtering
 changes nothing — the DuckDB oracles of every lane that adopted this
@@ -25,12 +34,14 @@ are byte-identical (CORRECTNESS gate). Rows pass through as Arrow
 ``Table.take`` selections, never a pandas round-trip: pandas folds
 NaN and NULL together, which would corrupt a NaN score into a NULL
 (observed: the NaN-greatest row silently dropped from desc top-k).
-The comparator reproduces Spark SQL's double ordering: NaN greatest
-(first under DESC, last under ASC), -0.0 == 0.0, ties resolved by an
-integer column ascending. Order values must be NON-NULL (Spark sorts
-NULL smallest under ASC / last under DESC, which this comparator does
-not model; every call site's score is non-null by construction —
-``cosine`` coalesces to 0.0, ADC folds over non-null code lookups).
+The ``double`` comparator reproduces Spark SQL's double ordering: NaN
+greatest (first under DESC, last under ASC), -0.0 == 0.0, ties
+ascending; its order values must be NON-NULL (an Arrow numeric null
+becomes NaN through to_numpy, indistinguishable from a real NaN —
+Spark sorts NULL first under ASC, NaN last, so a null would rank
+wrongly). The ``plain`` comparator handles NULLs exactly like Spark's
+defaults: first under ASC, last under DESC, for the order, tie, and
+key columns alike.
 """
 
 from __future__ import annotations
@@ -43,34 +54,44 @@ from pyspark.sql import DataFrame
 COMPACT_AT = 131_072
 
 
+def _plain_codes(col):
+    """NULL-safe ascending rank codes for one Arrow column: non-null
+    values factorize by sorted uniques (Python ``sorted`` equals
+    Spark's ordering for the string/int values used here — binary
+    UTF-8 for ASCII strings, numeric for ints); NULL gets code -1, so
+    it sorts FIRST ascending (Spark asc default) and — after the
+    descending negation — LAST descending (Spark desc default)."""
+    import numpy as np
+
+    vals = col.to_pylist()
+    rank = {v: i for i, v in enumerate(sorted({x for x in vals if x is not None}))}
+    return np.asarray(
+        [rank[v] if v is not None else -1 for v in vals], dtype=np.int64
+    )
+
+
 def _keep_topk(table, key: str, order_col: str, descending: bool,
                tie_col: str, k: int, plain: bool = False):
     """The k best rows per key within one Arrow table, under Spark's
     double total order (NaN greatest, -0.0 == 0.0, ties by
     ``tie_col`` ascending) — or, with ``plain``, the natural total
-    order of a non-float orderable column (strings compare as Python
-    str, which equals Spark's binary UTF-8 ordering for the ASCII
-    hex/id values used at the call sites). Returns a row-selection
-    ``take`` of the input — every column, NaN included, passes
-    through bit-exact."""
+    order of a non-float orderable column with Spark's NULL placement
+    (see :func:`_plain_codes`). Returns a row-selection ``take`` of
+    the input — every column, NaN included, passes through
+    bit-exact."""
     import numpy as np
     import pyarrow as pa
 
     n = table.num_rows
-    _, kcode = np.unique(
-        table[key].to_numpy(zero_copy_only=False), return_inverse=True
-    )
-    tie = table[tie_col].to_numpy(zero_copy_only=False)
+    kcode = _plain_codes(table[key])  # NULL key = its own group
     if plain:
-        # rank via ascending-sorted unique codes; descending negates
-        _, vkey = np.unique(
-            table[order_col].to_numpy(zero_copy_only=False),
-            return_inverse=True,
-        )
+        tie = _plain_codes(table[tie_col])
+        vkey = _plain_codes(table[order_col])
         if descending:
             vkey = -vkey
         nanflag = np.zeros(n, dtype=bool)
     else:
+        tie = table[tie_col].to_numpy(zero_copy_only=False)
         v = table[order_col].to_numpy(zero_copy_only=False).astype(
             np.float64
         )
@@ -132,3 +153,55 @@ def partial_topk_per_key(
             ).to_batches()
 
     return df.mapInArrow(_fn, schema)
+
+
+def ensure_partial_limit(
+    df: DataFrame,
+    *,
+    key: str = "query_id",
+    order_col: str,
+    descending: bool,
+    tie_col: str = "neighbor_id",
+    k: int,
+    plain: bool = False,
+) -> DataFrame:
+    """Guarantee a map-side phase for a downstream per-``key`` ranking
+    window filtered at ``rank <= k``: a NO-OP while k is within
+    ``spark.sql.optimizer.windowGroupLimitThreshold`` (the optimizer's
+    own Partial WindowGroupLimit is JVM-side and cheaper), the Arrow
+    combiner above it — where InferWindowGroupLimit silently declines
+    and every candidate row would funnel through one reducer per key."""
+    thr = int(
+        df.sparkSession.conf.get(
+            "spark.sql.optimizer.windowGroupLimitThreshold", "1000"
+        )
+    )
+    if k <= thr:
+        return df
+    return partial_topk_per_key(
+        df,
+        key=key,
+        order_col=order_col,
+        descending=descending,
+        tie_col=tie_col,
+        k=k,
+        plain=plain,
+    )
+
+
+def ranked_topn(df: DataFrame, order_cols, n: int, *,
+                rank_name: str = "rn", rank_type: str = "int") -> DataFrame:
+    """GLOBAL top-n with a rank column, without the global-window
+    cliff: ``orderBy(cols).limit(n)`` plans TakeOrderedAndProject
+    (per-partition top-n + driver merge — global ranking windows infer
+    NO group limit at all), and ``row_number`` then ranks only the n
+    survivors. One order list drives both steps, so the limited set
+    and the ranks cannot drift apart."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    top = df.orderBy(*order_cols).limit(n)
+    w = Window.orderBy(*order_cols)
+    return top.withColumn(
+        rank_name, F.row_number().over(w).cast(rank_type)
+    )

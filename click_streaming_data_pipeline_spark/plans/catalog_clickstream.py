@@ -412,22 +412,15 @@ def clickpath_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted = paths.groupBy("p1", "p2", "p3").agg(
         F.count("*").alias("n_paths")
     )
-    # top-20 never global-sorts: orderBy().limit() plans
-    # TakeOrderedAndProject; the bare ranking window shipped every
-    # distinct trigram to ONE reducer
-    wr = Window.orderBy(
-        F.col("n_paths").desc(), F.col("p1"), F.col("p2"), F.col("p3")
-    )
-    return (
-        counted.orderBy(
-            F.col("n_paths").desc(), F.col("p1"), F.col("p2"), F.col("p3")
-        )
-        .limit(20)
-        .select(
-            "p1", "p2", "p3", "n_paths",
-            F.row_number().over(wr).cast("int").alias("rn"),
-        )
-    )
+    # top-20 never global-sorts (TakeOrderedAndProject): the bare
+    # ranking window shipped every distinct trigram to ONE reducer
+    from ..operators.topk import ranked_topn
+
+    return ranked_topn(
+        counted,
+        [F.col("n_paths").desc(), F.col("p1"), F.col("p2"), F.col("p3")],
+        20,
+    ).select("p1", "p2", "p3", "n_paths", "rn")
 
 
 # drift math stays exact by clearing denominators: per-bin deviations

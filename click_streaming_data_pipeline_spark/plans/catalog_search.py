@@ -380,22 +380,14 @@ def _make_search_bm25():
     def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql.window import Window
 
+        from ..operators.topk import ranked_topn
+
         scored = _bm25_scored_frame(spark, sf_dir)
-        # top-10 never global-sorts: orderBy().limit() plans
-        # TakeOrderedAndProject (per-partition top-k + driver merge);
-        # the 10-row result is all the ranking window ever sees —
-        # the bare window shipped every scored doc to ONE reducer
-        top = scored.orderBy(
-            F.col("score").desc(), F.col("doc_id").asc()
-        ).limit(10)
-        w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        return (
-            top.select(
-                "doc_id", "score",
-                F.row_number().over(w).cast("int").alias("rn"),
-            )
-            .filter(F.col("score") > 0.0)
-        )
+        # top-10 never global-sorts (TakeOrderedAndProject): the bare
+        # global window shipped every scored doc to ONE reducer
+        return ranked_topn(
+            scored, [F.col("score").desc(), F.col("doc_id").asc()], 10
+        ).filter(F.col("score") > 0.0)
 
     return search_bm25_topk
 
@@ -434,6 +426,7 @@ def _make_search_hybrid_rrf():
                 SELECT doc_id, CAST(row_number() OVER (
                     ORDER BY {score_sql} DESC, doc_id ASC) AS INT) AS rb
                 FROM documents
+                WHERE {score_sql} > CAST(0.0 AS DOUBLE)
             ) WHERE rb <= 20
         ),
         vec AS (
@@ -489,15 +482,19 @@ def _make_search_hybrid_rrf():
         from pyspark.sql.window import Window
 
         from ..extensions.similarity import cosine_arrow
+        from ..operators.topk import ranked_topn
 
-        scored = _bm25_scored_frame(spark, sf_dir)
-        bm_top = scored.orderBy(
-            F.col("score").desc(), F.col("doc_id").asc()
-        ).limit(20)
-        wb = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        bm = bm_top.select(
-            "doc_id", F.row_number().over(wb).cast("int").alias("bm25_rank")
+        # the lexical leg nominates only documents it actually
+        # RETRIEVED (score > 0) — production RRF fuses retrieved sets,
+        # never zero-score padding (which would grant non-matching
+        # docs 1/(60+rank) weight whenever < 20 docs match)
+        scored = _bm25_scored_frame(spark, sf_dir).filter(
+            F.col("score") > 0.0
         )
+        bm = ranked_topn(
+            scored, [F.col("score").desc(), F.col("doc_id").asc()], 20,
+            rank_name="bm25_rank",
+        ).select("doc_id", "bm25_rank")
 
         emb = load_table(spark, sf_dir, "embeddings")
         qv = emb.filter(F.col("vec_id") == 0).select(
@@ -511,13 +508,10 @@ def _make_search_hybrid_rrf():
                 cosine_arrow(F.col("embedding"), F.col("q_vec")).alias("cos"),
             )
         )
-        v_top = vec.orderBy(
-            F.col("cos").desc(), F.col("doc_id").asc()
-        ).limit(20)
-        wv = Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
-        vr = v_top.select(
-            "doc_id", F.row_number().over(wv).cast("int").alias("vec_rank")
-        )
+        vr = ranked_topn(
+            vec, [F.col("cos").desc(), F.col("doc_id").asc()], 20,
+            rank_name="vec_rank",
+        ).select("doc_id", "vec_rank")
 
         rrf = (
             F.coalesce(
@@ -849,16 +843,12 @@ def _make_search_eval():
                 "title", "body", _TERMS, idf=idf
             ).alias("score"),
         )
+        from ..operators.topk import ranked_topn
+
         # TakeOrdered top-k, then rank the k rows (see search_bm25_topk)
-        top_k = scored.orderBy(
-            F.col("score").desc(), F.col("doc_id").asc()
-        ).limit(k)
-        w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         ranked = (
-            top_k.select(
-                "doc_id",
-                "score",
-                F.row_number().over(w).cast("int").alias("rn"),
+            ranked_topn(
+                scored, [F.col("score").desc(), F.col("doc_id").asc()], k
             )
             .filter(F.col("score") > 0.0)
             .select("doc_id", "rn")

@@ -1603,3 +1603,76 @@ def test_local_kmeans_big_magnitude_exact_path(spark):
     assert train_kmeans(emb, k=4, driver_local=True) == train_kmeans(
         emb, k=4, driver_local=False
     )
+
+
+def test_ensure_partial_limit_guards_above_threshold(spark):
+    """Above spark.sql.optimizer.windowGroupLimitThreshold (default
+    1000) the optimizer plans NO partial phase, so the guard must
+    insert the Arrow combiner — and the guarded result must equal the
+    bare window's. Below the threshold it must be a no-op."""
+    from pyspark.sql.window import Window
+
+    from click_streaming_data_pipeline_spark.operators.topk import (
+        ensure_partial_limit,
+    )
+
+    df = spark.range(5000).select(
+        (F.col("id") % 3).alias("query_id"),
+        F.col("id").alias("neighbor_id"),
+        ((F.col("id") * 37 % 1009) / 7.0).alias("cos"),
+    ).repartition(8)
+    small = ensure_partial_limit(df, order_col="cos", descending=True, k=10)
+    assert small is df  # no-op within the threshold
+    big = ensure_partial_limit(df, order_col="cos", descending=True, k=1200)
+    assert big is not df
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+
+    def topk(frame):
+        return sorted(
+            map(
+                tuple,
+                frame.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= 1200)
+                .collect(),
+            )
+        )
+
+    assert topk(big) == topk(df)
+
+
+def test_partial_topk_plain_handles_nulls_like_spark(spark):
+    """NULL order values (md5 of a NULL id), NULL tie values and NULL
+    keys must rank exactly as Spark's window defaults (asc: NULLS
+    FIRST) — a NULL-source row forms its own window partition, a NULL
+    doc_id consumes rank 1 of its source. The combiner previously
+    raised TypeError on the first such row."""
+    from pyspark.sql.window import Window
+
+    from click_streaming_data_pipeline_spark.operators.topk import (
+        partial_topk_per_key,
+    )
+
+    rows = [(i, f"src{i % 3}") for i in range(60)]
+    rows += [(900, None), (None, "src0"), (None, None)]
+    df = (
+        spark.createDataFrame(rows, "doc_id long, source string")
+        .withColumn("__h", F.md5(F.col("doc_id").cast("string")))
+        .repartition(8)
+    )
+    comb = partial_topk_per_key(
+        df, key="source", order_col="__h", descending=False,
+        tie_col="doc_id", k=5, plain=True, compact_at=16,
+    )
+    w = Window.partitionBy("source").orderBy(F.col("__h"), F.col("doc_id"))
+
+    def ranked(frame):
+        return sorted(
+            repr(tuple(r))
+            for r in frame.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .collect()
+        )
+
+    assert ranked(comb) == ranked(df)

@@ -499,11 +499,30 @@ def test_ranking_windows_get_partial_group_limit(spark):
 
     from .conftest import SF_TEST
 
+    from click_streaming_data_pipeline_spark.extensions.ivf import (
+        ivf_topk,
+        train_kmeans,
+    )
+    from click_streaming_data_pipeline_spark.extensions.pq import (
+        pq_topk,
+        train_pq_codebooks,
+    )
+
     emb = load_table(spark, SF_TEST, "embeddings")
-    plan = _plan(brute_force_topk(emb, [0, 1], k=5))
-    partials = [
-        ln for ln in plan.splitlines()
-        if "WindowGroupLimit" in ln and "Partial" in ln
-    ]
-    assert partials, plan[:2000]
-    assert "row_number" in partials[0] and "5" in partials[0]
+    cents = train_kmeans(emb, k=8)
+    books = train_pq_codebooks(emb)
+    shapes = {
+        "brute_force": brute_force_topk(emb, [0, 1], k=5),
+        # bigint-cast rank + broadcast probe join upstream
+        "ivf": ivf_topk(emb, [0, 1], k=5, centroids=cents),
+        # ADC shortlist window (rank <= rerank*k) + rerank window
+        "pq": pq_topk(emb, [0, 1], k=5, codebooks=books),
+    }
+    for name, df in shapes.items():
+        plan = _plan(df)
+        partials = [
+            ln for ln in plan.splitlines()
+            if "WindowGroupLimit" in ln and "Partial" in ln
+        ]
+        assert partials, f"{name}: no Partial WindowGroupLimit\n" + plan[:2000]
+        assert "row_number" in partials[0], name

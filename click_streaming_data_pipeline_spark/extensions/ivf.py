@@ -288,8 +288,17 @@ def _dec_units(x) -> int | None:
     ``repr(float)`` is the same shortest round-trip repr, so
     ``Decimal(repr(x))`` is the exact twin (verified empirically:
     0.1 -> 0.100000000000000000, not the binary expansion ...055511;
-    2**-30 -> 9.31322575E-10). A finite value beyond decimal(38,18)'s
-    range raises, as ANSI mode does in the distributed loop."""
+    2**-30 -> 9.31322575E-10). repr==Double.toString is GUARANTEED
+    shortest only on JDK 19+ (JDK-4511638/Ryu); on older JDKs the
+    legacy FloatingDecimal can emit a non-shortest repr for rare
+    doubles, which would round differently at the 1e-18 unit —
+    tests/test_extensions.py::test_dec_units_matches_spark_cast
+    therefore sweeps a seeded 550-value sample against the RUNNING
+    JVM's cast (not only a Python Decimal reference), so a
+    repr-divergent JDK fails loudly at test time instead of silently
+    diverging local-vs-distributed. A finite value beyond
+    decimal(38,18)'s range raises, as ANSI mode does in the
+    distributed loop."""
     import math
 
     if x is None:
@@ -329,7 +338,7 @@ def _dec_units(x) -> int | None:
     return u
 
 
-def _units_matrix(vecs, dim):
+def _units_matrix(vecs, dim, dec_rows=None):
     """Per-row, per-position 1e-18 units for the SUM leg, replaying
     ``F.sum(v[i].cast(decimal(38,18)))``'s input semantics under ANSI:
     ``v[i]`` uses the actual element whenever ``i < len(v)`` (extra
@@ -337,17 +346,31 @@ def _units_matrix(vecs, dim):
     vector or a non-finite element, and RAISES for a vector shorter
     than ``dim`` (ANSI INVALID_ARRAY_INDEX — the distributed loop's
     re-center job dies the same way; the assign leg's
-    zeros-substitution never reaches the aggregation). Returns
-    ``(U, NN, big)``: with ``big=False``, U is an int64 (n, dim)
-    matrix (NULL as 0) and NN the non-null mask, safe for the
+    zeros-substitution never reaches the aggregation).
+
+    ``dec_rows`` (when given) carries the JVM's OWN
+    ``cast(x as decimal(38,18))`` of each element, collected alongside
+    the double sample — the authoritative unit source on ANY JDK: it
+    sidesteps the repr(float)==Double.toString assumption that the
+    ``_dec_units`` fallback needs (legacy pre-Ryu FloatingDecimal on
+    JDK<19 emits non-shortest reprs for rare doubles, e.g.
+    8.078571431197864e18, which round differently at the 1e-18 unit —
+    observed live on this JDK 17). Without ``dec_rows`` the fallback
+    is exact only where repr(x) matches the JVM's repr.
+
+    Returns ``(U, NN, big)``: with ``big=False``, U is an int64
+    (n, dim) matrix (NULL as 0) and NN the non-null mask, safe for the
     two-limb exact summation; with ``big=True`` (any |units| >= 2**62
     — element magnitudes beyond ~4.61), U is a row-list of
     python-int-or-None for the exact-but-slower path."""
+    from decimal import localcontext
+
     import numpy as np
 
     rows = []
     big = False
-    for v in vecs:
+    for j, v in enumerate(vecs):
+        dr = dec_rows[j] if dec_rows is not None else None
         r = []
         for i in range(dim):
             if v is None:
@@ -359,6 +382,16 @@ def _units_matrix(vecs, dim):
                     "ANSI re-center raises the same way; filter ragged "
                     "embeddings before training"
                 )
+            elif dr is not None:
+                d = dr[i]
+                if d is None:
+                    u = None
+                else:
+                    # scaleb is exact under a wide context (the cast
+                    # result has <=17 significant digits)
+                    with localcontext() as ctx:
+                        ctx.prec = 60
+                        u = int(d.scaleb(18))
             else:
                 u = _dec_units(v[i])
             if u is not None and abs(u) >= 2**62:
@@ -424,7 +457,23 @@ def _exact_group_means(units, nn_mask, big, gids, counts, dim):
             continue
         vals = []
         for i in range(dim):
-            s_val = totals[g][i] / 10**18 if nonnull[g][i] else None
+            if nonnull[g][i]:
+                t = totals[g][i]
+                # mirror _dec_units' per-value guard at the GROUP SUM:
+                # the distributed ANSI loop raises
+                # NUMERIC_VALUE_OUT_OF_RANGE when F.sum overflows
+                # decimal(38,18); the local replay must fail the same
+                # way, not silently return a mean (ADVICE r6).
+                if abs(t) >= 10**38:
+                    raise ArithmeticError(
+                        f"group {g} position {i} sum {t}e-18 overflows "
+                        "Decimal(38, 18) — the distributed trainer "
+                        "raises NUMERIC_VALUE_OUT_OF_RANGE here under "
+                        "ANSI mode; scale the embeddings down"
+                    )
+                s_val = t / 10**18
+            else:
+                s_val = None
             vals.append(s_val / cnt)
         out[g] = vals
     return out
@@ -432,19 +481,26 @@ def _exact_group_means(units, nn_mask, big, gids, counts, dim):
 
 def _local_kmeans(rows, k: int, n_iter: int):
     """Driver-local replay of ``train_kmeans``'s Spark loop on the
-    collected (id, vec) sample: init = the k smallest ids, assign =
-    the shared :func:`_np_nearest_matrix` kernel math, re-center =
-    :func:`_exact_group_means`. Bit-for-bit identical output
-    (parity-pinned in tests/test_extensions.py) with one collect
-    instead of 2 + 2*n_iter corpus-scanning jobs."""
+    collected (id, vec[, jvm_decimals]) sample: init = the k smallest
+    ids, assign = the shared :func:`_np_nearest_matrix` kernel math,
+    re-center = :func:`_exact_group_means` fed the JVM's own
+    decimal(38,18) casts when the 3rd tuple slot carries them (exact
+    on any JDK — see :func:`_units_matrix`). Bit-for-bit identical
+    output (parity-pinned in tests/test_extensions.py) with one
+    collect instead of 2 + 2*n_iter corpus-scanning jobs."""
     import numpy as np
 
     ordered = sorted(rows, key=lambda r: r[0])
     centroids = [(i, list(r[1])) for i, r in enumerate(ordered[:k])]
     dim = len(centroids[0][1])
     vecs = [r[1] for r in rows]
+    decs = (
+        [r[2] for r in rows]
+        if rows and len(rows[0]) > 2
+        else None
+    )
     V = _assign_matrix(vecs, dim)
-    U, NN, big = _units_matrix(vecs, dim)
+    U, NN, big = _units_matrix(vecs, dim, dec_rows=decs)
     for _ in range(n_iter):
         cids = _np_nearest_matrix(V, centroids)
         counts = np.bincount(cids, minlength=len(centroids))
@@ -494,6 +550,13 @@ def train_kmeans(
     e = emb.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("v")
     )
+    # collect the JVM's decimal(38,18) cast ALONGSIDE the doubles:
+    # the local replay then sums the JVM's own units, bit-identical to
+    # the distributed F.sum(cast(decimal)) on any JDK (pre-Ryu JDKs'
+    # Double.toString breaks the repr-equivalence _dec_units needs)
+    ed = e.withColumn(
+        "vd", F.transform("v", lambda x: x.cast("decimal(38,18)"))
+    )
     rows = None
     n = None
     if sample_mod is None and driver_local is not False:
@@ -508,7 +571,7 @@ def train_kmeans(
             TRAIN_SAMPLE_CAP,
             LOCAL_TRAIN_CELLS_MAX // max(1, k if k is not None else k_cap),
         )
-        probe = e.limit(probe_cap + 1).collect()
+        probe = ed.limit(probe_cap + 1).collect()
         if len(probe) <= probe_cap:
             rows, n, sample_mod = probe, len(probe), 1
     if n is None:
@@ -522,12 +585,14 @@ def train_kmeans(
         driver_local = est * k <= LOCAL_TRAIN_CELLS_MAX
     if sample_mod > 1:
         e = e.filter(F.col(id_col) % sample_mod == 0)
+        ed = ed.filter(F.col(id_col) % sample_mod == 0)
         rows = None
     if driver_local:
         if rows is None:
-            rows = e.collect()
+            rows = ed.collect()
         return _local_kmeans(
-            [(r[id_col], r["v"]) for r in rows], k=k, n_iter=n_iter
+            [(r[id_col], r["v"], r["vd"]) for r in rows],
+            k=k, n_iter=n_iter,
         )
     # distributed loop: pin the (bounded) sample so each iteration
     # reads it back instead of re-scanning the full corpus

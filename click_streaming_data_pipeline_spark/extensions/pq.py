@@ -165,10 +165,12 @@ def _assign_code_arrow(codebooks: list[list[list[float]]]):
 
 def _local_pq_codebooks(rows, dim: int, m: int, k: int, n_iter: int):
     """Driver-local replay of ``train_pq_codebooks``'s Spark loop on
-    the collected (id, unit-normalized vec) sample: init = the k
-    smallest ids' subvectors, assign = the shared
+    the collected (id, unit-normalized vec[, jvm_decimals]) sample:
+    init = the k smallest ids' subvectors, assign = the shared
     :func:`_np_argmin_code` kernel math per subspace, re-center =
-    ``ivf._exact_group_means``. Bit-for-bit identical output
+    ``ivf._exact_group_means`` fed the JVM's own decimal(38,18) casts
+    when the 3rd tuple slot carries them (exact on any JDK — see
+    ``ivf._units_matrix``). Bit-for-bit identical output
     (parity-pinned in tests/test_extensions.py) with one collect
     instead of the checkpoint + 2*n_iter jobs."""
     import numpy as np
@@ -195,10 +197,20 @@ def _local_pq_codebooks(rows, dim: int, m: int, k: int, n_iter: int):
         ]
         for mi in range(m)
     ]
+    decs = [r[2] for r in rows] if rows and len(rows[0]) > 2 else None
     V = np.vstack([np.asarray(r[1][:dim], np.float64) for r in rows])
     subs = [V[:, mi * ds: (mi + 1) * ds] for mi in range(m)]
     units = [
-        _units_matrix([list(s) for s in subs[mi]], ds) for mi in range(m)
+        _units_matrix(
+            [list(s) for s in subs[mi]],
+            ds,
+            dec_rows=(
+                None
+                if decs is None
+                else [d[mi * ds: (mi + 1) * ds] for d in decs]
+            ),
+        )
+        for mi in range(m)
     ]
     for _ in range(n_iter):
         new = {}
@@ -252,6 +264,11 @@ def train_pq_codebooks(
     e = emb.select(
         F.col(id_col).alias("id"), _unit(_as_double(F.col(vec_col))).alias("v")
     )
+    # JVM decimal casts collected alongside (see ivf.train_kmeans):
+    # the local replay sums the JVM's own units on any JDK
+    ed = e.withColumn(
+        "vd", F.transform("v", lambda x: x.cast("decimal(38,18)"))
+    )
     rows = None
     n = None
     if sample_mod is None and driver_local is not False:
@@ -260,7 +277,7 @@ def train_pq_codebooks(
         probe_cap = min(
             TRAIN_SAMPLE_CAP, LOCAL_TRAIN_CELLS_MAX // max(1, k * m)
         )
-        probe = e.limit(probe_cap + 1).collect()
+        probe = ed.limit(probe_cap + 1).collect()
         if len(probe) <= probe_cap:
             rows, n, sample_mod = probe, len(probe), 1
     if n is None:
@@ -272,12 +289,13 @@ def train_pq_codebooks(
         driver_local = est * k * m <= LOCAL_TRAIN_CELLS_MAX
     if sample_mod > 1:
         e = e.filter(F.col("id") % sample_mod == 0)
+        ed = ed.filter(F.col("id") % sample_mod == 0)
         rows = None
     if driver_local:
         if rows is None:
-            rows = e.collect()
+            rows = ed.collect()
         return _local_pq_codebooks(
-            [(r["id"], r["v"]) for r in rows],
+            [(r["id"], r["v"], r["vd"]) for r in rows],
             dim=dim, m=m, k=k, n_iter=n_iter,
         )
     sub = e.select(

@@ -221,3 +221,160 @@ def kmv_pairwise_overlap(
         est_union.alias("est_union"),
         (jacc * est_union).alias("est_intersection"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HyperLogLog — the faithful Redis PFADD/PFCOUNT/PFMERGE
+# analogue (reference services/document/app/db/cache.py:88-101) with a
+# PINNED estimator: every step (60-bit md5 hash, register index, rank
+# rho, register max, harmonic sum, bias-corrected readout) is exact
+# integer/IEEE arithmetic both engines reproduce bit-for-bit, so the
+# sketch earns a full DuckDB value-hash oracle — unlike
+# approx_count_distinct / hll_sketch_agg, whose register layouts are
+# engine-internal. The ONE transcendental (linear counting's
+# m*ln(m/V)) is precomputed in Python over its entire 1023-value
+# domain and embedded as the SAME literal table in both plans: ln()
+# is not bit-portable across JVM/libm (measured: 302/4095 inputs
+# differ in the last ulp), a table lookup is.
+#
+# Scale: registers are a bounded partial aggregate (<= m rows per key
+# before the key shuffle — map-side combine keeps the shuffle at
+# partitions x keys x m), merge = elementwise max (PFMERGE), state is
+# m rows per key at ANY corpus size. rsd ~ 1.04/sqrt(m) = 3.25 %.
+
+HLL_P = 10
+HLL_M = 1 << HLL_P  # 1024 registers
+#: rho upper bound: 60-bit hash leaves 60-p rest bits; all-zero rest
+#: means 60-p leading zeros -> rho = 60-p+1
+HLL_RMAX = 60 - HLL_P + 1
+
+
+def _hll_alpha_m(m: int) -> float:
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+#: harmonic-estimator numerator alpha*m^2*2^RMAX, ONE python float
+#: embedded identically in both engines (raw = HLL_RAW_NUM / S)
+HLL_RAW_NUM = _hll_alpha_m(HLL_M) * HLL_M * HLL_M * float(2**HLL_RMAX)
+
+#: linear-counting readout m*ln(m/V) for V = 1..m-1, python-computed
+#: once — the literal table both engines index instead of evaluating
+#: ln() at query time
+def _hll_lc_table() -> list[float]:
+    import math
+
+    return [HLL_M * math.log(HLL_M / v) for v in range(1, HLL_M)]
+
+
+HLL_LC_TABLE = _hll_lc_table()
+
+
+def hll_registers(df: DataFrame, key_cols: list[str], item_col: str) -> DataFrame:
+    """Per-key HLL register rows ``(*key_cols, ridx, rho)``: the
+    PFADD state. ridx = low p bits of the 60-bit md5 hash, rho = 1 +
+    leading zeros of the remaining 60-p bits (via length(bin(rest)),
+    integer-exact in both engines), register = max(rho). NULL items
+    are skipped (countDistinct semantics)."""
+    hashed = (
+        df.filter(F.col(item_col).isNotNull())
+        .select(*key_cols, kmv_hash(F.col(item_col)).alias("__u"))
+    )
+    rest = F.shiftright(F.col("__u"), HLL_P)
+    rho = F.when(rest == 0, F.lit(HLL_RMAX)).otherwise(
+        F.lit(HLL_RMAX) - F.length(F.bin(rest))
+    )
+    return (
+        hashed.select(
+            *key_cols,
+            (F.col("__u") % HLL_M).alias("ridx"),
+            rho.alias("rho"),
+        )
+        .groupBy(*key_cols, "ridx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(regs: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Distinct-count estimate per key from register rows: harmonic
+    mean over 2^-rho with absent registers contributing 2^0, as an
+    EXACT integer sum S = sum(2^(RMAX-rho)) + (m-n)*2^RMAX (order-free
+    — the one float division raw = NUM/S is bit-identical on any
+    partitioning and in the DuckDB twin); small-range correction =
+    the embedded linear-counting table at V = m - n zero registers."""
+    agg = regs.groupBy(*key_cols).agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RMAX} - rho)")
+        ).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    v = (F.lit(HLL_M) - F.col("n_present")).cast("int")
+    s_int = F.col("s_present") + (
+        (F.lit(HLL_M).cast("long") - F.col("n_present"))
+        * F.lit(2**HLL_RMAX).cast("long")
+    )
+    raw = F.lit(HLL_RAW_NUM) / s_int.cast("double")
+    est = F.when(
+        (v > 0) & (raw <= F.lit(2.5 * HLL_M)),
+        F.element_at(F.lit(HLL_LC_TABLE), v),
+    ).otherwise(raw)
+    return agg.select(*key_cols, est.alias("unique_views"))
+
+
+def _sql_double(x: float) -> str:
+    """A DuckDB literal that parses as DOUBLE with exactly these bits:
+    repr round-trips, and an exponent suffix blocks the DECIMAL
+    inference a plain decimal literal would get."""
+    s = repr(float(x))
+    return s if "e" in s else s + "e0"
+
+
+def hll_est_cte(name: str, reg_src: str) -> str:
+    """DuckDB CTE ``{name}(doc_key, unique_views)`` estimating from a
+    register CTE ``reg_src(doc_key, ridx, rho)`` — references the
+    shared ``lc(tbl)`` linear-counting table CTE."""
+    m, rmax = HLL_M, HLL_RMAX
+    raw = (
+        f"{_sql_double(HLL_RAW_NUM)} / CAST(s_present + ({m} - n_present)"
+        f" * (CAST(1 AS BIGINT) << {rmax}) AS DOUBLE)"
+    )
+    return f"""
+        {name} AS (
+            SELECT doc_key,
+                   CASE WHEN ({m} - n_present) > 0
+                             AND {raw} <= {_sql_double(2.5 * HLL_M)}
+                        THEN (SELECT tbl FROM lc)
+                                 [CAST({m} - n_present AS INTEGER)]
+                        ELSE {raw}
+                   END AS unique_views
+            FROM (
+                SELECT doc_key,
+                       sum(CAST(1 AS BIGINT) << ({rmax} - rho))
+                           AS s_present,
+                       count(*) AS n_present
+                FROM {reg_src} GROUP BY doc_key
+            )
+        )"""
+
+
+def hll_oracle_ctes(key_sql: str, *, src: str = "events") -> str:
+    """DuckDB CTE chain computing the SAME registers and estimate:
+    ``h`` (hash), ``reg`` (registers), ``lc`` (the shared
+    linear-counting literal table), ``hll_est(doc_key,
+    unique_views)``. ``key_sql`` is the key expression over ``src``."""
+    table = ", ".join(_sql_double(x) for x in HLL_LC_TABLE)
+    m, rmax = HLL_M, HLL_RMAX
+    return f"""
+        h AS (
+            SELECT {key_sql} AS doc_key,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) AS u
+            FROM {src} WHERE user_id IS NOT NULL
+        ),
+        reg AS (
+            SELECT doc_key, u % {m} AS ridx,
+                   max(CASE WHEN (u >> {HLL_P}) = 0 THEN {rmax}
+                            ELSE {rmax} - length(bin(u >> {HLL_P})) END)
+                       AS rho
+            FROM h GROUP BY doc_key, u % {m}
+        ),
+        lc(tbl) AS (SELECT [{table}]),{hll_est_cte("hll_est", "reg")}"""

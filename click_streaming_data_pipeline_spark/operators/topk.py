@@ -36,10 +36,12 @@ NaN and NULL together, which would corrupt a NaN score into a NULL
 (observed: the NaN-greatest row silently dropped from desc top-k).
 The ``double`` comparator reproduces Spark SQL's double ordering: NaN
 greatest (first under DESC, last under ASC), -0.0 == 0.0, ties
-ascending; its order values must be NON-NULL (an Arrow numeric null
-becomes NaN through to_numpy, indistinguishable from a real NaN —
-Spark sorts NULL first under ASC, NaN last, so a null would rank
-wrongly). The ``plain`` comparator handles NULLs exactly like Spark's
+ascending; NULL order values take Spark's NULL placement (first under
+ASC, last under DESC) via an explicit Arrow null mask taken BEFORE
+``to_numpy`` folds null into NaN — so a nullable score column (e.g.
+pq_topk's adc_dist for NULL/short query vectors) combines exactly as
+the downstream window would rank it. The ``plain`` comparator handles
+NULLs exactly like Spark's
 defaults: first under ASC, last under DESC, for the order, tie, and
 key columns alike.
 """
@@ -89,19 +91,29 @@ def _keep_topk(table, key: str, order_col: str, descending: bool,
         vkey = _plain_codes(table[order_col])
         if descending:
             vkey = -vkey
-        nanflag = np.zeros(n, dtype=bool)
+        nanflag = np.zeros(n, dtype=np.int8)
     else:
         tie = table[tie_col].to_numpy(zero_copy_only=False)
-        v = table[order_col].to_numpy(zero_copy_only=False).astype(
-            np.float64
-        )
-        nan = np.isnan(v)
-        vkey = np.where(nan, 0.0, v) + 0.0  # -0.0 -> 0.0, like Spark
+        ocol = table[order_col]
+        # Arrow numeric NULL becomes NaN through to_numpy — mask it
+        # FIRST so NULL keeps Spark's NULL placement (first asc / last
+        # desc) instead of silently ranking as Spark-NaN (greatest).
+        if ocol.null_count:
+            nullmask = ocol.is_null().to_numpy(zero_copy_only=False)
+        else:
+            nullmask = np.zeros(n, dtype=bool)
+        v = ocol.to_numpy(zero_copy_only=False).astype(np.float64)
+        nan = np.isnan(v) & ~nullmask
+        vkey = np.where(nan | nullmask, 0.0, v) + 0.0  # -0.0 -> 0.0
+        # primary flag: asc NULL < values < NaN; desc NaN < values < NULL
+        nanflag = np.zeros(n, dtype=np.int8)
         if descending:
             vkey = -vkey
-            nanflag = ~nan  # NaN greatest -> first under DESC
+            nanflag[nan] = -1       # NaN greatest -> first under DESC
+            nanflag[nullmask] = 1   # NULL -> last under DESC
         else:
-            nanflag = nan  # NaN greatest -> last under ASC
+            nanflag[nan] = 1        # NaN greatest -> last under ASC
+            nanflag[nullmask] = -1  # NULL -> first under ASC
     # global rank of each row under the order (lexsort: last key primary)
     order_rank = np.empty(n, dtype=np.int64)
     order_rank[np.lexsort((tie, vkey, nanflag))] = np.arange(n)

@@ -1342,8 +1342,12 @@ def knn_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.ivf import ivf_index_topk, save_ivf_index
 
     emb = load_table(spark, sf_dir, "embeddings")
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    idx = os.path.join(tempfile.gettempdir(), f"csdp_ivf_index_{tag}")
+    # run-scoped dir (ADVICE r6): a fixed predictable path in the
+    # shared tmp dir races concurrent runs (overwrite-while-read) and
+    # can collide with another user's pre-existing directory
+    idx = os.path.join(
+        tempfile.mkdtemp(prefix="csdp_ivf_index_"), "index"
+    )
     save_ivf_index(emb, idx)
     queries = emb.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"),

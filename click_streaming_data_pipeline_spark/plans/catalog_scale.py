@@ -40,41 +40,87 @@ def salted_distinct_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_distinct_count(events, "doc_key", "user_id")
 
 
+def _hll_sketch_views_oracle() -> str:
+    from ..extensions.sketch import hll_est_cte, hll_oracle_ctes
+
+    key = "CAST(json_extract_string(props, '$.k') AS INTEGER)"
+    # the global readout re-estimates from the MERGED registers
+    # (elementwise max across keys = PFMERGE), never from the source
+    return f"""
+        WITH {hll_oracle_ctes(key)},
+        greg AS (
+            SELECT CAST(-1 AS INTEGER) AS doc_key, ridx, max(rho) AS rho
+            FROM reg GROUP BY ridx
+        ),{hll_est_cte("g_est", "greg")},
+        tot AS (
+            SELECT {key} AS doc_key, count(*) AS total_views
+            FROM events GROUP BY 1
+        ),
+        per_key AS (
+            SELECT t.doc_key, t.total_views,
+                   coalesce(e.unique_views, 0.0e0) AS unique_views
+            FROM tot t
+            LEFT JOIN hll_est e ON t.doc_key IS NOT DISTINCT FROM e.doc_key
+        )
+        SELECT doc_key, unique_views, total_views FROM per_key
+        UNION ALL
+        SELECT g.doc_key, g.unique_views,
+               (SELECT CAST(sum(total_views) AS BIGINT) FROM per_key)
+                   AS total_views
+        FROM g_est g
+    """
+
+
 @query(
     "hll_sketch_views",
-    oracle=None,  # sketch estimates are approximate by contract
+    oracle=_hll_sketch_views_oracle(),
     doc=(
         "C2 mergeable HLL sketch state (cache.py:88-101 PFADD/PFCOUNT "
-        "+ PFMERGE): hll_sketch_agg per key, hll_union_agg across keys "
-        "— the persistable/unionable form Redis provides, exact-shuffle-"
-        "free; estimate accuracy gated in tests"
+        "+ PFMERGE): deterministic pinned-estimator registers per key "
+        "(extensions/sketch.py), global rollup = elementwise register "
+        "MAX across keys — the persistable/unionable form Redis "
+        "provides, exact-shuffle-free, and fully value-hash-oracled "
+        "(the estimator replays in DuckDB; accuracy gated separately "
+        "in pytest)"
     ),
     tags=("agg", "approx", "scale"),
 )
 def hll_sketch_views(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-key sketches + a global rollup from the SAME sketches
+    """Per-key sketches + a global rollup from the SAME registers
     (re-aggregation without re-reading the source — the property that
-    matters at 100 TB and the reason Redis uses HLL)."""
+    matters at 100 TB and the reason Redis uses HLL). Register state
+    is bounded at m=1024 rows per key; the merge is an elementwise
+    max, associative/commutative/idempotent under union."""
+    from ..extensions.sketch import hll_estimate, hll_registers
+
     events = load_table(spark, sf_dir, "events").select(
         F.get_json_object("props", "$.k").cast("int").alias("doc_key"),
         "user_id",
     )
-    per_key = events.groupBy("doc_key").agg(
-        F.hll_sketch_agg("user_id").alias("sketch"),
-        F.count("*").alias("total_views"),
+    regs = hll_registers(events, ["doc_key"], "user_id")
+    est = hll_estimate(regs, ["doc_key"]).withColumnRenamed(
+        "doc_key", "__ek"
     )
-    global_row = per_key.agg(
-        F.lit(-1).alias("doc_key"),
-        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
-            "unique_views"
-        ),
-        F.sum("total_views").alias("total_views"),
+    totals = events.groupBy("doc_key").agg(
+        F.count("*").alias("total_views")
     )
-    return per_key.select(
+    per_key = totals.join(
+        est, F.col("doc_key").eqNullSafe(F.col("__ek")), "left"
+    ).select(
         "doc_key",
-        F.hll_sketch_estimate("sketch").alias("unique_views"),
+        F.coalesce("unique_views", F.lit(0.0)).alias("unique_views"),
         "total_views",
-    ).unionByName(global_row)
+    )
+    merged = (
+        regs.groupBy("ridx")
+        .agg(F.max("rho").alias("rho"))
+        .withColumn("doc_key", F.lit(-1))
+    )
+    global_est = hll_estimate(merged, ["doc_key"])
+    global_row = global_est.join(
+        per_key.agg(F.sum("total_views").alias("total_views"))
+    ).select("doc_key", "unique_views", "total_views")
+    return per_key.unionByName(global_row)
 
 
 @query(

@@ -1332,13 +1332,218 @@ def markov_removal_effects(counts) -> list[tuple[str, float, float]]:
     ]
 
 
+#: absorbing-chain iteration count: the journey chains' contraction
+#: factor is the spectral radius of Q (measured ~0.78 on the harness
+#: corpus), so 160 rounds leave < 1e-16 iteration tail — far inside
+#: the 9-dp released rounding, and the FIXED count is what makes the
+#: solve SQL-expressible (one CTE pair per round, page_rank style)
+MARKOV_N_ITER = 160
+
+
+def _dec18(x):
+    """``x`` as DuckDB's CAST(CAST(x AS VARCHAR) AS DECIMAL(38,18)):
+    shortest-repr digits quantized HALF_UP at 1e-18, with the
+    |x| < 1e-19 -> 0 guard both sides share (page_rank's pattern).
+    Pure-Python twin — no JVM in this path, so repr(float) IS the
+    string both engines see."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if abs(x) < 1e-19:
+        return Decimal(0)
+    return Decimal(repr(float(x))).quantize(
+        Decimal("1E-18"), rounding=ROUND_HALF_UP
+    )
+
+
+def _round9(x: float) -> float:
+    """float -> 9-dp HALF_UP via the shortest repr — the exact twin of
+    DuckDB's CAST(CAST(x AS VARCHAR) AS DECIMAL(38,9)) readout."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal("1E-9"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def markov_removal_effects_iter(
+    counts, n_iter: int = MARKOV_N_ITER
+) -> list[tuple[str, float, float]]:
+    """Removal effects by FIXED-COUNT power iteration t = r + Q t from
+    zero — the lane's defined semantics, bit-replayable in SQL: every
+    per-state contribution sum is decimal(38,18)-exact (order-free,
+    via :func:`_dec18`), each round ends with one correctly-rounded
+    decimal->double conversion and one IEEE add, so any engine that
+    unrolls the same rounds produces identical doubles. Converges to
+    the true absorption probability (minimal non-negative fixpoint —
+    reachability/closed-cycle handling is free: unreachable states
+    never feed t[start], trapped mass contributes nothing), tail
+    < rho^n_iter; parity with the np.linalg solve is pinned in
+    pytest. Returns [(channel, effect, share)] rounded to 9 dp."""
+    from decimal import Decimal, localcontext
+
+    trans: dict[tuple[str, str], int] = {
+        (r[0], r[1]): int(r[2]) for r in counts
+    }
+    channels = sorted(
+        {s for s, _ in trans} | {t for _, t in trans} - {"conv", "null"}
+    )
+    channels = [c for c in channels if c not in ("start", "conv", "null")]
+    tot = {}
+    for (f, _t), n in trans.items():
+        tot[f] = tot.get(f, 0) + n
+
+    def p_conv(removed: str | None) -> float:
+        states = ["start"] + [c for c in channels if c != removed]
+        sset = set(states)
+        q = {
+            (f, t): n / tot[f]
+            for (f, t), n in trans.items()
+            if f in sset and t in sset and t != removed
+        }
+        r = {
+            s: (
+                trans[(s, "conv")] / tot[s]
+                if (s, "conv") in trans
+                else 0.0
+            )
+            for s in states
+        }
+        t_old = {s: 0.0 for s in states}
+        with localcontext() as ctx:
+            ctx.prec = 60
+            for _ in range(n_iter):
+                t_new = {}
+                for s in states:
+                    acc = Decimal(0)
+                    for t2 in states:
+                        qv = q.get((s, t2))
+                        if qv is not None:
+                            acc += _dec18(qv * t_old[t2])
+                    t_new[s] = r[s] + float(acc)
+                t_old = t_new
+        return t_old["start"]
+
+    base = p_conv(None)
+    effects = [(c, 1.0 - p_conv(c) / base) for c in channels]
+    with localcontext() as ctx:
+        ctx.prec = 60
+        total = float(sum(_dec18(e) for _, e in effects))
+    return [
+        (c, _round9(e), _round9(e / total if total else 0.0))
+        for c, e in effects
+    ]
+
+
+def _markov_attribution_oracle(n_iter: int = MARKOV_N_ITER) -> str:
+    """Unrolled-iteration SQL twin of ``markov_removal_effects_iter``
+    (the page_rank precedent): ALL removal variants iterate together
+    keyed by (removed, state), so the CTE count is 2 per round
+    regardless of channel count; decimal sums are string-mediated for
+    bit parity with Python's repr-based quantize."""
+    head = f"""
+        WITH tc AS MATERIALIZED ({_MARKOV_TRANSITIONS_SQL}),
+        chan AS (
+            SELECT from_state AS c FROM tc
+            WHERE from_state NOT IN ('start', 'conv', 'null')
+            UNION
+            SELECT to_state FROM tc
+            WHERE to_state NOT IN ('start', 'conv', 'null')
+        ),
+        var AS (
+            SELECT '__none__' AS removed
+            UNION ALL SELECT c FROM chan
+        ),
+        sts AS (SELECT 'start' AS state UNION ALL SELECT c FROM chan),
+        states AS MATERIALIZED (
+            SELECT v.removed, s.state
+            FROM var v JOIN sts s
+              ON s.state = 'start' OR s.state <> v.removed
+        ),
+        tots AS MATERIALIZED (
+            SELECT from_state AS s, sum(n) AS tot FROM tc GROUP BY 1
+        ),
+        qe AS MATERIALIZED (
+            SELECT sf.removed, e.from_state AS s, e.to_state AS t,
+                   CAST(e.n AS DOUBLE) / CAST(o.tot AS DOUBLE) AS q
+            FROM tc e
+            JOIN tots o ON o.s = e.from_state
+            JOIN states sf
+              ON sf.state = e.from_state
+            JOIN states st
+              ON st.removed = sf.removed AND st.state = e.to_state
+        ),
+        rv AS MATERIALIZED (
+            SELECT sf.removed, sf.state AS s,
+                   coalesce(CAST(e.n AS DOUBLE) / CAST(o.tot AS DOUBLE),
+                            0.0e0) AS r
+            FROM states sf
+            LEFT JOIN tc e
+              ON e.from_state = sf.state AND e.to_state = 'conv'
+            LEFT JOIN tots o ON o.s = sf.state
+        ),
+        t0 AS (SELECT removed, state AS s, 0.0e0 AS t FROM states)"""
+    its = []
+    for k in range(1, n_iter + 1):
+        its.append(f""",
+        s{k} AS MATERIALIZED (
+            SELECT q.removed, q.s,
+                   CAST(CAST(sum(
+                       CASE WHEN abs(q.q * p.t) < 1e-19
+                            THEN CAST(0 AS DECIMAL(38,18))
+                            ELSE CAST(CAST(q.q * p.t AS VARCHAR)
+                                      AS DECIMAL(38,18)) END
+                   ) AS VARCHAR) AS DOUBLE) AS in_sum
+            FROM qe q JOIN t{k - 1} p
+              ON p.removed = q.removed AND p.s = q.t
+            GROUP BY q.removed, q.s
+        ),
+        t{k} AS MATERIALIZED (
+            SELECT rv.removed, rv.s,
+                   rv.r + coalesce(s{k}.in_sum, 0.0e0) AS t
+            FROM rv LEFT JOIN s{k}
+              ON s{k}.removed = rv.removed AND s{k}.s = rv.s
+        )"""
+        )
+    tail = f""",
+        base AS (
+            SELECT t FROM t{n_iter}
+            WHERE removed = '__none__' AND s = 'start'
+        ),
+        eff AS (
+            SELECT c.c AS channel,
+                   1.0e0 - (t.t / (SELECT t FROM base)) AS e
+            FROM chan c
+            JOIN t{n_iter} t ON t.removed = c.c AND t.s = 'start'
+        ),
+        totef AS (
+            SELECT CAST(CAST(sum(
+                       CASE WHEN abs(e) < 1e-19
+                            THEN CAST(0 AS DECIMAL(38,18))
+                            ELSE CAST(CAST(e AS VARCHAR)
+                                      AS DECIMAL(38,18)) END
+                   ) AS VARCHAR) AS DOUBLE) AS tot
+            FROM eff
+        )
+        SELECT channel,
+               CAST(CAST(CAST(CAST(e AS VARCHAR) AS DECIMAL(38,9))
+                    AS VARCHAR) AS DOUBLE) AS removal_effect,
+               CAST(CAST(CAST(CAST(
+                        CASE WHEN (SELECT tot FROM totef) <> 0.0e0
+                             THEN e / (SELECT tot FROM totef)
+                             ELSE 0.0e0 END
+                    AS VARCHAR) AS DECIMAL(38,9))
+                    AS VARCHAR) AS DOUBLE) AS share
+        FROM eff
+        ORDER BY channel
+    """
+    return head + "".join(its) + tail
+
+
 @query(
     "markov_attribution",
-    # no ANSI-SQL oracle: absorption probabilities need a linear
-    # solve; gated by the python-oracle parity pytest instead
-    # (tests/test_clickstream.py) plus the fully-oracled
-    # markov_transitions input stage.
-    oracle=None,
+    oracle=_markov_attribution_oracle(),
     doc=(
         "extension (clickstream/attribution): Markov REMOVAL-EFFECT "
         "attribution - the data-driven multi-touch model (Anderl et "
@@ -1347,7 +1552,12 @@ def markov_removal_effects(counts) -> list[tuple[str, float, float]]:
         "drop. Complements linear_attribution (positional). The "
         "corpus-scale work is markov_transitions (oracled); the solve "
         "is (channels+1)^2 driver math on the collected count matrix "
-        "- bounded by the event-type vocabulary, never the data."
+        "- bounded by the event-type vocabulary, never the data — as "
+        "a FIXED-160-round power iteration with decimal-exact "
+        "contribution sums, which the oracle unrolls CTE-per-round "
+        "(page_rank precedent), putting even the solve under the "
+        "value-hash gate; closeness to the np.linalg solve is pinned "
+        "in pytest."
     ),
     tags=("agg",),
 )
@@ -1355,10 +1565,9 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = markov_transition_counts(
         load_table(spark, sf_dir, "events")
     ).collect()
-    rows = markov_removal_effects(counts)
+    rows = markov_removal_effects_iter(counts)
     out = spark.createDataFrame(
-        [(c, round(e, 9), round(s, 9)) for c, e, s in rows],
-        "channel string, removal_effect double, share double",
+        rows, "channel string, removal_effect double, share double"
     )
     return out.orderBy("channel")
 

@@ -664,10 +664,12 @@ def _qsketch_sample(df: DataFrame, k: int = QSKETCH_K) -> DataFrame:
     )
 
 
-def _qsketch_estimate(sample: DataFrame) -> DataFrame:
+def _qsketch_estimate(
+    sample: DataFrame,
+    quantiles: tuple = ((0.5, "p50"), (0.9, "p90")),
+) -> DataFrame:
     return sample.groupBy("event_type").agg(
-        F.percentile("value", 0.5).alias("p50"),
-        F.percentile("value", 0.9).alias("p90"),
+        *[F.percentile("value", q).alias(name) for q, name in quantiles]
     )
 
 

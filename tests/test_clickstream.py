@@ -712,3 +712,28 @@ def test_streamed_asof_corrects_on_late_click(spark, tmp_path):
     upsert_parquet(spark, out, r1, ["event_id"], ["__bid"])
     rows2 = spark.read.parquet(out).collect()
     assert len(rows2) == 1 and rows2[0]["asof_event_id"] == 200
+
+
+def test_markov_iter_solver_matches_linalg(spark):
+    """The lane's fixed-160-round decimal-exact power iteration (the
+    SQL-replayable semantics) must agree with the np.linalg absorbing
+    -chain solve far inside the 9-dp released rounding — the
+    iteration tail is rho^160 with rho ~0.78 on this corpus."""
+    from click_streaming_data_pipeline_spark.plans.catalog_clickstream import (
+        markov_removal_effects,
+        markov_removal_effects_iter,
+        markov_transition_counts,
+    )
+    from click_streaming_data_pipeline_spark.sources import load_table
+
+    from .conftest import SF_TEST
+
+    counts = markov_transition_counts(
+        load_table(spark, SF_TEST, "events")
+    ).collect()
+    ref = {c: (e, s) for c, e, s in markov_removal_effects(counts)}
+    it = {c: (e, s) for c, e, s in markov_removal_effects_iter(counts)}
+    assert set(ref) == set(it)
+    for c in ref:
+        assert abs(ref[c][0] - it[c][0]) < 1e-8, c
+        assert abs(ref[c][1] - it[c][1]) < 1e-8, c

@@ -192,13 +192,24 @@ def test_cohort_retention_semantics(spark):
 
 
 def test_value_quantiles_approx_error_bound(spark):
-    """GK sketch at accuracy 10000 on ~10k rows: each approx percentile
-    must be an actual data value within a small rank neighborhood of
-    the exact interpolated percentile."""
+    """The deterministic bottom-k sample sketch (k=2048) must land
+    each percentile within the sampling-error neighborhood of the
+    exact interpolated percentile IN RANK TERMS: rank error of a
+    k-subsample quantile is O(sqrt(q(1-q)/k)) — allow 5 sigma. Also
+    keeps percentile_approx (Greenwald-Khanna) as a CONFORMANCE PROBE
+    computed here in-test (its engine-internal sketch can't be
+    value-oracled, so it no longer backs the catalog lane)."""
+    import bisect
+    import collections
+
+    from pyspark.sql import functions as F
+
     from click_streaming_data_pipeline_spark.plans.catalog_core import (
+        VQ_APPROX_K,
         value_quantiles,
         value_quantiles_approx,
     )
+    from click_streaming_data_pipeline_spark.sources import load_table
 
     from .conftest import SF_TEST
 
@@ -207,24 +218,43 @@ def test_value_quantiles_approx_error_bound(spark):
         r["event_type"]: r for r in value_quantiles_approx(spark, SF_TEST).collect()
     }
     assert set(exact) == set(approx)
-    from click_streaming_data_pipeline_spark.sources import load_table
-
     events = load_table(spark, SF_TEST, "events")
-    import collections
-
     vals = collections.defaultdict(list)
     for r in events.select("event_type", "value").collect():
         vals[r["event_type"]].append(r["value"])
     for et, a in approx.items():
         xs = sorted(vals[et])
         n = len(xs)
+        k_eff = min(n, VQ_APPROX_K)
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            got = a[col]
+            # rank of the estimate in the FULL multiset vs target q*n,
+            # tolerance = 5 sigma of the subsample quantile rank error
+            lo = bisect.bisect_left(xs, got)
+            hi = bisect.bisect_right(xs, got)
+            sigma = (q * (1 - q) / k_eff) ** 0.5 * n
+            slack = 5 * sigma + 2
+            target = q * n
+            assert lo - slack <= target <= hi + slack, (et, col, got)
+
+    # GK conformance probe (the 100-TB alternative the lane documents):
+    # an actual data point within eps*n rank error
+    gk = {
+        r["event_type"]: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10000).alias("p50"),
+            F.percentile_approx("value", 0.9, 10000).alias("p90"),
+            F.percentile_approx("value", 0.99, 10000).alias("p99"),
+        )
+        .collect()
+    }
+    for et, a in gk.items():
+        xs = sorted(vals[et])
+        n = len(xs)
         for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
             got = a[col]
             assert got in vals[et]  # GK returns an actual data point
-            # rank error: |rank(got) - q*n| <= eps*n with eps = 1/10000,
-            # plus 1 for interpolation slack on small n
-            import bisect
-
             lo = bisect.bisect_left(xs, got)
             hi = bisect.bisect_right(xs, got)
             target = q * n

@@ -26,7 +26,12 @@ from pyspark.sql import DataFrame, SparkSession
 class CatalogQuery:
     name: str
     fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # DuckDB SQL; None => driver does rows-only check
+    # DuckDB SQL; None => driver does rows-only check. A CALLABLE is a
+    # LAZY oracle, rendered when oracle_dict() is asked for it — for
+    # oracles that embed fixture-derived literals (compression_signals'
+    # zlib VALUES) which must be computed against the round's
+    # regenerated testdata, not at import time.
+    oracle: str | None | Callable[[], str]
     doc: str  # SURVEY section 2 ids + reference citations
     tags: frozenset[str] = field(default_factory=frozenset)
 
@@ -51,7 +56,11 @@ def queries_dict() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_dict() -> dict[str, str]:
-    return {name: q.oracle for name, q in QUERIES.items() if q.oracle}
+    return {
+        name: (q.oracle() if callable(q.oracle) else q.oracle)
+        for name, q in QUERIES.items()
+        if q.oracle
+    }
 
 
 # ---------------------------------------------------------------------------

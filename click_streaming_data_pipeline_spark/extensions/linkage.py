@@ -26,9 +26,19 @@ the same deletion key (near-identical strings), the same df profile
 as LSH bands — at 100 TB the join is shuffle-partitioned on the key
 and AQE splits skewed buckets.
 
-For tau > 1 the scheme generalizes to tau-deletion neighborhoods
-(product blow-up (len choose tau)); this module implements the
-tau = 1 workhorse used by the catalog.
+For tau = 1 the keys carry their DELETION POSITION, which upgrades
+the filter from "necessary" to "exact": two equal-length strings
+sharing delete@i differ ONLY at position i (ed <= 1 by construction),
+and a full string equal to delete@i of another is one insertion away.
+The position-aware join therefore yields ZERO false candidates and
+the distance needs no DP at all — dist = 0 iff the strings are equal,
+else 1 (measured: 977k -> 262k candidate rows at sf0.1, 1.7x wall).
+
+For tau = 2 the scheme generalizes to 2-deletion neighborhoods
+(1 + L + C(L,2) keys per string, FastSS): shared keys are necessary
+for ed <= 2 but no longer position-exact, so the banded
+``levenshtein(a, b, 2)`` verify (JVM codegen, O(n*tau) per pair)
+runs on candidates only.
 """
 
 from __future__ import annotations
@@ -36,25 +46,58 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: deletion-neighborhood keys: the string itself plus every
-#: one-character deletion, deduplicated (repeated characters produce
-#: identical deletions). SQL-expression form — stays inside
-#: whole-stage codegen, no Python UDF.
-_DELETION_KEYS = (
-    "array_distinct(concat(array({s}), "
+#: position-carrying deletion-neighborhood keys: struct(k = the
+#: string with one character deleted, p = 1-based deletion position;
+#: p = 0 is the string itself). SQL-expression form — stays inside
+#: whole-stage codegen, no Python UDF. Keys stay STRINGS
+#: deliberately: an xxhash64-long key (the LSH-postings trick) was
+#: measured at 11.37 vs 11.31 CPU-s per sf0.1 run — names are too
+#: short for the narrower key to beat the hash's own cost, unlike
+#: 12-token shingles.
+_DELETION_KEYS_POS = (
+    "concat(array(struct({s} AS k, 0 AS p)), "
     "transform(sequence(1, length({s})), "
-    "i -> concat(left({s}, i - 1), substring({s}, i + 1)))))"
+    "i -> struct(concat(left({s}, i - 1), substring({s}, i + 1)) AS k, "
+    "i AS p)))"
+)
+
+#: 2-deletion neighborhood (FastSS, tau=2): the string, every
+#: 1-deletion, every 2-deletion (i < j, delete both). Guards keep
+#: sequence() monotone (Spark's sequence(3, 2) DESCENDS, it does not
+#: return empty) for length-0/1 strings.
+_DELETION_KEYS_TAU2 = (
+    "array_distinct(concat("
+    "array({s}), "
+    "CASE WHEN length({s}) >= 1 THEN transform(sequence(1, length({s})), "
+    "i -> concat(left({s}, i - 1), substring({s}, i + 1))) "
+    "ELSE CAST(array() AS array<string>) END, "
+    "CASE WHEN length({s}) >= 2 THEN "
+    "flatten(transform(sequence(1, length({s}) - 1), "
+    "i -> transform(sequence(i + 1, length({s})), "
+    "j -> concat(left({s}, i - 1), substring({s}, i + 1, j - i - 1), "
+    "substring({s}, j + 1))))) "
+    "ELSE CAST(array() AS array<string>) END))"
 )
 
 
 def deletion_keys(df: DataFrame, s_col: str) -> DataFrame:
-    """Explode each row into its deletion-neighborhood keys (+1 col
-    ``_dkey``). Keys stay STRINGS deliberately: an xxhash64-long key
-    (the LSH-postings trick) was measured at 11.37 vs 11.31 CPU-s per
-    sf0.1 run — names are too short for the narrower key to beat the
-    hash's own cost, unlike 12-token shingles."""
+    """Explode each row into its position-carrying deletion keys
+    (+2 cols ``_dkey`` string, ``_dpos`` int; 0 = the string
+    itself)."""
+    kp = F.explode(F.expr(_DELETION_KEYS_POS.format(s=s_col)))
+    return (
+        df.withColumn("_kp", kp)
+        .withColumn("_dkey", F.col("_kp.k"))
+        .withColumn("_dpos", F.col("_kp.p"))
+        .drop("_kp")
+    )
+
+
+def deletion_keys_tau2(df: DataFrame, s_col: str) -> DataFrame:
+    """Explode each row into its 2-deletion-neighborhood keys
+    (+1 col ``_dkey``)."""
     return df.withColumn(
-        "_dkey", F.explode(F.expr(_DELETION_KEYS.format(s=s_col)))
+        "_dkey", F.explode(F.expr(_DELETION_KEYS_TAU2.format(s=s_col)))
     )
 
 
@@ -63,16 +106,80 @@ def edit_distance_pairs(
 ) -> DataFrame:
     """All pairs (id_a < id_b) with levenshtein(s_a, s_b) <= max_dist.
 
-    Plan shape: explode keys -> equi-join on key -> distinct pair ->
-    levenshtein verify. Returns columns ``id_a, id_b, name_a, name_b,
-    dist`` (dist int).
+    Plan shape: explode position-keyed deletions -> equi-join on key
+    filtered to (same position | either side is the full string) ->
+    distinct pair. The position filter makes candidates EXACT (module
+    doc: delete@i == delete@i means the strings differ at position i
+    only; full == delete@i means one insertion), so no verify DP runs
+    — a dist-2 'shift' pair like (ab, ba) that shares delete strings
+    at DIFFERENT positions never joins. Returns columns ``id_a, id_b,
+    name_a, name_b, dist`` (dist int). ``max_dist=2`` routes to
+    :func:`edit_distance_pairs_tau2`.
     """
+    if max_dist == 2:
+        return edit_distance_pairs_tau2(df, id_col, s_col)
     if max_dist != 1:
         raise ValueError(
-            "deletion-neighborhood blocking is built for max_dist=1; "
-            "use tau-deletion neighborhoods for larger radii"
+            "deletion-neighborhood blocking supports max_dist in "
+            "(1, 2); use tau-deletion neighborhoods for larger radii"
         )
     keyed = deletion_keys(df.select(id_col, s_col), s_col)
+    a = keyed.select(
+        F.col(id_col).alias("id_a"),
+        F.col(s_col).alias("name_a"),
+        "_dkey",
+        F.col("_dpos").alias("_pa"),
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"),
+        F.col(s_col).alias("name_b"),
+        "_dkey",
+        F.col("_dpos").alias("_pb"),
+    )
+    cand = a.join(b, "_dkey").filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (
+            (F.col("_pa") == F.col("_pb"))
+            | (F.col("_pa") == 0)
+            | (F.col("_pb") == 0)
+        )
+    )
+    # dist without a DP: candidates are exact (see module doc), so
+    # dist = 0 iff equal strings, else 1. distinct still needed: an
+    # insertion pair matches the full string against delete@i for
+    # EVERY copy of a repeated inserted character
+    return (
+        cand.withColumn(
+            "dist",
+            F.when(F.col("name_a") == F.col("name_b"), F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("int"),
+        )
+        .select("id_a", "id_b", "name_a", "name_b", "dist")
+        .distinct()
+    )
+
+
+def edit_distance_pairs_tau2(
+    df: DataFrame, id_col: str, s_col: str
+) -> DataFrame:
+    """All pairs (id_a < id_b) with levenshtein(s_a, s_b) <= 2 — the
+    ES ``fuzziness:AUTO`` radius for long terms
+    (/root/reference/services/search/app/main.py:90-99).
+
+    FastSS completeness (Bocek et al. 2007): ed(a, b) <= 2 implies
+    the 2-deletion neighborhoods intersect — each edit consumes at
+    most one deletion per side (substitution: delete the position on
+    both sides; insertion/deletion: delete the inserted character on
+    the longer side). Shared keys here are necessary but NOT exact
+    (two deletions reach ed-4 shapes), so candidates verify with the
+    banded ``levenshtein(a, b, 2)`` (JVM codegen, O(n*2) per pair,
+    -1 past the band) after an equality short-circuit and a length
+    prune (|len_a - len_b| <= 2). Never all-pairs: key blow-up is
+    1 + L + C(L,2) per row (quadratic in the SHORT string length,
+    linear in N), buckets shuffle on the key string — the same
+    df/skew profile as LSH bands; AQE splits hot buckets."""
+    keyed = deletion_keys_tau2(df.select(id_col, s_col), s_col)
     a = keyed.select(
         F.col(id_col).alias("id_a"),
         F.col(s_col).alias("name_a"),
@@ -83,34 +190,18 @@ def edit_distance_pairs(
         F.col(s_col).alias("name_b"),
         "_dkey",
     )
-    # verify BEFORE deduplicating: a candidate pair reappears once per
-    # shared deletion key (a dist-0 pair shares all len+1 keys), but
-    # levenshtein in codegen on the joined stream is far cheaper than
-    # shuffling the full candidate multiset through a distinct — the
-    # distinct then only shuffles verified survivors
     cand = a.join(b, "_dkey").filter(F.col("id_a") < F.col("id_b"))
-    # length prune before the DP: a shared deletion key only bounds
-    # |len_a - len_b| <= 2 (one deletion each side), but dist <= 1
-    # requires <= 1 — the two-length-gap candidates can never verify,
-    # and two length() calls are ~free next to even the banded DP
     cand = cand.filter(
-        F.abs(F.length("name_a") - F.length("name_b")) <= max_dist
+        F.abs(F.length("name_a") - F.length("name_b")) <= 2
     )
-    # thresholded levenshtein computes the banded DP (O(n*k) per pair
-    # instead of O(n^2)) and returns -1 beyond the band — exact
-    # distances for every surviving pair, ~len/k less work per
-    # candidate on the hot verify path. Equality short-circuits first:
-    # a dist-0 pair re-enters the join once per shared deletion key
-    # (len+1 times — the highest-multiplicity candidates by far), and
-    # a byte compare is far cheaper than even the banded DP
     return (
         cand.withColumn(
             "dist",
             F.when(F.col("name_a") == F.col("name_b"), F.lit(0))
-            .otherwise(F.levenshtein("name_a", "name_b", max_dist))
+            .otherwise(F.levenshtein("name_a", "name_b", 2))
             .cast("int"),
         )
-        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= 2))
         .select("id_a", "id_b", "name_a", "name_b", "dist")
         .distinct()
     )

@@ -79,6 +79,46 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fuzzy_name_matches_ed2",
+    oracle="""
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               a.c_name AS name_a, b.c_name AS name_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        FROM customer a
+        JOIN customer b ON a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    doc=(
+        "beyond-reference linkage: EDIT-DISTANCE SIMILARITY SELF-JOIN "
+        "at radius 2 — the full ES `fuzziness:AUTO` semantics (search "
+        "main.py:90-99 allows distance 2 for terms >= 6 chars; the "
+        "ed<=1 lane covers the short-term band). Candidates come from "
+        "2-DELETION neighborhoods (FastSS: 1 + L + C(L,2) keys per "
+        "string — quadratic in string length, LINEAR in N, never "
+        "all-pairs), verified by the banded levenshtein(a,b,2) in "
+        "JVM codegen. The oracle is the O(N^2) DuckDB all-pairs "
+        "join; completeness over every distance-2 edit kind is "
+        "additionally pinned in pytest."
+    ),
+    tags=("join", "linkage", "scale"),
+)
+def fuzzy_name_matches_ed2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.linkage import edit_distance_pairs_tau2
+    from ..sources.tables import scan_parallel
+
+    cust = scan_parallel(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    )
+    return edit_distance_pairs_tau2(cust, "c_custkey", "c_name").select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "name_a",
+        "name_b",
+        "dist",
+    )
+
+
+@query(
     "fuzzy_name_matches_streamed",
     oracle="""
         SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

@@ -1033,12 +1033,28 @@ def search_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("spak",), ("strem",), ("joinn",), ("windo",), ("qury",)],
         ["term"],
     )
-    v_keys = deletion_keys(vocab, "tok")
-    t_keys = deletion_keys(terms, "term")
+    v_keys = deletion_keys(vocab, "tok").withColumnRenamed(
+        "_dpos", "_pv"
+    )
+    t_keys = deletion_keys(terms, "term").withColumnRenamed(
+        "_dpos", "_pt"
+    )
+    # position-aware exact candidates (extensions/linkage.py): same
+    # position = substitution-only difference, either side full =
+    # one insertion — so dist needs no DP, 0 iff equal else 1
     cand = (
         v_keys.join(F.broadcast(t_keys), "_dkey")
-        .withColumn("dist", F.levenshtein("term", "tok").cast("int"))
-        .filter(F.col("dist") <= 1)
+        .filter(
+            (F.col("_pv") == F.col("_pt"))
+            | (F.col("_pv") == 0)
+            | (F.col("_pt") == 0)
+        )
+        .withColumn(
+            "dist",
+            F.when(F.col("term") == F.col("tok"), F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("int"),
+        )
         .select(
             "term", F.col("tok").alias("suggestion"), "dist", "tf"
         )

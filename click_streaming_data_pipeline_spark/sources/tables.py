@@ -94,6 +94,27 @@ def scan_parallel(df: DataFrame, partitions: int | None = None) -> DataFrame:
     n = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= max(2, n // 2):
         return df
+    # input-size-aware target: a 4k-row table does not need 32 tasks
+    # per stage when the per-task floor is ~65 ms (PERF_AUDIT) — size
+    # to ~1 MB of source bytes per partition, clamped to [4, n]. The
+    # byte probe reads file METADATA only (local paths; anything
+    # non-local or unreadable falls back to full parallelism, which
+    # is the at-scale answer anyway).
+    try:
+        import os as _os
+
+        total = 0
+        for f in df.inputFiles():
+            p = f[7:] if f.startswith("file://") else f
+            if not _os.path.isabs(p):
+                total = 0
+                break
+            total += _os.path.getsize(p)
+        if total > 0:
+            want = max(4, min(n, -(-total // (1 << 20))))
+            return df.repartition(int(want))
+    except Exception:
+        pass
     return df.repartition(n)
 
 

@@ -59,16 +59,14 @@ def write_kafka_stream(
     key_col: str | None = None,
 ):
     """JSON producer sink (A3): serialize all columns to one JSON
-    value (the quality.checks topic shape)."""
-    cols = [c for c in df.columns if c != key_col]
-    out = df.select(
-        *(
-            [F.col(key_col).cast("string").alias("key")]
-            if key_col
-            else []
-        ),
-        F.to_json(F.struct(*cols)).alias("value"),
-    )
+    value (the quality.checks topic shape). The projection lives in
+    ``kafka_wire.kafka_payload`` — shared with the connector-free
+    wire producer so the sandbox wire test exercises THIS leg."""
+    from .kafka_wire import kafka_payload
+
+    out = kafka_payload(df, key_col)
+    if not key_col:
+        out = out.drop("key")
     return (
         out.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)

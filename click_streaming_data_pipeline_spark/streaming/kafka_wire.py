@@ -1,0 +1,480 @@
+"""Kafka RecordBatch v2 wire codec + in-process socket broker stub.
+
+The sandbox has neither a Kafka broker nor the spark-sql-kafka
+connector jar, which left SURVEY 2 A3 (the JSON producer sink,
+reference ``services/data-quality/app/main.py:217-233``) as the one
+operator whose wire leg never executed. This module closes that gap
+the way ``vendor/miniproto`` closed the TWS one: a self-written,
+spec-complete subset of the PUBLIC wire format (the Kafka protocol
+guide's RecordBatch v2 / message-format-v2 layout), plus a minimal
+in-process TCP broker stub, so the producer leg runs end-to-end over
+a real socket:
+
+- :func:`encode_record_batch` / :func:`decode_record_batch` —
+  byte-exact RecordBatch v2: int64 baseOffset, int32 batchLength,
+  partitionLeaderEpoch, magic=2, **CRC-32C (Castagnoli) over
+  everything after the crc field**, attributes, lastOffsetDelta,
+  base/max timestamps, producer fields (-1: idempotence not
+  negotiated), record array with ZIGZAG-VARINT framed records
+  (length, attributes, timestampDelta, offsetDelta, key, value,
+  headers) — the same bytes a real broker stores on disk and ships
+  on the wire for uncompressed batches.
+- :class:`MiniBroker` — an in-process TCP server holding topic logs
+  as lists of RecordBatch blobs. The RPC ENVELOPE is deliberately
+  minimal (4-byte length frames, 1-byte op, UTF-8 topic; the full
+  Kafka RPC needs ApiVersions negotiation no sandbox client exists
+  to exercise) — the point is that the PAYLOAD bytes crossing the
+  socket are real RecordBatch v2, checkable field-by-field.
+- :func:`kafka_payload` — the producer's ``to_json(struct(*))`` +
+  key-cast projection, factored out of ``kafka.write_kafka_stream``
+  so the leg under wire test IS the production projection, not a
+  copy.
+- :func:`write_kafka_wire` / :func:`read_kafka_wire` — foreachBatch
+  producer / batch consumer over the stub, mirroring the
+  read_kafka_stream output contract (value/key string casts,
+  kafka_ts, headers).
+
+Nothing here imports private code: the wire layout is from the
+public Kafka protocol documentation (KIP-98 message format v2), and
+CRC-32C is pinned to its public test vector ("123456789" ->
+0xE3069283) in tests/test_kafka_wire.py.
+"""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import struct
+import threading
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------- crc32c
+
+_CRC32C_POLY = 0x82F63B78  # Castagnoli, reflected
+
+
+def _crc32c_table() -> list[int]:
+    table = []
+    for i in range(256):
+        crc = i
+        for _ in range(8):
+            crc = (crc >> 1) ^ _CRC32C_POLY if crc & 1 else crc >> 1
+        table.append(crc)
+    return table
+
+
+_TABLE = _crc32c_table()
+
+
+def crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli) — the checksum RecordBatch v2 carries.
+    Public test vector: crc32c(b"123456789") == 0xE3069283."""
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+# ------------------------------------------------- zigzag varints
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def encode_varint(n: int) -> bytes:
+    """Signed zigzag varint (the framing of every per-record field)."""
+    z = _zigzag(n) & 0xFFFFFFFFFFFFFFFF
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def decode_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    """-> (value, next_pos)."""
+    shift = 0
+    z = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        z |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _unzigzag(z), pos
+        shift += 7
+
+
+# --------------------------------------------- RecordBatch v2 codec
+
+@dataclass
+class WireRecord:
+    key: bytes | None
+    value: bytes | None
+    timestamp_ms: int
+    headers: list[tuple[str, bytes | None]] = field(default_factory=list)
+
+
+def _encode_record(
+    r: WireRecord, offset_delta: int, base_ts: int
+) -> bytes:
+    body = bytearray()
+    body += b"\x00"  # record attributes (unused by the spec today)
+    body += encode_varint(r.timestamp_ms - base_ts)
+    body += encode_varint(offset_delta)
+    if r.key is None:
+        body += encode_varint(-1)
+    else:
+        body += encode_varint(len(r.key))
+        body += r.key
+    if r.value is None:
+        body += encode_varint(-1)
+    else:
+        body += encode_varint(len(r.value))
+        body += r.value
+    body += encode_varint(len(r.headers))
+    for hk, hv in r.headers:
+        kb = hk.encode("utf-8")
+        body += encode_varint(len(kb))
+        body += kb
+        if hv is None:
+            body += encode_varint(-1)
+        else:
+            body += encode_varint(len(hv))
+            body += hv
+    return encode_varint(len(body)) + bytes(body)
+
+
+def encode_record_batch(
+    records: list[WireRecord], base_offset: int = 0
+) -> bytes:
+    """One uncompressed RecordBatch v2 blob, CRC'd per spec."""
+    if not records:
+        raise ValueError("RecordBatch v2 requires at least one record")
+    base_ts = min(r.timestamp_ms for r in records)
+    max_ts = max(r.timestamp_ms for r in records)
+    recs = b"".join(
+        _encode_record(r, i, base_ts) for i, r in enumerate(records)
+    )
+    # everything the crc covers: attributes .. records
+    after_crc = (
+        struct.pack(">h", 0)  # attributes: no compression, create-time
+        + struct.pack(">i", len(records) - 1)  # lastOffsetDelta
+        + struct.pack(">q", base_ts)
+        + struct.pack(">q", max_ts)
+        + struct.pack(">q", -1)  # producerId
+        + struct.pack(">h", -1)  # producerEpoch
+        + struct.pack(">i", -1)  # baseSequence
+        + struct.pack(">i", len(records))
+        + recs
+    )
+    crc = crc32c(after_crc)
+    head = (
+        struct.pack(">i", 0)  # partitionLeaderEpoch
+        + struct.pack(">b", 2)  # magic
+        + struct.pack(">I", crc)
+    )
+    batch_len = len(head) + len(after_crc)
+    return (
+        struct.pack(">q", base_offset)
+        + struct.pack(">i", batch_len)
+        + head
+        + after_crc
+    )
+
+
+def decode_record_batch(buf: bytes) -> tuple[int, list[WireRecord]]:
+    """-> (base_offset, records). Raises on magic/CRC/framing
+    violations — a consumer must never silently accept a corrupt
+    batch."""
+    base_offset, batch_len = struct.unpack_from(">qi", buf, 0)
+    if len(buf) != 12 + batch_len:
+        raise ValueError(
+            f"batchLength {batch_len} != {len(buf) - 12} actual"
+        )
+    (leader_epoch, magic) = struct.unpack_from(">ib", buf, 12)
+    if magic != 2:
+        raise ValueError(f"unsupported magic {magic} (want 2)")
+    (crc,) = struct.unpack_from(">I", buf, 17)
+    after_crc = buf[21:]
+    actual = crc32c(after_crc)
+    if actual != crc:
+        raise ValueError(f"crc32c mismatch {actual:#x} != {crc:#x}")
+    (
+        attributes,
+        last_offset_delta,
+        base_ts,
+        max_ts,
+        _pid,
+        _pepoch,
+        _bseq,
+        n_records,
+    ) = struct.unpack_from(">hiqqqhii", buf, 21)
+    if attributes & 0x07:
+        raise ValueError("compressed batches not supported by the stub")
+    pos = 21 + struct.calcsize(">hiqqqhii")
+    out = []
+    for _ in range(n_records):
+        rec_len, pos = decode_varint(buf, pos)
+        end = pos + rec_len
+        pos += 1  # record attributes
+        ts_delta, pos = decode_varint(buf, pos)
+        _off_delta, pos = decode_varint(buf, pos)
+        klen, pos = decode_varint(buf, pos)
+        key = None if klen < 0 else buf[pos: pos + klen]
+        pos += max(0, klen)
+        vlen, pos = decode_varint(buf, pos)
+        value = None if vlen < 0 else buf[pos: pos + vlen]
+        pos += max(0, vlen)
+        n_headers, pos = decode_varint(buf, pos)
+        headers = []
+        for _h in range(n_headers):
+            hklen, pos = decode_varint(buf, pos)
+            hk = buf[pos: pos + hklen].decode("utf-8")
+            pos += hklen
+            hvlen, pos = decode_varint(buf, pos)
+            hv = None if hvlen < 0 else buf[pos: pos + hvlen]
+            pos += max(0, hvlen)
+            headers.append((hk, hv))
+        if pos != end:
+            raise ValueError("record framing drift")
+        out.append(WireRecord(key, value, base_ts + ts_delta, headers))
+    if pos != len(buf):
+        raise ValueError("trailing bytes after last record")
+    return base_offset, out
+
+
+# ----------------------------------------------------- mini broker
+
+_OP_PRODUCE = 1
+_OP_FETCH = 2
+
+
+def _read_exact(sock, n: int) -> bytes:
+    out = b""
+    while len(out) < n:
+        chunk = sock.recv(n - len(out))
+        if not chunk:
+            raise ConnectionError("peer closed")
+        out += chunk
+    return out
+
+
+def _read_frame(sock) -> bytes:
+    (n,) = struct.unpack(">i", _read_exact(sock, 4))
+    return _read_exact(sock, n)
+
+
+def _write_frame(sock, payload: bytes) -> None:
+    sock.sendall(struct.pack(">i", len(payload)) + payload)
+
+
+class MiniBroker:
+    """In-process TCP log server: topics hold RecordBatch v2 blobs in
+    arrival order (offsets assigned broker-side like a real log).
+    Framing: [int32 len][op u8][topic_len u8][topic utf8][body]."""
+
+    def __init__(self) -> None:
+        self._logs: dict[str, list[bytes]] = {}
+        self._offsets: dict[str, int] = {}
+        self._lock = threading.Lock()
+        outer = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self) -> None:
+                try:
+                    while True:
+                        frame = _read_frame(self.request)
+                        op = frame[0]
+                        tlen = frame[1]
+                        topic = frame[2: 2 + tlen].decode("utf-8")
+                        body = frame[2 + tlen:]
+                        if op == _OP_PRODUCE:
+                            base = outer._append(topic, body)
+                            _write_frame(
+                                self.request, struct.pack(">q", base)
+                            )
+                        elif op == _OP_FETCH:
+                            blobs = outer._fetch(topic)
+                            resp = struct.pack(">i", len(blobs))
+                            for b in blobs:
+                                resp += struct.pack(">i", len(b)) + b
+                            _write_frame(self.request, resp)
+                        else:
+                            raise ValueError(f"bad op {op}")
+                except (ConnectionError, OSError):
+                    return
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server(("127.0.0.1", 0), Handler)
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+
+    # -- log ops (decode validates CRC before the log accepts bytes,
+    #    like a real broker)
+    def _append(self, topic: str, blob: bytes) -> int:
+        base_offset, records = decode_record_batch(blob)
+        with self._lock:
+            assigned = self._offsets.get(topic, 0)
+            # re-stamp the batch with the broker-assigned base offset
+            restamped = (
+                struct.pack(">q", assigned) + blob[8:]
+            )
+            self._logs.setdefault(topic, []).append(restamped)
+            self._offsets[topic] = assigned + len(records)
+            return assigned
+
+    def _fetch(self, topic: str) -> list[bytes]:
+        with self._lock:
+            return list(self._logs.get(topic, []))
+
+    # -- lifecycle
+    def start(self) -> "MiniBroker":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+    @property
+    def address(self) -> str:
+        host, port = self._server.server_address
+        return f"{host}:{port}"
+
+
+# ------------------------------------------------- client helpers
+
+def produce(addr: str, topic: str, blob: bytes) -> int:
+    host, _, port = addr.partition(":")
+    with socket.create_connection((host, int(port))) as sock:
+        t = topic.encode("utf-8")
+        _write_frame(
+            sock, bytes([_OP_PRODUCE, len(t)]) + t + blob
+        )
+        (base,) = struct.unpack(">q", _read_frame(sock))
+        return base
+
+
+def fetch(addr: str, topic: str) -> list[bytes]:
+    host, _, port = addr.partition(":")
+    with socket.create_connection((host, int(port))) as sock:
+        t = topic.encode("utf-8")
+        _write_frame(sock, bytes([_OP_FETCH, len(t)]) + t)
+        resp = _read_frame(sock)
+        (n,) = struct.unpack_from(">i", resp, 0)
+        pos = 4
+        out = []
+        for _ in range(n):
+            (blen,) = struct.unpack_from(">i", resp, pos)
+            pos += 4
+            out.append(resp[pos: pos + blen])
+            pos += blen
+        return out
+
+
+# --------------------------------------- Spark-side wire producer
+
+def kafka_payload(df: DataFrame, key_col: str | None) -> DataFrame:
+    """The producer projection (A3): all non-key columns serialized
+    to ONE JSON ``value`` (the quality.checks topic shape,
+    data-quality main.py:217-233), key cast to string. Shared by the
+    connector sink (``kafka.write_kafka_stream``) and the wire
+    fallback below, so the wire test exercises the production
+    projection itself."""
+    cols = [c for c in df.columns if c != key_col]
+    return df.select(
+        *(
+            [F.col(key_col).cast("string").alias("key")]
+            if key_col
+            else [F.lit(None).cast("string").alias("key")]
+        ),
+        F.to_json(F.struct(*cols)).alias("value"),
+    )
+
+
+def write_kafka_wire(
+    df: DataFrame,
+    addr: str,
+    topic: str,
+    *,
+    checkpoint_dir: str,
+    key_col: str | None = None,
+):
+    """foreachBatch producer over the wire stub: per micro-batch, the
+    shared :func:`kafka_payload` projection runs IN SPARK, rows
+    collect per partition-bounded batch, and one RecordBatch v2 blob
+    ships over the socket. Returns the DataStreamWriter (caller picks
+    the trigger), mirroring ``write_kafka_stream``'s shape."""
+
+    def _send(batch: DataFrame, batch_id: int) -> None:
+        rows = kafka_payload(batch, key_col).collect()
+        if not rows:
+            return
+        now = int(time.time() * 1000)
+        records = [
+            WireRecord(
+                None if r["key"] is None else r["key"].encode("utf-8"),
+                None
+                if r["value"] is None
+                else r["value"].encode("utf-8"),
+                now,
+                [("batch_id", str(batch_id).encode("utf-8"))],
+            )
+            for r in rows
+        ]
+        produce(addr, topic, encode_record_batch(records))
+
+    return (
+        df.writeStream.foreachBatch(_send)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
+def read_kafka_wire(
+    spark: SparkSession, addr: str, topic: str
+) -> DataFrame:
+    """Batch consumer over the wire stub, with the SAME output
+    contract as ``kafka.read_kafka_stream``: value/key as strings,
+    kafka_ts timestamp, headers as array<struct<key,value>> — so a
+    downstream pipeline is sink/source-agnostic."""
+    rows = []
+    for blob in fetch(addr, topic):
+        _base, records = decode_record_batch(blob)
+        for r in records:
+            rows.append(
+                (
+                    None
+                    if r.value is None
+                    else r.value.decode("utf-8"),
+                    None if r.key is None else r.key.decode("utf-8"),
+                    r.timestamp_ms,
+                    [(hk, hv) for hk, hv in r.headers],
+                )
+            )
+    df = spark.createDataFrame(
+        rows,
+        "value string, key string, ts_ms long, "
+        "headers array<struct<key:string,value:binary>>",
+    )
+    return df.select(
+        "value",
+        "key",
+        F.timestamp_millis("ts_ms").alias("kafka_ts"),
+        "headers",
+    )

@@ -1,0 +1,202 @@
+"""Kafka RecordBatch v2 wire codec + socket round-trip (SURVEY 2 A3).
+
+The sandbox has no broker and no spark-sql-kafka jar, so A3's wire
+leg runs here against the self-written codec + MiniBroker stub
+(streaming/kafka_wire.py): the production ``to_json(struct(*))``
+projection (shared with write_kafka_stream via kafka_payload)
+executes in Spark, real RecordBatch v2 bytes cross a real TCP
+socket, and the consumed frame must equal the file-analogue
+pipeline bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from click_streaming_data_pipeline_spark.streaming.kafka_wire import (
+    MiniBroker,
+    WireRecord,
+    crc32c,
+    decode_record_batch,
+    decode_varint,
+    encode_record_batch,
+    encode_varint,
+    fetch,
+    kafka_payload,
+    produce,
+    read_kafka_wire,
+    write_kafka_wire,
+)
+
+
+def test_crc32c_public_vectors():
+    # the canonical check vector (RFC 3720 appendix / zlib docs)
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+    # 32 zero bytes — published iSCSI test vector
+    assert crc32c(bytes(32)) == 0x8A9136AA
+    # 32 0xFF bytes — published iSCSI test vector
+    assert crc32c(b"\xff" * 32) == 0x62A8AB43
+
+
+def test_zigzag_varint_round_trip():
+    cases = [0, -1, 1, -2, 2, 63, -64, 64, 127, 128, -65, 300,
+             2**31 - 1, -(2**31), 2**40, -(2**40)]
+    for v in cases:
+        enc = encode_varint(v)
+        got, pos = decode_varint(enc, 0)
+        assert got == v and pos == len(enc), v
+    # spec zigzag examples: 0->0, -1->1, 1->2, -2->3, 2->4
+    assert encode_varint(0) == b"\x00"
+    assert encode_varint(-1) == b"\x01"
+    assert encode_varint(1) == b"\x02"
+    assert encode_varint(-2) == b"\x03"
+    assert encode_varint(2) == b"\x04"
+
+
+def test_record_batch_layout_field_by_field():
+    """Pin the v2 layout offsets against the public spec: baseOffset
+    int64 @0, batchLength int32 @8, partitionLeaderEpoch int32 @12,
+    magic=2 int8 @16, crc uint32 @17, attributes int16 @21, ..."""
+    recs = [WireRecord(b"k1", b"v1", 1_700_000_000_000, [("h", b"x")])]
+    blob = encode_record_batch(recs, base_offset=7)
+    assert struct.unpack_from(">q", blob, 0)[0] == 7
+    assert struct.unpack_from(">i", blob, 8)[0] == len(blob) - 12
+    assert struct.unpack_from(">i", blob, 12)[0] == 0
+    assert blob[16] == 2  # magic
+    crc = struct.unpack_from(">I", blob, 17)[0]
+    assert crc == crc32c(blob[21:])
+    attributes = struct.unpack_from(">h", blob, 21)[0]
+    assert attributes == 0  # uncompressed, create-time
+    assert struct.unpack_from(">i", blob, 23)[0] == 0  # lastOffsetDelta
+    assert struct.unpack_from(">q", blob, 27)[0] == 1_700_000_000_000
+    assert struct.unpack_from(">q", blob, 35)[0] == 1_700_000_000_000
+    assert struct.unpack_from(">q", blob, 43)[0] == -1  # producerId
+    assert struct.unpack_from(">h", blob, 51)[0] == -1  # producerEpoch
+    assert struct.unpack_from(">i", blob, 53)[0] == -1  # baseSequence
+    assert struct.unpack_from(">i", blob, 57)[0] == 1  # record count
+
+
+def test_record_batch_round_trip_nulls_headers_multirecord():
+    recs = [
+        WireRecord(None, b'{"a": 1}', 1000, []),
+        WireRecord(b"42", None, 1005, [("h1", b"x"), ("h2", None)]),
+        WireRecord(b"", b"", 990, [("empty", b"")]),
+        WireRecord(b"u\xc3\xa9", "café".encode(), 1010, []),
+    ]
+    blob = encode_record_batch(recs, base_offset=100)
+    base, got = decode_record_batch(blob)
+    assert base == 100
+    assert [(r.key, r.value, r.timestamp_ms, r.headers) for r in got] == [
+        (r.key, r.value, r.timestamp_ms, r.headers) for r in recs
+    ]
+
+
+def test_decode_rejects_corruption():
+    blob = bytearray(
+        encode_record_batch([WireRecord(b"k", b"v", 1)], 0)
+    )
+    flipped = bytearray(blob)
+    flipped[-1] ^= 0x01  # payload bit flip -> crc must catch it
+    with pytest.raises(ValueError, match="crc32c"):
+        decode_record_batch(bytes(flipped))
+    wrong_magic = bytearray(blob)
+    wrong_magic[16] = 1
+    with pytest.raises(ValueError, match="magic"):
+        decode_record_batch(bytes(wrong_magic))
+    truncated = bytes(blob[:-2])
+    with pytest.raises(ValueError, match="batchLength"):
+        decode_record_batch(truncated)
+
+
+def test_broker_assigns_monotone_offsets():
+    broker = MiniBroker().start()
+    try:
+        addr = broker.address
+        b0 = produce(addr, "t", encode_record_batch(
+            [WireRecord(b"a", b"1", 1), WireRecord(b"b", b"2", 2)]))
+        b1 = produce(addr, "t", encode_record_batch(
+            [WireRecord(b"c", b"3", 3)]))
+        assert (b0, b1) == (0, 2)
+        blobs = fetch(addr, "t")
+        bases = [decode_record_batch(b)[0] for b in blobs]
+        assert bases == [0, 2]
+        assert fetch(addr, "elsewhere") == []
+    finally:
+        broker.stop()
+
+
+def test_wire_producer_round_trip_matches_file_analogue(spark, tmp_path):
+    """A3 end-to-end: the production kafka_payload projection runs in
+    Spark (write_kafka_stream's leg), RecordBatch v2 bytes cross the
+    socket, read_kafka_wire consumes them — and (key, value) must
+    equal the file-analogue projection of the same frame exactly."""
+    rows = spark.createDataFrame(
+        [
+            (1, "created", 0.5, None),
+            (2, "updated", None, "x"),
+            (3, None, 2.25, "café"),
+        ],
+        "event_id long, op string, score double, note string",
+    )
+    src = str(tmp_path / "in")
+    rows.repartition(2).write.parquet(src)
+
+    broker = MiniBroker().start()
+    try:
+        stream = (
+            spark.readStream.schema(rows.schema)
+            .option("maxFilesPerTrigger", 1)  # >1 micro-batch (I5)
+            .parquet(src)
+        )
+        q = (
+            write_kafka_wire(
+                stream,
+                broker.address,
+                "quality.checks",
+                checkpoint_dir=str(tmp_path / "ckpt"),
+                key_col="event_id",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        got = read_kafka_wire(spark, broker.address, "quality.checks")
+        # consumer contract mirrors read_kafka_stream: value/key
+        # strings + kafka_ts + headers
+        assert [f.name for f in got.schema.fields] == [
+            "value", "key", "kafka_ts", "headers",
+        ]
+        want = {
+            (r["key"], r["value"])
+            for r in kafka_payload(rows, "event_id").collect()
+        }
+        have = {(r["key"], r["value"]) for r in got.collect()}
+        assert have == want
+        # headers carried the producing batch id; >1 distinct batch
+        # proves the micro-batched leg, not one bulk write
+        hdr = {
+            bytes(h["value"]).decode()
+            for r in got.select("headers").collect()
+            for h in r["headers"]
+            if h["key"] == "batch_id"
+        }
+        assert len(hdr) >= 2
+    finally:
+        broker.stop()
+
+
+def test_write_kafka_stream_uses_shared_projection(spark):
+    """The connector sink's serialization must BE kafka_payload —
+    guard against the projections drifting apart (the wire test's
+    authority depends on it)."""
+    import inspect
+
+    from click_streaming_data_pipeline_spark.streaming import kafka
+
+    src = inspect.getsource(kafka.write_kafka_stream)
+    assert "kafka_payload" in src

@@ -67,7 +67,85 @@ def test_edit_distance_pairs_complete_on_all_edit_kinds(spark):
 def test_edit_distance_pairs_rejects_wide_radius(spark):
     df = spark.createDataFrame([(1, "a")], ["id", "name"])
     with pytest.raises(ValueError):
-        edit_distance_pairs(df, "id", "name", max_dist=2)
+        edit_distance_pairs(df, "id", "name", max_dist=3)
+
+
+def test_edit_distance_pairs_tau2_complete_on_all_edit_kinds(spark):
+    """ed<=2 blocking must find every pair brute force finds, across
+    every distance-2 edit COMBINATION: sub+sub, sub+ins, sub+del,
+    ins+ins, del+del, ins+del (adjacent and apart, boundary and
+    interior), repeated characters, unicode, and the empty/1-char
+    edges where the 2-deletion neighborhood degenerates."""
+    from click_streaming_data_pipeline_spark.extensions.linkage import (
+        edit_distance_pairs_tau2,
+    )
+
+    names = [
+        (1, "martha stuart"),
+        (2, "marsha spuart"),    # sub+sub vs 1
+        (3, "martha sstuartt"),  # ins+ins vs 1
+        (4, "mrtha stuat"),      # del+del vs 1
+        (5, "marthaa stuar"),    # ins+del vs 1
+        (6, "msrtha stuarts"),   # sub+ins vs 1
+        (7, "martha staart"),    # sub(+0): dist 1 vs 1
+        (8, "xmartha stuartx"),  # boundary ins+ins vs 1
+        (9, "artha stuar"),      # boundary del+del vs 1
+        (10, "martha stuart"),   # duplicate of 1 (dist 0)
+        (11, "completely other"),
+        (12, "ab"),
+        (13, "ba"),              # the classic shift: dist 2 vs 12
+        (14, ""),                # ed("", "ab") = 2 via two inserts
+        (15, "x"),
+        (16, "aabb"),            # repeated chars
+        (17, "abab"),            # dist 2 vs 16
+        (18, "café bar"),
+        (19, "cafe baar"),       # unicode sub + ins vs 18
+    ]
+    df = spark.createDataFrame(names, ["id", "name"])
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_pairs_tau2(df, "id", "name").collect()
+    }
+    want = set()
+    for i, (ia, na) in enumerate(names):
+        for ib, nb in names[i + 1 :]:
+            d = _lev(na, nb)
+            if d <= 2:
+                want.add((min(ia, ib), max(ia, ib), d))
+    assert got == want
+    for probe in [(1, 2, 2), (1, 3, 2), (1, 4, 2), (1, 5, 2), (1, 6, 2),
+                  (1, 7, 1), (1, 8, 2), (1, 9, 2), (1, 10, 0),
+                  (12, 13, 2), (12, 14, 2), (16, 17, 2), (18, 19, 2)]:
+        assert probe in want and probe in got, probe
+
+
+def test_edit_distance_pairs_tau2_randomized_vs_brute(spark):
+    """Property sweep: random short strings over a tiny alphabet
+    (maximizing edit collisions) — blocking+banded-verify must equal
+    brute-force exactly, including dist values."""
+    import random
+
+    rng = random.Random(1234)
+    names = [
+        (i, "".join(rng.choice("abc") for _ in range(rng.randint(0, 6))))
+        for i in range(120)
+    ]
+    from click_streaming_data_pipeline_spark.extensions.linkage import (
+        edit_distance_pairs_tau2,
+    )
+
+    df = spark.createDataFrame(names, ["id", "name"])
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in edit_distance_pairs_tau2(df, "id", "name").collect()
+    }
+    want = {}
+    for i, (ia, na) in enumerate(names):
+        for ib, nb in names[i + 1 :]:
+            d = _lev(na, nb)
+            if d <= 2:
+                want[(min(ia, ib), max(ia, ib))] = d
+    assert got == want
 
 
 def _brute_skyline(points):

@@ -61,6 +61,7 @@ PROBE_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_substring_spans",
     "fuzzy_name_matches",
+    "fuzzy_name_matches_ed2",
     "lm_quality_score",
     "embedding_quantize",
     "rag_mmr_rerank",
@@ -155,14 +156,16 @@ def build_replicated(spark) -> None:
                     shifted = F.transform(shifted, lambda x: -x)
                 c = c.withColumn("embedding", shifted)
             if table == "customer":
-                # same reasoning for the edit-distance lane: verbatim
+                # same reasoning for the edit-distance lanes: verbatim
                 # name clones would be ed=0 matches of their 7 copies
                 # (quadratic OUTPUT by construction). A per-replica
-                # 2-char-distinct suffix pushes every cross-replica
-                # pair to ed>=2 (> max_dist=1) while a shared suffix
-                # within a replica preserves within-replica distances.
+                # 3-char-distinct suffix pushes every cross-replica
+                # pair to ed>=3 (> both max_dist=1 AND the ed2 lane's
+                # radius) while a shared suffix within a replica
+                # preserves within-replica distances.
                 c = c.withColumn(
-                    "c_name", F.concat(F.col("c_name"), F.lit(f"#{i}{i}"))
+                    "c_name",
+                    F.concat(F.col("c_name"), F.lit(f"#{i}{i}{i}")),
                 )
             copies.append(c)
         out = copies[0]

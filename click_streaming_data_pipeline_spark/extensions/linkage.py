@@ -61,22 +61,30 @@ _DELETION_KEYS_POS = (
     "i AS p)))"
 )
 
-#: 2-deletion neighborhood (FastSS, tau=2): the string, every
-#: 1-deletion, every 2-deletion (i < j, delete both). Guards keep
-#: sequence() monotone (Spark's sequence(3, 2) DESCENDS, it does not
-#: return empty) for length-0/1 strings.
+#: 2-deletion neighborhood (FastSS, tau=2) with VARIANT-GAP
+#: coordinates: struct(k = the string with 0/1/2 characters deleted,
+#: g1/g2 = the 1-based gaps IN THE VARIANT where the deleted
+#: characters sat, ascending, 0 = unused). Deleting original
+#: positions i < j lands at variant gaps (i, j-1) — the second
+#: deletion shifts left past the first. Gap coordinates are what
+#: make the candidate filter EXACT (see edit_distance_pairs_tau2).
+#: Guards keep sequence() monotone (Spark's sequence(3, 2) DESCENDS,
+#: it does not return empty) for length-0/1 strings.
+_EMPTY_KGG = "CAST(array() AS array<struct<k:string,g1:int,g2:int>>)"
 _DELETION_KEYS_TAU2 = (
-    "array_distinct(concat("
-    "array({s}), "
+    "concat("
+    "array(struct({s} AS k, 0 AS g1, 0 AS g2)), "
     "CASE WHEN length({s}) >= 1 THEN transform(sequence(1, length({s})), "
-    "i -> concat(left({s}, i - 1), substring({s}, i + 1))) "
-    "ELSE CAST(array() AS array<string>) END, "
+    "i -> struct(concat(left({s}, i - 1), substring({s}, i + 1)) AS k, "
+    "i AS g1, 0 AS g2)) "
+    f"ELSE {_EMPTY_KGG} END, "
     "CASE WHEN length({s}) >= 2 THEN "
     "flatten(transform(sequence(1, length({s}) - 1), "
     "i -> transform(sequence(i + 1, length({s})), "
-    "j -> concat(left({s}, i - 1), substring({s}, i + 1, j - i - 1), "
-    "substring({s}, j + 1))))) "
-    "ELSE CAST(array() AS array<string>) END))"
+    "j -> struct(concat(left({s}, i - 1), "
+    "substring({s}, i + 1, j - i - 1), substring({s}, j + 1)) AS k, "
+    "i AS g1, j - 1 AS g2)))) "
+    f"ELSE {_EMPTY_KGG} END)"
 )
 
 
@@ -95,9 +103,17 @@ def deletion_keys(df: DataFrame, s_col: str) -> DataFrame:
 
 def deletion_keys_tau2(df: DataFrame, s_col: str) -> DataFrame:
     """Explode each row into its 2-deletion-neighborhood keys
-    (+1 col ``_dkey``)."""
-    return df.withColumn(
-        "_dkey", F.explode(F.expr(_DELETION_KEYS_TAU2.format(s=s_col)))
+    (+3 cols: ``_dkey`` string, ``_g1``/``_g2`` variant-gap ints,
+    0 = unused; one row per (positions) CHOICE — identical variant
+    strings from different deletion positions stay separate, each is
+    its own witness)."""
+    kp = F.explode(F.expr(_DELETION_KEYS_TAU2.format(s=s_col)))
+    return (
+        df.withColumn("_kp", kp)
+        .withColumn("_dkey", F.col("_kp.k"))
+        .withColumn("_g1", F.col("_kp.g1"))
+        .withColumn("_g2", F.col("_kp.g2"))
+        .drop("_kp")
     )
 
 
@@ -171,39 +187,83 @@ def edit_distance_pairs_tau2(
     the 2-deletion neighborhoods intersect — each edit consumes at
     most one deletion per side (substitution: delete the position on
     both sides; insertion/deletion: delete the inserted character on
-    the longer side). Shared keys here are necessary but NOT exact
-    (two deletions reach ed-4 shapes), so candidates verify with the
-    banded ``levenshtein(a, b, 2)`` (JVM codegen, O(n*2) per pair,
-    -1 past the band) after an equality short-circuit and a length
-    prune (|len_a - len_b| <= 2). Never all-pairs: key blow-up is
-    1 + L + C(L,2) per row (quadratic in the SHORT string length,
-    linear in N), buckets shuffle on the key string — the same
-    df/skew profile as LSH bands; AQE splits hot buckets."""
-    keyed = deletion_keys_tau2(df.select(id_col, s_col), s_col)
+    the longer side).
+
+    The VARIANT-GAP coordinates each key carries make the candidate
+    math exact WITHOUT a verify DP: a join row witnesses an edit
+    script of length ``bound = n_a + n_b - overlap`` (matched gaps on
+    both sides cancel a delete+insert into one substitution; multiset
+    overlap over the <=2-element gap sets). Every witness's bound is
+    a VALID script length, so bound >= ed; an optimal script's
+    canonical witness (delete each edit's characters) has
+    bound == ed (a del and an ins at the same gap in an optimal
+    script would contradict optimality); hence
+    ``min(bound) over witnesses == ed`` exactly — pinned by the
+    randomized brute-force pytest. The plan filters ``bound <= 2``
+    BEFORE the pair shuffle (measured at sf0.1: 31.7M joined rows,
+    ~4M survive) and computes dist as the grouped min — integer
+    compares in codegen, no levenshtein, and names re-attach by id
+    join at the end so the candidate stream stays skinny.
+
+    Never all-pairs: key blow-up is 1 + L + C(L,2) per row
+    (quadratic in the SHORT string length, linear in N), buckets
+    shuffle on the key string — the same df/skew profile as LSH
+    bands; AQE splits hot buckets."""
+    base = df.select(id_col, s_col)
+    # pin the join's partitioning explicitly: the 1 -> 1+L+C(L,2) key
+    # explode means shuffle BYTES wildly underestimate join CPU, so
+    # AQE's byte-sized coalesce would funnel the 30M-row candidate
+    # generation through a handful of tasks (measured: 12.0 -> 5.5 s
+    # at sf0.1 by pinning). Hash-partitioning both sides on the key
+    # also co-locates the self-join — one exchange, reused twice.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    keyed = (
+        deletion_keys_tau2(base, s_col)
+        .drop(s_col)
+        .repartition(par, "_dkey")
+    )
     a = keyed.select(
         F.col(id_col).alias("id_a"),
-        F.col(s_col).alias("name_a"),
         "_dkey",
+        F.col("_g1").alias("_a1"),
+        F.col("_g2").alias("_a2"),
     )
     b = keyed.select(
         F.col(id_col).alias("id_b"),
-        F.col(s_col).alias("name_b"),
-        "_dkey",
+        F.col("_dkey").alias("_dkey"),
+        F.col("_g1").alias("_b1"),
+        F.col("_g2").alias("_b2"),
     )
-    cand = a.join(b, "_dkey").filter(F.col("id_a") < F.col("id_b"))
-    cand = cand.filter(
-        F.abs(F.length("name_a") - F.length("name_b")) <= 2
+    a1, a2 = F.col("_a1"), F.col("_a2")
+    b1, b2 = F.col("_b1"), F.col("_b2")
+    n_a = (a1 > 0).cast("int") + (a2 > 0).cast("int")
+    n_b = (b1 > 0).cast("int") + (b2 > 0).cast("int")
+    eq11 = (a1 == b1) & (a1 > 0)
+    eq12 = (a1 == b2) & (a1 > 0)
+    eq21 = (a2 == b1) & (a2 > 0)
+    eq22 = (a2 == b2) & (a2 > 0)
+    overlap = (
+        F.when((eq11 & eq22) | (eq12 & eq21), F.lit(2))
+        .when(eq11 | eq12 | eq21 | eq22, F.lit(1))
+        .otherwise(F.lit(0))
     )
-    return (
-        cand.withColumn(
-            "dist",
-            F.when(F.col("name_a") == F.col("name_b"), F.lit(0))
-            .otherwise(F.levenshtein("name_a", "name_b", 2))
-            .cast("int"),
-        )
-        .filter((F.col("dist") >= 0) & (F.col("dist") <= 2))
-        .select("id_a", "id_b", "name_a", "name_b", "dist")
-        .distinct()
+    bound = n_a + n_b - overlap
+    pairs = (
+        a.join(b, "_dkey")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", bound.alias("_bound"))
+        .filter(F.col("_bound") <= 2)
+        .groupBy("id_a", "id_b")
+        .agg(F.min("_bound").cast("int").alias("dist"))
+    )
+    names_a = base.select(
+        F.col(id_col).alias("id_a"), F.col(s_col).alias("name_a")
+    )
+    names_b = base.select(
+        F.col(id_col).alias("id_b"), F.col(s_col).alias("name_b")
+    )
+    return pairs.join(names_a, "id_a").join(names_b, "id_b").select(
+        "id_a", "id_b", "name_a", "name_b", "dist"
     )
 
 

@@ -76,6 +76,9 @@ ALLPAIRS_ALLOWED = {
     "search_result_count",
     "value_quantiles",
     "value_quantiles_approx",
+    # 1-row merged-register estimate x 1-row grand-total frame (the
+    # PFMERGE rollup) — constant-size cross, never the corpus
+    "hll_sketch_views",
     "heavy_hitters_cms",
     "stratified_sample",
     "dataset_split",

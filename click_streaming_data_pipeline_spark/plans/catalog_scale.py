@@ -71,6 +71,36 @@ def _hll_sketch_views_oracle() -> str:
     """
 
 
+def _hll_views_readout(regs: DataFrame, totals: DataFrame) -> DataFrame:
+    """Shared readout over register rows ``(doc_key, ridx, rho)`` and
+    totals ``(doc_key, total_views)``: per-key estimates + the -1
+    global row re-estimated from the MERGED registers (PFMERGE),
+    never from the source."""
+    from ..extensions.sketch import hll_estimate
+
+    est = hll_estimate(regs, ["doc_key"]).withColumnRenamed(
+        "doc_key", "__ek"
+    )
+    per_key = totals.join(
+        est, F.col("doc_key").eqNullSafe(F.col("__ek")), "left"
+    ).select(
+        "doc_key",
+        F.coalesce("unique_views", F.lit(0.0)).alias("unique_views"),
+        "total_views",
+    )
+    merged = (
+        regs.groupBy("ridx")
+        .agg(F.max("rho").alias("rho"))
+        .withColumn("doc_key", F.lit(-1))
+    )
+    global_est = hll_estimate(merged, ["doc_key"])
+    global_row = global_est.join(
+        per_key.agg(F.sum("total_views").alias("total_views"))
+    ).select("doc_key", "unique_views", "total_views")
+    return per_key.unionByName(global_row)
+
+
+
 @query(
     "hll_sketch_views",
     oracle=_hll_sketch_views_oracle(),
@@ -91,36 +121,98 @@ def hll_sketch_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     matters at 100 TB and the reason Redis uses HLL). Register state
     is bounded at m=1024 rows per key; the merge is an elementwise
     max, associative/commutative/idempotent under union."""
-    from ..extensions.sketch import hll_estimate, hll_registers
+    from ..extensions.sketch import hll_registers
 
     events = load_table(spark, sf_dir, "events").select(
         F.get_json_object("props", "$.k").cast("int").alias("doc_key"),
         "user_id",
     )
     regs = hll_registers(events, ["doc_key"], "user_id")
-    est = hll_estimate(regs, ["doc_key"]).withColumnRenamed(
-        "doc_key", "__ek"
-    )
     totals = events.groupBy("doc_key").agg(
         F.count("*").alias("total_views")
     )
-    per_key = totals.join(
-        est, F.col("doc_key").eqNullSafe(F.col("__ek")), "left"
-    ).select(
-        "doc_key",
-        F.coalesce("unique_views", F.lit(0.0)).alias("unique_views"),
-        "total_views",
+    return _hll_views_readout(regs, totals)
+
+
+@query(
+    "hll_sketch_views_streamed",
+    # same oracle as the batch lane: the drained register/total state
+    # must reproduce the batch readout bit-for-bit
+    oracle=_hll_sketch_views_oracle(),
+    doc=(
+        "C2 STREAMING HLL (the live Redis PFADD counter): events "
+        "arrive in micro-batches, each batch's registers fold into "
+        "versioned state by elementwise MAX (an idempotent "
+        "commutative monoid — arrival order and batch boundaries "
+        "cannot change the drained state) and view totals fold by "
+        "sum under the same replay-safe version discipline; the "
+        "drained state feeds the exact batch readout and its oracle. "
+        "State is bounded at m=1024 register rows per key at ANY "
+        "stream length."
+    ),
+    tags=("streaming", "agg", "approx", "scale"),
+)
+def hll_sketch_views_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..extensions.sketch import hll_registers
+    from ..operators.incremental import (
+        read_prior_zset,
+        write_zset_version,
     )
-    merged = (
-        regs.groupBy("ridx")
-        .agg(F.max("rho").alias("rho"))
-        .withColumn("doc_key", F.lit(-1))
+
+    events = load_table(spark, sf_dir, "events").select(
+        F.get_json_object("props", "$.k").cast("int").alias("doc_key"),
+        "user_id",
     )
-    global_est = hll_estimate(merged, ["doc_key"])
-    global_row = global_est.join(
-        per_key.agg(F.sum("total_views").alias("total_views"))
-    ).select("doc_key", "unique_views", "total_views")
-    return per_key.unionByName(global_row)
+    work = tempfile.mkdtemp(prefix="csdp_hll_")
+    src = os.path.join(work, "in")
+    reg_dir = os.path.join(work, "regs")
+    tot_dir = os.path.join(work, "totals")
+    events.repartition(6).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        regs_delta = hll_registers(batch, ["doc_key"], "user_id")
+        prior_r = read_prior_zset(sp, reg_dir, batch_id, regs_delta)
+        write_zset_version(
+            prior_r.unionByName(regs_delta)
+            .groupBy("doc_key", "ridx")
+            .agg(F.max("rho").alias("rho")),
+            reg_dir,
+            batch_id,
+        )
+        tot_delta = batch.groupBy("doc_key").agg(
+            F.count("*").alias("total_views")
+        )
+        prior_t = read_prior_zset(sp, tot_dir, batch_id, tot_delta)
+        write_zset_version(
+            prior_t.unionByName(tot_delta)
+            .groupBy("doc_key")
+            .agg(F.sum("total_views").alias("total_views")),
+            tot_dir,
+            batch_id,
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def latest(d: str) -> DataFrame:
+        v = max(int(x[1:]) for x in os.listdir(d) if x.startswith("v"))
+        return spark.read.parquet(os.path.join(d, f"v{v}"))
+
+    return _hll_views_readout(latest(reg_dir), latest(tot_dir))
 
 
 @query(

@@ -723,6 +723,120 @@ def quantize_embeddings(
     )
 
 
+def int8_prefilter_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    *,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Scalar-quantization ANN: int8-code PREFILTER + full-precision
+    rerank — the deployment shape :func:`quantize_embeddings`'s
+    docstring promises (4-8x smaller scan for the shortlist pass; the
+    exact vectors touched only for shortlist x queries rows).
+
+    Pipeline: (1) per-dim min/max codebook (one partial-agg pass,
+    2 x dim doubles); (2) the corpus codes + DEQUANTIZES in one scan
+    (symmetric SQ: both sides scored in code space, so at scale the
+    scan reads int8 codes, not floats) and scores approx cosine
+    against the broadcast dequantized queries; (3) per-query top-
+    ``shortlist`` by (approx desc, id) — a partial WindowGroupLimit;
+    (4) the shortlist joins back to the ORIGINAL vectors for exact
+    cosine, ranked to top-k. Every arithmetic step is exactly-rounded
+    IEEE in a pinned fold order (the quantize/dequant ops and the
+    cosine fold are the same spellings the embedding_quantize /
+    knn_topk oracles replay), so the DuckDB twin is bit-exact;
+    recall-vs-brute-force is gated separately in pytest."""
+    v = _as_double(F.col(vec_col))
+    base = scan_parallel(emb).select(
+        F.col(id_col),
+        F.when(F.size(v) == F.lit(dim), v).alias("v"),
+    )
+    stats = base.agg(
+        F.array(
+            *[F.min(F.element_at("v", i + 1)) for i in range(dim)]
+        ).alias("mins"),
+        F.array(
+            *[F.max(F.element_at("v", i + 1)) for i in range(dim)]
+        ).alias("maxs"),
+    )
+
+    def _mn(i: Column) -> Column:
+        return F.element_at(F.col("mins"), (i + 1).cast("int"))
+
+    def _mx(i: Column) -> Column:
+        return F.element_at(F.col("maxs"), (i + 1).cast("int"))
+
+    def _code(x: Column, i: Column) -> Column:
+        scaled = (x - _mn(i)) / (_mx(i) - _mn(i)) * F.lit(
+            float(_LEVELS)
+        ) + F.lit(0.5)
+        return F.when(_mx(i) == _mn(i), F.lit(0).cast("long")).otherwise(
+            F.floor(scaled) - QMAX
+        )
+
+    def _dq(q: Column, i: Column) -> Column:
+        return _mn(i) + (q + QMAX).cast("double") / F.lit(
+            float(_LEVELS)
+        ) * (_mx(i) - _mn(i))
+
+    coded = (
+        base.crossJoin(F.broadcast(stats))
+        .withColumn("q", F.transform(F.col("v"), _code))
+        .withColumn("dv", F.transform(F.col("q"), _dq))
+    )
+    corpus = coded.select(
+        F.col(id_col).alias("neighbor_id"), F.col("dv").alias("n_dv")
+    )
+    queries = coded.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("dv").alias("q_dv")
+    )
+    ascored = corpus.join(
+        F.broadcast(queries), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine_arrow(F.col("q_dv"), F.col("n_dv")).alias("acos"),
+    )
+    sw = Window.partitionBy("query_id").orderBy(
+        F.col("acos").desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        ascored.withColumn("srank", F.row_number().over(sw))
+        .filter(F.col("srank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    orig_q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("q_vec"),
+    )
+    orig_n = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("n_vec"),
+    )
+    rer = (
+        F.broadcast(short)
+        .join(orig_n, "neighbor_id")
+        .join(F.broadcast(orig_q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_arrow(F.col("q_vec"), F.col("n_vec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 #: own-centroid cosine below this marks an embedding-space outlier
 #: (candidate mislabel / noise document in a curation pass).
 OUTLIER_COS = 0.0

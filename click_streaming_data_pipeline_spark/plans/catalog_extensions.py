@@ -767,6 +767,84 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_embeddings(emb, dim=_EMB_DIM)
 
 
+_DQ_EXPR = (
+    "list_transform(generate_series(1, 64), i -> "
+    "mins[i] + CAST(q[i] + 127 AS DOUBLE) / CAST(254.0 AS DOUBLE) "
+    "* (maxs[i] - mins[i]))"
+)
+
+
+@query(
+    "knn_int8_topk",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        stats AS (SELECT [{_MINS}] AS mins, [{_MAXS}] AS maxs FROM e),
+        dq AS (
+            SELECT vec_id, v, {_DQ_EXPR} AS dv
+            FROM (
+                SELECT vec_id, v, mins, maxs, {_Q_EXPR} AS q
+                FROM e CROSS JOIN stats
+            )
+        ),
+        qs AS (
+            SELECT vec_id AS query_id, dv AS qdv FROM dq
+            WHERE vec_id IN (0, 1, 2, 3, 4)
+        ),
+        ascored AS (
+            SELECT query_id, d.vec_id AS neighbor_id,
+                   {_cos_sql('qdv', 'd.dv')} AS acos
+            FROM qs JOIN dq d ON d.vec_id <> query_id
+        ),
+        short AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY acos DESC, neighbor_id ASC
+                ) AS srank FROM ascored
+            ) WHERE srank <= 50
+        ),
+        qv AS (
+            SELECT vec_id AS query_id, v AS qvec FROM e
+            WHERE vec_id IN (0, 1, 2, 3, 4)
+        ),
+        rer AS (
+            SELECT s.query_id, s.neighbor_id,
+                   {_cos_sql('qvec', 'n.v')} AS cos
+            FROM short s
+            JOIN qv USING (query_id)
+            JOIN e n ON n.vec_id = s.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cos, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+            ) AS rank FROM rer
+        ) WHERE rank <= 10
+    """,
+    doc=(
+        "extension: SCALAR-QUANTIZATION ANN — int8-code prefilter + "
+        "full-precision rerank, the third approximate strategy next "
+        "to SRP-LSH and IVF/PQ and the deployment shape "
+        "embedding_quantize promises: the shortlist pass scores "
+        "symmetric dequantized codes (a 4-8x smaller scan at "
+        "warehouse scale), only shortlist x queries rows touch the "
+        "float vectors. Quantize/dequant/cosine use the exact "
+        "spellings the embedding_quantize and knn_topk oracles "
+        "already replay, so the whole pipeline is value-hash-gated; "
+        "recall vs brute force is gated in pytest."
+    ),
+    tags=("similarity",),
+)
+def knn_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.similarity import int8_prefilter_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return int8_prefilter_topk(emb, _QUERY_IDS, k=10).withColumn(
+        "rank", F.col("rank").cast("bigint")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 

@@ -1889,3 +1889,36 @@ def test_hll_estimate_raw_branch_accuracy(spark):
     assert got > 2.5 * HLL_M  # raw branch territory
     rsd = 1.04 / (HLL_M ** 0.5)
     assert abs(got - n) <= 4 * rsd * n, got
+
+
+def test_int8_prefilter_recall_against_brute_force(spark):
+    """SQ prefilter + exact rerank: with a 50-wide shortlist over a
+    ~4k corpus the exact top-10 should survive the int8 coarse pass
+    almost entirely (reconstruction error ~ range/254 per dim)."""
+    from click_streaming_data_pipeline_spark.extensions.similarity import (
+        brute_force_topk,
+        int8_prefilter_topk,
+    )
+
+    emb = load_table(spark, SF_TEST, "embeddings")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, [0, 1, 2, 3, 4], k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in int8_prefilter_topk(emb, [0, 1, 2, 3, 4], k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"int8-prefilter recall {recall:.2f} too low"
+    # reranked scores are EXACT cosines: any overlapping pair agrees
+    ex = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in brute_force_topk(emb, [0, 1, 2, 3, 4], k=10).collect()
+    }
+    ap = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in int8_prefilter_topk(emb, [0, 1, 2, 3, 4], k=10).collect()
+    }
+    for key in exact & approx:
+        assert ex[key] == ap[key], key

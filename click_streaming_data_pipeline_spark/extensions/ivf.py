@@ -736,6 +736,41 @@ def save_ivf_index(
     )
 
 
+def append_ivf_index(
+    emb: DataFrame,
+    index_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Add vectors to a SAVED index without retraining — the
+    build-once / append-many ingestion shape (FAISS add() after
+    train()): new vectors assign against the FROZEN codebook (one
+    scan of the delta, broadcast centroids) and append into the
+    partitioned corpus table. ``partitionBy + append`` writes only
+    the touched centroid directories — existing partitions' files
+    are untouched, so a probe keeps file-level pruning and the
+    delta cost is O(|delta|), independent of the index size.
+    Centroids drift as the distribution shifts; recall of appended
+    mass is bounded by the same nprobe tradeoff and a periodic
+    re-train (save_ivf_index) is the compaction story — both
+    pytest-pinned."""
+    import os
+
+    centroids = load_ivf_centroids(emb.sparkSession, index_dir)
+    assigned = _assign(
+        emb.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("n_vec"),
+        ),
+        centroids,
+        "n_vec",
+    )
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(
+        os.path.join(index_dir, "corpus")
+    )
+
+
 def load_ivf_centroids(spark, index_dir: str) -> list[tuple[int, list[float]]]:
     import os
 

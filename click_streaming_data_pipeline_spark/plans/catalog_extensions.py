@@ -1106,11 +1106,14 @@ def _dot_sql(a: str, b: str) -> str:
     )
 
 
-def _base_ctes() -> str:
+def _base_ctes(train_where: str = "TRUE") -> str:
     """Shared base CTEs for the vector-index oracles: the double-cast
     corpus with precomputed norms, plus the deterministic
     ``id % mod`` training sample (mod sized to TRAIN_SAMPLE_CAP,
-    matching ``extensions.ivf``)."""
+    matching ``extensions.ivf``). ``train_where`` restricts the
+    TRAINING population only (the append-lane oracle trains on the
+    initially-indexed half; ``corp`` always assigns the full
+    corpus)."""
     return f"""
         e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -1121,11 +1124,12 @@ def _base_ctes() -> str:
             SELECT count(*) AS n,
                    greatest(1, CAST(ceil(count(*) / 65536.0) AS BIGINT))
                        AS md
-            FROM e
+            FROM e WHERE {train_where}
         ),
         samp AS (
             SELECT vec_id, v, nv FROM en
-            WHERE vec_id % (SELECT md FROM prm) = 0
+            WHERE ({train_where})
+              AND vec_id % (SELECT md FROM prm) = 0
         )"""
 
 
@@ -1215,9 +1219,11 @@ def _kmeans_chain(n_iter: int = 3, k_cap: int = 256) -> str:
     return head + "".join(its) + tail
 
 
-def _kmeans_ctes(n_iter: int = 3, k_cap: int = 256) -> str:
+def _kmeans_ctes(
+    n_iter: int = 3, k_cap: int = 256, train_where: str = "TRUE"
+) -> str:
     """Base corpus/sample CTEs + the unrolled k-means chain."""
-    return _base_ctes() + "," + _kmeans_chain(n_iter, k_cap)
+    return _base_ctes(train_where) + "," + _kmeans_chain(n_iter, k_cap)
 
 
 def _l2sq_sql(a: str, b: str, ds: int = 4) -> str:
@@ -1427,6 +1433,91 @@ def knn_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.mkdtemp(prefix="csdp_ivf_index_"), "index"
     )
     save_ivf_index(emb, idx)
+    queries = emb.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+    )
+    return ivf_index_topk(spark, idx, queries, k=10).withColumn(
+        "rank", F.col("rank").cast("bigint")
+    )
+
+
+def _ivf_append_oracle() -> str:
+    """SQL twin of the append lane: centroids train on the
+    INITIALLY-INDEXED half (even vec_ids) only; the full corpus —
+    initial + appended — assigns against that frozen codebook, which
+    is exactly what save_ivf_index(even) + append_ivf_index(odd)
+    materializes."""
+    return f"""
+        WITH {_kmeans_ctes(train_where="vec_id % 2 = 0")},
+        np AS (
+            SELECT greatest(1, count(*) // 4) AS nprobe FROM cents
+        ),
+        qp AS (
+            SELECT query_id, q_vec, nq, cid AS centroid_id FROM (
+                SELECT t.vec_id AS query_id, t.v AS q_vec,
+                       t.nv AS nq, c.cid,
+                       row_number() OVER (
+                           PARTITION BY t.vec_id
+                           ORDER BY coalesce({_dot_sql('t.v', 'c.cvec')}
+                                    / nullif((t.nv * c.nc), 0.0e0), 0.0e0) DESC,
+                                    c.cid ASC
+                       ) AS rn
+                FROM en t CROSS JOIN cents c
+                WHERE t.vec_id IN (0, 1, 2, 3, 4)
+            ) WHERE rn <= (SELECT nprobe FROM np)
+        ),
+        scored AS (
+            SELECT q.query_id, x.vec_id AS neighbor_id,
+                   coalesce({_dot_sql('q.q_vec', 'x.v')}
+                            / nullif((q.nq * x.nv), 0.0e0), 0.0e0) AS cos
+            FROM qp q JOIN corp x ON x.centroid_id = q.centroid_id
+            WHERE x.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, cos, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id ASC
+            ) AS rank
+            FROM scored
+        ) WHERE rank <= 10
+    """
+
+
+@query(
+    "knn_ivf_append_topk",
+    oracle=_ivf_append_oracle(),
+    doc=(
+        "extension: INCREMENTAL IVF index maintenance — the "
+        "build-once/append-many ingestion shape (FAISS add() after "
+        "train()): the index trains+saves on the even half of the "
+        "corpus, the odd half APPENDS against the frozen codebook "
+        "(one delta scan, broadcast centroids, partitionBy+append "
+        "touches only the assigned centroid directories — O(|delta|) "
+        "regardless of index size), and queries probe the merged "
+        "partitioned table with file-level pruning intact. The "
+        "oracle replays train-on-half/assign-all in SQL; appended-"
+        "mass recall and the append==bulk-assign equivalence are "
+        "additionally pytest-pinned."
+    ),
+    tags=("similarity", "scale"),
+)
+def knn_ivf_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..extensions.ivf import (
+        append_ivf_index,
+        ivf_index_topk,
+        save_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = os.path.join(
+        tempfile.mkdtemp(prefix="csdp_ivf_append_"), "index"
+    )
+    save_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), idx)
+    append_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), idx)
     queries = emb.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_vec"),

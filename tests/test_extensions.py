@@ -1922,3 +1922,46 @@ def test_int8_prefilter_recall_against_brute_force(spark):
     }
     for key in exact & approx:
         assert ex[key] == ap[key], key
+
+
+def test_ivf_append_equals_bulk_assign(spark, tmp_path):
+    """append_ivf_index(delta) after save_ivf_index(initial) must
+    yield the identical search results as assigning the FULL corpus
+    against the same frozen centroids in one pass — append is pure
+    ingestion, not a semantic fork — and appended (odd-id) vectors
+    must actually be retrievable."""
+    from pyspark.sql import functions as F
+
+    from click_streaming_data_pipeline_spark.extensions.ivf import (
+        append_ivf_index,
+        ivf_index_topk,
+        ivf_topk,
+        load_ivf_centroids,
+        save_ivf_index,
+    )
+
+    emb = load_table(spark, SF_TEST, "embeddings")
+    idx = str(tmp_path / "index")
+    save_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), idx)
+    append_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), idx)
+    queries = emb.filter(F.col("vec_id").isin([0, 1, 2, 3, 4])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+    )
+    got = {
+        (r["query_id"], r["neighbor_id"], r["cos"])
+        for r in ivf_index_topk(spark, idx, queries, k=10).collect()
+    }
+    # bulk twin: same frozen centroids, whole corpus assigned at once
+    cents = load_ivf_centroids(spark, idx)
+    want = {
+        (r["query_id"], r["neighbor_id"], r["cos"])
+        for r in ivf_topk(
+            emb, [0, 1, 2, 3, 4], k=10, centroids=cents
+        ).collect()
+    }
+    assert got == want
+    assert any(n % 2 == 1 for _q, n, _c in got), (
+        "no appended (odd-id) vector ever surfaces in the top-10 — "
+        "append is not being searched"
+    )

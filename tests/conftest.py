@@ -64,10 +64,13 @@ def _normalize(cols, raw_rows):
     return [cols[i] for i in order], rows
 
 
-def assert_df_matches_oracle(spark_df, duck_con, sql: str, *, atol=0.0):
+def assert_df_matches_oracle(spark_df, duck_con, sql, *, atol=0.0):
     """Order-insensitive exact comparison, the local stand-in for the
     driver's value-hash gate. atol>0 loosens float equality for
-    explicitly approximate queries only."""
+    explicitly approximate queries only. ``sql`` may be a LAZY oracle
+    (callable -> str), mirroring registry.oracle_dict()."""
+    if callable(sql):
+        sql = sql()
     gcols, grows = _normalize(
         spark_df.columns, [tuple(r) for r in spark_df.collect()]
     )

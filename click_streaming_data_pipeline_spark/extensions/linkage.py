@@ -35,10 +35,13 @@ the distance needs no DP at all — dist = 0 iff the strings are equal,
 else 1 (measured: 977k -> 262k candidate rows at sf0.1, 1.7x wall).
 
 For tau = 2 the scheme generalizes to 2-deletion neighborhoods
-(1 + L + C(L,2) keys per string, FastSS): shared keys are necessary
-for ed <= 2 but no longer position-exact, so the banded
-``levenshtein(a, b, 2)`` verify (JVM codegen, O(n*tau) per pair)
-runs on candidates only.
+(1 + L + C(L,2) keys per string, FastSS) whose keys carry VARIANT-GAP
+coordinates: a shared key alone is only necessary for ed <= 2, but
+the gap multisets make each join row a concrete edit-script witness
+of length n_a + n_b - overlap, and the MINIMUM witness bound over a
+pair's keys equals the exact edit distance — so tau = 2 also needs
+no DP, just integer gap math in codegen and a grouped min (see
+edit_distance_pairs_tau2 for the proof sketch).
 """
 
 from __future__ import annotations

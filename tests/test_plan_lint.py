@@ -38,6 +38,10 @@ ALLPAIRS_ALLOWED = {
     # ADC brute-scan baseline: broadcast query side x coded corpus
     # (IVF-PQ is the scale path)
     "knn_pq_topk",
+    # 1-row min/max codebook frame broadcast onto the corpus (the
+    # value_histogram bounds pattern) + the 5-row dequantized-query
+    # frame broadcast for the shortlist pass (knn_topk's shape)
+    "knn_int8_topk",
     # broadcast single-row query embedding x one corpus scan for the
     # dense leg (same shape as knn_topk's anchor batch)
     "search_hybrid_rrf",

@@ -338,6 +338,74 @@ def _dec_units(x) -> int | None:
     return u
 
 
+def _units_canon(u: int | None) -> str:
+    """The JVM's ``CAST(decimal(38,18) AS STRING)`` plain form from an
+    integer unit count: sign + integer part + '.' + 18 fraction
+    digits (Spark stringifies decimals via toPlainString; BigDecimal
+    has no negative zero, so u == 0 drops the sign). NULL -> the
+    sentinel the SQL side substitutes."""
+    if u is None:
+        return "0xN"
+    sign = "-" if u < 0 else ""
+    a = abs(u)
+    if a == 0:
+        sign = ""
+    ip, fp = divmod(a, 10**18)
+    return f"{sign}{ip}.{fp:018d}"
+
+
+def _dec_checksum_matches(df, rows, id_col: str, vec_col: str = "v") -> bool:
+    """ONE order-free aggregate job certifying that Python-repr units
+    equal the JVM's decimal(38,18) view of EVERY element in the
+    collected sample: per row, md5(id | ','-joined canonical decimal
+    strings) folded with bit_xor (distinct ids prevent xor
+    cancellation). True => the fast repr path is bit-exact on this
+    JDK for this sample; False => the caller re-collects the JVM
+    decimals (pre-Ryu Double.toString divergence — rare, large-
+    mantissa large-exponent values). The check costs one scan of the
+    CAP-bounded sample and no per-element transfer."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    py = 0
+    for r in rows:
+        v = r[vec_col]
+        joined = (
+            "0xV"
+            if v is None
+            else ",".join(_units_canon(_dec_units(x)) for x in v)
+        )
+        h = hashlib.md5(f"{r[id_col]}|{joined}".encode()).hexdigest()
+        py ^= int(h[:15], 16)
+    joined_sql = F.coalesce(
+        F.array_join(
+            F.transform(
+                F.col(vec_col),
+                lambda x: x.cast("decimal(38,18)").cast("string"),
+            ),
+            ",",
+            "0xN",
+        ),
+        F.lit("0xV"),
+    )
+    row_h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"), F.lit("|"), joined_sql
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    got = df.agg(F.bit_xor(row_h).alias("x")).collect()[0]["x"]
+    return (got or 0) == py
+
+
 def _units_matrix(vecs, dim, dec_rows=None):
     """Per-row, per-position 1e-18 units for the SUM leg, replaying
     ``F.sum(v[i].cast(decimal(38,18)))``'s input semantics under ANSI:
@@ -550,10 +618,12 @@ def train_kmeans(
     e = emb.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("v")
     )
-    # collect the JVM's decimal(38,18) cast ALONGSIDE the doubles:
-    # the local replay then sums the JVM's own units, bit-identical to
-    # the distributed F.sum(cast(decimal)) on any JDK (pre-Ryu JDKs'
-    # Double.toString breaks the repr-equivalence _dec_units needs)
+    # JVM decimal(38,18) casts, collected only on the SLOW path: the
+    # local replay defaults to fast Python-repr units and certifies
+    # them against a one-job JVM checksum (_dec_checksum_matches);
+    # only a divergent pre-Ryu Double.toString sample pays this
+    # collect — bit parity with the distributed F.sum(cast(decimal))
+    # either way.
     ed = e.withColumn(
         "vd", F.transform("v", lambda x: x.cast("decimal(38,18)"))
     )
@@ -571,7 +641,7 @@ def train_kmeans(
             TRAIN_SAMPLE_CAP,
             LOCAL_TRAIN_CELLS_MAX // max(1, k if k is not None else k_cap),
         )
-        probe = ed.limit(probe_cap + 1).collect()
+        probe = e.limit(probe_cap + 1).collect()
         if len(probe) <= probe_cap:
             rows, n, sample_mod = probe, len(probe), 1
     if n is None:
@@ -589,7 +659,12 @@ def train_kmeans(
         rows = None
     if driver_local:
         if rows is None:
-            rows = ed.collect()
+            rows = e.collect()
+        if _dec_checksum_matches(e, rows, id_col):
+            return _local_kmeans(
+                [(r[id_col], r["v"]) for r in rows], k=k, n_iter=n_iter
+            )
+        rows = ed.collect()  # divergent JDK repr: take the JVM units
         return _local_kmeans(
             [(r[id_col], r["v"], r["vd"]) for r in rows],
             k=k, n_iter=n_iter,
@@ -715,13 +790,8 @@ def save_ivf_index(
     post-scan filter)."""
     import os
 
-    centroids = train_kmeans(emb, id_col=id_col, vec_col=vec_col)
-    spark = emb.sparkSession
-    spark.createDataFrame(
-        [(cid, list(map(float, vec))) for cid, vec in centroids],
-        "centroid_id int, cvec array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(index_dir, "centroids")
+    centroids = save_ivf_centroids(
+        emb, index_dir, id_col=id_col, vec_col=vec_col
     )
     assigned = _assign(
         emb.select(
@@ -734,6 +804,29 @@ def save_ivf_index(
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
         os.path.join(index_dir, "corpus")
     )
+
+
+def save_ivf_centroids(
+    emb: DataFrame,
+    index_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Train + persist the codebook ONLY — the offline-train step of
+    a streaming ingestion deployment, where the corpus arrives later
+    through :func:`append_ivf_index_batch`. Returns the trained
+    centroids."""
+    import os
+
+    centroids = train_kmeans(emb, id_col=id_col, vec_col=vec_col)
+    emb.sparkSession.createDataFrame(
+        [(cid, list(map(float, vec))) for cid, vec in centroids],
+        "centroid_id int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "centroids")
+    )
+    return centroids
 
 
 def append_ivf_index(
@@ -768,6 +861,42 @@ def append_ivf_index(
     )
     assigned.write.mode("append").partitionBy("centroid_id").parquet(
         os.path.join(index_dir, "corpus")
+    )
+
+
+def append_ivf_index_batch(
+    emb: DataFrame,
+    index_dir: str,
+    batch_id: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Replay-safe streaming variant of :func:`append_ivf_index`:
+    the delta lands under ``corpus/batch=<id>/centroid_id=*`` with
+    OVERWRITE, so a retried micro-batch (foreachBatch is
+    at-least-once) rewrites its own directory instead of
+    double-appending — the same per-batch commit discipline as the
+    dedup bucket stores. ``ivf_index_topk`` reads ``corpus``
+    recursively; the extra ``batch`` partition column rides along and
+    centroid_id pruning still skips unprobed directories inside
+    every batch. Layout constraint: a streaming index keeps ALL its
+    corpus under batch dirs (train via :func:`save_ivf_centroids`,
+    never mix with :func:`save_ivf_index`'s flat corpus — partition
+    discovery rejects inconsistent directory depths)."""
+    import os
+
+    centroids = load_ivf_centroids(emb.sparkSession, index_dir)
+    assigned = _assign(
+        emb.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("n_vec"),
+        ),
+        centroids,
+        "n_vec",
+    )
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        os.path.join(index_dir, "corpus", f"batch={batch_id}")
     )
 
 

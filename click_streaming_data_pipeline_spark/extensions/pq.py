@@ -264,8 +264,9 @@ def train_pq_codebooks(
     e = emb.select(
         F.col(id_col).alias("id"), _unit(_as_double(F.col(vec_col))).alias("v")
     )
-    # JVM decimal casts collected alongside (see ivf.train_kmeans):
-    # the local replay sums the JVM's own units on any JDK
+    # JVM decimal casts, collected only on the SLOW path — the fast
+    # Python-repr units are certified by a one-job checksum first
+    # (see ivf.train_kmeans / ivf._dec_checksum_matches)
     ed = e.withColumn(
         "vd", F.transform("v", lambda x: x.cast("decimal(38,18)"))
     )
@@ -277,7 +278,7 @@ def train_pq_codebooks(
         probe_cap = min(
             TRAIN_SAMPLE_CAP, LOCAL_TRAIN_CELLS_MAX // max(1, k * m)
         )
-        probe = ed.limit(probe_cap + 1).collect()
+        probe = e.limit(probe_cap + 1).collect()
         if len(probe) <= probe_cap:
             rows, n, sample_mod = probe, len(probe), 1
     if n is None:
@@ -292,8 +293,16 @@ def train_pq_codebooks(
         ed = ed.filter(F.col("id") % sample_mod == 0)
         rows = None
     if driver_local:
+        from .ivf import _dec_checksum_matches
+
         if rows is None:
-            rows = ed.collect()
+            rows = e.collect()
+        if _dec_checksum_matches(e, rows, "id"):
+            return _local_pq_codebooks(
+                [(r["id"], r["v"]) for r in rows],
+                dim=dim, m=m, k=k, n_iter=n_iter,
+            )
+        rows = ed.collect()  # divergent JDK repr: take the JVM units
         return _local_pq_codebooks(
             [(r["id"], r["v"], r["vd"]) for r in rows],
             dim=dim, m=m, k=k, n_iter=n_iter,

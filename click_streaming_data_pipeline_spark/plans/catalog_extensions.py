@@ -1527,6 +1527,67 @@ def knn_ivf_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "knn_ivf_ingest_streamed",
+    # same oracle as knn_ivf_append_topk: assignment is per-vector
+    # against the frozen codebook, so arrival order and batch
+    # boundaries cannot change the drained index
+    oracle=_ivf_append_oracle(),
+    doc=(
+        "extension (STREAMING ANN ingestion): the IVF codebook trains "
+        "offline on the even half (save_ivf_centroids), then the FULL "
+        "corpus arrives as micro-batches, each assigned against the "
+        "frozen codebook and committed under its own "
+        "corpus/batch=N/centroid_id=* directory (overwrite => "
+        "at-least-once replay safe); queries probe the accumulated "
+        "multi-batch index with centroid pruning intact. Drained "
+        "result == the batch append lane == the train-on-half/"
+        "assign-all SQL replay, bit-for-bit — arrival-order "
+        "independent by construction."
+    ),
+    tags=("streaming", "similarity", "scale"),
+)
+def knn_ivf_ingest_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..extensions.ivf import (
+        append_ivf_index_batch,
+        ivf_index_topk,
+        save_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="csdp_ivf_stream_")
+    idx = os.path.join(work, "index")
+    src = os.path.join(work, "in")
+    save_ivf_centroids(emb.filter(F.col("vec_id") % 2 == 0), idx)
+    emb.select("vec_id", "embedding").repartition(6).write.mode(
+        "overwrite"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        append_ivf_index_batch(batch, idx, batch_id)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    queries = emb.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+    )
+    return ivf_index_topk(spark, idx, queries, k=10).withColumn(
+        "rank", F.col("rank").cast("bigint")
+    )
+
+
 def _pq_codes_oracle() -> str:
     """SQL twin of ``pq_codes``: trained codebooks replayed by
     ``_pq_chain``, codes joined in subspace order, reconstruction MSE

@@ -1965,3 +1965,47 @@ def test_ivf_append_equals_bulk_assign(spark, tmp_path):
         "no appended (odd-id) vector ever surfaces in the top-10 — "
         "append is not being searched"
     )
+
+
+def test_ivf_streaming_ingest_replay_safe(spark, tmp_path):
+    """append_ivf_index_batch must be idempotent under micro-batch
+    REPLAY (foreachBatch is at-least-once): re-running a batch
+    rewrites its own corpus/batch=N directory instead of
+    double-appending, so the drained index equals the once-each run
+    exactly — and equals the frozen-codebook bulk assignment."""
+    from pyspark.sql import functions as F
+
+    from click_streaming_data_pipeline_spark.extensions.ivf import (
+        append_ivf_index_batch,
+        ivf_index_topk,
+        ivf_topk,
+        load_ivf_centroids,
+        save_ivf_centroids,
+    )
+
+    emb = load_table(spark, SF_TEST, "embeddings")
+    idx = str(tmp_path / "index")
+    save_ivf_centroids(emb.filter(F.col("vec_id") % 2 == 0), idx)
+    b0 = emb.filter(F.col("vec_id") % 3 == 0)
+    b1 = emb.filter(F.col("vec_id") % 3 == 1)
+    b2 = emb.filter(F.col("vec_id") % 3 == 2)
+    append_ivf_index_batch(b0, idx, 0)
+    append_ivf_index_batch(b1, idx, 1)
+    append_ivf_index_batch(b1, idx, 1)  # replayed micro-batch
+    append_ivf_index_batch(b2, idx, 2)
+    queries = emb.filter(F.col("vec_id").isin([0, 1, 2, 3, 4])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+    )
+    got = {
+        (r["query_id"], r["neighbor_id"], r["cos"], r["rank"])
+        for r in ivf_index_topk(spark, idx, queries, k=10).collect()
+    }
+    cents = load_ivf_centroids(spark, idx)
+    want = {
+        (r["query_id"], r["neighbor_id"], r["cos"], r["rank"])
+        for r in ivf_topk(
+            emb, [0, 1, 2, 3, 4], k=10, centroids=cents
+        ).collect()
+    }
+    assert got == want

@@ -1186,3 +1186,75 @@ def user_balance_clamped_streamed(
         int(d[1:]) for d in os.listdir(state_dir) if d.startswith("v")
     )
     return spark.read.parquet(os.path.join(state_dir, f"v{latest}"))
+
+
+@query(
+    "cdc_kafka_wire_streamed",
+    # the same end-state oracle as cdc_pipeline: a lossless producer->
+    # broker->consumer wire hop must not change a single value
+    oracle=_CDC_EXPECTED_SQL,
+    doc=(
+        "SURVEY 2 A3 (Kafka producer sink, data-quality "
+        "main.py:217-233) certified VALUE-EXACT over a real socket: "
+        "the resolved quality.checks rows stream out micro-batched "
+        "through write_kafka_wire (to_json payload projection -> "
+        "RecordBatch v2 encode w/ CRC-32C -> TCP produce to the "
+        "in-process MiniBroker log), then read_kafka_wire fetches the "
+        "stored batches back, decode validates CRC, from_json "
+        "restores the typed columns, and the result must hash-match "
+        "the straight batch pipeline oracle — produce/encode/wire/"
+        "log/fetch/decode/parse as one gated round trip. The "
+        "foreachBatch collect-and-send leg is the sandbox protocol-"
+        "parity twin; at scale the connector sink "
+        "(kafka.write_kafka_stream, same kafka_payload projection) "
+        "ships rows executor-side."
+    ),
+    tags=("streaming",),
+)
+def cdc_kafka_wire_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..streaming.kafka_wire import (
+        MiniBroker,
+        read_kafka_wire,
+        write_kafka_wire,
+    )
+
+    work = tempfile.mkdtemp(prefix="csdp_kwire_")
+    src = os.path.join(work, "in")
+    run_batch(spark, sf_dir).repartition(6).write.mode(
+        "overwrite"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    broker = MiniBroker().start()
+    try:
+        q = (
+            write_kafka_wire(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(src),
+                broker.address,
+                "quality.checks",
+                checkpoint_dir=os.path.join(work, "ckpt"),
+                key_col="doc_id",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # fetch is EAGER (rows land driver-side before createDataFrame),
+        # so the broker can stop before the result is consumed
+        consumed = read_kafka_wire(spark, broker.address, "quality.checks")
+    finally:
+        broker.stop()
+    payload_schema = T.StructType(
+        [f for f in schema.fields if f.name != "doc_id"]
+    )
+    return consumed.select(
+        F.col("key").cast("bigint").alias("doc_id"),
+        F.from_json("value", payload_schema).alias("p"),
+    ).select("doc_id", "p.*")

@@ -1203,11 +1203,16 @@ def user_balance_clamped_streamed(
         "stored batches back, decode validates CRC, from_json "
         "restores the typed columns, and the result must hash-match "
         "the straight batch pipeline oracle — produce/encode/wire/"
-        "log/fetch/decode/parse as one gated round trip. The "
-        "foreachBatch collect-and-send leg is the sandbox protocol-"
-        "parity twin; at scale the connector sink "
-        "(kafka.write_kafka_stream, same kafka_payload projection) "
-        "ships rows executor-side."
+        "log/fetch/decode/parse as one gated round trip. The sink is "
+        "a KIP-98 IDEMPOTENT producer (producerId + baseSequence = "
+        "batch_id) and the lane injects at-least-once chaos: one "
+        "already-accepted batch is produced AGAIN verbatim; the "
+        "broker acks the replay with its original offset without "
+        "re-appending, so the hash match proves effectively-once "
+        "delivery at the wire level (I1). The foreachBatch "
+        "collect-and-send leg is the sandbox protocol-parity twin; "
+        "at scale the connector sink (kafka.write_kafka_stream, same "
+        "kafka_payload projection) ships rows executor-side."
     ),
     tags=("streaming",),
 )
@@ -1220,6 +1225,8 @@ def cdc_kafka_wire_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.kafka_wire import (
         MiniBroker,
+        fetch,
+        produce,
         read_kafka_wire,
         write_kafka_wire,
     )
@@ -1241,11 +1248,17 @@ def cdc_kafka_wire_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "quality.checks",
                 checkpoint_dir=os.path.join(work, "ckpt"),
                 key_col="doc_id",
+                producer_id=7,
             )
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
+        # at-least-once chaos: redeliver an already-accepted batch
+        # verbatim — KIP-98 dedupe must drop it or the oracle fails
+        stored = fetch(broker.address, "quality.checks")
+        if stored:
+            produce(broker.address, "quality.checks", stored[0])
         # fetch is EAGER (rows land driver-side before createDataFrame),
         # so the broker can stop before the result is consumed
         consumed = read_kafka_wire(spark, broker.address, "quality.checks")

@@ -14,8 +14,9 @@ a real socket:
   byte-exact RecordBatch v2: int64 baseOffset, int32 batchLength,
   partitionLeaderEpoch, magic=2, **CRC-32C (Castagnoli) over
   everything after the crc field**, attributes, lastOffsetDelta,
-  base/max timestamps, producer fields (-1: idempotence not
-  negotiated), record array with ZIGZAG-VARINT framed records
+  base/max timestamps, producer fields (KIP-98 identity when the
+  producer opts in, else -1), record array with ZIGZAG-VARINT framed
+  records
   (length, attributes, timestampDelta, offsetDelta, key, value,
   headers) — the same bytes a real broker stores on disk and ships
   on the wire for uncompressed batches.
@@ -24,7 +25,12 @@ a real socket:
   minimal (4-byte length frames, 1-byte op, UTF-8 topic; the full
   Kafka RPC needs ApiVersions negotiation no sandbox client exists
   to exercise) — the point is that the PAYLOAD bytes crossing the
-  socket are real RecordBatch v2, checkable field-by-field.
+  socket are real RecordBatch v2, checkable field-by-field. The
+  broker implements KIP-98 idempotent-produce semantics: per
+  (topic, producerId) it tracks the epoch and accepted baseSequences,
+  acks a replayed sequence with its original offset without
+  re-appending, and fences producers whose epoch is older than the
+  highest seen (zombie fencing).
 - :func:`kafka_payload` — the producer's ``to_json(struct(*))`` +
   key-cast projection, factored out of ``kafka.write_kafka_stream``
   so the leg under wire test IS the production projection, not a
@@ -157,11 +163,24 @@ def _encode_record(
 
 
 def encode_record_batch(
-    records: list[WireRecord], base_offset: int = 0
+    records: list[WireRecord],
+    base_offset: int = 0,
+    *,
+    producer_id: int = -1,
+    producer_epoch: int = -1,
+    base_sequence: int = -1,
 ) -> bytes:
-    """One uncompressed RecordBatch v2 blob, CRC'd per spec."""
+    """One uncompressed RecordBatch v2 blob, CRC'd per spec. With
+    ``producer_id >= 0`` the batch carries KIP-98 idempotent-producer
+    identity (producerId/producerEpoch/baseSequence) and the broker
+    stub deduplicates replays of the same (pid, epoch, sequence)."""
     if not records:
         raise ValueError("RecordBatch v2 requires at least one record")
+    if (producer_id >= 0) != (base_sequence >= 0):
+        raise ValueError(
+            "KIP-98 identity is all-or-nothing: producer_id and "
+            "base_sequence must both be set (or both be -1)"
+        )
     base_ts = min(r.timestamp_ms for r in records)
     max_ts = max(r.timestamp_ms for r in records)
     recs = b"".join(
@@ -173,9 +192,9 @@ def encode_record_batch(
         + struct.pack(">i", len(records) - 1)  # lastOffsetDelta
         + struct.pack(">q", base_ts)
         + struct.pack(">q", max_ts)
-        + struct.pack(">q", -1)  # producerId
-        + struct.pack(">h", -1)  # producerEpoch
-        + struct.pack(">i", -1)  # baseSequence
+        + struct.pack(">q", producer_id)
+        + struct.pack(">h", producer_epoch)
+        + struct.pack(">i", base_sequence)
         + struct.pack(">i", len(records))
         + recs
     )
@@ -255,10 +274,20 @@ def decode_record_batch(buf: bytes) -> tuple[int, list[WireRecord]]:
     return base_offset, out
 
 
+def producer_meta(buf: bytes) -> tuple[int, int, int]:
+    """-> (producerId, producerEpoch, baseSequence) from a RecordBatch
+    v2 blob. Fixed offsets per the spec: the batch header is
+    baseOffset(8) batchLength(4) leaderEpoch(4) magic(1) crc(4)
+    attributes(2) lastOffsetDelta(4) firstTimestamp(8) maxTimestamp(8)
+    -> producer fields start at byte 43."""
+    return struct.unpack_from(">qhi", buf, 43)
+
+
 # ----------------------------------------------------- mini broker
 
 _OP_PRODUCE = 1
 _OP_FETCH = 2
+_FENCED = -2  # produce response: producerEpoch older than broker's
 
 
 def _read_exact(sock, n: int) -> bytes:
@@ -288,6 +317,11 @@ class MiniBroker:
     def __init__(self) -> None:
         self._logs: dict[str, list[bytes]] = {}
         self._offsets: dict[str, int] = {}
+        # KIP-98 producer state per (topic, producerId): current epoch
+        # + {baseSequence: assigned offset} of accepted batches (a real
+        # broker caches the last 5 batch metadata per producer; the
+        # stub keeps all — same dedupe decision, no eviction)
+        self._producers: dict[tuple[str, int], tuple[int, dict[int, int]]] = {}
         self._lock = threading.Lock()
         outer = self
 
@@ -329,7 +363,21 @@ class MiniBroker:
     #    like a real broker)
     def _append(self, topic: str, blob: bytes) -> int:
         base_offset, records = decode_record_batch(blob)
+        pid, epoch, base_seq = producer_meta(blob)
         with self._lock:
+            if pid >= 0:
+                cur_epoch, seen = self._producers.get(
+                    (topic, pid), (epoch, {})
+                )
+                if epoch < cur_epoch:
+                    return _FENCED  # zombie producer (old epoch)
+                if epoch > cur_epoch:
+                    seen = {}  # epoch bump resets sequence state
+                if base_seq in seen:
+                    # KIP-98 duplicate: a retried batch is acked with
+                    # its ORIGINAL offset and never re-appended
+                    self._producers[(topic, pid)] = (epoch, seen)
+                    return seen[base_seq]
             assigned = self._offsets.get(topic, 0)
             # re-stamp the batch with the broker-assigned base offset
             restamped = (
@@ -337,6 +385,9 @@ class MiniBroker:
             )
             self._logs.setdefault(topic, []).append(restamped)
             self._offsets[topic] = assigned + len(records)
+            if pid >= 0:
+                seen[base_seq] = assigned
+                self._producers[(topic, pid)] = (epoch, seen)
             return assigned
 
     def _fetch(self, topic: str) -> list[bytes]:
@@ -368,6 +419,11 @@ def produce(addr: str, topic: str, blob: bytes) -> int:
             sock, bytes([_OP_PRODUCE, len(t)]) + t + blob
         )
         (base,) = struct.unpack(">q", _read_frame(sock))
+        if base == _FENCED:
+            raise RuntimeError(
+                "producer fenced: a newer producerEpoch has produced "
+                "to this topic (KIP-98 zombie fencing)"
+            )
         return base
 
 
@@ -415,12 +471,22 @@ def write_kafka_wire(
     *,
     checkpoint_dir: str,
     key_col: str | None = None,
+    producer_id: int = -1,
 ):
     """foreachBatch producer over the wire stub: per micro-batch, the
     shared :func:`kafka_payload` projection runs IN SPARK, rows
     collect per partition-bounded batch, and one RecordBatch v2 blob
     ships over the socket. Returns the DataStreamWriter (caller picks
-    the trigger), mirroring ``write_kafka_stream``'s shape."""
+    the trigger), mirroring ``write_kafka_stream``'s shape.
+
+    With ``producer_id >= 0`` the sink is an IDEMPOTENT producer
+    (KIP-98): batches carry (producerId, epoch 0, baseSequence =
+    batch_id) and the broker drops replays of an already-accepted
+    sequence — foreachBatch's at-least-once redelivery of a micro-
+    batch (same batch_id, hence same baseSequence) lands exactly one
+    copy in the log. A real producer numbers sequences per record
+    batch from a running count; batch_id is the micro-batch analogue,
+    deterministic across checkpoint-recovery replays."""
 
     def _send(batch: DataFrame, batch_id: int) -> None:
         rows = kafka_payload(batch, key_col).collect()
@@ -438,7 +504,16 @@ def write_kafka_wire(
             )
             for r in rows
         ]
-        produce(addr, topic, encode_record_batch(records))
+        produce(
+            addr,
+            topic,
+            encode_record_batch(
+                records,
+                producer_id=producer_id,
+                producer_epoch=0 if producer_id >= 0 else -1,
+                base_sequence=batch_id if producer_id >= 0 else -1,
+            ),
+        )
 
     return (
         df.writeStream.foreachBatch(_send)

@@ -200,3 +200,81 @@ def test_write_kafka_stream_uses_shared_projection(spark):
 
     src = inspect.getsource(kafka.write_kafka_stream)
     assert "kafka_payload" in src
+
+
+def _batch(vals, pid=-1, epoch=-1, seq=-1):
+    return encode_record_batch(
+        [WireRecord(None, v, 1_700_000_000_000) for v in vals],
+        producer_id=pid,
+        producer_epoch=epoch,
+        base_sequence=seq,
+    )
+
+
+def test_idempotent_produce_dedupes_replayed_sequence():
+    """KIP-98: a retried batch (same pid/epoch/baseSequence) is acked
+    with its ORIGINAL offset and never re-appended."""
+    broker = MiniBroker().start()
+    try:
+        addr = broker.address
+        b0 = _batch([b"a", b"b"], pid=9, epoch=0, seq=0)
+        b1 = _batch([b"c"], pid=9, epoch=0, seq=1)
+        assert produce(addr, "t", b0) == 0
+        assert produce(addr, "t", b1) == 2
+        # replay both, out of order — acks repeat the original offsets
+        assert produce(addr, "t", b1) == 2
+        assert produce(addr, "t", b0) == 0
+        blobs = fetch(addr, "t")
+        assert len(blobs) == 2
+        vals = [
+            r.value
+            for blob in blobs
+            for r in decode_record_batch(blob)[1]
+        ]
+        assert vals == [b"a", b"b", b"c"]
+    finally:
+        broker.stop()
+
+
+def test_non_idempotent_produce_does_double():
+    """Control: without producer identity (pid=-1) the broker has no
+    dedupe handle — the same bytes append twice, as on real Kafka."""
+    broker = MiniBroker().start()
+    try:
+        addr = broker.address
+        blob = _batch([b"a"])
+        assert produce(addr, "t", blob) == 0
+        assert produce(addr, "t", blob) == 1
+        assert len(fetch(addr, "t")) == 2
+    finally:
+        broker.stop()
+
+
+def test_epoch_bump_resets_sequences_and_fences_zombie():
+    broker = MiniBroker().start()
+    try:
+        addr = broker.address
+        assert produce(addr, "t", _batch([b"a"], pid=3, epoch=0, seq=0)) == 0
+        # epoch bump: same sequence number is a NEW batch again
+        assert produce(addr, "t", _batch([b"b"], pid=3, epoch=1, seq=0)) == 1
+        # the old-epoch producer is now a fenced zombie
+        with pytest.raises(RuntimeError, match="fenced"):
+            produce(addr, "t", _batch([b"c"], pid=3, epoch=0, seq=1))
+        # dedupe still active within the new epoch
+        assert produce(addr, "t", _batch([b"b"], pid=3, epoch=1, seq=0)) == 1
+        assert len(fetch(addr, "t")) == 2
+    finally:
+        broker.stop()
+
+
+def test_producer_meta_reads_spec_offsets():
+    blob = _batch([b"x"], pid=123456789, epoch=7, seq=42)
+    from click_streaming_data_pipeline_spark.streaming.kafka_wire import (
+        producer_meta,
+    )
+
+    assert producer_meta(blob) == (123456789, 7, 42)
+    assert producer_meta(_batch([b"x"])) == (-1, -1, -1)
+    # identity is all-or-nothing per KIP-98
+    with pytest.raises(ValueError, match="all-or-nothing"):
+        _batch([b"x"], pid=5)

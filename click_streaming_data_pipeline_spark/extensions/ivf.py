@@ -354,30 +354,20 @@ def _units_canon(u: int | None) -> str:
     return f"{sign}{ip}.{fp:018d}"
 
 
-def _dec_checksum_matches(df, rows, id_col: str, vec_col: str = "v") -> bool:
-    """ONE order-free aggregate job certifying that Python-repr units
-    equal the JVM's decimal(38,18) view of EVERY element in the
-    collected sample: per row, md5(id | ','-joined canonical decimal
-    strings) folded with bit_xor (distinct ids prevent xor
-    cancellation). True => the fast repr path is bit-exact on this
-    JDK for this sample; False => the caller re-collects the JVM
-    decimals (pre-Ryu Double.toString divergence — rare, large-
-    mantissa large-exponent values). The check costs one scan of the
-    CAP-bounded sample and no per-element transfer."""
-    import hashlib
+#: per-row JVM decimal checksum column added to the training collect
+_DEC_HASH_COL = "__jvm_dec_h"
 
-    from pyspark.sql import functions as F
 
-    py = 0
-    for r in rows:
-        v = r[vec_col]
-        joined = (
-            "0xV"
-            if v is None
-            else ",".join(_units_canon(_dec_units(x)) for x in v)
-        )
-        h = hashlib.md5(f"{r[id_col]}|{joined}".encode()).hexdigest()
-        py ^= int(h[:15], 16)
+def _with_dec_hash(df, id_col: str, vec_col: str = "v"):
+    """Append the JVM's view of the row as one 60-bit hash:
+    md5(id | ','-joined CAST(CAST(x AS decimal(38,18)) AS STRING))
+    truncated to 15 hex digits. It rides the training collect itself —
+    no second scan, no job — and lets the driver certify that its fast
+    Python-repr units are bit-exact against the JVM decimal cast for
+    EVERY element it collected (:func:`_verify_units_rows`). An
+    out-of-range element makes the ANSI cast raise inside the collect
+    job, the same failure the distributed trainer's F.sum(cast(...))
+    would produce."""
     joined_sql = F.coalesce(
         F.array_join(
             F.transform(
@@ -389,24 +379,54 @@ def _dec_checksum_matches(df, rows, id_col: str, vec_col: str = "v") -> bool:
         ),
         F.lit("0xV"),
     )
-    row_h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col(id_col).cast("string"), F.lit("|"), joined_sql
-                )
+    return df.withColumn(
+        _DEC_HASH_COL,
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"),
+                        F.lit("|"),
+                        joined_sql,
+                    )
+                ),
+                1,
+                15,
             ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
-    got = df.agg(F.bit_xor(row_h).alias("x")).collect()[0]["x"]
-    return (got or 0) == py
+            16,
+            10,
+        ).cast("long"),
+    )
 
 
-def _units_matrix(vecs, dim, dec_rows=None):
+def _verify_units_rows(rows, id_col: str, vec_col: str = "v"):
+    """Compute the 1e-18 units of every collected element ONCE via the
+    fast repr path and certify them against the JVM hashes collected
+    by :func:`_with_dec_hash`. Returns the unit rows (aligned with
+    ``rows``; None for a NULL vector, element None for NULL/non-
+    finite) when every row matches — they feed ``_local_kmeans`` /
+    ``_local_pq_codebooks`` directly, so the repr parse happens once.
+    Returns None on any mismatch (pre-Ryu Double.toString divergence:
+    the caller re-collects the JVM decimals)."""
+    import hashlib
+
+    units_rows = []
+    for r in rows:
+        v = r[vec_col]
+        if v is None:
+            units = None
+            joined = "0xV"
+        else:
+            units = [_dec_units(x) for x in v]
+            joined = ",".join(_units_canon(u) for u in units)
+        h = hashlib.md5(f"{r[id_col]}|{joined}".encode()).hexdigest()
+        if int(h[:15], 16) != r[_DEC_HASH_COL]:
+            return None
+        units_rows.append(units)
+    return units_rows
+
+
+def _units_matrix(vecs, dim, dec_rows=None, unit_rows=None):
     """Per-row, per-position 1e-18 units for the SUM leg, replaying
     ``F.sum(v[i].cast(decimal(38,18)))``'s input semantics under ANSI:
     ``v[i]`` uses the actual element whenever ``i < len(v)`` (extra
@@ -425,6 +445,12 @@ def _units_matrix(vecs, dim, dec_rows=None):
     8.078571431197864e18, which round differently at the 1e-18 unit —
     observed live on this JDK 17). Without ``dec_rows`` the fallback
     is exact only where repr(x) matches the JVM's repr.
+
+    ``unit_rows`` (when given) carries per-row unit lists ALREADY
+    verified against the JVM hashes (:func:`_verify_units_rows`) —
+    aligned with ``vecs``, row None for a NULL vector, element None
+    for NULL/non-finite; positions beyond ``dim`` are ignored like
+    the extra vector elements.
 
     Returns ``(U, NN, big)``: with ``big=False``, U is an int64
     (n, dim) matrix (NULL as 0) and NN the non-null mask, safe for the
@@ -460,6 +486,8 @@ def _units_matrix(vecs, dim, dec_rows=None):
                     with localcontext() as ctx:
                         ctx.prec = 60
                         u = int(d.scaleb(18))
+            elif unit_rows is not None:
+                u = unit_rows[j][i]
             else:
                 u = _dec_units(v[i])
             if u is not None and abs(u) >= 2**62:
@@ -547,7 +575,7 @@ def _exact_group_means(units, nn_mask, big, gids, counts, dim):
     return out
 
 
-def _local_kmeans(rows, k: int, n_iter: int):
+def _local_kmeans(rows, k: int, n_iter: int, unit_rows=None):
     """Driver-local replay of ``train_kmeans``'s Spark loop on the
     collected (id, vec[, jvm_decimals]) sample: init = the k smallest
     ids, assign = the shared :func:`_np_nearest_matrix` kernel math,
@@ -568,7 +596,9 @@ def _local_kmeans(rows, k: int, n_iter: int):
         else None
     )
     V = _assign_matrix(vecs, dim)
-    U, NN, big = _units_matrix(vecs, dim, dec_rows=decs)
+    U, NN, big = _units_matrix(
+        vecs, dim, dec_rows=decs, unit_rows=unit_rows
+    )
     for _ in range(n_iter):
         cids = _np_nearest_matrix(V, centroids)
         counts = np.bincount(cids, minlength=len(centroids))
@@ -619,8 +649,9 @@ def train_kmeans(
         F.col(id_col), _as_double(F.col(vec_col)).alias("v")
     )
     # JVM decimal(38,18) casts, collected only on the SLOW path: the
-    # local replay defaults to fast Python-repr units and certifies
-    # them against a one-job JVM checksum (_dec_checksum_matches);
+    # local replay defaults to fast Python-repr units, certified
+    # against per-row JVM hashes that ride the training collect
+    # itself (_with_dec_hash / _verify_units_rows — zero extra jobs);
     # only a divergent pre-Ryu Double.toString sample pays this
     # collect — bit parity with the distributed F.sum(cast(decimal))
     # either way.
@@ -641,7 +672,7 @@ def train_kmeans(
             TRAIN_SAMPLE_CAP,
             LOCAL_TRAIN_CELLS_MAX // max(1, k if k is not None else k_cap),
         )
-        probe = e.limit(probe_cap + 1).collect()
+        probe = _with_dec_hash(e, id_col).limit(probe_cap + 1).collect()
         if len(probe) <= probe_cap:
             rows, n, sample_mod = probe, len(probe), 1
     if n is None:
@@ -659,10 +690,12 @@ def train_kmeans(
         rows = None
     if driver_local:
         if rows is None:
-            rows = e.collect()
-        if _dec_checksum_matches(e, rows, id_col):
+            rows = _with_dec_hash(e, id_col).collect()
+        units_rows = _verify_units_rows(rows, id_col)
+        if units_rows is not None:
             return _local_kmeans(
-                [(r[id_col], r["v"]) for r in rows], k=k, n_iter=n_iter
+                [(r[id_col], r["v"]) for r in rows],
+                k=k, n_iter=n_iter, unit_rows=units_rows,
             )
         rows = ed.collect()  # divergent JDK repr: take the JVM units
         return _local_kmeans(

@@ -163,7 +163,9 @@ def _assign_code_arrow(codebooks: list[list[list[float]]]):
     return pandas_udf(_kernel, "int")
 
 
-def _local_pq_codebooks(rows, dim: int, m: int, k: int, n_iter: int):
+def _local_pq_codebooks(
+    rows, dim: int, m: int, k: int, n_iter: int, unit_rows=None
+):
     """Driver-local replay of ``train_pq_codebooks``'s Spark loop on
     the collected (id, unit-normalized vec[, jvm_decimals]) sample:
     init = the k smallest ids' subvectors, assign = the shared
@@ -208,6 +210,11 @@ def _local_pq_codebooks(rows, dim: int, m: int, k: int, n_iter: int):
                 None
                 if decs is None
                 else [d[mi * ds: (mi + 1) * ds] for d in decs]
+            ),
+            unit_rows=(
+                None
+                if unit_rows is None
+                else [u[mi * ds: (mi + 1) * ds] for u in unit_rows]
             ),
         )
         for mi in range(m)
@@ -258,15 +265,20 @@ def train_pq_codebooks(
     loop. PQ's budget (sample x 16 x 16) stays under the cell cap even
     at the full TRAIN_SAMPLE_CAP, so the local path is the norm.
     """
-    from .ivf import LOCAL_TRAIN_CELLS_MAX
+    from .ivf import (
+        LOCAL_TRAIN_CELLS_MAX,
+        _verify_units_rows,
+        _with_dec_hash,
+    )
 
     ds = dim // m
     e = emb.select(
         F.col(id_col).alias("id"), _unit(_as_double(F.col(vec_col))).alias("v")
     )
     # JVM decimal casts, collected only on the SLOW path — the fast
-    # Python-repr units are certified by a one-job checksum first
-    # (see ivf.train_kmeans / ivf._dec_checksum_matches)
+    # Python-repr units are certified against per-row JVM hashes that
+    # ride the training collect (see ivf._with_dec_hash /
+    # ivf._verify_units_rows — zero extra jobs)
     ed = e.withColumn(
         "vd", F.transform("v", lambda x: x.cast("decimal(38,18)"))
     )
@@ -278,7 +290,9 @@ def train_pq_codebooks(
         probe_cap = min(
             TRAIN_SAMPLE_CAP, LOCAL_TRAIN_CELLS_MAX // max(1, k * m)
         )
-        probe = e.limit(probe_cap + 1).collect()
+        probe = (
+            _with_dec_hash(e, "id").limit(probe_cap + 1).collect()
+        )
         if len(probe) <= probe_cap:
             rows, n, sample_mod = probe, len(probe), 1
     if n is None:
@@ -293,14 +307,14 @@ def train_pq_codebooks(
         ed = ed.filter(F.col("id") % sample_mod == 0)
         rows = None
     if driver_local:
-        from .ivf import _dec_checksum_matches
-
         if rows is None:
-            rows = e.collect()
-        if _dec_checksum_matches(e, rows, "id"):
+            rows = _with_dec_hash(e, "id").collect()
+        units_rows = _verify_units_rows(rows, "id")
+        if units_rows is not None:
             return _local_pq_codebooks(
                 [(r["id"], r["v"]) for r in rows],
                 dim=dim, m=m, k=k, n_iter=n_iter,
+                unit_rows=units_rows,
             )
         rows = ed.collect()  # divergent JDK repr: take the JVM units
         return _local_pq_codebooks(

@@ -2009,3 +2009,39 @@ def test_ivf_streaming_ingest_replay_safe(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_verify_units_rows_certifies_and_detects(spark):
+    """The per-row JVM hash that rides the training collect must (a)
+    certify clean samples — returning units identical to a direct
+    _dec_units derivation, null vectors as None — and (b) return None
+    (triggering the JVM-decimal re-collect) when any element's
+    Python-repr units disagree with the JVM's decimal cast."""
+    from click_streaming_data_pipeline_spark.extensions.ivf import (
+        _dec_units,
+        _verify_units_rows,
+        _with_dec_hash,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.1, 2.5]), (1, [1e-30, -3.75]), (2, None)],
+        "vec_id long, v array<double>",
+    )
+    rows = _with_dec_hash(df, "vec_id").collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    units = _verify_units_rows(rows, "vec_id")
+    if units is not None:  # repr-divergent JDKs legitimately return None
+        assert units[0] == [_dec_units(0.1), _dec_units(2.5)]
+        assert units[2] is None
+    # a poisoned element (units off by one) must always fail the hash
+    import copy
+
+    bad = [r.asDict() for r in rows]
+
+    class R(dict):
+        def __getitem__(self, k):
+            return dict.__getitem__(self, k)
+
+    bad_rows = [R(d) for d in copy.deepcopy(bad)]
+    bad_rows[0]["v"] = [0.1, 2.5 + 1e-9]
+    assert _verify_units_rows(bad_rows, "vec_id") is None

@@ -249,14 +249,64 @@ def cdc_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("value", F.lit("json_parse_failure").alias("reason"))
 
 
+def _binary_object_scan_oracle() -> str:
+    """LAZY oracle (rendered at oracle_dict() time): the store
+    objects' names/sizes/md5s are filesystem facts DuckDB's table
+    views cannot see, so they are read from the gate corpora
+    (sf0.001 smoke + sf0.01 driver gate) at render time and embedded
+    as a VALUES map. Which SF's rows apply is decided IN SQL by a
+    corpus marker — the documents rowcount of the very corpus the
+    driver registered (lineitem rowcount: 6k vs 60k at the gate
+    SFs) — so one rendered string is correct at either gate SF. The Spark lane hashes the bytes binaryFile actually
+    returned; matching md5s certify the object bodies crossed the
+    scan intact, not just the listing."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as _pq
+
+    rows = []
+    base = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    for sf in ("sf0.001", "sf0.01"):
+        d = os.path.join(base, sf)
+        li = os.path.join(d, "lineitem.parquet")
+        if not os.path.exists(li):
+            continue
+        marker = _pq.read_metadata(li).num_rows
+        for fn in sorted(os.listdir(d)):
+            if not fn.endswith(".parquet"):
+                continue
+            p = os.path.join(d, fn)
+            with open(p, "rb") as fh:
+                body = fh.read()
+            rows.append(
+                f"({marker}, '{fn[:-8]}', {len(body)}, "
+                f"'{hashlib.md5(body).hexdigest()}')"
+            )
+    vals = ",\n            ".join(rows) or "(0, '__empty__', 0, '')"
+    return f"""
+        WITH store(marker, object_key, byte_len, content_md5) AS (VALUES
+            {vals}
+        )
+        SELECT object_key,
+               CAST(byte_len AS BIGINT) AS byte_len,
+               CAST(byte_len AS INTEGER) AS content_len,
+               content_md5
+        FROM store
+        WHERE marker = (SELECT count(*) FROM lineitem)
+    """
+
+
 @query(
     "binary_object_scan",
-    oracle=None,  # paths/sizes are filesystem facts, not table facts
+    oracle=_binary_object_scan_oracle,
     doc=(
         "A5 object-store scan (storage.py:30-61 MinIO get + "
         "data-quality main.py:35-54 reader): binaryFile source over "
         "the store prefix; bodies become (path, length, content) rows "
-        "joined by key downstream instead of per-row GETs"
+        "joined by key downstream instead of per-row GETs. Content "
+        "md5s gate that the scan returned the object bodies "
+        "byte-intact (lazy filesystem-fact oracle)"
     ),
     tags=("scan",),
 )
@@ -273,6 +323,7 @@ def binary_object_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("length").alias("byte_len"),
             F.length(F.col("content")).alias("content_len"),
+            F.md5(F.col("content")).alias("content_md5"),
         )
     )
 

@@ -1271,3 +1271,69 @@ def cdc_kafka_wire_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").cast("bigint").alias("doc_id"),
         F.from_json("value", payload_schema).alias("p"),
     ).select("doc_id", "p.*")
+
+
+@query(
+    "cdc_kafka_wire_consume_streamed",
+    # the batch CDC oracle again: wire consumption must be lossless
+    # and the LWW resolve arrival-order independent
+    oracle=_CDC_EXPECTED_SQL,
+    doc=(
+        "SURVEY 2 A2 (Kafka consumer, data-quality main.py:212-215) "
+        "as a TRUE Structured Streaming SOURCE over the wire: CDC "
+        "envelopes are produced to the MiniBroker as multiple "
+        "RecordBatch v2 blobs, then a registered Spark-4 Python "
+        "streaming data source (sources/pyds_wire.py) consumes the "
+        "topic — driver tracks broker-assigned log offsets "
+        "(batchesPerTrigger backpressure, I7), executors fetch and "
+        "CRC-validate their own batches over the socket, and the "
+        "micro-batches flow through the identical parse/filter/score "
+        "plan into the LWW resolve. Hash-matches the batch pipeline "
+        "oracle — the consumer bookend to cdc_kafka_wire_streamed's "
+        "producer leg."
+    ),
+    tags=("streaming",),
+)
+def cdc_kafka_wire_consume_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from ..operators.upsert import latest_rows
+    from ..sources.cdc import synth_cdc_envelopes
+    from ..sources.pyds_wire import FORMAT_NAME, register
+    from ..streaming.kafka_wire import MiniBroker, produce_df
+    from ..streaming.pipeline import transform
+
+    broker = MiniBroker().start()
+    try:
+        produce_df(
+            synth_cdc_envelopes(spark, sf_dir),
+            broker.address,
+            "cdc.events",
+            records_per_batch=128,  # gate corpora: >=4 wire batches,
+            raw_value_col="value",  # so >=2 real micro-batches
+        )
+        register(spark)
+        raw = (
+            spark.readStream.format(FORMAT_NAME)
+            .option("addr", broker.address)
+            .option("topic", "cdc.events")
+            .option("batchesPerTrigger", "2")
+            .load()
+        )
+        name = f"kwire_{_uuid.uuid4().hex[:8]}"
+        q = (
+            transform(raw.select("value"))
+            .writeStream.queryName(name)
+            .format("memory")
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        broker.stop()
+    return latest_rows(spark.table(name), ["doc_id"], ["version", "ts_ms"])

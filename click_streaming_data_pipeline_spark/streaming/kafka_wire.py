@@ -287,6 +287,8 @@ def producer_meta(buf: bytes) -> tuple[int, int, int]:
 
 _OP_PRODUCE = 1
 _OP_FETCH = 2
+_OP_META = 3  # -> [(baseOffset, nRecords)] of every stored batch
+_OP_FETCH_ONE = 4  # body int64 baseOffset -> that one batch blob
 _FENCED = -2  # produce response: producerEpoch older than broker's
 
 
@@ -345,6 +347,16 @@ class MiniBroker:
                             for b in blobs:
                                 resp += struct.pack(">i", len(b)) + b
                             _write_frame(self.request, resp)
+                        elif op == _OP_META:
+                            meta = outer._meta(topic)
+                            resp = struct.pack(">i", len(meta))
+                            for base, n in meta:
+                                resp += struct.pack(">qi", base, n)
+                            _write_frame(self.request, resp)
+                        elif op == _OP_FETCH_ONE:
+                            (want,) = struct.unpack(">q", body)
+                            blob = outer._fetch_one(topic, want)
+                            _write_frame(self.request, blob)
                         else:
                             raise ValueError(f"bad op {op}")
                 except (ConnectionError, OSError):
@@ -394,6 +406,27 @@ class MiniBroker:
         with self._lock:
             return list(self._logs.get(topic, []))
 
+    def _meta(self, topic: str) -> list[tuple[int, int]]:
+        with self._lock:
+            out = []
+            for blob in self._logs.get(topic, []):
+                (base,) = struct.unpack_from(">q", blob, 0)
+                # record count at its fixed spec offset (byte 57: after
+                # crc/attrs/lastOffsetDelta/timestamps/producer fields)
+                (n,) = struct.unpack_from(">i", blob, 57)
+                out.append((base, n))
+            return out
+
+    def _fetch_one(self, topic: str, base_offset: int) -> bytes:
+        with self._lock:
+            for blob in self._logs.get(topic, []):
+                (base,) = struct.unpack_from(">q", blob, 0)
+                if base == base_offset:
+                    return blob
+        raise ValueError(
+            f"no batch at offset {base_offset} in topic {topic!r}"
+        )
+
     # -- lifecycle
     def start(self) -> "MiniBroker":
         self._thread.start()
@@ -442,6 +475,32 @@ def fetch(addr: str, topic: str) -> list[bytes]:
             out.append(resp[pos: pos + blen])
             pos += blen
         return out
+
+
+def topic_meta(addr: str, topic: str) -> list[tuple[int, int]]:
+    """-> [(baseOffset, nRecords)] per stored batch, log order."""
+    host, _, port = addr.partition(":")
+    with socket.create_connection((host, int(port))) as sock:
+        t = topic.encode("utf-8")
+        _write_frame(sock, bytes([_OP_META, len(t)]) + t)
+        resp = _read_frame(sock)
+        (n,) = struct.unpack_from(">i", resp, 0)
+        return [
+            struct.unpack_from(">qi", resp, 4 + 12 * i) for i in range(n)
+        ]
+
+
+def fetch_one(addr: str, topic: str, base_offset: int) -> bytes:
+    """The single RecordBatch blob whose baseOffset matches."""
+    host, _, port = addr.partition(":")
+    with socket.create_connection((host, int(port))) as sock:
+        t = topic.encode("utf-8")
+        _write_frame(
+            sock,
+            bytes([_OP_FETCH_ONE, len(t)]) + t
+            + struct.pack(">q", base_offset),
+        )
+        return _read_frame(sock)
 
 
 # --------------------------------------- Spark-side wire producer
@@ -519,6 +578,61 @@ def write_kafka_wire(
         df.writeStream.foreachBatch(_send)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def produce_df(
+    df: DataFrame,
+    addr: str,
+    topic: str,
+    *,
+    key_col: str | None = None,
+    records_per_batch: int = 1000,
+    producer_id: int = -1,
+    raw_value_col: str | None = None,
+) -> int:
+    """Batch producer: the :func:`kafka_payload` projection runs in
+    Spark, rows ship as RecordBatch v2 blobs of ``records_per_batch``
+    records each (multiple batches => the consumer side genuinely
+    exercises offset-range micro-batching). Returns the number of
+    batches produced. With ``producer_id >= 0``, batches carry KIP-98
+    identity with baseSequence = chunk index (idempotent re-runs).
+    ``raw_value_col`` bypasses the JSON projection when the frame
+    already holds wire-ready payload strings (e.g. CDC envelopes)."""
+    rows = (
+        df.select(
+            F.lit(None).cast("string").alias("key")
+            if key_col is None
+            else F.col(key_col).cast("string").alias("key"),
+            F.col(raw_value_col).alias("value"),
+        ).collect()
+        if raw_value_col is not None
+        else kafka_payload(df, key_col).collect()
+    )
+    now = int(time.time() * 1000)
+    sent = 0
+    for ci in range(0, len(rows), records_per_batch):
+        records = [
+            WireRecord(
+                None if r["key"] is None else r["key"].encode("utf-8"),
+                None if r["value"] is None else r["value"].encode("utf-8"),
+                now,
+            )
+            for r in rows[ci: ci + records_per_batch]
+        ]
+        produce(
+            addr,
+            topic,
+            encode_record_batch(
+                records,
+                producer_id=producer_id,
+                producer_epoch=0 if producer_id >= 0 else -1,
+                base_sequence=(
+                    ci // records_per_batch if producer_id >= 0 else -1
+                ),
+            ),
+        )
+        sent += 1
+    return sent
 
 
 def read_kafka_wire(

@@ -278,3 +278,40 @@ def test_producer_meta_reads_spec_offsets():
     # identity is all-or-nothing per KIP-98
     with pytest.raises(ValueError, match="all-or-nothing"):
         _batch([b"x"], pid=5)
+
+
+def test_wire_stream_source_offsets_and_backpressure(spark):
+    """The kafka_wire Python streaming source must (a) advance
+    latestOffset at most batchesPerTrigger RecordBatches per call,
+    (b) map offset ranges to per-batch partitions, and (c) deliver
+    every record exactly once with its broker-assigned log offset."""
+    from click_streaming_data_pipeline_spark.sources.pyds_wire import (
+        KafkaWireStreamReader,
+        register,
+    )
+
+    broker = MiniBroker().start()
+    try:
+        addr = broker.address
+        for ci, chunk in enumerate([[b"a", b"b"], [b"c"], [b"d", b"e"]]):
+            produce(addr, "t", _batch(chunk, pid=1, epoch=0, seq=ci))
+        rdr = KafkaWireStreamReader(
+            {"addr": addr, "topic": "t", "batchesPerTrigger": "2"}
+        )
+        assert rdr.initialOffset() == {"offset": 0}
+        o1 = rdr.latestOffset()
+        assert o1 == {"offset": 3}  # two batches (2 + 1 records)
+        o2 = rdr.latestOffset()
+        assert o2 == {"offset": 5}  # the remaining batch
+        parts = rdr.partitions({"offset": 0}, o1)
+        assert [p.value[2] for p in parts] == [0, 2]
+        rows = [r for p in parts for r in rdr.read(p)]
+        assert [(r[0], r[3]) for r in rows] == [
+            ("a", 0), ("b", 1), ("c", 2)]
+        (p3,) = rdr.partitions(o1, o2)
+        rows3 = list(rdr.read(p3))
+        assert [(r[0], r[3]) for r in rows3] == [("d", 3), ("e", 4)]
+        register(spark)  # registration is idempotent
+        register(spark)
+    finally:
+        broker.stop()

@@ -1315,6 +1315,7 @@ def cdc_kafka_wire_consume_streamed(
             "cdc.events",
             records_per_batch=128,  # gate corpora: >=4 wire batches,
             raw_value_col="value",  # so >=2 real micro-batches
+            codec="gzip",  # executors inflate + CRC-check per batch
         )
         register(spark)
         raw = (

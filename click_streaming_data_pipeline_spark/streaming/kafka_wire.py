@@ -162,6 +162,11 @@ def _encode_record(
     return encode_varint(len(body)) + bytes(body)
 
 
+#: RecordBatch v2 attribute bits 0-2 (the public codec registry);
+#: only gzip is implemented — snappy/lz4/zstd libs are absent here
+_CODEC_NONE, _CODEC_GZIP = 0, 1
+
+
 def encode_record_batch(
     records: list[WireRecord],
     base_offset: int = 0,
@@ -169,11 +174,15 @@ def encode_record_batch(
     producer_id: int = -1,
     producer_epoch: int = -1,
     base_sequence: int = -1,
+    codec: str = "none",
 ) -> bytes:
-    """One uncompressed RecordBatch v2 blob, CRC'd per spec. With
+    """One RecordBatch v2 blob, CRC'd per spec. With
     ``producer_id >= 0`` the batch carries KIP-98 idempotent-producer
     identity (producerId/producerEpoch/baseSequence) and the broker
-    stub deduplicates replays of the same (pid, epoch, sequence)."""
+    stub deduplicates replays of the same (pid, epoch, sequence).
+    ``codec="gzip"`` compresses the records block (attributes bit 0,
+    per the message-format spec: header fields stay uncompressed, the
+    CRC covers the COMPRESSED bytes — what the broker stores/ships)."""
     if not records:
         raise ValueError("RecordBatch v2 requires at least one record")
     if (producer_id >= 0) != (base_sequence >= 0):
@@ -181,14 +190,25 @@ def encode_record_batch(
             "KIP-98 identity is all-or-nothing: producer_id and "
             "base_sequence must both be set (or both be -1)"
         )
+    if codec not in ("none", "gzip"):
+        raise ValueError(f"unsupported codec {codec!r} (none|gzip)")
     base_ts = min(r.timestamp_ms for r in records)
     max_ts = max(r.timestamp_ms for r in records)
     recs = b"".join(
         _encode_record(r, i, base_ts) for i, r in enumerate(records)
     )
+    attrs = _CODEC_NONE
+    if codec == "gzip":
+        import gzip as _gzip
+
+        # mtime=0: deterministic bytes (the gzip header embeds a
+        # timestamp otherwise and replay dedupe compares sequences,
+        # not bytes — but reproducible blobs keep tests exact)
+        recs = _gzip.compress(recs, mtime=0)
+        attrs = _CODEC_GZIP
     # everything the crc covers: attributes .. records
     after_crc = (
-        struct.pack(">h", 0)  # attributes: no compression, create-time
+        struct.pack(">h", attrs)  # codec bits 0-2, create-time
         + struct.pack(">i", len(records) - 1)  # lastOffsetDelta
         + struct.pack(">q", base_ts)
         + struct.pack(">q", max_ts)
@@ -240,9 +260,18 @@ def decode_record_batch(buf: bytes) -> tuple[int, list[WireRecord]]:
         _bseq,
         n_records,
     ) = struct.unpack_from(">hiqqqhii", buf, 21)
-    if attributes & 0x07:
-        raise ValueError("compressed batches not supported by the stub")
+    codec = attributes & 0x07
+    if codec not in (_CODEC_NONE, _CODEC_GZIP):
+        raise ValueError(
+            f"codec {codec} not supported by the stub (none/gzip only)"
+        )
     pos = 21 + struct.calcsize(">hiqqqhii")
+    if codec == _CODEC_GZIP:
+        import gzip as _gzip
+
+        # the records block alone is compressed; splice the inflated
+        # bytes in and walk them with the same record parser
+        buf = buf[:pos] + _gzip.decompress(buf[pos:])
     out = []
     for _ in range(n_records):
         rec_len, pos = decode_varint(buf, pos)
@@ -531,6 +560,7 @@ def write_kafka_wire(
     checkpoint_dir: str,
     key_col: str | None = None,
     producer_id: int = -1,
+    codec: str = "none",
 ):
     """foreachBatch producer over the wire stub: per micro-batch, the
     shared :func:`kafka_payload` projection runs IN SPARK, rows
@@ -571,6 +601,7 @@ def write_kafka_wire(
                 producer_id=producer_id,
                 producer_epoch=0 if producer_id >= 0 else -1,
                 base_sequence=batch_id if producer_id >= 0 else -1,
+                codec=codec,
             ),
         )
 
@@ -589,6 +620,7 @@ def produce_df(
     records_per_batch: int = 1000,
     producer_id: int = -1,
     raw_value_col: str | None = None,
+    codec: str = "none",
 ) -> int:
     """Batch producer: the :func:`kafka_payload` projection runs in
     Spark, rows ship as RecordBatch v2 blobs of ``records_per_batch``
@@ -629,6 +661,7 @@ def produce_df(
                 base_sequence=(
                     ci // records_per_batch if producer_id >= 0 else -1
                 ),
+                codec=codec,
             ),
         )
         sent += 1

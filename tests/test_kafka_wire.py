@@ -347,3 +347,41 @@ def test_gzip_record_batch_round_trip_and_crc():
         assert decode_record_batch(stored)[1][0].value == b"v" * 500
     finally:
         broker.stop()
+
+
+def test_record_batch_property_round_trip():
+    """Property sweep (hypothesis): ANY record list — arbitrary
+    bytes/None keys, values, header sets, spread timestamps — must
+    round-trip bit-exactly through encode/decode under both codecs,
+    and the broker must store/serve it unchanged."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    opt_bytes = st.one_of(st.none(), st.binary(max_size=64))
+    header = st.tuples(
+        st.text(max_size=8).filter(lambda s: "\x00" not in s),
+        opt_bytes,
+    )
+    record = st.builds(
+        WireRecord,
+        opt_bytes,
+        opt_bytes,
+        st.integers(0, 2**40),
+        st.lists(header, max_size=3),
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(record, min_size=1, max_size=12),
+        st.sampled_from(["none", "gzip"]),
+        st.integers(0, 2**31 - 1),
+    )
+    def prop(records, codec, base):
+        blob = encode_record_batch(records, base, codec=codec)
+        got_base, got = decode_record_batch(blob)
+        assert got_base == base
+        assert [
+            (r.key, r.value, r.timestamp_ms, r.headers) for r in got
+        ] == [(r.key, r.value, r.timestamp_ms, r.headers) for r in records]
+
+    prop()

@@ -95,3 +95,68 @@ def test_adversarial_corpus_matches_oracle(spark, adversarial_dir, name):
         f"spark sample={sorted(srows, key=repr)[:4]} "
         f"oracle sample={sorted(orows, key=repr)[:4]}"
     )
+
+
+# ---- CDC + wire lanes on hostile texts ---------------------------
+#
+# The CDC envelope leg serializes text through to_json and (wire
+# lanes) RecordBatch v2 + gzip over a socket, then parses it back —
+# JSON escaping of tabs/newlines/unicode/emoji and 2000-char tokens
+# must survive every hop bit-exactly. The shared fixture's string
+# doc_ids don't fit the synth rules (doc_id % 10 drives ops), so
+# this fixture re-keys the same hostile texts by integer id, adding
+# copies of the unicode and control-char docs at ids the op filter
+# KEEPS (8/9 are dropped, 6/7 are updated by the synth rules).
+
+CDC_LANES = [
+    "cdc_pipeline",
+    "cdc_kafka_wire_streamed",
+    "cdc_kafka_wire_consume_streamed",
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_cdc_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("adv_cdc"))
+    texts = [t for _i, t, _l, _s in ADVERSARIAL_DOCS]
+    texts += [
+        "café naïve 中文 \U0001f600",   # unicode survives (id 15)
+        "tab\tand\nnewline chars",      # control chars survive (16)
+        '"quoted" \\ backslash /',      # JSON-escape stress (17)
+    ]
+    rows = [
+        (i, t, "en", "web", len(t)) for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("name", CDC_LANES)
+def test_cdc_and_wire_lanes_on_adversarial_texts(
+    spark, adversarial_cdc_dir, name
+):
+    if name not in QUERIES or not QUERIES[name].oracle:
+        pytest.skip(f"{name} not in catalog or not oracled")
+    sdf = QUERIES[name].fn(spark, adversarial_cdc_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{adversarial_cdc_dir}/documents.parquet/*.parquet'"
+    )
+    oracle = QUERIES[name].oracle
+    cur = con.execute(oracle() if callable(oracle) else oracle)
+    ocols = [d_[0] for d_ in cur.description]
+    orows = cur.fetchall()
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert len(srows) == len(orows), (len(srows), len(orows))
+    assert value_hash(srows, sdf.columns) == value_hash(orows, ocols), (
+        f"{name}: engines diverge on adversarial texts through the "
+        f"CDC/wire path; spark sample={sorted(srows, key=repr)[:4]} "
+        f"oracle sample={sorted(orows, key=repr)[:4]}"
+    )

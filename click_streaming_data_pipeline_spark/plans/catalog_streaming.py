@@ -1313,9 +1313,10 @@ def cdc_kafka_wire_consume_streamed(
             synth_cdc_envelopes(spark, sf_dir),
             broker.address,
             "cdc.events",
-            records_per_batch=128,  # gate corpora: >=4 wire batches,
-            raw_value_col="value",  # so >=2 real micro-batches
-            codec="gzip",  # executors inflate + CRC-check per batch
+            records_per_batch=None,  # ~8 wire batches at ANY corpus
+            raw_value_col="value",   # size => 4 real micro-batches,
+            codec="gzip",  # constant trigger overhead as data grows;
+            # executors inflate + CRC-check their own batches
         )
         register(spark)
         raw = (

@@ -617,10 +617,11 @@ def produce_df(
     topic: str,
     *,
     key_col: str | None = None,
-    records_per_batch: int = 1000,
+    records_per_batch: int | None = 1000,
     producer_id: int = -1,
     raw_value_col: str | None = None,
     codec: str = "none",
+    target_batches: int = 8,
 ) -> int:
     """Batch producer: the :func:`kafka_payload` projection runs in
     Spark, rows ship as RecordBatch v2 blobs of ``records_per_batch``
@@ -629,7 +630,13 @@ def produce_df(
     batches produced. With ``producer_id >= 0``, batches carry KIP-98
     identity with baseSequence = chunk index (idempotent re-runs).
     ``raw_value_col`` bypasses the JSON projection when the frame
-    already holds wire-ready payload strings (e.g. CDC envelopes)."""
+    already holds wire-ready payload strings (e.g. CDC envelopes).
+    ``records_per_batch=None`` sizes chunks to ``target_batches``
+    total wire batches regardless of row count — a consumer paying
+    per-micro-batch overhead then sees CONSTANT micro-batch count as
+    the corpus grows (measured: the fixed-128 sizing turned an 8x
+    corpus into 125 micro-batches and a 5.9x wall ratio from pure
+    trigger overhead)."""
     rows = (
         df.select(
             F.lit(None).cast("string").alias("key")
@@ -641,6 +648,8 @@ def produce_df(
         else kafka_payload(df, key_col).collect()
     )
     now = int(time.time() * 1000)
+    if records_per_batch is None:
+        records_per_batch = max(1, -(-len(rows) // target_batches))
     sent = 0
     for ci in range(0, len(rows), records_per_batch):
         records = [

@@ -70,6 +70,11 @@ PROBE_QUERIES = [
     "search_fuzzy",
     "knn_ivf_topk",
     "knn_ivfpq_topk",
+    "knn_int8_topk",
+    "knn_ivf_append_topk",
+    "knn_ivf_ingest_streamed",
+    "cdc_kafka_wire_streamed",
+    "cdc_kafka_wire_consume_streamed",
     "semdedup_keep",
     # NOT embedding_neardup: that lane IS the documented O(N^2)
     # all-pairs baseline (neardup_pairs docstring); the scale path it

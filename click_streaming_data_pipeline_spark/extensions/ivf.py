@@ -347,10 +347,7 @@ def _units_canon(u: int | None) -> str:
     if u is None:
         return "0xN"
     sign = "-" if u < 0 else ""
-    a = abs(u)
-    if a == 0:
-        sign = ""
-    ip, fp = divmod(a, 10**18)
+    ip, fp = divmod(abs(u), 10**18)
     return f"{sign}{ip}.{fp:018d}"
 
 

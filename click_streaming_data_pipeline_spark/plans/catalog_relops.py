@@ -256,8 +256,11 @@ def _binary_object_scan_oracle() -> str:
     (sf0.001 smoke + sf0.01 driver gate) at render time and embedded
     as a VALUES map. Which SF's rows apply is decided IN SQL by a
     corpus marker — the documents rowcount of the very corpus the
-    driver registered (lineitem rowcount: 6k vs 60k at the gate
-    SFs) — so one rendered string is correct at either gate SF. The Spark lane hashes the bytes binaryFile actually
+    driver registered (lineitem rowcount: 6k / 60k / 600k — distinct
+    at every rendered SF) — so one rendered string is correct at any
+    of the three testdata SFs, not only the two driver gates (a lane
+    run at an UNRENDERED corpus matches no marker and the empty
+    oracle reports a loud row-count mismatch, never a silent pass). The Spark lane hashes the bytes binaryFile actually
     returned; matching md5s certify the object bodies crossed the
     scan intact, not just the listing."""
     import hashlib
@@ -267,7 +270,7 @@ def _binary_object_scan_oracle() -> str:
 
     rows = []
     base = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
-    for sf in ("sf0.001", "sf0.01"):
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
         d = os.path.join(base, sf)
         li = os.path.join(d, "lineitem.parquet")
         if not os.path.exists(li):

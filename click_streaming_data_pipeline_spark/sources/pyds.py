@@ -112,6 +112,9 @@ class CdcJsonlStreamReader(DataSourceStreamReader):
         return {"index": self._cur}
 
     def partitions(self, start, end):
+        # re-sync the in-memory pacing cursor after a restart (Spark
+        # replays the pending batch with the checkpointed range first)
+        self._cur = max(self._cur, start["index"], end["index"])
         files = _archive_files(self._path)[start["index"] : end["index"]]
         return [
             InputPartition(os.path.join(self._path, f)) for f in files
@@ -121,7 +124,9 @@ class CdcJsonlStreamReader(DataSourceStreamReader):
         yield from _read_jsonl(partition.value)
 
     def commit(self, end) -> None:
-        pass  # immutable archive: nothing to clean up
+        # immutable archive: nothing to clean up; cursor stays at or
+        # past every committed position
+        self._cur = max(self._cur, end["index"])
 
 
 def register(spark) -> None:

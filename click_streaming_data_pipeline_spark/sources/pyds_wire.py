@@ -13,8 +13,14 @@ CRC-validated on the EXECUTOR (the driver never moves payload
 bytes). ``latestOffset`` advances at most ``batchesPerTrigger``
 batches per call — the ``maxOffsetsPerTrigger`` backpressure analogue
 (I7). Offsets are checkpointable dicts; replaying a committed range
-re-fetches the same immutable batches, so the downstream LWW sink
-stays effectively-once (I1).
+re-fetches the same immutable batches. The PACING cursor is
+in-memory only: after a driver restart it re-syncs from the first
+``partitions(start, end)`` call (Spark replays the pending batch
+with the checkpointed range first), and until then ``latestOffset``
+may lag the checkpoint — Spark plans an empty batch for a backward
+range, and the downstream idempotent LWW sink absorbs any
+redelivery: the standard Kafka at-least-once + idempotent-sink
+posture (I1).
 
 Output contract mirrors ``kafka.read_kafka_stream``: value/key
 strings, ``ts_ms`` epoch millis, plus the per-record log ``offset``.
@@ -80,6 +86,11 @@ class KafkaWireStreamReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         lo, hi = start["offset"], end["offset"]
+        # re-sync the in-memory pacing cursor after a restart: Spark
+        # replays the pending batch with the CHECKPOINTED range before
+        # asking for new offsets, so the cursor never lags a committed
+        # position past the first (empty) planned batch
+        self._cursor = max(self._cursor, lo, hi)
         return [
             InputPartition((self._addr, self._topic, base))
             for base, _n in self._meta()
@@ -101,7 +112,9 @@ class KafkaWireStreamReader(DataSourceStreamReader):
             )
 
     def commit(self, end) -> None:
-        pass  # broker log is immutable; nothing to clean up
+        # broker log is immutable — nothing to clean up; keep the
+        # pacing cursor at/past every committed position
+        self._cursor = max(self._cursor, end["offset"])
 
 
 def register(spark) -> None:

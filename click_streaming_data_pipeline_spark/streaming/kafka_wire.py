@@ -385,7 +385,11 @@ class MiniBroker:
                         elif op == _OP_FETCH_ONE:
                             (want,) = struct.unpack(">q", body)
                             blob = outer._fetch_one(topic, want)
-                            _write_frame(self.request, blob)
+                            # empty frame = no such offset (a real
+                            # blob is >= 61 bytes, so unambiguous);
+                            # the client raises with the diagnostic
+                            # instead of seeing a closed socket
+                            _write_frame(self.request, blob or b"")
                         else:
                             raise ValueError(f"bad op {op}")
                 except (ConnectionError, OSError):
@@ -446,15 +450,13 @@ class MiniBroker:
                 out.append((base, n))
             return out
 
-    def _fetch_one(self, topic: str, base_offset: int) -> bytes:
+    def _fetch_one(self, topic: str, base_offset: int) -> bytes | None:
         with self._lock:
             for blob in self._logs.get(topic, []):
                 (base,) = struct.unpack_from(">q", blob, 0)
                 if base == base_offset:
                     return blob
-        raise ValueError(
-            f"no batch at offset {base_offset} in topic {topic!r}"
-        )
+        return None  # handler frames this as the empty response
 
     # -- lifecycle
     def start(self) -> "MiniBroker":
@@ -520,7 +522,10 @@ def topic_meta(addr: str, topic: str) -> list[tuple[int, int]]:
 
 
 def fetch_one(addr: str, topic: str, base_offset: int) -> bytes:
-    """The single RecordBatch blob whose baseOffset matches."""
+    """The single RecordBatch blob whose baseOffset matches. Raises
+    ValueError (with the offset/topic) on a miss — the broker answers
+    an empty frame rather than dropping the connection, so the
+    diagnostic reaches the caller."""
     host, _, port = addr.partition(":")
     with socket.create_connection((host, int(port))) as sock:
         t = topic.encode("utf-8")
@@ -529,7 +534,12 @@ def fetch_one(addr: str, topic: str, base_offset: int) -> bytes:
             bytes([_OP_FETCH_ONE, len(t)]) + t
             + struct.pack(">q", base_offset),
         )
-        return _read_frame(sock)
+        blob = _read_frame(sock)
+        if not blob:
+            raise ValueError(
+                f"no batch at offset {base_offset} in topic {topic!r}"
+            )
+        return blob
 
 
 # --------------------------------------- Spark-side wire producer
@@ -549,6 +559,36 @@ def kafka_payload(df: DataFrame, key_col: str | None) -> DataFrame:
             else [F.lit(None).cast("string").alias("key")]
         ),
         F.to_json(F.struct(*cols)).alias("value"),
+    )
+
+
+def _rows_to_wire_batch(
+    rows,
+    now_ms: int,
+    *,
+    producer_id: int,
+    seq: int,
+    codec: str,
+    headers=(),
+) -> bytes:
+    """The ONE place collected (key, value) rows become a RecordBatch
+    blob — shared by the streaming and batch producers so the
+    None-handling / encoding / KIP-98 identity rules cannot drift."""
+    records = [
+        WireRecord(
+            None if r["key"] is None else r["key"].encode("utf-8"),
+            None if r["value"] is None else r["value"].encode("utf-8"),
+            now_ms,
+            list(headers),
+        )
+        for r in rows
+    ]
+    return encode_record_batch(
+        records,
+        producer_id=producer_id,
+        producer_epoch=0 if producer_id >= 0 else -1,
+        base_sequence=seq if producer_id >= 0 else -1,
+        codec=codec,
     )
 
 
@@ -575,33 +615,27 @@ def write_kafka_wire(
     batch (same batch_id, hence same baseSequence) lands exactly one
     copy in the log. A real producer numbers sequences per record
     batch from a running count; batch_id is the micro-batch analogue,
-    deterministic across checkpoint-recovery replays."""
+    deterministic across checkpoint-recovery replays. One streaming
+    query per (topic, producer_id): a SECOND query reusing the pair
+    restarts batch ids at 0 and the broker treats its batches as
+    replays of the first query's sequences (see ``produce_df``'s
+    ``base_sequence_start`` note) — use a fresh producer_id per
+    query, as a real producer gets a fresh PID from the broker."""
 
     def _send(batch: DataFrame, batch_id: int) -> None:
         rows = kafka_payload(batch, key_col).collect()
         if not rows:
             return
-        now = int(time.time() * 1000)
-        records = [
-            WireRecord(
-                None if r["key"] is None else r["key"].encode("utf-8"),
-                None
-                if r["value"] is None
-                else r["value"].encode("utf-8"),
-                now,
-                [("batch_id", str(batch_id).encode("utf-8"))],
-            )
-            for r in rows
-        ]
         produce(
             addr,
             topic,
-            encode_record_batch(
-                records,
+            _rows_to_wire_batch(
+                rows,
+                int(time.time() * 1000),
                 producer_id=producer_id,
-                producer_epoch=0 if producer_id >= 0 else -1,
-                base_sequence=batch_id if producer_id >= 0 else -1,
+                seq=batch_id,
                 codec=codec,
+                headers=[("batch_id", str(batch_id).encode("utf-8"))],
             ),
         )
 
@@ -622,13 +656,20 @@ def produce_df(
     raw_value_col: str | None = None,
     codec: str = "none",
     target_batches: int = 8,
+    base_sequence_start: int = 0,
 ) -> int:
     """Batch producer: the :func:`kafka_payload` projection runs in
     Spark, rows ship as RecordBatch v2 blobs of ``records_per_batch``
     records each (multiple batches => the consumer side genuinely
     exercises offset-range micro-batching). Returns the number of
     batches produced. With ``producer_id >= 0``, batches carry KIP-98
-    identity with baseSequence = chunk index (idempotent re-runs).
+    identity with baseSequence = base_sequence_start + chunk index —
+    an identical re-run dedupes broker-side (idempotence), but a
+    SECOND produce_df with NEW data to the same (topic, producer_id)
+    MUST advance ``base_sequence_start`` past the prior call's batch
+    count, or the broker will ack its chunks as replays of the old
+    sequences and silently keep the old rows (sequence-based dedupe
+    compares identity, not bytes — exactly real KIP-98).
     ``raw_value_col`` bypasses the JSON projection when the frame
     already holds wire-ready payload strings (e.g. CDC envelopes).
     ``records_per_batch=None`` sizes chunks to ``target_batches``
@@ -652,24 +693,14 @@ def produce_df(
         records_per_batch = max(1, -(-len(rows) // target_batches))
     sent = 0
     for ci in range(0, len(rows), records_per_batch):
-        records = [
-            WireRecord(
-                None if r["key"] is None else r["key"].encode("utf-8"),
-                None if r["value"] is None else r["value"].encode("utf-8"),
-                now,
-            )
-            for r in rows[ci: ci + records_per_batch]
-        ]
         produce(
             addr,
             topic,
-            encode_record_batch(
-                records,
+            _rows_to_wire_batch(
+                rows[ci: ci + records_per_batch],
+                now,
                 producer_id=producer_id,
-                producer_epoch=0 if producer_id >= 0 else -1,
-                base_sequence=(
-                    ci // records_per_batch if producer_id >= 0 else -1
-                ),
+                seq=base_sequence_start + ci // records_per_batch,
                 codec=codec,
             ),
         )

@@ -385,3 +385,43 @@ def test_record_batch_property_round_trip():
         ] == [(r.key, r.value, r.timestamp_ms, r.headers) for r in records]
 
     prop()
+
+
+def test_wire_stream_source_restart_resyncs_cursor():
+    """Driver-restart semantics: a FRESH reader's pacing cursor is 0,
+    but Spark replays the pending batch with the CHECKPOINTED range
+    first — partitions(start, end) must re-sync the cursor so the
+    next latestOffset continues past the checkpoint instead of
+    re-announcing already-committed batches."""
+    from click_streaming_data_pipeline_spark.sources.pyds_wire import (
+        KafkaWireStreamReader,
+    )
+
+    broker = MiniBroker().start()
+    try:
+        addr = broker.address
+        for ci, chunk in enumerate([[b"a", b"b"], [b"c"], [b"d"]]):
+            produce(addr, "t", _batch(chunk, pid=1, epoch=0, seq=ci))
+        # restarted driver: fresh reader, checkpoint says batches up
+        # to offset 3 were consumed, batch (2->3) is pending replay
+        rdr = KafkaWireStreamReader({"addr": addr, "topic": "t"})
+        parts = rdr.partitions({"offset": 2}, {"offset": 3})
+        assert [p.value[2] for p in parts] == [2]
+        # cursor re-synced: the next trigger announces ONLY batch 3
+        assert rdr.latestOffset() == {"offset": 4}
+        (p,) = rdr.partitions({"offset": 3}, {"offset": 4})
+        assert [r[0] for r in rdr.read(p)] == ["d"]
+        # committed positions also hold the cursor forward
+        rdr2 = KafkaWireStreamReader({"addr": addr, "topic": "t"})
+        rdr2.commit({"offset": 4})
+        assert rdr2.latestOffset() == {"offset": 4}
+        # missing-offset fetch surfaces the diagnostic, not a closed
+        # socket
+        from click_streaming_data_pipeline_spark.streaming.kafka_wire import (
+            fetch_one,
+        )
+
+        with pytest.raises(ValueError, match="no batch at offset 99"):
+            fetch_one(addr, "t", 99)
+    finally:
+        broker.stop()

@@ -425,3 +425,59 @@ def test_wire_stream_source_restart_resyncs_cursor():
             fetch_one(addr, "t", 99)
     finally:
         broker.stop()
+
+
+def test_wire_stream_source_checkpoint_restart_end_to_end(spark, tmp_path):
+    """REAL restart through Spark's offset log: a first query drains
+    the current log to a parquet append sink and stops; more batches
+    arrive; a SECOND query on the SAME checkpoint (fresh reader, so
+    the in-memory pacing cursor starts at 0) must emit exactly the
+    new records once — no re-delivery of committed offsets, no gap."""
+    from click_streaming_data_pipeline_spark.sources.pyds_wire import (
+        FORMAT_NAME,
+        register,
+    )
+
+    broker = MiniBroker().start()
+    try:
+        addr = broker.address
+        for ci, chunk in enumerate([[b"a", b"b"], [b"c"]]):
+            produce(addr, "t", _batch(chunk, pid=1, epoch=0, seq=ci))
+        register(spark)
+        sink = str(tmp_path / "sink")
+        ckpt = str(tmp_path / "ckpt")
+
+        def drain():
+            q = (
+                spark.readStream.format(FORMAT_NAME)
+                .option("addr", addr)
+                .option("topic", "t")
+                .option("batchesPerTrigger", "1")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        drain()
+        got1 = {
+            (r["value"], r["offset"])
+            for r in spark.read.parquet(sink).collect()
+        }
+        assert got1 == {("a", 0), ("b", 1), ("c", 2)}
+        for ci, chunk in enumerate([[b"d"], [b"e", b"f"]], start=2):
+            produce(addr, "t", _batch(chunk, pid=1, epoch=0, seq=ci))
+        drain()  # fresh reader instance, same checkpoint
+        got2 = {
+            (r["value"], r["offset"])
+            for r in spark.read.parquet(sink).collect()
+        }
+        assert got2 == {
+            ("a", 0), ("b", 1), ("c", 2), ("d", 3), ("e", 4), ("f", 5),
+        }
+    finally:
+        broker.stop()

@@ -930,6 +930,41 @@ def append_ivf_index_batch(
     )
 
 
+def compact_ivf_index(spark, index_dir: str) -> None:
+    """OPTIMIZE for a STREAMING-built index: every micro-batch of
+    :func:`append_ivf_index_batch` leaves its own
+    ``corpus/batch=N/centroid_id=*`` directory, so after many batches
+    each probe touches #batches small files per centroid. Compaction
+    rewrites the corpus into :func:`save_ivf_index`'s flat
+    ``centroid_id=*`` layout — one pass, one file per centroid
+    (repartition by centroid_id => one task per centroid group), and
+    an interruption-safe swap (compact into a NEW directory, rename
+    old out of the way, rename new in, then delete the old): a crash
+    at any point leaves a complete corpus under either the live or
+    the retired name, never a half-written mix. Single-writer
+    maintenance window, like ``operators/maintenance.compaction`` —
+    run between query batches. Query results are IDENTICAL before
+    and after (pytest-pinned); centroid_id pruning now skips whole
+    flat directories instead of per-batch subtrees."""
+    import os
+    import shutil
+
+    corpus = os.path.join(index_dir, "corpus")
+    compacting = os.path.join(index_dir, "corpus_compacting")
+    retired = os.path.join(index_dir, "corpus_retired")
+    (
+        spark.read.parquet(corpus)
+        .select("neighbor_id", "n_vec", "centroid_id")
+        .repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(compacting)
+    )
+    os.rename(corpus, retired)
+    os.rename(compacting, corpus)
+    shutil.rmtree(retired)
+
+
 def load_ivf_centroids(spark, index_dir: str) -> list[tuple[int, list[float]]]:
     import os
 

@@ -1540,10 +1540,13 @@ def knn_ivf_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frozen codebook and committed under its own "
         "corpus/batch=N/centroid_id=* directory (overwrite => "
         "at-least-once replay safe); queries probe the accumulated "
-        "multi-batch index with centroid pruning intact. Drained "
-        "result == the batch append lane == the train-on-half/"
-        "assign-all SQL replay, bit-for-bit — arrival-order "
-        "independent by construction."
+        "multi-batch index with centroid pruning intact. After the "
+        "drain the index is COMPACTED (compact_ivf_index — the "
+        "lakehouse OPTIMIZE step: batch dirs flatten to one file per "
+        "centroid via an interruption-safe swap), so the oracle hash "
+        "gates compaction too. Drained+compacted result == the batch "
+        "append lane == the train-on-half/assign-all SQL replay, "
+        "bit-for-bit — arrival-order independent by construction."
     ),
     tags=("streaming", "similarity", "scale"),
 )
@@ -1553,6 +1556,7 @@ def knn_ivf_ingest_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..extensions.ivf import (
         append_ivf_index_batch,
+        compact_ivf_index,
         ivf_index_topk,
         save_ivf_centroids,
     )
@@ -1579,6 +1583,10 @@ def knn_ivf_ingest_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # OPTIMIZE after the drain: batch dirs flatten to one file per
+    # centroid — the oracle hash below also gates compaction, since a
+    # dropped/duplicated row would break the top-k
+    compact_ivf_index(spark, idx)
     queries = emb.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_vec"),

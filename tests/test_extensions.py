@@ -2045,3 +2045,54 @@ def test_verify_units_rows_certifies_and_detects(spark):
     bad_rows = [R(d) for d in copy.deepcopy(bad)]
     bad_rows[0]["v"] = [0.1, 2.5 + 1e-9]
     assert _verify_units_rows(bad_rows, "vec_id") is None
+
+
+def test_compact_ivf_index_flattens_batches_identically(spark, tmp_path):
+    """Compacting a streaming-built IVF index must (a) produce the
+    flat centroid_id=* layout with one file per centroid dir, (b)
+    leave no batch= subtrees, and (c) change NOTHING about query
+    results."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from click_streaming_data_pipeline_spark.extensions.ivf import (
+        append_ivf_index_batch,
+        compact_ivf_index,
+        ivf_index_topk,
+        save_ivf_centroids,
+    )
+
+    emb = load_table(spark, SF_TEST, "embeddings")
+    idx = str(tmp_path / "index")
+    save_ivf_centroids(emb.filter(F.col("vec_id") % 2 == 0), idx)
+    for b in range(3):
+        append_ivf_index_batch(
+            emb.filter(F.col("vec_id") % 3 == b), idx, b
+        )
+    queries = emb.filter(F.col("vec_id").isin([0, 1, 2, 3, 4])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+    )
+    before = {
+        tuple(r)
+        for r in ivf_index_topk(spark, idx, queries, k=10).collect()
+    }
+    compact_ivf_index(spark, idx)
+    corpus = os.path.join(idx, "corpus")
+    subdirs = sorted(os.listdir(corpus))
+    assert not any(d.startswith("batch=") for d in subdirs)
+    cdirs = [d for d in subdirs if d.startswith("centroid_id=")]
+    assert cdirs, subdirs
+    for d in cdirs:
+        files = [
+            f
+            for f in os.listdir(os.path.join(corpus, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (d, files)
+    after = {
+        tuple(r)
+        for r in ivf_index_topk(spark, idx, queries, k=10).collect()
+    }
+    assert after == before

@@ -55,11 +55,24 @@ ADVERSARIAL_VECS = [
 VECTOR_QUERIES = [
     "knn_topk",
     "knn_lsh_pairs",
+    # NOT knn_lsh_pairs_auto: its oracle is rendered for the GATE
+    # corpus's auto-sizing (lsh_planes_for(N)) at import time, so it
+    # cannot follow this 20-row fixture's different derived config —
+    # the fixed-config knn_lsh_pairs covers hostile vectors for the
+    # LSH shape, and test_lsh_auto_* pins the sizing rule itself
     "knn_ivf_topk",
     "knn_pq_topk",
     "knn_ivfpq_topk",
+    "knn_int8_topk",
+    # persisted / incremental / streaming index paths: hostile
+    # vectors must survive save -> (append | micro-batch ingest ->
+    # compact) -> pruned probe identically to the in-memory lanes
+    "knn_ivf_index_topk",
+    "knn_ivf_append_topk",
+    "knn_ivf_ingest_streamed",
     "pq_codes",
     "semdedup_keep",
+    "semdedup_streamed",
     "embedding_neardup",
     "embedding_quantize",
     "embedding_random_projection",

@@ -423,6 +423,110 @@ def _verify_units_rows(rows, id_col: str, vec_col: str = "v"):
     return units_rows
 
 
+#: JVM decimal(38,18) canon strings of a double vector, one ','-joined
+#: string per row — the authoritative unit source on ANY JDK (it ships
+#: the cast's own toPlainString, so no repr(float)==Double.toString
+#: assumption and no verify/fallback pass). NULL element -> "0xN",
+#: NULL vector -> "0xV" (same sentinels as _with_dec_hash). An
+#: out-of-range element makes the ANSI cast raise inside the collect
+#: job, the same failure the distributed trainer's F.sum(cast(...))
+#: would produce.
+_DEC_STR_COL = "__jvm_dec_s"
+
+
+def _with_dec_strings(df, vec_col: str = "v"):
+    return df.withColumn(
+        _DEC_STR_COL,
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.col(vec_col),
+                    lambda x: x.cast("decimal(38,18)").cast("string"),
+                ),
+                ",",
+                "0xN",
+            ),
+            F.lit("0xV"),
+        ),
+    )
+
+
+def _units_from_dec_string(s: str | None) -> list[int | None] | None:
+    """Parse one JVM canon string back to 1e-18 integer units. The
+    plain form is sign + int part + '.' + exactly 18 fraction digits
+    (BigDecimal.toPlainString at scale 18), so ``int(ip + fp)`` is the
+    exact unit count — pure string->int, ~3x faster than the repr
+    parse and exact by construction."""
+    if s is None or s == "0xV":
+        return None
+    out: list[int | None] = []
+    append = out.append
+    for tok in s.split(","):
+        if tok == "0xN":
+            append(None)
+            continue
+        neg = tok[0] == "-"
+        if neg:
+            tok = tok[1:]
+        ip, _, fp = tok.partition(".")
+        u = int(ip + fp)
+        append(-u if neg else u)
+    return out
+
+
+def _arrow_vec_lists(col):
+    """ListArray column -> per-row Python lists of floats (None-safe).
+
+    Fast path (no NULL rows/elements): flatten to one float64 buffer
+    and ``tolist()`` — exact float64 -> Python float, ~20x quicker
+    than ``to_pylist``. Any null falls back to ``to_pylist`` so NULL
+    vectors/elements keep their exact None shape."""
+    import numpy as np
+
+    a = col.combine_chunks()
+    if a.null_count == 0:
+        values = a.flatten()
+        if values.null_count == 0:
+            flat = values.to_numpy(zero_copy_only=False)
+            offs = a.offsets.to_numpy()
+            return [
+                flat[offs[i]:offs[i + 1]].tolist()
+                for i in range(len(offs) - 1)
+            ]
+    return a.to_pylist()
+
+
+def _collect_train_sample(e, id_col: str, cap: int, vec_cols=("v",)):
+    """One Arrow-backed collect of ``limit(cap+1)`` rows carrying, for
+    each vector column, the doubles AND the JVM's decimal(38,18) canon
+    strings (computed distributed — the scan is repartitioned so the
+    per-element decimal/string work spreads across cores instead of
+    serializing on the test data's single row group).
+
+    Returns ``None`` when more than ``cap`` rows exist (the caller
+    falls back to the counted/sampled path), else a dict with ``ids``
+    and, per vector column, ``vecs_<c>`` (None-safe float lists) and
+    ``units_<c>`` (per-row integer-unit lists aligned with ids)."""
+    from ..sources.tables import scan_parallel
+
+    df = scan_parallel(e)
+    for i, c in enumerate(vec_cols):
+        df = _with_dec_strings(df, c).withColumnRenamed(
+            _DEC_STR_COL, f"{_DEC_STR_COL}{i}"
+        )
+    tbl = df.limit(cap + 1).toArrow()
+    if tbl.num_rows > cap:
+        return None
+    out = {"ids": tbl.column(id_col).to_pylist(), "n": tbl.num_rows}
+    for i, c in enumerate(vec_cols):
+        out[f"vecs_{c}"] = _arrow_vec_lists(tbl.column(c))
+        out[f"units_{c}"] = [
+            _units_from_dec_string(s)
+            for s in tbl.column(f"{_DEC_STR_COL}{i}").to_pylist()
+        ]
+    return out
+
+
 def _units_matrix(vecs, dim, dec_rows=None, unit_rows=None):
     """Per-row, per-position 1e-18 units for the SUM leg, replaying
     ``F.sum(v[i].cast(decimal(38,18)))``'s input semantics under ANSI:
@@ -614,6 +718,20 @@ def auto_k(n: int, cap: int = K_MAX) -> int:
     return max(4, min(cap, int(round(n**0.5))))
 
 
+def _probe_cap_auto_k(k_cap: int) -> int:
+    """Largest sample size n (<= TRAIN_SAMPLE_CAP) whose auto-K cells
+    budget n*auto_k(n, k_cap) fits LOCAL_TRAIN_CELLS_MAX — binary
+    search over the monotone budget."""
+    lo, hi = 1, TRAIN_SAMPLE_CAP
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if mid * auto_k(mid, k_cap) <= LOCAL_TRAIN_CELLS_MAX:
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
 def train_kmeans(
     emb: DataFrame,
     *,
@@ -624,6 +742,7 @@ def train_kmeans(
     n_iter: int = N_ITER,
     sample_mod: int | None = None,
     driver_local: bool | None = None,
+    _sample: dict | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic k-means (cosine/spherical): init = the k smallest
     ids; each round assigns and re-centers via element-wise mean
@@ -645,18 +764,18 @@ def train_kmeans(
     e = emb.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("v")
     )
-    # JVM decimal(38,18) casts, collected only on the SLOW path: the
-    # local replay defaults to fast Python-repr units, certified
-    # against per-row JVM hashes that ride the training collect
-    # itself (_with_dec_hash / _verify_units_rows — zero extra jobs);
-    # only a divergent pre-Ryu Double.toString sample pays this
-    # collect — bit parity with the distributed F.sum(cast(decimal))
-    # either way.
-    ed = e.withColumn(
-        "vd", F.transform("v", lambda x: x.cast("decimal(38,18)"))
-    )
-    rows = None
+    # The local replay trains on the JVM's OWN decimal(38,18) canon
+    # strings, shipped alongside the doubles in the ONE training
+    # collect (_collect_train_sample): exact on any JDK — no
+    # repr(float)==Double.toString assumption, no verify pass, no
+    # fallback re-collect — bit parity with the distributed
+    # F.sum(cast(decimal)) either way.
+    sample = None
     n = None
+    if _sample is not None:
+        # caller pre-collected the training set (one shared scan for
+        # composed trainers, e.g. ivf_pq_topk's coarse + PQ stages)
+        sample, n, sample_mod = _sample, _sample["n"], 1
     if sample_mod is None and driver_local is not False:
         # one pass for cap-sized corpora: if everything fits the
         # training cap this limited collect IS the training set and
@@ -665,13 +784,20 @@ def train_kmeans(
         # size). The probe is also bounded by the cells budget at the
         # K upper bound, so a large-K caller (SemDeDup's k_cap=4096)
         # never collects 65k rows only to pick the distributed loop
-        probe_cap = min(
-            TRAIN_SAMPLE_CAP,
-            LOCAL_TRAIN_CELLS_MAX // max(1, k if k is not None else k_cap),
-        )
-        probe = _with_dec_hash(e, id_col).limit(probe_cap + 1).collect()
-        if len(probe) <= probe_cap:
-            rows, n, sample_mod = probe, len(probe), 1
+        if k is not None:
+            probe_cap = min(TRAIN_SAMPLE_CAP, LOCAL_TRAIN_CELLS_MAX // max(1, k))
+        else:
+            # K is auto-sized (~sqrt(n)), so the cells budget at n rows
+            # is n*auto_k(n, k_cap), NOT n*k_cap: dividing by the cap
+            # (4096 for SemDeDup) starved the probe to a few hundred
+            # rows and pushed cap-sized corpora through the slow
+            # probe-fail -> count -> re-collect path. Largest n whose
+            # SELF-CONSISTENT budget fits keeps the one-collect fast
+            # path for every corpus the local trainer would accept.
+            probe_cap = _probe_cap_auto_k(k_cap)
+        sample = _collect_train_sample(e, id_col, probe_cap)
+        if sample is not None:
+            n, sample_mod = sample["n"], 1
     if n is None:
         n = e.count()
     if k is None:
@@ -683,21 +809,13 @@ def train_kmeans(
         driver_local = est * k <= LOCAL_TRAIN_CELLS_MAX
     if sample_mod > 1:
         e = e.filter(F.col(id_col) % sample_mod == 0)
-        ed = ed.filter(F.col(id_col) % sample_mod == 0)
-        rows = None
+        sample = None
     if driver_local:
-        if rows is None:
-            rows = _with_dec_hash(e, id_col).collect()
-        units_rows = _verify_units_rows(rows, id_col)
-        if units_rows is not None:
-            return _local_kmeans(
-                [(r[id_col], r["v"]) for r in rows],
-                k=k, n_iter=n_iter, unit_rows=units_rows,
-            )
-        rows = ed.collect()  # divergent JDK repr: take the JVM units
+        if sample is None:
+            sample = _collect_train_sample(e, id_col, n)
         return _local_kmeans(
-            [(r[id_col], r["v"], r["vd"]) for r in rows],
-            k=k, n_iter=n_iter,
+            list(zip(sample["ids"], sample["vecs_v"])),
+            k=k, n_iter=n_iter, unit_rows=sample["units_v"],
         )
     # distributed loop: pin the (bounded) sample so each iteration
     # reads it back instead of re-scanning the full corpus

@@ -44,10 +44,36 @@ N_ITER = 3
 def _unit(v: Column) -> Column:
     """L2-normalize (zero vectors pass through): PQ codes unit vectors
     so ADC's L2 is monotone with cosine (||q-x||^2 = 2 - 2cos on the
-    unit sphere) — the similarity family's common currency."""
+    unit sphere) — the similarity family's common currency.
+
+    NB: referencing ``norm(v)`` from inside the ``transform`` lambda
+    re-evaluates the whole fold per ELEMENT (higher-order lambdas are
+    interpreted; no subexpression elimination) — a 64-dim vector pays
+    64 norm folds. Prefer :func:`_unit_frame` on any per-row hot path;
+    this single-expression form remains for column-level composition
+    where a frame boundary is unavailable."""
     n = norm(v)
     return F.when(n == 0, v).otherwise(
         F.transform(v, lambda x: x / n)
+    )
+
+
+def _unit_frame(
+    emb: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, v=unit-normalized double vector) with the norm factored
+    through a projection boundary so the fold evaluates ONCE per row,
+    not once per element inside the transform lambda (measured ~10x
+    on the training collect; identical IEEE ops, so bit-identical
+    values — the `_unit` fold semantics with zero-norm pass-through)."""
+    pre = emb.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("__v0")
+    ).select("id", "__v0", norm(F.col("__v0")).alias("__n"))
+    return pre.select(
+        "id",
+        F.when(F.col("__n") == 0, F.col("__v0"))
+        .otherwise(F.transform("__v0", lambda x: x / F.col("__n")))
+        .alias("v"),
     )
 
 
@@ -249,6 +275,7 @@ def train_pq_codebooks(
     n_iter: int = N_ITER,
     sample_mod: int | None = None,
     driver_local: bool | None = None,
+    _sample: dict | None = None,
 ) -> list[list[list[float]]]:
     """Per-subspace L2 k-means codebooks, [m][k][dim/m].
 
@@ -267,34 +294,28 @@ def train_pq_codebooks(
     """
     from .ivf import (
         LOCAL_TRAIN_CELLS_MAX,
-        _verify_units_rows,
-        _with_dec_hash,
+        _collect_train_sample,
     )
 
     ds = dim // m
-    e = emb.select(
-        F.col(id_col).alias("id"), _unit(_as_double(F.col(vec_col))).alias("v")
-    )
-    # JVM decimal casts, collected only on the SLOW path — the fast
-    # Python-repr units are certified against per-row JVM hashes that
-    # ride the training collect (see ivf._with_dec_hash /
-    # ivf._verify_units_rows — zero extra jobs)
-    ed = e.withColumn(
-        "vd", F.transform("v", lambda x: x.cast("decimal(38,18)"))
-    )
-    rows = None
+    e = _unit_frame(emb, id_col, vec_col)
+    # The local replay trains on the JVM's decimal(38,18) canon
+    # strings shipped with the ONE training collect (see
+    # ivf._collect_train_sample): exact on any JDK, no verify pass,
+    # no fallback re-collect.
+    sample = None
     n = None
+    if _sample is not None:
+        sample, n, sample_mod = _sample, _sample["n"], 1
     if sample_mod is None and driver_local is not False:
         # one pass for cap-sized corpora, bounded by the cells budget
         # (see ivf.train_kmeans)
         probe_cap = min(
             TRAIN_SAMPLE_CAP, LOCAL_TRAIN_CELLS_MAX // max(1, k * m)
         )
-        probe = (
-            _with_dec_hash(e, "id").limit(probe_cap + 1).collect()
-        )
-        if len(probe) <= probe_cap:
-            rows, n, sample_mod = probe, len(probe), 1
+        sample = _collect_train_sample(e, "id", probe_cap)
+        if sample is not None:
+            n, sample_mod = sample["n"], 1
     if n is None:
         n = e.count()
     if sample_mod is None:
@@ -304,22 +325,14 @@ def train_pq_codebooks(
         driver_local = est * k * m <= LOCAL_TRAIN_CELLS_MAX
     if sample_mod > 1:
         e = e.filter(F.col("id") % sample_mod == 0)
-        ed = ed.filter(F.col("id") % sample_mod == 0)
-        rows = None
+        sample = None
     if driver_local:
-        if rows is None:
-            rows = _with_dec_hash(e, "id").collect()
-        units_rows = _verify_units_rows(rows, "id")
-        if units_rows is not None:
-            return _local_pq_codebooks(
-                [(r["id"], r["v"]) for r in rows],
-                dim=dim, m=m, k=k, n_iter=n_iter,
-                unit_rows=units_rows,
-            )
-        rows = ed.collect()  # divergent JDK repr: take the JVM units
+        if sample is None:
+            sample = _collect_train_sample(e, "id", n)
         return _local_pq_codebooks(
-            [(r["id"], r["v"], r["vd"]) for r in rows],
+            list(zip(sample["ids"], sample["vecs_v"])),
             dim=dim, m=m, k=k, n_iter=n_iter,
+            unit_rows=sample["units_v"],
         )
     sub = e.select(
         "id",
@@ -682,6 +695,52 @@ def ivf_pq_topk(
     """
     from .ivf import _assign, train_kmeans
 
+    if centroids is None and codebooks is None:
+        # both trainers sample the SAME corpus: collect raw + unit
+        # vectors (and their JVM decimal strings) in ONE scan/job and
+        # feed each trainer its domain — halves the training collects
+        # of the composed lane; falls back to the independent sampled
+        # trainers when the corpus exceeds the shared-probe cap
+        from .ivf import (
+            K_MAX,
+            LOCAL_TRAIN_CELLS_MAX,
+            _collect_train_sample,
+            _probe_cap_auto_k,
+        )
+
+        pre = emb.select(
+            F.col(id_col).alias("id"),
+            _as_double(F.col(vec_col)).alias("__v0"),
+        ).select("id", "__v0", norm(F.col("__v0")).alias("__n"))
+        comb = pre.select(
+            "id",
+            F.col("__v0").alias("v"),
+            F.when(F.col("__n") == 0, F.col("__v0"))
+            .otherwise(F.transform("__v0", lambda x: x / F.col("__n")))
+            .alias("vu"),
+        )
+        cap = min(
+            _probe_cap_auto_k(K_MAX),
+            LOCAL_TRAIN_CELLS_MAX // (K_CODES * M_SUB),
+        )
+        shared = _collect_train_sample(comb, "id", cap, vec_cols=("v", "vu"))
+        if shared is not None:
+            centroids = train_kmeans(
+                emb, id_col=id_col, vec_col=vec_col,
+                _sample={
+                    "ids": shared["ids"], "n": shared["n"],
+                    "vecs_v": shared["vecs_v"],
+                    "units_v": shared["units_v"],
+                },
+            )
+            codebooks = train_pq_codebooks(
+                emb, id_col=id_col, vec_col=vec_col, dim=dim,
+                _sample={
+                    "ids": shared["ids"], "n": shared["n"],
+                    "vecs_v": shared["vecs_vu"],
+                    "units_v": shared["units_vu"],
+                },
+            )
     if centroids is None:
         centroids = train_kmeans(emb, id_col=id_col, vec_col=vec_col)
     if nprobe is None:

@@ -743,6 +743,7 @@ def train_kmeans(
     sample_mod: int | None = None,
     driver_local: bool | None = None,
     _sample: dict | None = None,
+    _out: dict | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic k-means (cosine/spherical): init = the k smallest
     ids; each round assigns and re-centers via element-wise mean
@@ -804,6 +805,12 @@ def train_kmeans(
         k = auto_k(n, k_cap)
     if sample_mod is None:
         sample_mod = max(1, -(-n // TRAIN_SAMPLE_CAP))  # ceil division
+    if _out is not None and _sample is None:
+        # n is the exact corpus row count here (the probe collected
+        # everything, or e.count() ran) — callers that need it (e.g.
+        # SemDeDup's skew routing) read it back instead of running
+        # their own counting job
+        _out["n"] = n
     if driver_local is None:
         est = n if sample_mod <= 1 else n // sample_mod + 1
         driver_local = est * k <= LOCAL_TRAIN_CELLS_MAX

@@ -690,7 +690,14 @@ def quantize_embeddings(
         F.col(id_col),
         F.when(F.size(v) == F.lit(dim), v).alias("v"),
     )
-    srow = base.agg(
+    # stats pass reads the RAW scan: min/max partial-aggregates to one
+    # row per partition, so redistributing the corpus first would
+    # shuffle every vector to save nothing (guide section 2.3 —
+    # aggregate before you shuffle; scan_parallel only pays for the
+    # expression-heavy coding pass below)
+    srow = emb.select(
+        F.when(F.size(v) == F.lit(dim), v).alias("v")
+    ).agg(
         F.array(
             *[F.min(F.element_at("v", i + 1)) for i in range(dim)]
         ).alias("mins"),
@@ -944,8 +951,10 @@ def semdedup(
     when kept)."""
     from .ivf import _assign, train_kmeans
 
+    info: dict = {}
     cents = train_kmeans(
-        emb, id_col=id_col, vec_col=vec_col, k_cap=SEMDEDUP_K_CAP
+        emb, id_col=id_col, vec_col=vec_col, k_cap=SEMDEDUP_K_CAP,
+        _out=info,
     )
     e = scan_parallel(emb).select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
@@ -964,7 +973,9 @@ def semdedup(
         )
         .localCheckpoint(eager=True)
     )
-    dup_of = _semdedup_dup_of(assigned, float(threshold), id_col)
+    dup_of = _semdedup_dup_of(
+        assigned, float(threshold), id_col, n_hint=info.get("n")
+    )
     return (
         assigned.join(dup_of, assigned[id_col] == dup_of.id_b, "left")
         .select(
@@ -1115,6 +1126,7 @@ def _semdedup_dup_of(
     split_rows: int | None = None,
     tile_rows: int | None = None,
     block: int | None = None,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Size-routed within-cluster dup step: clusters at or under
     ``split_rows`` run the one-task ``_cluster_dup_of_fn`` kernel
@@ -1127,6 +1139,21 @@ def _semdedup_dup_of(
     oracle hash is unchanged because gate-scale clusters all route
     small)."""
     split = int(split_rows or SEMDEDUP_SPLIT_ROWS)
+    # ``n_hint`` (total row count, e.g. read back from the trainer's
+    # collect) bounds every cluster size from above: when the WHOLE
+    # corpus fits under the split threshold no cluster can be skewed,
+    # so the max-size probe job is skipped outright
+    if n_hint is not None and n_hint <= split:
+        return (
+            assigned.select(
+                "cluster_id", F.col(id_col).alias("__id"), "__v"
+            )
+            .groupBy("cluster_id")
+            .applyInPandas(
+                _cluster_dup_of_fn(float(threshold), block=block),
+                "id_b long, dup_of long",
+            )
+        )
     sizes = assigned.groupBy("cluster_id").agg(
         F.count("*").alias("__csize")
     )

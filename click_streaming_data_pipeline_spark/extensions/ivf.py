@@ -820,6 +820,11 @@ def train_kmeans(
     if driver_local:
         if sample is None:
             sample = _collect_train_sample(e, id_col, n)
+        if _out is not None and sample_mod == 1:
+            # the un-sampled collect IS the corpus: callers can serve
+            # query-side prep (probe ranking, q_vec fetch) straight
+            # from it instead of re-scanning (see ivf_topk)
+            _out["sample"] = sample
         return _local_kmeans(
             list(zip(sample["ids"], sample["vecs_v"])),
             k=k, n_iter=n_iter, unit_rows=sample["units_v"],
@@ -862,6 +867,125 @@ def train_kmeans(
     return centroids
 
 
+def _sql_dlit(x) -> str:
+    """Exact SQL double literal: CAST('<repr>' AS DOUBLE) — string->
+    double casting is correctly rounded, so the shortest repr
+    round-trips bit-for-bit; NaN/Infinity use their SQL spellings."""
+    import math
+
+    if x is None:
+        return "CAST(NULL AS DOUBLE)"
+    xf = float(x)
+    if math.isnan(xf):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(xf):
+        sign = "-" if xf < 0 else ""
+        return f"CAST('{sign}Infinity' AS DOUBLE)"
+    return f"CAST('{xf!r}' AS DOUBLE)"
+
+
+def _sql_darray(v) -> str:
+    if v is None:
+        return "CAST(NULL AS ARRAY<DOUBLE>)"
+    if not v:
+        return "CAST(array() AS ARRAY<DOUBLE>)"
+    return f"array({','.join(_sql_dlit(x) for x in v)})"
+
+
+def _sql_iarray(v) -> str:
+    if not v:
+        return "CAST(array() AS ARRAY<INT>)"
+    return f"array({','.join(str(int(x)) for x in v)})"
+
+
+def _sql_idlit(x, dt) -> str | None:
+    """Literal for an id value of Spark type ``dt``; None when the
+    type isn't one we can render exactly (caller falls back to the
+    scan path)."""
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return f"CAST({int(x)} AS {s.upper()})"
+    if s == "string":
+        esc = str(x).replace("'", "''")
+        return f"'{esc}'"
+    return None
+
+
+def _sql_values_frame(spark, rows_sql: list[str], names: str):
+    """VALUES literal frame — a true LocalRelation. The RDD-backed
+    ``spark.createDataFrame(list)`` alternative re-pickles and
+    re-scans its Python rows inside EVERY job that executes the frame
+    (measured ~0.5 s per noop of a 5-row frame); a parsed VALUES list
+    folds to LocalRelation and costs ~nothing per use. One SQL string
+    also avoids the per-literal py4j round trips that made
+    Column-literal trees dominate lane build time."""
+    return spark.sql(
+        f"SELECT * FROM VALUES {','.join(rows_sql)} AS t({names})"
+    )
+
+
+def _query_probe_frame(
+    emb: DataFrame,
+    query_ids: list[int],
+    centroids,
+    nprobe: int,
+    *,
+    id_col: str,
+    vec_col: str,
+    sample: dict | None = None,
+) -> DataFrame:
+    """(query_id, q_vec, centroid_id-exploded) probe frame.
+
+    When the trainer's un-sampled collect is available (``sample`` —
+    it holds the WHOLE corpus, so selecting ``query_ids`` from it is
+    exactly the scan filter), the probe ranking runs DRIVER-side with
+    the same kernel math (:func:`_assign_matrix` +
+    :func:`_np_probe_matrix` — the body of ``_probe_cids_arrow``) and
+    the frame is a local relation: no second corpus scan, no
+    Python-worker stage inside the broadcast build. Queries are a
+    handful of vectors at any corpus size, so client-side prep is the
+    production shape too. Falls back to the scan + Arrow-kernel
+    pipeline when no full sample exists."""
+    if sample is not None:
+        qset = set(query_ids)
+        sel = [
+            (i, v)
+            for i, v in zip(sample["ids"], sample["vecs_v"])
+            if i in qset
+        ]
+        idt = emb.schema[id_col].dataType
+        if sel and all(
+            _sql_idlit(i, idt) is not None for i, _ in sel
+        ):
+            d = len(centroids[0][1])
+            V = _assign_matrix([v for _, v in sel], d)
+            probes = _np_probe_matrix(V, centroids, nprobe)
+            rows_sql = [
+                f"({_sql_idlit(i, idt)}, {_sql_darray(v)},"
+                f" {_sql_iarray(probes[j])})"
+                for j, (i, v) in enumerate(sel)
+            ]
+            return _sql_values_frame(
+                emb.sparkSession, rows_sql, "query_id, q_vec, probe_cids"
+            ).select(
+                "query_id", "q_vec",
+                F.explode("probe_cids").alias("centroid_id"),
+            )
+    return (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+        .withColumn(
+            "probe_cids",
+            _probe_cids_arrow(centroids, nprobe)(F.col("q_vec")),
+        )
+        .select(
+            "query_id", "q_vec", F.explode("probe_cids").alias("centroid_id")
+        )
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -878,8 +1002,9 @@ def ivf_topk(
     nprobe to trade cost for recall. ``nprobe=None`` probes K/4
     partitions (a fixed fraction keeps the recall characteristics
     stable as auto-K grows with the corpus)."""
+    info: dict = {}
     centroids = centroids or train_kmeans(
-        emb, id_col=id_col, vec_col=vec_col
+        emb, id_col=id_col, vec_col=vec_col, _out=info
     )
     if nprobe is None:
         nprobe = max(1, len(centroids) // 4)
@@ -891,16 +1016,9 @@ def ivf_topk(
         centroids,
         "n_vec",
     )
-    queries = (
-        emb.filter(F.col(id_col).isin(query_ids))
-        .select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-        )
-        .withColumn(
-            "probe_cids",
-            _probe_cids_arrow(centroids, nprobe)(F.col("q_vec")),
-        )
-        .select("query_id", "q_vec", F.explode("probe_cids").alias("centroid_id"))
+    queries = _query_probe_frame(
+        emb, query_ids, centroids, nprobe,
+        id_col=id_col, vec_col=vec_col, sample=info.get("sample"),
     )
     cand = corpus.join(F.broadcast(queries), "centroid_id").filter(
         F.col("query_id") != F.col("neighbor_id")

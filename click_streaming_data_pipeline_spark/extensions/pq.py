@@ -499,53 +499,74 @@ def _pq_prep_queries(
     vec_idx = qdf.columns.index(vec_col)
 
     def _fn(batches):
-        import numpy as np
         import pyarrow as pa
 
         for b in batches:
             vecs = b.column(vec_idx).to_pylist()  # NaN/NULL preserved
-            n = len(vecs)
-            dtabs = []
-            units = np.zeros((n, cent_dim)) if cents is not None else None
-            for r, x in enumerate(vecs):
-                if x is None:
-                    dtabs.append(
-                        [[None] * len(cbs[mi]) for mi in range(m)]
-                    )
-                    continue  # zeros unit row: cosine-0.0 coalesce twin
-                qu = _np_unit(np.asarray(x, np.float64)[None, :])[0]
-                if units is not None and len(qu) == cent_dim:
-                    units[r] = qu
-                # else: zeros row — zip_with null-pads the shorter
-                # side, the cosine folds NULL and coalesces to 0.0
-                row = []
-                for mi in range(m):
-                    lo = mi * ds
-                    if lo + ds <= len(qu):
-                        s = qu[lo:lo + ds]
-                        drow = []
-                        for c in cbs[mi]:
-                            d_ = 0.0
-                            for j in range(ds):
-                                t = s[j] - c[j]
-                                d_ = d_ + t * t
-                            drow.append(float(d_))
-                        row.append(drow)
-                    else:
-                        row.append([None] * len(cbs[mi]))
-                dtabs.append(row)
+            dtabs, probes = _dtab_probe_rows(
+                vecs, cbs, cents, nprobe, cent_dim
+            )
             cols = [
                 b.column(id_idx),
                 pa.array(dtabs, type=pa.list_(pa.list_(pa.float64()))),
             ]
             names = ["query_id", "dtab"]
-            if cents is not None:
-                probes = _np_probe_matrix(units, cents, nprobe)
+            if probes is not None:
                 cols.append(pa.array(probes, type=pa.list_(pa.int32())))
                 names.append("probe")
             yield pa.RecordBatch.from_arrays(cols, names=names)
 
     return qdf.mapInArrow(_fn, out_schema)
+
+
+def _dtab_probe_rows(vecs, cbs, cents, nprobe, cent_dim):
+    """Shared math of the query prep (see :func:`_pq_prep_queries`
+    for the replicated expression semantics): per raw vector the ADC
+    distance table and — with ``cents`` — the probe ranking. Called
+    per Arrow batch by the kernel AND directly on the driver when the
+    trainer's un-sampled collect already holds the query vectors."""
+    import numpy as np
+
+    from .ivf import _np_probe_matrix
+
+    m = len(cbs)
+    ds = len(cbs[0][0])
+    n = len(vecs)
+    dtabs = []
+    units = np.zeros((n, cent_dim)) if cents is not None else None
+    for r, x in enumerate(vecs):
+        if x is None:
+            dtabs.append(
+                [[None] * len(cbs[mi]) for mi in range(m)]
+            )
+            continue  # zeros unit row: cosine-0.0 coalesce twin
+        qu = _np_unit(np.asarray(x, np.float64)[None, :])[0]
+        if units is not None and len(qu) == cent_dim:
+            units[r] = qu
+        # else: zeros row — zip_with null-pads the shorter
+        # side, the cosine folds NULL and coalesces to 0.0
+        row = []
+        for mi in range(m):
+            lo = mi * ds
+            if lo + ds <= len(qu):
+                s = qu[lo:lo + ds]
+                drow = []
+                for c in cbs[mi]:
+                    d_ = 0.0
+                    for j in range(ds):
+                        t = s[j] - c[j]
+                        d_ = d_ + t * t
+                    drow.append(float(d_))
+                row.append(drow)
+            else:
+                row.append([None] * len(cbs[mi]))
+        dtabs.append(row)
+    probes = (
+        _np_probe_matrix(units, cents, nprobe)
+        if cents is not None
+        else None
+    )
+    return dtabs, probes
 
 
 def pq_encode(
@@ -648,7 +669,10 @@ def pq_topk(
     nvec = emb.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
     )
-    qvec = emb.select(
+    # only the query rows join the shortlist: broadcasting the
+    # unfiltered corpus projection here was a corpus-sized broadcast
+    # build for a queries-sized relation
+    qvec = emb.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
     exact = (
@@ -695,6 +719,7 @@ def ivf_pq_topk(
     """
     from .ivf import _assign, train_kmeans
 
+    shared = None
     if centroids is None and codebooks is None:
         # both trainers sample the SAME corpus: collect raw + unit
         # vectors (and their JVM decimal strings) in ONE scan/job and
@@ -771,16 +796,76 @@ def ivf_pq_topk(
         .select("neighbor_id", "codes", "centroid_id")
     )
 
-    # dtab + probe ranking in ONE Arrow prep pass — replaces the
-    # codebook AND centroid literal trees (see _pq_prep_queries)
-    queries = _pq_prep_queries(
-        emb.filter(F.col(id_col).isin(query_ids)),
-        codebooks,
-        centroids,
-        nprobe,
-        id_col=id_col,
-        vec_col=vec_col,
-    ).select("query_id", "dtab", F.explode("probe").alias("centroid_id"))
+    # dtab + probe ranking prep. When the shared training collect is
+    # available it holds the WHOLE corpus (sample_mod==1 by
+    # construction), so selecting the query rows from it replicates
+    # the scan filter exactly and the prep math (same helper the
+    # Arrow kernel runs) executes DRIVER-side: no extra corpus scan,
+    # no Python-worker stage inside the broadcast build. Queries stay
+    # a handful of vectors at any corpus size — client-side prep is
+    # the production shape too.
+    qvec_local = None
+    if shared is not None:
+        qset = set(query_ids)
+        qvec_local = [
+            (i, v)
+            for i, v in zip(shared["ids"], shared["vecs_v"])
+            if i in qset
+        ]
+    if qvec_local is not None:
+        from .ivf import (
+            _sql_darray,
+            _sql_iarray,
+            _sql_idlit,
+            _sql_values_frame,
+        )
+
+        idt = emb.schema[id_col].dataType
+        if not qvec_local or any(
+            _sql_idlit(i, idt) is None for i, _ in qvec_local
+        ):
+            qvec_local = None  # unrenderable/empty: scan path below
+    if qvec_local is not None:
+        cbs_l = [[list(map(float, c)) for c in cb] for cb in codebooks]
+        cents_l = [
+            (int(c), [float(x) for x in v]) for c, v in centroids
+        ]
+        dtabs, probes = _dtab_probe_rows(
+            [v for _, v in qvec_local],
+            cbs_l,
+            cents_l,
+            nprobe,
+            len(cents_l[0][1]),
+        )
+
+        def _dtab_sql(rowtab):
+            return "array({})".format(
+                ",".join(_sql_darray(dr) for dr in rowtab)
+            )
+
+        rows_sql = [
+            f"({_sql_idlit(i, idt)}, {_dtab_sql(dtabs[j])},"
+            f" {_sql_iarray(probes[j])})"
+            for j, (i, _) in enumerate(qvec_local)
+        ]
+        queries = _sql_values_frame(
+            emb.sparkSession, rows_sql, "query_id, dtab, probe"
+        ).select(
+            "query_id", "dtab", F.explode("probe").alias("centroid_id")
+        )
+    else:
+        # one Arrow prep pass — replaces the codebook AND centroid
+        # literal trees (see _pq_prep_queries)
+        queries = _pq_prep_queries(
+            emb.filter(F.col(id_col).isin(query_ids)),
+            codebooks,
+            centroids,
+            nprobe,
+            id_col=id_col,
+            vec_col=vec_col,
+        ).select(
+            "query_id", "dtab", F.explode("probe").alias("centroid_id")
+        )
     cand = corpus.join(F.broadcast(queries), "centroid_id").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
@@ -811,9 +896,22 @@ def ivf_pq_topk(
     nvec = emb.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
     )
-    qvec = emb.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
+    if qvec_local is not None:
+        qvec = _sql_values_frame(
+            emb.sparkSession,
+            [
+                f"({_sql_idlit(i, idt)}, {_sql_darray(v)})"
+                for i, v in qvec_local
+            ],
+            "query_id, q_vec",
+        )
+    else:
+        # only the query rows join the shortlist: broadcasting the
+        # unfiltered corpus projection here was a corpus-sized
+        # broadcast build for a queries-sized relation
+        qvec = emb.filter(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
     exact = (
         F.broadcast(shortlist).join(nvec, "neighbor_id")
         .join(F.broadcast(qvec), "query_id")

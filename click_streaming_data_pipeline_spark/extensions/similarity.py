@@ -1575,39 +1575,27 @@ def mmr_rerank(
     """
     import pandas as pd
 
-    # the candidate frame feeds three consumers (both sides of the
-    # pair self-join and the cogroup); materialize it once so the
-    # corpus is scanned only by the top-k generator, not re-derived
-    # per consumer (the single-materialization rule the LSH dedup
-    # uses for its shingle table) — it is Q x n_candidates rows
-    cands = (
-        brute_force_topk(
-            emb, query_ids, k=n_candidates, id_col=id_col, vec_col=vec_col
-        )
-        .select("query_id", "neighbor_id", F.col("cos").alias("rel"))
-        .localCheckpoint(eager=True)
-    )
+    # top-k candidates (cos-only through the window — vectors never
+    # ride the ranking shuffle), then ONE join fetches the shortlist
+    # vectors; the bounded candidate-pair similarities are computed
+    # INSIDE the per-query kernel from those vectors with the exact
+    # same batch-cosine code path ``cosine_arrow`` runs
+    # (_cosine_kernel_fn — bit-identical folds), which deletes the
+    # pair self-join stage and both checkpoint materializations the
+    # three-consumer composition needed. Group state stays
+    # O(n_candidates^2); the corpus is touched only by the top-k
+    # generator and the shortlist vector fetch.
+    cands = brute_force_topk(
+        emb, query_ids, k=n_candidates, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id", F.col("cos").alias("rel"))
     vecs = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("v"))
-    cv = (
-        cands.join(vecs, F.col("neighbor_id") == F.col("nid"))
-        .select("query_id", "neighbor_id", "v")
-        .localCheckpoint(eager=True)
-    )
-    ca, cb = cv.alias("ca"), cv.alias("cb")
-    pairs = ca.join(
-        cb,
-        (F.col("ca.query_id") == F.col("cb.query_id"))
-        & (F.col("ca.neighbor_id") < F.col("cb.neighbor_id")),
-    ).select(
-        F.col("ca.query_id").alias("query_id"),
-        F.col("ca.neighbor_id").alias("a"),
-        F.col("cb.neighbor_id").alias("b"),
-        cosine_arrow(F.col("ca.v"), F.col("cb.v")).alias("sim"),
+    cv = cands.join(vecs, F.col("neighbor_id") == F.col("nid")).select(
+        "query_id", "neighbor_id", "rel", "v"
     )
 
     lam_f, mu_f, k_f = float(lam), float(mu), int(k)
 
-    def _mmr(cdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _mmr(cdf: pd.DataFrame) -> pd.DataFrame:
         if cdf.empty:
             return pd.DataFrame(
                 columns=["query_id", "rnk", "vec_id", "mmr_score"]
@@ -1617,10 +1605,23 @@ def mmr_rerank(
             int(n): float(r)
             for n, r in zip(cdf["neighbor_id"], cdf["rel"])
         }
-        sim = {
-            (int(x), int(y)): float(s)
-            for x, y, s in zip(pdf["a"], pdf["b"], pdf["sim"])
-        }
+        vec_by_id = dict(zip((int(n) for n in cdf["neighbor_id"]), cdf["v"]))
+        ids_sorted = sorted(vec_by_id)
+        pair_keys = [
+            (x, y)
+            for xi, x in enumerate(ids_sorted)
+            for y in ids_sorted[xi + 1:]
+        ]
+        if pair_keys:
+            sims = _cosine_kernel_fn(
+                pd.Series([vec_by_id[x] for x, _ in pair_keys]),
+                pd.Series([vec_by_id[y] for _, y in pair_keys]),
+            )
+            sim = {
+                kxy: float(s) for kxy, s in zip(pair_keys, sims)
+            }
+        else:
+            sim = {}
 
         def pair(x: int, y: int) -> float:
             return sim[(x, y)] if x < y else sim[(y, x)]
@@ -1645,11 +1646,7 @@ def mmr_rerank(
             out, columns=["query_id", "rnk", "vec_id", "mmr_score"]
         )
 
-    return (
-        cands.groupBy("query_id")
-        .cogroup(pairs.groupBy("query_id"))
-        .applyInPandas(
-            lambda l, r: _mmr(l, r),
-            "query_id bigint, rnk bigint, vec_id bigint, mmr_score double",
-        )
+    return cv.groupBy("query_id").applyInPandas(
+        _mmr,
+        "query_id bigint, rnk bigint, vec_id bigint, mmr_score double",
     )

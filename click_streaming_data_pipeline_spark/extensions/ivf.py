@@ -94,8 +94,6 @@ def _np_nearest_matrix(V, cents):
     their parity is by construction — numpy elementwise ops are
     batch-composition-independent, so per-batch and whole-sample calls
     yield identical doubles."""
-    import math
-
     import numpy as np
 
     cents = sorted(
@@ -107,28 +105,33 @@ def _np_nearest_matrix(V, cents):
     for i in range(d):
         nv = nv + V[:, i] * V[:, i]
     nq = np.sqrt(nv)
-    best_key = np.full(n, -np.inf)
-    best_cid = np.zeros(n, dtype=np.int32)
-    first = True
-    for cid, cvec in cents:
-        dot = np.zeros(n)
-        nc = 0.0
-        for i in range(d):
-            ci = cvec[i]
-            dot = dot + V[:, i] * ci
-            nc = nc + ci * ci
-        den = nq * math.sqrt(nc)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            cos = dot / den
-        cos = np.where(den == 0.0, 0.0, cos)
-        key = np.where(np.isnan(cos), np.inf, cos)  # NaN sorts greatest
-        if first:
-            best_key, best_cid, first = key, np.full(n, cid, np.int32), False
-        else:
-            win = key > best_key
-            best_key = np.where(win, key, best_key)
-            best_cid = np.where(win, cid, best_cid)
-    return best_cid
+    # all K dots accumulate TOGETHER, one (n, K) update per dimension:
+    # every element still sees the exact fold sequence
+    # (dot += V[:,i]*c_i, dim by dim; nc += c_i*c_i), so the doubles
+    # are bit-identical to the per-centroid loop this replaces — but
+    # the numpy call count drops from K*d tiny ops (allocation-bound,
+    # ~1 s/iteration at 16k rows x K=126) to d matrix ops (~4x).
+    cids = np.asarray([cid for cid, _ in cents], dtype=np.int32)
+    CW = np.asarray([vec for _, vec in cents], dtype=np.float64)  # (K, d)
+    ncs = np.zeros(len(cents))
+    for i in range(d):
+        ci = CW[:, i]
+        ncs = ncs + ci * ci
+    den = nq[:, None] * np.sqrt(ncs)[None, :]
+    D = np.zeros((n, len(cents)))
+    tmp = np.empty_like(D)
+    for i in range(d):
+        # out= buffers reuse one temp: same multiply/add per element,
+        # half the (n, K) allocations per dimension
+        np.multiply(V[:, i:i + 1], CW[:, i][None, :], out=tmp)
+        np.add(D, tmp, out=D)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cos = D / den
+    cos = np.where(den == 0.0, 0.0, cos)
+    key = np.where(np.isnan(cos), np.inf, cos)  # NaN sorts greatest
+    # argmax keeps the FIRST max column; columns are ascending cid, so
+    # ties resolve to the smaller cid exactly like the strict-> loop
+    return cids[np.argmax(key, axis=1)]
 
 
 def _np_centroid_cosines(V, cents):
@@ -276,7 +279,20 @@ def _assign(emb: DataFrame, centroids, vec_col: str) -> DataFrame:
 # on ONE core locally; 2M cells x 64 dims x 3 iters ~ 0.4G flops ~
 # 1-2 s, about where per-iteration job overhead stops winning
 # (measured: 16M cells ran ~10 s local vs ~2 s distributed at 64x).
-LOCAL_TRAIN_CELLS_MAX = 2_000_000
+#: (sample rows x K) budget above which training runs the distributed
+#: loop instead of the driver-local replay. The driver side of the
+#: local replay is O(cells x dim) numpy flops per iteration plus an
+#: O(rows x dim) Python units parse — ~1-2 s at this cap — versus
+#: 2 scheduling barriers per iteration for the distributed loop.
+#: Raised 2M -> 6M in the r7 optimization round: the 8x replication
+#: probe showed a borderline cliff where a 16k-row corpus
+#: (est x K = 2.016M cells, PQ 16k x 256 = 4.1M) fell just over the
+#: old cap into a 10-job distributed train that dominated the lane
+#: wall (knn_ivf_topk 8x ratio 7.2 -> 4.7 after the raise). 6M keeps
+#: the 64x/128x octaves (est 64k x 256 = 16.4M cells) and big-K
+#: SemDeDup on the distributed loop, whose bit-parity with the local
+#: replay is test-pinned.
+LOCAL_TRAIN_CELLS_MAX = 6_000_000
 
 
 def _dec_units(x) -> int | None:
@@ -561,6 +577,37 @@ def _units_matrix(vecs, dim, dec_rows=None, unit_rows=None):
     from decimal import localcontext
 
     import numpy as np
+
+    if dec_rows is None and unit_rows is not None:
+        # fast path for the overwhelmingly common shape (pre-parsed
+        # JVM units, no NULL vectors/elements, nothing near the
+        # two-limb bound): one C-speed int64 conversion instead of a
+        # rows x dim Python fill loop (~1.3 s at 16k x 64). Any
+        # irregularity — None rows/elements, ragged width, > int64 —
+        # raises out of np.asarray and falls back to the exact loop;
+        # the short-vector contract is enforced first, as the loop
+        # would.
+        try:
+            for j, v in enumerate(vecs):
+                if v is not None and len(v) < dim:
+                    raise IndexError(
+                        f"[INVALID_ARRAY_INDEX] index {len(v)} out of "
+                        f"bounds for a {len(v)}-element vector — the "
+                        "distributed trainer's ANSI re-center raises "
+                        "the same way; filter ragged embeddings "
+                        "before training"
+                    )
+            U = np.asarray(
+                [r[:dim] for r in unit_rows], dtype=np.int64
+            )
+            with np.errstate(over="ignore"):
+                in_bounds = bool((np.abs(U) < 2**62).all())
+            if U.shape == (len(vecs), dim) and in_bounds:
+                return U, np.ones(U.shape, dtype=bool), False
+        except IndexError:
+            raise
+        except Exception:
+            pass  # exact slow path below
 
     rows = []
     big = False

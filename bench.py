@@ -68,6 +68,14 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "host_calib_md5_1m_ms": calib,
+                # observability (additive): prove the env-var contract is
+                # honored — the effective master / parallelism the session
+                # actually runs with, checkable from the JSON line alone
+                "master": spark.sparkContext.master,
+                "default_parallelism": spark.sparkContext.defaultParallelism,
+                "shuffle_partitions": int(
+                    spark.conf.get("spark.sql.shuffle.partitions")
+                ),
             }
         )
     )

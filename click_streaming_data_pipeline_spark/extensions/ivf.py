@@ -475,6 +475,11 @@ def _units_from_dec_string(s: str | None) -> list[int | None] | None:
     parse and exact by construction."""
     if s is None or s == "0xV":
         return None
+    if not s:
+        # array_join of an empty array is "" — an empty vector parses
+        # to an empty unit list (the short-vector contract then fires
+        # in _units_matrix, as the old verify path deferred to)
+        return []
     out: list[int | None] = []
     append = out.append
     for tok in s.split(","):
@@ -504,7 +509,11 @@ def _arrow_vec_lists(col):
         values = a.flatten()
         if values.null_count == 0:
             flat = values.to_numpy(zero_copy_only=False)
+            # flatten() rebases its output to offsets[0], so a sliced
+            # ListArray (offsets[0] != 0) needs the offsets rebased too
+            # or every row's slice is shifted
             offs = a.offsets.to_numpy()
+            offs = offs - offs[0]
             return [
                 flat[offs[i]:offs[i + 1]].tolist()
                 for i in range(len(offs) - 1)
@@ -525,12 +534,20 @@ def _collect_train_sample(e, id_col: str, cap: int, vec_cols=("v",)):
     ``units_<c>`` (per-row integer-unit lists aligned with ids)."""
     from ..sources.tables import scan_parallel
 
-    df = scan_parallel(e)
+    # limit BELOW the repartition + decimal columns: the narrow scan
+    # early-stops at cap+1 rows (CollectLimit), so an over-cap corpus
+    # never pays a full decimal-stringified shuffle just to discover it
+    # exceeds the cap; the surviving rows are still redistributed so
+    # the per-element decimal/string work spreads across cores. Row
+    # ORDER of the collect is free to differ: k-means init sorts by id
+    # and re-centering is an order-free exact integer sum, and every
+    # consumer of the sample re-sorts or feeds order-insensitive math.
+    df = scan_parallel(e.limit(cap + 1))
     for i, c in enumerate(vec_cols):
         df = _with_dec_strings(df, c).withColumnRenamed(
             _DEC_STR_COL, f"{_DEC_STR_COL}{i}"
         )
-    tbl = df.limit(cap + 1).toArrow()
+    tbl = df.toArrow()
     if tbl.num_rows > cap:
         return None
     out = {"ids": tbl.column(id_col).to_pylist(), "n": tbl.num_rows}
@@ -600,8 +617,9 @@ def _units_matrix(vecs, dim, dec_rows=None, unit_rows=None):
             U = np.asarray(
                 [r[:dim] for r in unit_rows], dtype=np.int64
             )
-            with np.errstate(over="ignore"):
-                in_bounds = bool((np.abs(U) < 2**62).all())
+            # two-sided compare, not abs(): np.abs(int64 min) wraps to
+            # itself under suppressed overflow and would pass the bound
+            in_bounds = bool(((U > -(2**62)) & (U < 2**62)).all())
             if U.shape == (len(vecs), dim) and in_bounds:
                 return U, np.ones(U.shape, dtype=bool), False
         except IndexError:
@@ -953,7 +971,15 @@ def _sql_idlit(x, dt) -> str | None:
     if s in ("tinyint", "smallint", "int", "bigint"):
         return f"CAST({int(x)} AS {s.upper()})"
     if s == "string":
-        esc = str(x).replace("'", "''")
+        t = str(x)
+        # Spark's default parser (escapedStringLiterals=false) processes
+        # backslash escapes inside string literals, so a raw backslash
+        # must be doubled or the id is silently mangled in the VALUES
+        # frame. Control characters are punted to the scan path rather
+        # than round-tripped through the parser.
+        if any(ord(c) < 0x20 for c in t):
+            return None
+        esc = t.replace("\\", "\\\\").replace("'", "''")
         return f"'{esc}'"
     return None
 

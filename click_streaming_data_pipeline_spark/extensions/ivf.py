@@ -439,62 +439,6 @@ def _verify_units_rows(rows, id_col: str, vec_col: str = "v"):
     return units_rows
 
 
-#: JVM decimal(38,18) canon strings of a double vector, one ','-joined
-#: string per row — the authoritative unit source on ANY JDK (it ships
-#: the cast's own toPlainString, so no repr(float)==Double.toString
-#: assumption and no verify/fallback pass). NULL element -> "0xN",
-#: NULL vector -> "0xV" (same sentinels as _with_dec_hash). An
-#: out-of-range element makes the ANSI cast raise inside the collect
-#: job, the same failure the distributed trainer's F.sum(cast(...))
-#: would produce.
-_DEC_STR_COL = "__jvm_dec_s"
-
-
-def _with_dec_strings(df, vec_col: str = "v"):
-    return df.withColumn(
-        _DEC_STR_COL,
-        F.coalesce(
-            F.array_join(
-                F.transform(
-                    F.col(vec_col),
-                    lambda x: x.cast("decimal(38,18)").cast("string"),
-                ),
-                ",",
-                "0xN",
-            ),
-            F.lit("0xV"),
-        ),
-    )
-
-
-def _units_from_dec_string(s: str | None) -> list[int | None] | None:
-    """Parse one JVM canon string back to 1e-18 integer units. The
-    plain form is sign + int part + '.' + exactly 18 fraction digits
-    (BigDecimal.toPlainString at scale 18), so ``int(ip + fp)`` is the
-    exact unit count — pure string->int, ~3x faster than the repr
-    parse and exact by construction."""
-    if s is None or s == "0xV":
-        return None
-    if not s:
-        # array_join of an empty array is "" — an empty vector parses
-        # to an empty unit list (the short-vector contract then fires
-        # in _units_matrix, as the old verify path deferred to)
-        return []
-    out: list[int | None] = []
-    append = out.append
-    for tok in s.split(","):
-        if tok == "0xN":
-            append(None)
-            continue
-        neg = tok[0] == "-"
-        if neg:
-            tok = tok[1:]
-        ip, _, fp = tok.partition(".")
-        u = int(ip + fp)
-        append(-u if neg else u)
-    return out
-
-
 def _arrow_vec_lists(col):
     """ListArray column -> per-row Python lists of floats (None-safe).
 
@@ -521,31 +465,97 @@ def _arrow_vec_lists(col):
     return a.to_pylist()
 
 
+def _arrow_unit_lists(col):
+    """ListArray-of-decimal128(38,18) column -> per-row lists of
+    integer 1e-18 units (None-safe). The decimal's UNSCALED int128 IS
+    the unit count, so the fast path decodes the Arrow data buffer
+    directly: two little-endian uint64 limbs per value, collapsed to
+    int64 where the high limb is the low limb's sign extension (every
+    |element| < ~4.61e0 — all real embedding corpora). Any NULL row or
+    element, or a unit beyond int64, falls back to the exact
+    ``Decimal.scaleb`` path."""
+    import numpy as np
+
+    a = col.combine_chunks()
+    if a.null_count == 0:
+        flat = a.flatten()
+        if flat.null_count == 0 and len(flat):
+            buf = flat.buffers()[1]
+            raw = np.frombuffer(
+                buf, dtype=np.uint64,
+                offset=flat.offset * 16, count=2 * len(flat),
+            )
+            lo = raw[0::2]
+            hi = raw[1::2].view(np.int64)
+            if bool((hi == (lo.view(np.int64) >> 63)).all()):
+                units = lo.view(np.int64)
+                offs = a.offsets.to_numpy()
+                offs = offs - offs[0]
+                return [
+                    units[offs[i]:offs[i + 1]].tolist()
+                    for i in range(len(offs) - 1)
+                ]
+    from decimal import localcontext
+
+    out = []
+    for row in a.to_pylist():
+        if row is None:
+            out.append(None)
+            continue
+        r = []
+        for d in row:
+            if d is None:
+                r.append(None)
+            else:
+                with localcontext() as ctx:
+                    ctx.prec = 60
+                    r.append(int(d.scaleb(18)))
+        out.append(r)
+    return out
+
+
+#: decimal(38,18) array column of a double vector — the JVM's own
+#: cast per element (authoritative units on ANY JDK, like the canon
+#: strings, but shipped as raw decimal128 instead of strings: no
+#: toPlainString/array_join on the JVM side, no string parse on the
+#: driver side). NULL element stays NULL (the cast of NULL/NaN/Inf
+#: yields NULL even under ANSI); NULL vector stays a NULL row.
+_DEC_ARR_COL = "__jvm_dec_a"
+
+
+def _with_dec_arrays(df, vec_col: str = "v"):
+    return df.withColumn(
+        _DEC_ARR_COL,
+        F.transform(F.col(vec_col), lambda x: x.cast("decimal(38,18)")),
+    )
+
+
 def _collect_train_sample(e, id_col: str, cap: int, vec_cols=("v",)):
     """One Arrow-backed collect of ``limit(cap+1)`` rows carrying, for
-    each vector column, the doubles AND the JVM's decimal(38,18) canon
-    strings (computed distributed — the scan is repartitioned so the
-    per-element decimal/string work spreads across cores instead of
-    serializing on the test data's single row group).
+    each vector column, the doubles AND the JVM's decimal(38,18) casts
+    as raw decimal128 arrays.
+
+    Measured shape (r8): the decimal-STRING form this replaces spent
+    ~0.2 s/collect building toPlainString+array_join on the JVM and
+    parsing strings on the driver, and its scan_parallel redistribution
+    bought ~0.22 s of pure AQE stage latency to spread that work —
+    with the cast-only decimal128 transport the single-task plan is
+    strictly faster (0.41 s -> 0.18 s per collect at sf0.1) and two
+    stage-jobs shorter. The limit still early-stops an over-cap scan,
+    and at warehouse scale the scan arrives pre-split, so no
+    redistribution is lost. Row ORDER of the collect is free to
+    differ: k-means init sorts by id, re-centering is an order-free
+    exact integer sum, and every consumer re-sorts or feeds
+    order-insensitive math.
 
     Returns ``None`` when more than ``cap`` rows exist (the caller
     falls back to the counted/sampled path), else a dict with ``ids``
     and, per vector column, ``vecs_<c>`` (None-safe float lists) and
     ``units_<c>`` (per-row integer-unit lists aligned with ids)."""
-    from ..sources.tables import scan_parallel
-
-    # limit BELOW the repartition + decimal columns: the narrow scan
-    # early-stops at cap+1 rows (CollectLimit), so an over-cap corpus
-    # never pays a full decimal-stringified shuffle just to discover it
-    # exceeds the cap; the surviving rows are still redistributed so
-    # the per-element decimal/string work spreads across cores. Row
-    # ORDER of the collect is free to differ: k-means init sorts by id
-    # and re-centering is an order-free exact integer sum, and every
-    # consumer of the sample re-sorts or feeds order-insensitive math.
-    df = scan_parallel(e.limit(cap + 1))
+    df = e.limit(cap + 1)
     for i, c in enumerate(vec_cols):
-        df = _with_dec_strings(df, c).withColumnRenamed(
-            _DEC_STR_COL, f"{_DEC_STR_COL}{i}"
+        df = _with_dec_arrays(df, c).withColumnRenamed(
+            _DEC_ARR_COL, f"{_DEC_ARR_COL}{i}"
         )
     tbl = df.toArrow()
     if tbl.num_rows > cap:
@@ -553,10 +563,9 @@ def _collect_train_sample(e, id_col: str, cap: int, vec_cols=("v",)):
     out = {"ids": tbl.column(id_col).to_pylist(), "n": tbl.num_rows}
     for i, c in enumerate(vec_cols):
         out[f"vecs_{c}"] = _arrow_vec_lists(tbl.column(c))
-        out[f"units_{c}"] = [
-            _units_from_dec_string(s)
-            for s in tbl.column(f"{_DEC_STR_COL}{i}").to_pylist()
-        ]
+        out[f"units_{c}"] = _arrow_unit_lists(
+            tbl.column(f"{_DEC_ARR_COL}{i}")
+        )
     return out
 
 

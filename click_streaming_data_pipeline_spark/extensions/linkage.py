@@ -142,40 +142,56 @@ def edit_distance_pairs(
             "deletion-neighborhood blocking supports max_dist in "
             "(1, 2); use tau-deletion neighborhoods for larger radii"
         )
-    keyed = deletion_keys(df.select(id_col, s_col), s_col)
+    # the NAME strings never ride the candidate join (guide §2.3:
+    # shuffle keys/metadata, re-attach payloads by id at the end):
+    # the exploded stream carries only (id, key, pos), the wide
+    # 5-column distinct becomes a narrow (id_a, id_b) grouped min,
+    # and dist needs no string compare at all — a pair has dist 0
+    # iff it joins at (pa=0, pb=0), i.e. the FULL strings collide as
+    # keys (key == name_a == name_b); every other witness proves
+    # exactly one edit, so dist = min over witnesses of the
+    # (0 if pa=0 and pb=0 else 1) indicator.
+    from ..sources.tables import scan_parallel
+
+    base = df.select(id_col, s_col)
+    # only the explode/join side needs the starved-scan redistribution
+    # (the name re-attach sides are broadcast probes — an Exchange
+    # inside their broadcast builds would be pure latency)
+    keyed = deletion_keys(scan_parallel(base), s_col).select(
+        id_col, "_dkey", "_dpos"
+    )
     a = keyed.select(
-        F.col(id_col).alias("id_a"),
-        F.col(s_col).alias("name_a"),
-        "_dkey",
-        F.col("_dpos").alias("_pa"),
+        F.col(id_col).alias("id_a"), "_dkey", F.col("_dpos").alias("_pa")
     )
     b = keyed.select(
-        F.col(id_col).alias("id_b"),
-        F.col(s_col).alias("name_b"),
-        "_dkey",
-        F.col("_dpos").alias("_pb"),
+        F.col(id_col).alias("id_b"), "_dkey", F.col("_dpos").alias("_pb")
     )
-    cand = a.join(b, "_dkey").filter(
-        (F.col("id_a") < F.col("id_b"))
-        & (
-            (F.col("_pa") == F.col("_pb"))
-            | (F.col("_pa") == 0)
-            | (F.col("_pb") == 0)
-        )
+    wit = (
+        F.when((F.col("_pa") == 0) & (F.col("_pb") == 0), F.lit(0))
+        .otherwise(F.lit(1))
     )
-    # dist without a DP: candidates are exact (see module doc), so
-    # dist = 0 iff equal strings, else 1. distinct still needed: an
-    # insertion pair matches the full string against delete@i for
-    # EVERY copy of a repeated inserted character
-    return (
-        cand.withColumn(
-            "dist",
-            F.when(F.col("name_a") == F.col("name_b"), F.lit(0))
-            .otherwise(F.lit(1))
-            .cast("int"),
+    pairs = (
+        a.join(b, "_dkey")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                (F.col("_pa") == F.col("_pb"))
+                | (F.col("_pa") == 0)
+                | (F.col("_pb") == 0)
+            )
         )
-        .select("id_a", "id_b", "name_a", "name_b", "dist")
-        .distinct()
+        .select("id_a", "id_b", wit.alias("_w"))
+        .groupBy("id_a", "id_b")
+        .agg(F.min("_w").cast("int").alias("dist"))
+    )
+    names_a = base.select(
+        F.col(id_col).alias("id_a"), F.col(s_col).alias("name_a")
+    )
+    names_b = base.select(
+        F.col(id_col).alias("id_b"), F.col(s_col).alias("name_b")
+    )
+    return pairs.join(names_a, "id_a").join(names_b, "id_b").select(
+        "id_a", "id_b", "name_a", "name_b", "dist"
     )
 
 
@@ -212,6 +228,8 @@ def edit_distance_pairs_tau2(
     (quadratic in the SHORT string length, linear in N), buckets
     shuffle on the key string — the same df/skew profile as LSH
     bands; AQE splits hot buckets."""
+    from ..sources.tables import scan_parallel
+
     base = df.select(id_col, s_col)
     # pin the join's partitioning explicitly: the 1 -> 1+L+C(L,2) key
     # explode means shuffle BYTES wildly underestimate join CPU, so
@@ -219,9 +237,12 @@ def edit_distance_pairs_tau2(
     # generation through a handful of tasks (measured: 12.0 -> 5.5 s
     # at sf0.1 by pinning). Hash-partitioning both sides on the key
     # also co-locates the self-join — one exchange, reused twice.
+    # scan_parallel spreads the explode itself (it runs BELOW the key
+    # repartition, in the scan tasks); the name re-attach sides read
+    # ``base`` raw so their broadcast builds stay exchange-free.
     par = df.sparkSession.sparkContext.defaultParallelism
     keyed = (
-        deletion_keys_tau2(base, s_col)
+        deletion_keys_tau2(scan_parallel(base), s_col)
         .drop(s_col)
         .repartition(par, "_dkey")
     )

@@ -659,6 +659,79 @@ def _quantize_kernel(mins: list[float], maxs: list[float], dim: int):
     )
 
 
+def _minmax_stats(vdf: DataFrame, dim: int):
+    """(mins, maxs) per dimension of a single-column frame of
+    ``array<double>`` rows that are either NULL or exactly ``dim``
+    long — the codebook job of :func:`quantize_embeddings`, computed
+    as one per-partition numpy reduction instead of 2 x dim
+    interpreted agg expressions.
+
+    Exactness contract vs ``F.min/F.max(element_at(v, i))``: NULL rows
+    are skipped (like the aggs); min/max over finite doubles is
+    order-free and rounding-free, so the numpy fold is bit-identical
+    (the -0.0/0.0 pick may differ, but every consumer — ``x - mn``,
+    ``mx == mn`` — is insensitive to the zero's sign). Rows carrying
+    NULL or NaN ELEMENTS make the partition report NaN bounds, which
+    sends the caller down the expression fallback — exactly where
+    Spark's NaN-greatest max (NaN anywhere => max NaN => non-finite
+    stats) already routes those corpora.
+    """
+
+    def _fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        mn = None
+        mx = None
+        bad = False
+        for b in batches:
+            col = b.column(0)
+            if col.null_count == len(col):
+                continue
+            col = col.drop_null()
+            flat = col.flatten()
+            if flat.null_count:
+                bad = True
+                break
+            arr = flat.to_numpy(zero_copy_only=False).reshape(-1, dim)
+            bmn = arr.min(axis=0)
+            bmx = arr.max(axis=0)
+            if mn is None:
+                mn, mx = bmn, bmx
+            else:
+                # np.minimum/maximum propagate NaN, which only feeds
+                # the caller's non-finite fallback check
+                mn = np.minimum(mn, bmn)
+                mx = np.maximum(mx, bmx)
+        if bad:
+            mn = mx = [float("nan")] * dim
+        if mn is None:
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([list(map(float, mn))],
+                         type=pa.list_(pa.float64())),
+                pa.array([list(map(float, mx))],
+                         type=pa.list_(pa.float64())),
+            ],
+            names=["mins", "maxs"],
+        )
+
+    import numpy as np
+
+    rows = vdf.mapInArrow(
+        _fn, "mins array<double>, maxs array<double>"
+    ).collect()
+    if not rows:
+        return None, None
+    mins = np.asarray(rows[0]["mins"])
+    maxs = np.asarray(rows[0]["maxs"])
+    for r in rows[1:]:
+        mins = np.minimum(mins, np.asarray(r["mins"]))
+        maxs = np.maximum(maxs, np.asarray(r["maxs"]))
+    return [float(x) for x in mins], [float(x) for x in maxs]
+
+
 def quantize_embeddings(
     emb: DataFrame,
     *,
@@ -690,22 +763,19 @@ def quantize_embeddings(
         F.col(id_col),
         F.when(F.size(v) == F.lit(dim), v).alias("v"),
     )
-    # stats pass reads the RAW scan: min/max partial-aggregates to one
-    # row per partition, so redistributing the corpus first would
-    # shuffle every vector to save nothing (guide section 2.3 —
-    # aggregate before you shuffle; scan_parallel only pays for the
-    # expression-heavy coding pass below)
-    srow = emb.select(
-        F.when(F.size(v) == F.lit(dim), v).alias("v")
-    ).agg(
-        F.array(
-            *[F.min(F.element_at("v", i + 1)) for i in range(dim)]
-        ).alias("mins"),
-        F.array(
-            *[F.max(F.element_at("v", i + 1)) for i in range(dim)]
-        ).alias("maxs"),
-    ).collect()[0]
-    mins, maxs = srow["mins"], srow["maxs"]
+    # stats pass reads the RAW scan: min/max reduces to one row per
+    # partition, so redistributing the corpus first would shuffle
+    # every vector to save nothing (guide section 2.3 — aggregate
+    # before you shuffle). The reduction itself is a vectorized Arrow
+    # kernel, not 2 x dim per-element agg expressions: that many agg
+    # functions exceed codegen limits and run INTERPRETED, which made
+    # the single-task stats job the lane's local bottleneck (guide
+    # section 4.2 — hand whole batches to numpy). Any irregularity the
+    # numpy fold cannot replay exactly (NULL/NaN elements) routes to
+    # the expression path below, same as non-finite stats always have.
+    mins, maxs = _minmax_stats(
+        emb.select(F.when(F.size(v) == F.lit(dim), v).alias("v")), dim
+    )
     if (
         mins is None
         or maxs is None

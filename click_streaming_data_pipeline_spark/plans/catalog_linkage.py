@@ -62,12 +62,12 @@ from .registry import query
 )
 def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.linkage import edit_distance_pairs
-    from ..sources.tables import scan_parallel
 
-    # the test parquet is one row group — spread the explode/join/
-    # verify chain across cores (no-op decision at warehouse scale)
-    cust = scan_parallel(
-        load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # the explode/join side's starved-scan redistribution happens
+    # inside edit_distance_pairs, so the name re-attach probes here
+    # stay exchange-free
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
     )
     return edit_distance_pairs(cust, "c_custkey", "c_name", max_dist=1).select(
         F.col("id_a").cast("bigint").alias("id_a"),
@@ -104,10 +104,9 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fuzzy_name_matches_ed2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.linkage import edit_distance_pairs_tau2
-    from ..sources.tables import scan_parallel
 
-    cust = scan_parallel(
-        load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
     )
     return edit_distance_pairs_tau2(cust, "c_custkey", "c_name").select(
         F.col("id_a").cast("bigint").alias("id_a"),

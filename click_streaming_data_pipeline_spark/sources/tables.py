@@ -49,10 +49,29 @@ _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
 }
 
 
+#: (session id, path) -> inferred StructType. Every bare
+#: ``spark.read.parquet(path)`` runs a 1-task SCHEMA-INFERENCE job
+#: (~70 ms of pure scheduling latency) — six of them for a 6-table
+#: join lane, every time the query is built. The test tables are
+#: immutable within a session, so the schema from the first read is
+#: passed back explicitly on every later read (guide §1.2/§6: at
+#: warehouse scale this is what a catalog table provides for free).
+#: Keyed by session so a restarted session (different confs, e.g.
+#: nanosAsLong) re-infers. Plan-time METADATA only — never row data.
+_SCHEMA_CACHE: dict[tuple[int, str], object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table, normalising nanos-longs to TimestampType."""
     apply_runtime_conf(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (id(spark), path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     dtypes = dict(df.dtypes)
     for c in _NANOS_TS_COLS.get(name, ()):
         if dtypes.get(c) == "bigint":

@@ -91,6 +91,7 @@ def adversarial_emb_dir(spark, tmp_path_factory):
     return d
 
 
+@pytest.mark.slow
 def test_adversarial_vectors_auto_lsh(spark, adversarial_emb_dir):
     """The AUTO-SIZED LSH path (count -> lsh_planes_for ->
     lsh_tables_for -> bucketing) on the adversarial corpus, compared
@@ -135,7 +136,21 @@ def test_adversarial_vectors_auto_lsh(spark, adversarial_emb_dir):
         ), f"auto LSH diverges at target_bucket={target}"
 
 
-@pytest.mark.parametrize("name", VECTOR_QUERIES)
+_SLOW_VECTOR = {
+    "ann_recall_report",
+    "embedding_random_projection",
+    "semdedup_streamed",
+    "knn_ivf_ingest_streamed",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_VECTOR else n
+        for n in VECTOR_QUERIES
+    ],
+)
 def test_adversarial_vectors_match_oracle(spark, adversarial_emb_dir, name):
     if name not in QUERIES or not QUERIES[name].oracle:
         pytest.skip(f"{name} not in catalog or not oracled")

@@ -135,7 +135,15 @@ def adversarial_cdc_dir(spark, tmp_path_factory):
     return d
 
 
-@pytest.mark.parametrize("name", CDC_LANES)
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow)
+        if n == "cdc_kafka_wire_consume_streamed"
+        else n
+        for n in CDC_LANES
+    ],
+)
 def test_cdc_and_wire_lanes_on_adversarial_texts(
     spark, adversarial_cdc_dir, name
 ):

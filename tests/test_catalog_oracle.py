@@ -10,7 +10,25 @@ from click_streaming_data_pipeline_spark.plans import QUERIES
 
 from .conftest import SF_TEST, assert_df_matches_oracle
 
-ORACLE_QUERIES = sorted(n for n, q in QUERIES.items() if q.oracle)
+#: oracle cases over ~10 s each (measured r8 durations sweep): marked
+#: slow so the DEFAULT suite fits the driver's verify window. They
+#: still run once per round via `pytest -m slow`, and the driver's own
+#: CORRECTNESS sample checks the full catalog independently of pytest.
+SLOW_ORACLE = {
+    "ann_recall_report",
+    "markov_attribution",
+    "embedding_random_projection",
+    "click_purchase_full_outer_streamed",
+    "dedup_clusters_streamed",
+    "bpe_encode",
+    "cep_funnel_regex_streamed",
+    "semdedup_streamed",
+}
+
+ORACLE_QUERIES = [
+    pytest.param(n, marks=pytest.mark.slow) if n in SLOW_ORACLE else n
+    for n in sorted(n for n, q in QUERIES.items() if q.oracle)
+]
 ROWS_ONLY_QUERIES = sorted(n for n, q in QUERIES.items() if not q.oracle)
 
 

@@ -3,6 +3,8 @@ oracle hash-match (conservation, split sanity, plan shape)."""
 
 from __future__ import annotations
 
+import pytest
+
 import duckdb
 
 from click_streaming_data_pipeline_spark.plans import QUERIES
@@ -195,6 +197,7 @@ def test_observation_metrics_without_second_scan(spark):
     assert metrics["n_seen"] - metrics["n_short"] == kept
 
 
+@pytest.mark.slow
 def test_random_projection_preserves_distances(spark):
     """JL sanity: for a sample of pairs, the scaled projected
     distance approximates the original distance (loose bound — 16

@@ -5,6 +5,8 @@ the *semantics* that the oracle can't express.)"""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from click_streaming_data_pipeline_spark.extensions.corpus import (
@@ -551,6 +553,7 @@ def test_bpe_merges_batched_matches_sequential(spark):
     assert s2 == b2
 
 
+@pytest.mark.slow
 def test_bpe_encode_kernel_matches_expression(spark):
     """Above BPE_ENCODE_EXPR_MAX merges, bpe_encode swaps the chained
     fold expressions for the Arrow kernel — output must be identical

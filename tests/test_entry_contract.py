@@ -3,6 +3,8 @@ must stay well-formed regardless of catalog growth."""
 
 from __future__ import annotations
 
+import pytest
+
 import inspect
 
 import __spark_entry__ as se
@@ -59,6 +61,7 @@ def test_entry_targets_sf0001():
     assert se.SF0001.endswith("sf0.001")
 
 
+@pytest.mark.slow
 def test_no_query_emits_driver_hostile_types(spark):
     """The driver canonicalizes every output through pandas, where
     array/map cells are unhashable (the r1 multimodal_features err).

@@ -684,6 +684,7 @@ def test_semdedup_matches_python_replay(spark):
     assert any(not k for _, k, _ in got.values())
 
 
+@pytest.mark.slow
 def test_semdedup_streamed_equals_batch(spark):
     """Incremental SemDeDup drained over micro-batches must equal the
     all-batch result row-for-row (same clusters, keeps, lineage)."""
@@ -713,6 +714,7 @@ def test_semdedup_streamed_equals_batch(spark):
     assert tiled == batch
 
 
+@pytest.mark.slow
 def test_ann_recall_report_matches_recompute(spark):
     """The recall report must equal an independent python recompute
     from the methods' own top-k outputs (and keep the known floors)."""
@@ -1004,6 +1006,7 @@ def test_png_all_filters_roundtrip_and_deadletter(spark):
     assert got == {1: True, 2: False, 3: False}
 
 
+@pytest.mark.slow
 def test_incremental_cluster_fold_merges_components_across_batches(
     spark, tmp_path
 ):
@@ -1293,6 +1296,7 @@ def test_assign_join_path_matches_literal(spark):
     assert literal == joined
 
 
+@pytest.mark.slow
 def test_local_kmeans_matches_spark_loop_bit_for_bit(spark):
     """The driver-local trainer (one collect, zero per-iteration jobs)
     must replay the distributed loop EXACTLY: shared assign-kernel

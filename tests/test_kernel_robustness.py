@@ -300,6 +300,7 @@ def test_semdedup_cluster_kernel_matches_join(spark):
     assert got_small == want
 
 
+@pytest.mark.slow
 def test_semdedup_mega_cluster_routes_multi_task(spark):
     """A planted mega-cluster (size > split_rows) must leave the
     one-task applyInPandas kernel for the tiled cogroup path — many

@@ -191,7 +191,15 @@ DUP_GUARD = {
 }
 
 
-@pytest.mark.parametrize("name", sorted(DUP_GUARD))
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow)
+        if n == "embedding_random_projection"
+        else n
+        for n in sorted(DUP_GUARD)
+    ],
+)
 def test_no_expression_duplication_blowup(spark, name):
     df = QUERIES[name].fn(spark, SF_TEST)
     plan = df._jdf.queryExecution().optimizedPlan().toString()

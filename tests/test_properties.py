@@ -41,6 +41,7 @@ rows_strategy = st.lists(
 
 @given(rows=rows_strategy)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_latest_rows_is_max_version_per_key(spark, rows):
     df = spark.createDataFrame(rows, ["id", "version", "payload"])
     got = {
@@ -71,6 +72,7 @@ def test_latest_rows_is_max_version_per_key(spark, rows):
     )
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_dsum_is_exact_regardless_of_partitioning(spark, vals):
     """Decimal-exact sums must equal the true decimal sum and be
     invariant under repartitioning (double sums are neither)."""
@@ -119,6 +121,7 @@ def test_uuid7_lexicographic_order_matches_time_order(spark, pairs):
     )
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_salted_distinct_equals_plain_distinct(spark, rows):
     df = spark.createDataFrame(rows, ["k", "v"])
     salted = {

@@ -9,6 +9,8 @@ upserts; here a duplicate batch is injected deliberately to prove it.
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import tempfile
 
@@ -17,6 +19,10 @@ from pyspark.sql import functions as F
 from click_streaming_data_pipeline_spark.sources import load_table
 
 from .conftest import SF_TEST
+
+# chaos replay sweeps re-run whole streams several times each —
+# slow bucket (run per round via `pytest -m slow`)
+pytestmark = pytest.mark.slow
 
 
 def _doc_batches(spark, n=3, limit=120):

@@ -5,6 +5,8 @@ at most k rows, weight-proportional tendencies)."""
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 from pyspark.sql import functions as F
@@ -233,6 +235,7 @@ def test_quantile_sketch_error_bound_and_merge_invariance(spark):
     )
 
 
+@pytest.mark.slow
 def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
     from click_streaming_data_pipeline_spark.plans import QUERIES
 

@@ -6,6 +6,8 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from click_streaming_data_pipeline_spark.operators.upsert import (
@@ -114,6 +116,7 @@ def test_tumbling_stream_equals_batch(spark):
     assert got == expected
 
 
+@pytest.mark.slow
 def test_user_state_stream_equals_batch(spark):
     from click_streaming_data_pipeline_spark.plans import QUERIES
 
@@ -287,6 +290,7 @@ def test_interval_join_binned_equals_plain(spark):
     assert plain == binned
 
 
+@pytest.mark.slow
 def test_tws_user_state_equals_batch(spark, tmp_path):
     """Spark 4 v2 stateful API (transformWithStateInPandas) parity
     with the batch twin. Auto-skips where the TWS protobuf runtime is

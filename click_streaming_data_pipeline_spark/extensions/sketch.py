@@ -83,17 +83,58 @@ def cms_estimate(
 ) -> DataFrame:
     """Point estimate per item: min over the d counters it hashes to.
 
-    The sketch is grid-bounded -> broadcast; the probe join never
-    shuffles the item side."""
-    probes = items.select(
-        F.col(item_col),
-        F.explode(_probe_structs(F.col(item_col), d, w)).alias("rc"),
-    ).select(item_col, "rc.r", "rc.col")
-    return (
-        probes.join(F.broadcast(sketch), ["r", "col"])
-        .groupBy(item_col)
-        .agg(F.min("n").alias("cms_est"))
+    The sketch is GRID-BOUNDED — at most d*w counters at ANY corpus
+    size — so it collects to the driver (one tiny job) and the probe
+    becomes a literal-array lookup folded into the items projection.
+    This replaces the previous broadcast-join form's d-way probe
+    explode, broadcast build, and min-regroup exchange with a single
+    codegen'd projection (three scheduling barriers deleted; the
+    sketch itself still builds distributed with the bounded partial
+    aggregate).
+
+    Exactness vs the join form: absent grid cells are NULL literals
+    and ``least`` skips NULLs, so the estimate is the min over
+    PRESENT cells and an item probing only absent cells drops out —
+    the inner join's row semantics, bit for bit. Every item that
+    contributed to the sketch has all d of its cells present. Emits
+    one row per input row; callers pass distinct items (all do)."""
+    est = cms_estimate_col(sketch, F.col(item_col), d=d, w=w)
+    return items.select(item_col, est.alias("cms_est")).filter(
+        F.col("cms_est").isNotNull()
     )
+
+
+def cms_estimate_col(
+    sketch: DataFrame,
+    item: Column,
+    *,
+    d: int = D_ROWS,
+    w: int = W_COLS,
+) -> Column:
+    """The CMS point-estimate EXPRESSION over a collected grid — NULL
+    where every probed cell is absent (callers filter, replaying the
+    join form's inner semantics). Collects the sketch immediately
+    (one bounded job); composable into any projection, so a lane that
+    already aggregates per item folds the estimate into that pass
+    with no extra join."""
+    grid: list[list[int | None]] = [[None] * w for _ in range(d)]
+    for row in sketch.collect():
+        grid[int(row["r"])][int(row["col"])] = int(row["n"])
+    lookups = [
+        F.element_at(
+            F.expr(
+                "array({})".format(
+                    ",".join(
+                        "CAST(NULL AS BIGINT)" if x is None else f"{x}L"
+                        for x in grid[r]
+                    )
+                )
+            ),
+            (_cms_col(item, r, w) + 1).cast("int"),
+        )
+        for r in range(d)
+    ]
+    return F.least(*lookups) if d > 1 else lookups[0]
 
 
 # ---------------------------------------------------------------------------

@@ -379,13 +379,22 @@ _CMS_HH_SQL = """
     tags=("bench", "agg", "approx", "scale"),
 )
 def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.sketch import cms_build, cms_estimate
+    from ..extensions.sketch import cms_build, cms_estimate_col
 
     events = load_table(spark, sf_dir, "events")
     sketch = cms_build(events, "user_id")
     exact = events.groupBy("user_id").agg(F.count("*").alias("exact_n"))
-    est = cms_estimate(exact, sketch, "user_id")
-    return exact.join(est, "user_id").select("user_id", "exact_n", "cms_est")
+    # the grid-literal estimate folds into the exact-count projection:
+    # no probe explode, no broadcast build, no est regroup, and no
+    # exact-vs-est self-join — every user in `exact` contributed to
+    # the sketch, so its cells are present and the old inner join's
+    # row set is reproduced by the not-null filter
+    est = cms_estimate_col(sketch, F.col("user_id"))
+    return (
+        exact.withColumn("cms_est", est)
+        .filter(F.col("cms_est").isNotNull())
+        .select("user_id", "exact_n", "cms_est")
+    )
 
 
 @query(
@@ -899,7 +908,7 @@ def heavy_hitters_cms_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from ..extensions.sketch import cms_build, cms_estimate
+    from ..extensions.sketch import cms_build, cms_estimate_col
     from ..operators.incremental import fold_state_dir, read_state_dir
 
     ev = load_table(spark, sf_dir, "events")
@@ -934,8 +943,14 @@ def heavy_hitters_cms_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     sketch = read_state_dir(spark, state_dir).select("r", "col", "n")
     exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
-    est = cms_estimate(exact, sketch, "user_id")
-    return exact.join(est, "user_id").select("user_id", "exact_n", "cms_est")
+    # grid-literal estimate folded into the exact projection (see
+    # heavy_hitters_cms)
+    est = cms_estimate_col(sketch, F.col("user_id"))
+    return (
+        exact.withColumn("cms_est", est)
+        .filter(F.col("cms_est").isNotNull())
+        .select("user_id", "exact_n", "cms_est")
+    )
 
 
 @query(

@@ -476,7 +476,7 @@ def _arrow_unit_lists(col):
     ``Decimal.scaleb`` path."""
     import numpy as np
 
-    a = col.combine_chunks()
+    a = col.combine_chunks() if hasattr(col, "combine_chunks") else col
     if a.null_count == 0:
         flat = a.flatten()
         if flat.null_count == 0 and len(flat):
@@ -839,11 +839,11 @@ def train_kmeans(
     e = emb.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("v")
     )
-    # The local replay trains on the JVM's OWN decimal(38,18) canon
-    # strings, shipped alongside the doubles in the ONE training
-    # collect (_collect_train_sample): exact on any JDK — no
-    # repr(float)==Double.toString assumption, no verify pass, no
-    # fallback re-collect — bit parity with the distributed
+    # The local replay trains on the JVM's OWN decimal(38,18) casts,
+    # shipped alongside the doubles in the ONE training collect as
+    # raw decimal128 arrays (_collect_train_sample): exact on any JDK
+    # — no repr(float)==Double.toString assumption, no verify pass,
+    # no fallback re-collect — bit parity with the distributed
     # F.sum(cast(decimal)) either way.
     sample = None
     n = None

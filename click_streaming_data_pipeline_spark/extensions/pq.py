@@ -299,10 +299,10 @@ def train_pq_codebooks(
 
     ds = dim // m
     e = _unit_frame(emb, id_col, vec_col)
-    # The local replay trains on the JVM's decimal(38,18) canon
-    # strings shipped with the ONE training collect (see
-    # ivf._collect_train_sample): exact on any JDK, no verify pass,
-    # no fallback re-collect.
+    # The local replay trains on the JVM's decimal(38,18) casts
+    # shipped with the ONE training collect as raw decimal128 arrays
+    # (see ivf._collect_train_sample): exact on any JDK, no verify
+    # pass, no fallback re-collect.
     sample = None
     n = None
     if _sample is not None:

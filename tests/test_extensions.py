@@ -2100,3 +2100,132 @@ def test_compact_ivf_index_flattens_batches_identically(spark, tmp_path):
         for r in ivf_index_topk(spark, idx, queries, k=10).collect()
     }
     assert after == before
+
+
+def test_arrow_unit_lists_decodes_decimal128_exactly(spark):
+    """r8: the trainer collect ships decimal(38,18) casts as raw
+    decimal128 arrays; the int64 fast path must equal the exact
+    Decimal slow path, and both must equal _dec_units of the doubles,
+    across negatives, None rows/elements, empty vectors, and values
+    past the int64 limb (forcing the slow path)."""
+    from click_streaming_data_pipeline_spark.extensions.ivf import (
+        _arrow_unit_lists,
+        _dec_units,
+        _with_dec_arrays,
+    )
+
+    vecs = [
+        [0.1, -2.5, 0.0, 1e-18],
+        None,
+        [],
+        [123.456, -0.000001],
+        # |units| ~ 1.1e19 > 2**63: decimal128 high limb in use
+        [11.0e0 * 2**60, -3.25],
+        [float("nan"), 1.0],  # NaN casts to NULL element
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id int, v array<double>"
+    )
+    tbl = _with_dec_arrays(df, "v").toArrow()
+    got = _arrow_unit_lists(tbl.column("__jvm_dec_a"))
+    ids = tbl.column("id").to_pylist()
+    want_by_id = {
+        0: [_dec_units(x) for x in vecs[0]],
+        1: None,
+        2: [],
+        3: [_dec_units(x) for x in vecs[3]],
+        4: [_dec_units(x) for x in vecs[4]],
+        5: [None, _dec_units(1.0)],
+    }
+    assert got == [want_by_id[i] for i in ids]
+    # sliced-array offset handling: decode a mid-table slice
+    sl = tbl.column("__jvm_dec_a").combine_chunks().slice(2, 2)
+    got_slice = _arrow_unit_lists(sl)
+    by_id = dict(zip(ids, got))
+    assert got_slice == [by_id[i] for i in ids[2:4]]
+
+
+def test_minmax_stats_matches_expression_aggs(spark):
+    """r8: the quantize stats kernel must reproduce
+    F.min/F.max(element_at(v, i)) — NULL rows skipped — and route
+    NaN/NULL-element corpora into non-finite bounds (the expression
+    fallback trigger)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from click_streaming_data_pipeline_spark.extensions.similarity import (
+        _minmax_stats,
+    )
+
+    dim = 3
+    rows = [
+        ([1.5, -2.0, 0.25],),
+        (None,),
+        ([-7.0, 4.0, 0.25],),
+        ([0.5, 0.0, -0.125],),
+    ]
+    df = spark.createDataFrame(rows, "v array<double>")
+    mins, maxs = _minmax_stats(df, dim)
+    srow = df.agg(
+        F.array(
+            *[F.min(F.element_at("v", i + 1)) for i in range(dim)]
+        ).alias("mins"),
+        F.array(
+            *[F.max(F.element_at("v", i + 1)) for i in range(dim)]
+        ).alias("maxs"),
+    ).collect()[0]
+    assert mins == list(srow["mins"])
+    assert maxs == list(srow["maxs"])
+    # NaN element => non-finite bounds => caller falls back
+    dfn = spark.createDataFrame(
+        [([1.0, float("nan"), 0.0],)], "v array<double>"
+    )
+    mn, mx = _minmax_stats(dfn, dim)
+    assert any(not math.isfinite(x) for x in mn + mx)
+    # all-NULL => (None, None), like the empty aggregation
+    dfe = spark.createDataFrame([(None,)], "v array<double>")
+    assert _minmax_stats(dfe, dim) == (None, None)
+
+
+def test_cms_estimate_col_replays_join_semantics(spark):
+    """r8: the grid-literal CMS estimate must equal the broadcast
+    probe-join form cell for cell, and an item probing only absent
+    cells must yield NULL (the inner join's dropped row)."""
+    from pyspark.sql import functions as F
+
+    from click_streaming_data_pipeline_spark.extensions.sketch import (
+        _probe_structs,
+        cms_build,
+        cms_estimate,
+        cms_estimate_col,
+    )
+    from click_streaming_data_pipeline_spark.sources import load_table
+
+    from .conftest import SF_TEST
+
+    events = load_table(spark, SF_TEST, "events")
+    sketch = cms_build(events, "user_id")
+    items = events.select("user_id").distinct()
+    # join-form reference, inlined (the library now uses the literal)
+    probes = items.select(
+        "user_id",
+        F.explode(_probe_structs(F.col("user_id"), 4, 32)).alias("rc"),
+    ).select("user_id", "rc.r", "rc.col")
+    ref = {
+        r["user_id"]: r["cms_est"]
+        for r in probes.join(F.broadcast(sketch), ["r", "col"])
+        .groupBy("user_id")
+        .agg(F.min("n").alias("cms_est"))
+        .collect()
+    }
+    got = {
+        r["user_id"]: r["cms_est"]
+        for r in cms_estimate(items, sketch, "user_id").collect()
+    }
+    assert got == ref
+    # an empty sketch has no present cells: every estimate is NULL
+    empty = sketch.filter(F.lit(False))
+    est = cms_estimate_col(empty, F.col("user_id"))
+    n = items.withColumn("e", est).filter(F.col("e").isNotNull()).count()
+    assert n == 0

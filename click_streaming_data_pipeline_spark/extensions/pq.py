@@ -442,6 +442,72 @@ def _pq_encode_udf(codebooks: list[list[list[float]]]):
     return pandas_udf(_kernel, "codes array<int>, recon_mse double")
 
 
+def _assign_encode_udf(
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+):
+    """FUSED corpus kernel for ``ivf_pq_topk``: coarse assignment and
+    PQ codes from ONE Arrow pass (struct<centroid_id, codes>), so the
+    corpus vectors cross the JVM->Python boundary once instead of
+    twice (guide §4 — the two stacked ArrowEvalPython nodes each
+    shipped the full vector column). Math is the exact shared kernels:
+    :func:`ivf._np_nearest_matrix` for the assignment and the
+    ``_pq_encode_udf`` loops for the codes — bit-identical outputs.
+
+    Contract: raises on NULL/ragged vectors with ``_pq_encode_udf``'s
+    message (the sequential pipeline also failed on such corpora, in
+    its encode kernel); after that guard every row is exactly
+    centroid-dimensional, so ``_assign_matrix``'s zeros substitution
+    is unreachable and the direct vstack is equivalent. Only valid
+    for the Arrow-kernel assign regime (K <= ASSIGN_LITERAL_MAX);
+    the caller guards."""
+    from .ivf import _np_nearest_matrix
+
+    cents = [(int(cid), [float(x) for x in vec]) for cid, vec in centroids]
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    cbs = [[list(map(float, c)) for c in cb] for cb in codebooks]
+
+    def _kernel(v):
+        import numpy as np
+        import pandas as pd
+
+        want = m * ds
+        vv = list(v)
+        for x in vv:
+            if x is None or len(x) != want:
+                raise ValueError(
+                    "pq_encode: null or ragged embedding "
+                    f"(expected dim {want}, got "
+                    f"{'NULL' if x is None else len(x)}) — "
+                    "filter null/short embeddings before encoding"
+                )
+        V = np.vstack([np.asarray(x, np.float64) for x in vv])
+        cids = _np_nearest_matrix(V, cents)
+        U = _np_unit(V)
+        n = len(vv)
+        codes = np.zeros((n, m), dtype=np.int32)
+        for mi in range(m):
+            S = U[:, mi * ds: (mi + 1) * ds]
+            c, _ = _np_argmin_code(S, cbs[mi])
+            codes[:, mi] = c
+        return pd.DataFrame(
+            {"centroid_id": pd.Series(cids, dtype="int32"),
+             "codes": list(codes)}
+        )
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    # asNondeterministic: the probe join's null-rejection on
+    # centroid_id otherwise pushes a filter BELOW the projection and
+    # the optimizer duplicates the whole kernel (two ArrowEvalPython
+    # evals of the same batch — guide §4.4); the kernel is in fact
+    # deterministic, the marker only pins a single evaluation.
+    return pandas_udf(
+        _kernel, "centroid_id int, codes array<int>"
+    ).asNondeterministic()
+
+
 def _pq_prep_queries(
     qdf: DataFrame,
     codebooks: list[list[list[float]]],
@@ -777,24 +843,38 @@ def ivf_pq_topk(
             emb, id_col=id_col, vec_col=vec_col, dim=dim
         )
     # codes and coarse assignment are both ROW-WISE transforms of the
-    # same table: stamp both in ONE corpus pass (two Arrow kernels
-    # inline) instead of join-merging two separate scans — the join
-    # form shuffles the whole coded corpus on neighbor_id, a
-    # corpus-wide shuffle that buys nothing at any scale
-    corpus = (
-        _assign(
-            emb.select(
-                F.col(id_col).alias("neighbor_id"),
-                F.col(vec_col).alias("n_vec"),
-            ),
-            centroids,
-            "n_vec",
-        )
-        .withColumn(
-            "codes", _pq_encode_udf(codebooks)(F.col("n_vec"))["codes"]
-        )
-        .select("neighbor_id", "codes", "centroid_id")
+    # same table: stamp both in ONE corpus pass instead of
+    # join-merging two separate scans — the join form shuffles the
+    # whole coded corpus on neighbor_id, a corpus-wide shuffle that
+    # buys nothing at any scale. In the kernel-assign regime
+    # (K <= ASSIGN_LITERAL_MAX, every catalog configuration) the two
+    # transforms FUSE into one Arrow kernel so the vectors cross the
+    # Python boundary once (guide §4; _assign_encode_udf); the
+    # big-K broadcast-join assign keeps the two-step form.
+    from .ivf import ASSIGN_LITERAL_MAX
+
+    nv = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
     )
+    if len(centroids) <= ASSIGN_LITERAL_MAX:
+        corpus = nv.select(
+            "neighbor_id",
+            _assign_encode_udf(centroids, codebooks)(
+                F.col("n_vec")
+            ).alias("__ae"),
+        ).select(
+            "neighbor_id", "__ae.codes", "__ae.centroid_id"
+        )
+    else:
+        corpus = (
+            _assign(nv, centroids, "n_vec")
+            .withColumn(
+                "codes",
+                _pq_encode_udf(codebooks)(F.col("n_vec"))["codes"],
+            )
+            .select("neighbor_id", "codes", "centroid_id")
+        )
 
     # dtab + probe ranking prep. When the shared training collect is
     # available it holds the WHOLE corpus (sample_mod==1 by

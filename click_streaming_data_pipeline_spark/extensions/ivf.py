@@ -207,7 +207,11 @@ def _probe_cids_arrow(centroids, nprobe: int):
 
     from pyspark.sql.pandas.functions import pandas_udf
 
-    return pandas_udf(_kernel, "array<int>")
+    # asNondeterministic: downstream null-rejection/Generate-derived
+    # filters referencing the probe list otherwise push below the
+    # projection and DUPLICATE the kernel (guide §4.4); the ranking is
+    # deterministic — the marker only pins one evaluation per row.
+    return pandas_udf(_kernel, "array<int>").asNondeterministic()
 
 
 def _nearest_centroid_arrow(centroids):
@@ -226,7 +230,13 @@ def _nearest_centroid_arrow(centroids):
 
     from pyspark.sql.pandas.functions import pandas_udf
 
-    return pandas_udf(_kernel, "int")
+    # asNondeterministic: the probe join's isnotnull(centroid_id)
+    # otherwise pushes below the assign projection and the optimizer
+    # DUPLICATES the kernel — every vector scored against all K
+    # centroids TWICE (guide §4.4; caught in the r8 plan dumps of
+    # ivf_topk). The assignment is deterministic; the marker only
+    # pins a single evaluation.
+    return pandas_udf(_kernel, "int").asNondeterministic()
 
 
 def _assign(emb: DataFrame, centroids, vec_col: str) -> DataFrame:

@@ -114,10 +114,20 @@ def cosine_arrow(a: Column, b: Column) -> Column:
     on thousands of vectors. The kernel runs the same IEEE op sequence
     over whole Arrow batches (~ms). Use it on hot per-pair paths; the
     expression form remains the reference semantics and the oracle
-    documentation."""
+    documentation.
+
+    asNondeterministic: threshold filters over the result
+    (``filter(cos >= t)``) otherwise push below the projection and
+    the optimizer DUPLICATES the kernel — the verify stage of the
+    neardup/LSH/hard-negative lanes computed every pair cosine TWICE
+    (guide §4.4; r8 catalog plan sweep). The kernel is deterministic;
+    the marker only pins one evaluation, and no unrelated predicate
+    needs to cross this projection in any call site."""
     from pyspark.sql.pandas.functions import pandas_udf
 
-    return pandas_udf(_cosine_kernel_fn, "double")(a, b)
+    return pandas_udf(_cosine_kernel_fn, "double").asNondeterministic()(
+        a, b
+    )
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -303,7 +313,11 @@ def lsh_buckets_arrow(dim: int, n_planes: int, n_tables: int):
 
     from pyspark.sql.pandas.functions import pandas_udf
 
-    return pandas_udf(_kernel, "array<string>")
+    # asNondeterministic: Generate-derived null filters on the bucket
+    # array otherwise duplicate the kernel below the explode (guide
+    # §4.4; r8 catalog plan sweep) — deterministic output, marker
+    # pins one evaluation
+    return pandas_udf(_kernel, "array<string>").asNondeterministic()
 
 
 #: target expected bucket occupancy for auto-sized SRP-LSH carving

@@ -211,3 +211,24 @@ def test_no_expression_duplication_blowup(spark, name):
             f"computed columns behind a Generate (see "
             f"extensions/corpus.py::quality_heuristics)"
         )
+
+
+@pytest.mark.parametrize("name", BATCH_QUERIES)
+def test_no_duplicated_python_kernel_eval(plans, name):
+    """r8: a filter referencing a Python-UDF output can be pushed
+    below the producing projection, making the optimizer evaluate the
+    WHOLE kernel twice per row (guide 4.4 — found live on the IVF
+    assign kernel and the cosine/LSH verify kernels). Every physical
+    plan must evaluate each distinct kernel expression (same function,
+    same arguments, same expression id) exactly once."""
+    import collections
+    import re
+
+    args = re.findall(r"\[(\w+)\(([^\]]*?)\)#(\d+)\]", plans[name])
+    cnt = collections.Counter(args)
+    dups = {
+        k: v
+        for k, v in cnt.items()
+        if v > 1 and ("kernel" in k[0] or "_fn" in k[0])
+    }
+    assert not dups, (name, dups)
